@@ -1,0 +1,9 @@
+package graft
+
+/** Aggregates every operator family's query definitions. SparkEntry exposes
+  * these through the driver contract (queries / oracleSql).
+  */
+object Registry {
+  def all: Map[String, QueryDef] =
+    graft.queries.Relational.defs
+}

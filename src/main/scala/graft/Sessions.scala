@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session factory so Verify / Bench / tests agree on semantics-
+  * critical configs. AQE stays on (skew-join + coalesce at scale); shuffle
+  * partitions match local core count instead of the 200 default.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession =
+    builder(s"local[$cores]", cores.toString).getOrCreate()
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every reader is a plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown freedom (column pruning + predicate pushdown reach the scan).
+  * At 100 TB these would be partitioned/bucketed tables behind a catalog;
+  * the call sites below never assume single-file layout.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
+    * parquet reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * so it arrives as a Long, normalized here to a proper TimestampType.
+    * `div` (integer division) is load-bearing: ns epochs exceed 2^53 and a
+    * double-valued `/` would silently lose microseconds.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2.2–2.7): scans, filters,
+  * equi/semi/anti/as-of joins, aggregations, windows, top-k, set ops,
+  * RRF fusion (ref: src/memvid/ask.rs:1381-1432), latest-per-key
+  * (ref: src/types/memories_track.rs:365-398), cursor pagination
+  * (ref: src/memvid/search/fallback.rs:88-196).
+  *
+  * Scale notes (100 TB): every query here groups/joins on natural keys so
+  * Catalyst plans shuffle-partial-agg + (broadcast|sort-merge) joins; dims
+  * (region/nation) are explicitly broadcast; fact-fact joins rely on AQE
+  * skew handling. No collect() anywhere in the data path.
+  */
+object Relational {
+
+  /** exact, order-independent aggregation of a double column */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- A17/A1-style full-scan aggregate (TPC-H Q1 shape) ----
+    "rel_pricing_summary" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumd($"l_quantity").as("sum_qty"),
+            sumd($"l_extendedprice").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- F5/F8-style filter + projection (pushdown must reach the scan) ----
+    "rel_filter_project" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate".between(lit("1996-01-01").cast("timestamp"),
+                                        lit("1996-12-31").cast("timestamp")) &&
+                  $"l_discount" >= 0.05 && $"l_quantity" < 10)
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount >= 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- T1 top-k: compiles to TakeOrderedAndProject (no full sort) ----
+    "rel_topk_orders" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(50)
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin),
+
+    // ---- J2 lookup join: fact ⨝ dims with explicit broadcast of dims ----
+    "rel_join_revenue_by_nation" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord  = Tables.orders(s, d)
+        val nat  = Tables.nation(s, d)
+        ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy($"n_name")
+          .agg(sumd($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+          .orderBy($"n_name")
+      },
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // ---- J1 semi-join (candidate-set intersection semantics) ----
+    "rel_semi_join" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        val hot = Tables.lineitem(s, d).filter($"l_discount" > 0.08)
+          .select($"l_orderkey")
+        ord.join(hot, ord("o_orderkey") === hot("l_orderkey"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- J8 anti-join (dedup-by-content / NOT EXISTS semantics) ----
+    "rel_anti_join" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord  = Tables.orders(s, d).filter($"o_totalprice" > 400000).select($"o_custkey")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ---- A10/W2 latest-value-per-key (memories_track.rs:365-380) ----
+    "rel_latest_event_per_user" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("ts_us"))
+          .orderBy($"user_id")
+      },
+      """SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    // ---- J9 as-of join: latest order per customer at a point in time ----
+    "rel_asof_order_per_customer" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        Tables.orders(s, d)
+          .filter($"o_orderdate" <= lit("1995-06-30").cast("timestamp"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_custkey", $"o_orderkey",
+                  unix_micros($"o_orderdate".cast("timestamp")).as("orderdate_us"), $"o_totalprice")
+          .orderBy($"o_custkey")
+      },
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-30 00:00:00') t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+
+    // ---- W4 lag window (score-cliff detection, types/adaptive.rs:141-203) ----
+    "rel_window_lag_delta" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag(dec($"value"), 1).over(w))
+          .filter($"prev".isNotNull)
+          .groupBy($"user_id")
+          .agg(sum(abs(dec($"value") - $"prev")).cast("double").as("total_delta"),
+               count(lit(1)).as("n_steps"))
+          .orderBy($"user_id")
+      },
+      """SELECT user_id,
+        |  CAST(SUM(ABS(CAST(value AS DECIMAL(18,4)) - prev)) AS DOUBLE) AS total_delta,
+        |  COUNT(*) AS n_steps
+        |FROM (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,4)) AS value,
+        |         lag(CAST(value AS DECIMAL(18,4)), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events) t
+        |WHERE prev IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- J3 RRF fusion of two ranked lists (ask.rs:1381-1432, k=60) ----
+    "rel_rrf_fusion" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val byBal = cust.select($"c_custkey",
+            row_number().over(Window.orderBy($"c_acctbal".desc, $"c_custkey")).as("rank"))
+          .limit(100).withColumn("list_id", lit("acctbal"))
+        val byOrders = Tables.orders(s, d)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .select($"o_custkey".as("c_custkey"),
+            row_number().over(Window.orderBy($"n".desc, $"o_custkey")).as("rank"))
+          .limit(100).withColumn("list_id", lit("orders"))
+        byBal.unionByName(byOrders)
+          .groupBy($"c_custkey")
+          .agg(round(sum(lit(1.0) / (lit(60) + $"rank")), 9).as("rrf_score"),
+               count(lit(1)).as("n_lists"))
+          .orderBy($"rrf_score".desc, $"c_custkey")
+          .limit(20)
+      },
+      """WITH by_bal AS (
+        |  SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rank
+        |  FROM customer ORDER BY rank LIMIT 100),
+        |by_orders AS (
+        |  SELECT o_custkey AS c_custkey, row_number() OVER (ORDER BY COUNT(*) DESC, o_custkey) AS rank
+        |  FROM orders GROUP BY o_custkey ORDER BY rank LIMIT 100),
+        |unioned AS (
+        |  SELECT * FROM by_bal UNION ALL SELECT * FROM by_orders)
+        |SELECT c_custkey, ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf_score, COUNT(*) AS n_lists
+        |FROM unioned GROUP BY c_custkey
+        |ORDER BY rrf_score DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // ---- countDistinct aggregation ----
+    "rel_count_distinct" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+               countDistinct($"l_suppkey").as("n_supps"),
+               count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- W6 cursor pagination (fallback.rs:88-196) ----
+    "rel_cursor_page" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"o_orderdate", $"o_orderkey")
+        Tables.orders(s, d)
+          .select($"o_orderkey", unix_micros($"o_orderdate".cast("timestamp")).as("orderdate_us"),
+                  $"o_orderpriority")
+          .withColumn("rn", row_number().over(
+            Window.orderBy($"orderdate_us", $"o_orderkey")))
+          .filter($"rn" > 100 && $"rn" <= 150)
+          .drop("rn")
+          .orderBy($"orderdate_us", $"o_orderkey")
+      },
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
+        |FROM orders
+        |ORDER BY orderdate_us, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin),
+
+    // ---- U1/U3 set ops: intersect minus except over candidate ID sets ----
+    "rel_set_ops" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        def in(year: Int) = ord
+          .filter($"o_orderdate".between(
+            lit(f"$year-01-01").cast("timestamp"), lit(f"$year-12-31 23:59:59").cast("timestamp")))
+          .select($"o_custkey")
+        val both = in(1996).intersect(in(1997))
+        val excl = ord.filter($"o_orderstatus" === "F" && $"o_totalprice" > 300000)
+          .select($"o_custkey")
+        both.except(excl).orderBy($"o_custkey")
+      },
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+        |) t ORDER BY o_custkey""".stripMargin),
+
+    // ---- A18/T3 timeline assembly (memvid/timeline.rs:20-120) ----
+    "rel_timeline" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .filter($"event_type" === "error")
+          .select(unix_micros($"ts").as("ts_us"), $"event_id", $"user_id", $"value")
+          .orderBy($"ts_us".desc, $"event_id".desc)
+          .limit(100)
+      },
+      """SELECT epoch_us(ts) AS ts_us, event_id, user_id, value
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin)
+  )
+}
