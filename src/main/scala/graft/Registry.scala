@@ -5,5 +5,6 @@ package graft
   */
 object Registry {
   def all: Map[String, QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+    graft.queries.TextSearch.defs
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level API for the engine's native expressions and text kernels.
+  *
+  * Custom expressions are registered into the session FunctionRegistry once
+  * and referenced via `call_function`, which keeps us on the public Column
+  * API (Spark 4 removed the Column-from-Expression constructor).
+  */
+object F {
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val key = spark.sessionState.toString
+    if (registered.add(key)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("poly_hash", es => PolyHash(es.head), "built-in")
+      reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("porter_stem", es => PorterStemExpr(es.head), "built-in")
+    }
+  }
+
+  def polyHash(c: Column): Column = call_function("poly_hash", c)
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def l2Distance(a: Column, b: Column): Column = call_function("l2_distance", a, b)
+  def porterStem(c: Column): Column = call_function("porter_stem", c)
+
+  /** Reference tokenizer (src/lex.rs:416-431): lowercase, split on anything
+    * outside [a-z0-9&@+/_], keep tokens containing at least one alnum.
+    * DuckDB equivalent:
+    * list_filter(regexp_split_to_array(lower(t),'[^a-z0-9&@+/_]+'),
+    *             x -> regexp_matches(x, '[a-z0-9]'))
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9&@+/_]+"), t => t.rlike("[a-z0-9]"))
+
+  /** word n-gram shingles over the token array, joined by single spaces */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** substring occurrence count — the fallback lexical scorer primitive
+    * (ref src/lex.rs:185-297): exact integer arithmetic on lengths. */
+  def occurrences(text: Column, term: String): Column =
+    ((length(text) - length(replace(text, lit(term), lit("")))) / length(lit(term)))
+      .cast("long")
+
+  /** MinHash permutation value: (a * h + b) mod p over a polyHash. */
+  def permHash(h: Column, a: Long, b: Long): Column =
+    pmod(lit(a) * h + lit(b), lit(HashUtil.Mod))
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.F
+import graft.search.{BM25, Lexical}
+import org.apache.spark.sql.functions._
+
+/** Text/search operator inventory over the `documents` table:
+  * tokenizer X1 (src/lex.rs:416-431), fallback lexical scorer A1/A2
+  * (src/lex.rs:185-297), BM25 A3 (src/search/tantivy/engine.rs),
+  * fingerprinting and quality scoring for the training-data pipeline.
+  *
+  * DuckDB oracle note: the tokenizer is expressed on the oracle side as
+  * list_filter(regexp_split_to_array(...)) with identical regex semantics,
+  * so token-derived results compare hash-exactly.
+  */
+object TextSearch {
+
+  /** oracle-side tokenizer fragment (must mirror F.tokens) */
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- X1 tokenizer + term frequency ----
+    "text_term_frequency" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(explode(F.tokens($"text")).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"term")
+          .limit(100)
+      },
+      s"""SELECT term, COUNT(*) AS freq FROM (
+         |  SELECT unnest($duckToks) AS term FROM documents) t
+         |GROUP BY term ORDER BY freq DESC, term LIMIT 100""".stripMargin),
+
+    // ---- A1/A2 fallback lexical search, AND semantics + phrase boost ----
+    "text_lexical_search" -> QueryDef.sql(
+      (s, d) => Lexical.search(Tables.documents(s, d), "doc_id", "text",
+                               "spark join", topK = 50),
+      """SELECT doc_id,
+        |  CAST(CAST((length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT)
+        |     + CAST((length(lower(text)) - length(replace(lower(text), 'join', ''))) / 4 AS BIGINT) AS DOUBLE)
+        |     + (CASE WHEN contains(lower(text), 'spark join') THEN 1000.0 ELSE 0.0 END) AS score
+        |FROM documents
+        |WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+
+    // ---- A3 BM25 (two-pass DF/TF/avgdl aggregation) ----
+    "text_bm25" -> QueryDef.sql(
+      (s, d) => {
+        val toks = BM25.tokenTable(Tables.documents(s, d), "doc_id", "text", stemmed = false)
+        BM25.score(s, toks, Seq("spark", "join", "window"), topK = 25)
+      },
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS c
+         |  FROM tf JOIN df ON tf.term = df.term
+         |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |agg AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN term = 'spark' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0) AS score
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, ROUND(score, 6) AS score FROM agg
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin),
+
+    // ---- quality scoring (training-data pipeline) ----
+    "text_quality" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val toks = F.tokens($"text")
+        val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+        val nStop = size(filter(toks, t => t.isin(stop.map(lit(_)): _*)))
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("n_alpha", length(regexp_replace($"text", "[^a-zA-Z]", "")).cast("long"))
+          .withColumn("stop_ratio", round(nStop.cast("double") / $"n_tokens", 6))
+          .withColumn("alpha_ratio", round($"n_alpha".cast("double") / length($"text"), 6))
+          .withColumn("quality",
+            when($"n_tokens" >= 20 && $"stop_ratio" > 0.01, lit("good")).otherwise(lit("low")))
+          .select($"doc_id", $"n_tokens", $"n_alpha", $"stop_ratio", $"alpha_ratio", $"quality")
+          .orderBy($"doc_id")
+      },
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  ROUND(CAST(len(list_filter($duckToks, x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+         |        / len($duckToks), 6) AS stop_ratio,
+         |  ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+         |  CASE WHEN len($duckToks) >= 20
+         |        AND ROUND(CAST(len(list_filter($duckToks, x -> x IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+         |                  / len($duckToks), 6) > 0.01
+         |       THEN 'good' ELSE 'low' END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- X3-style normalization + content fingerprint (dedup key) ----
+    "text_fingerprint" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        F.ensureRegistered(s)
+        val norm = trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+        Tables.documents(s, d)
+          .select($"doc_id", md5(norm.cast("binary")).as("fp"),
+                  F.polyHash(norm).as("fp64"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ''),
+        |                   c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,50 @@
+package graft.search
+
+import graft.functions.F
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fallback lexical engine: substring occurrence scan with AND semantics and
+  * exact-phrase boost, deduped per document keeping the max score
+  * (reference: src/lex.rs:185-297; phrase boost +1000 at src/lex.rs:267-270;
+  * dedup-keep-max at src/lex.rs:283-296).
+  *
+  * Runs as one narrow scan + TakeOrderedAndProject: no shuffle before the
+  * global top-k, so it scales linearly with corpus size.
+  */
+object Lexical {
+  val PhraseBoost = 1000.0
+
+  /** Additive occurrence score of `terms` over lowercase text, with the
+    * +1000 boost when the whole phrase appears. AND semantics: rows where
+    * any term is absent score null and are filtered by `search`.
+    */
+  def score(textLower: Column, terms: Seq[String], phrase: Option[String]): Column = {
+    require(terms.nonEmpty, "empty query")
+    val occs = terms.map(t => F.occurrences(textLower, t.toLowerCase))
+    val total = occs.reduce(_ + _)
+    val allPresent = occs.map(_ > 0).reduce(_ && _)
+    val boost = phrase match {
+      case Some(p) => when(textLower.contains(p.toLowerCase), lit(PhraseBoost)).otherwise(lit(0.0))
+      case None    => lit(0.0)
+    }
+    when(allPresent, total.cast("double") + boost).otherwise(lit(null).cast("double"))
+  }
+
+  /** Rank documents for a free-text query. `query` is split on whitespace;
+    * a multi-word query is also tried as an exact phrase (implicit AND —
+    * reference parser.rs:288-301 + generate_performance_report.rs:138).
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String, query: String,
+             topK: Int = 10): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val phrase = if (terms.length > 1) Some(terms.mkString(" ")) else None
+    val textLower = lower(col(textCol))
+    docs
+      .withColumn("score", score(textLower, terms, phrase))
+      .filter(col("score").isNotNull)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}
