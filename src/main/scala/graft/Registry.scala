@@ -6,5 +6,6 @@ package graft
 object Registry {
   def all: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
-    graft.queries.TextSearch.defs
+    graft.queries.TextSearch.defs ++
+    graft.queries.SearchQueries.defs
 }

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.search.{FrameCols, Search}
+import org.apache.spark.sql.functions._
+
+/** Boolean query language end-to-end (F1, parser.rs:8-395) over the
+  * documents corpus, with `source` bound as track and `lang` as a tag —
+  * the oracle SQL re-expresses the compiled predicate directly.
+  */
+object SearchQueries {
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
+
+  private def frameCols(s: org.apache.spark.sql.SparkSession) = {
+    FrameCols(
+      text = col("text"),
+      uri = concat(lit("doc://"), col("source"), lit("/"), col("doc_id")),
+      track = col("source"),
+      tags = array(col("lang")))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- boolean + field query: (spark OR merge) AND NOT stream track:src3
+    "search_boolean" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        docs.filter(graft.search.QueryCompiler.predicate(
+            "(spark OR merge) AND NOT stream track:src3", frameCols(s)))
+          .select($"doc_id", $"source", $"lang")
+          .orderBy($"doc_id")
+      },
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE (list_contains($duckToks, 'spark') OR list_contains($duckToks, 'merge'))
+         |  AND NOT list_contains($duckToks, 'stream')
+         |  AND source = 'src3'
+         |ORDER BY doc_id""".stripMargin),
+
+    // ---- phrase + wildcard + scope filter ----
+    "search_wildcard" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        docs.filter(graft.search.QueryCompiler.predicate(
+            "\"spark join\" OR val* scope:doc://src7/", frameCols(s)))
+          .select($"doc_id")
+          .orderBy($"doc_id")
+      },
+      s"""SELECT doc_id FROM documents
+         |WHERE contains(text, 'spark join') OR contains(lower(text), 'spark join')
+         |   OR (len(list_filter($duckToks, x -> regexp_matches(x, '^val.*$$'))) > 0
+         |       AND starts_with('doc://' || source || '/' || doc_id, 'doc://src7/'))
+         |ORDER BY doc_id""".stripMargin),
+
+    // ---- full search pipeline: predicate + occurrence score + rank ----
+    "search_ranked" -> QueryDef.sql(
+      (s, d) => Search.search(Tables.documents(s, d), "doc_id", frameCols(s),
+          "spark merge", Search.Options(topK = 30, withSnippets = false))
+        .drop("snippets"),
+      """SELECT doc_id AS id,
+        |  CAST(CAST((length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT)
+        |     + CAST((length(lower(text)) - length(replace(lower(text), 'merge', ''))) / 5 AS BIGINT) AS DOUBLE)
+        |     + (CASE WHEN contains(lower(text), 'spark merge') THEN 1000.0 ELSE 0.0 END) AS score
+        |FROM documents
+        |WHERE (list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]')), 'spark')
+        |       OR lang = 'spark' OR source = 'spark')
+        |  AND (list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]')), 'merge')
+        |       OR lang = 'merge' OR source = 'merge')
+        |ORDER BY score DESC, id LIMIT 30""".stripMargin)
+  )
+}

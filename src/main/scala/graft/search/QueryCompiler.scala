@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.functions.F
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column bindings for the frame-ish schema a query predicate evaluates
+  * over. Missing fields (a corpus without tags, say) can be bound to
+  * `lit(null)` — field terms on them simply never match, mirroring the
+  * reference's fallback evaluator on sparse metadata
+  * (src/memvid/search/fallback.rs:60-67).
+  */
+final case class FrameCols(
+    text: Column,
+    uri: Column = lit(null).cast("string"),
+    track: Column = lit(null).cast("string"),
+    kind: Column = lit(null).cast("string"),
+    tags: Column = lit(null).cast("array<string>"),
+    labels: Column = lit(null).cast("array<string>"),
+    timestamp: Column = lit(null).cast("timestamp"))
+
+/** Compiles a parsed QExpr into a single Catalyst boolean Column, so the
+  * whole boolean/field tree executes inside the scan (predicate pushdown,
+  * codegen) instead of a driver-side post-filter — the Spark-first
+  * equivalent of the tantivy query translation at
+  * src/search/tantivy/query.rs:31-240.
+  */
+object QueryCompiler {
+  import QExpr._
+
+  /** glob (`*`, `?`) → anchored Java regex */
+  def globToRegex(glob: String): String =
+    "^" + glob.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    } + "$"
+
+  def compile(e: QExpr, f: FrameCols): Column = e match {
+    case And(l, r) => compile(l, f) && compile(r, f)
+    case Or(l, r)  => compile(l, f) || compile(r, f)
+    case Not(x)    => !coalesce(compile(x, f), lit(false))
+    // a bare word matches content tokens, or exact tag/label/track — the
+    // tantivy field-OR expansion (query.rs:172-217)
+    case Word(w) =>
+      val token = array_contains(F.tokens(f.text), w)
+      val tagHit = coalesce(array_contains(f.tags, w), lit(false))
+      val labelHit = coalesce(array_contains(f.labels, w), lit(false))
+      val trackHit = coalesce(f.track === w, lit(false))
+      token || tagHit || labelHit || trackHit
+    case Phrase(p)    => f.text.contains(p) || lower(f.text).contains(p.toLowerCase)
+    case Wildcard(g)  => exists(F.tokens(f.text), t => t.rlike(globToRegex(g)))
+    case UriField(v) =>
+      if (v.endsWith("*")) f.uri.startsWith(v.dropRight(1)) else f.uri === v
+    case ScopeField(p) => f.uri.startsWith(p)
+    case TrackField(v) => f.track === v
+    case KindField(v)  => f.kind === v
+    case TagField(v)   => array_contains(f.tags, v)
+    case LabelField(v) => array_contains(f.labels, v)
+    case DateRange(a, b) =>
+      f.timestamp.between(lit(a).cast("timestamp"), lit(b).cast("timestamp"))
+  }
+
+  /** parse + compile in one step */
+  def predicate(query: String, f: FrameCols): Column =
+    compile(QueryParser.parse(query), f)
+}
