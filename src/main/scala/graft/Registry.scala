@@ -7,5 +7,6 @@ object Registry {
   def all: Map[String, QueryDef] =
     graft.queries.Relational.defs ++
     graft.queries.TextSearch.defs ++
-    graft.queries.SearchQueries.defs
+    graft.queries.SearchQueries.defs ++
+    graft.queries.VectorQueries.defs
 }

