@@ -8,5 +8,6 @@ object Registry {
     graft.queries.Relational.defs ++
     graft.queries.TextSearch.defs ++
     graft.queries.SearchQueries.defs ++
-    graft.queries.VectorQueries.defs
+    graft.queries.VectorQueries.defs ++
+    graft.queries.DedupQueries.defs
 }

@@ -1,0 +1,143 @@
+package graft.dedup
+
+import graft.functions.F
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale deduplication — the training-data-pipeline generalization
+  * of the reference's ingest dedup-by-hash (src/memvid/mutation.rs:3300-3316,
+  * find_frame_by_hash src/memvid/frame.rs:208) and SimHash sketch track
+  * (src/types/sketch_track.rs:549-580).
+  *
+  * Scale design:
+  *   - exact dedup: one shuffle on the 16-byte fingerprint;
+  *   - MinHash/LSH: signatures are built per-row (narrow), candidate
+  *     generation shuffles on (band, bandKey) — only colliding docs meet,
+  *     never the full cross product;
+  *   - SimHash: banded self-join (4×16-bit bands) bounds the pair space the
+  *     same way the reference's hamming≤k prefilter does;
+  *   - verification joins are on candidate pairs only (LSH output is
+  *     ~linear in true-duplicate count for reasonable band params).
+  *
+  * All hashes derive from the portable polyHash so the DuckDB oracle can
+  * replay every stage hash-exactly.
+  */
+object Dedup {
+
+  val P: Long = graft.functions.HashUtil.Mod
+
+  /** fixed MinHash permutation parameters (a*h+b mod P), public constants */
+  val PermA: Seq[Long] = Seq(7, 13, 29, 53, 97, 193, 389, 769,
+                             1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613)
+  val PermB: Seq[Long] = Seq(3, 11, 19, 41, 89, 179, 359, 719,
+                             1439, 2879, 5741, 11483, 22943, 45887, 91733, 183479)
+  val NumPerms = 16
+
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** exact-duplicate groups by normalized-content fingerprint */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs
+      .withColumn("fp", md5(normalized(col(textCol)).cast("binary")))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"),
+           min(col(idCol)).as("keep_id"),
+           concat_ws(",", sort_array(collect_list(col(idCol)))).as("member_ids"))
+      .filter(col("n") > 1)
+  }
+
+  /** distinct word-shingle set per doc */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+                array_distinct(F.shingles(col(textCol), shingleSize)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** MinHash signature: per permutation i, min over shingles of
+    * (a_i * polyHash(s) + b_i) mod P. Output: (doc_id, sig array<long>).
+    */
+  def minhashSignatures(shingles: DataFrame): DataFrame = {
+    F.ensureRegistered(shingles.sparkSession)
+    val hashed = shingles.select(col("doc_id"),
+      explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), F.polyHash(col("sh")).as("h"))
+    val mins = (0 until NumPerms).map(i =>
+      min(pmod(lit(PermA(i)) * col("h") + lit(PermB(i)), lit(P))).as(s"m$i"))
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: bands of `rowsPerBand` signature slots; candidates are
+    * pairs sharing at least one full band. */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int = 4,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val banded = signatures.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(transform(sequence(b * rowsPerBand, (b + 1) * rowsPerBand - 1),
+          i => element_at(col("sig"), i + 1)), "_"))))
+      .toDF("doc_id", "band", "key")
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** exact Jaccard verification over candidate pairs */
+  def verifiedNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.7, shingleSize: Int = 3,
+                             roundDp: Int = 6): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleSize)
+    val sig = minhashSignatures(sh)
+    val pairs = lshCandidatePairs(sig)
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    pairs.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), roundDp))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 60-bit portable SimHash: token hash h64 = polyHash(t)*(2^31-1) +
+    * polyHash(t || "!"); bit j weight = +tf/-tf by bit parity; bit set when
+    * the weighted sum is positive (ref sketch_track.rs:549-580).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame = {
+    F.ensureRegistered(docs.sparkSession)
+    val tf = docs.select(col(idCol).as("doc_id"), explode(F.tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .withColumn("h64", F.polyHash(col("t")) * lit(2147483647L) + F.polyHash(concat(col("t"), lit("!"))))
+    val bitRows = tf.select(col("doc_id"), col("tf"), col("h64"),
+        posexplode(transform(sequence(lit(0), lit(bits - 1)),
+          j => when(call_function("shiftright", col("h64"), j).bitwiseAND(1) === 1, col("tf"))
+                 .otherwise(-col("tf")))))
+      .toDF("doc_id", "tf", "h64", "bit", "w")
+    bitRows.groupBy("doc_id", "bit").agg(sum(col("w")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, call_function("shiftleft", lit(1L), col("bit").cast("int")))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** near-dup pairs by banded SimHash + hamming cutoff. Bands: 4×15 bits. */
+  def simhashNearDuplicates(sim: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit((1L << 15) - 1))): _*)))
+      .toDF("doc_id", "simhash", "band", "key")
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.dedup.Dedup
+import graft.functions.F
+import graft.vector.VectorSearch
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family (training-data pipeline first-class ops):
+  * exact hash-groupBy, MinHash+LSH with exact-Jaccard verification,
+  * SimHash banding, and embedding near-dup within IVF clusters.
+  * Reference anchors: ingest dedup src/memvid/mutation.rs:3300-3316,
+  * SimHash sketches src/types/sketch_track.rs:549-580.
+  *
+  * The DuckDB oracles replay every stage (shingles → polyHash → perms →
+  * bands → candidate pairs → exact Jaccard) with identical integer
+  * arithmetic — full-pipeline hash parity, not just end-result spot checks.
+  */
+object DedupQueries {
+
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
+  private def duckPoly(s: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($s, ''), c -> CAST(unicode(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
+  private val duckShingles =
+    "list_distinct(list_transform(range(greatest(len(tk)-2, 0)), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"
+  private def duckCosRaw(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1]*p[2])), (u,v)->u+v)"
+    def nsq(x: String) =
+      s"list_reduce(list_prepend(0.0, list_transform($x, z->z*z)), (u,v)->u+v)"
+    s"${dot(a, b)} / (sqrt(${nsq(a)}) * sqrt(${nsq(b)}))"
+  }
+
+  private val minhashMins = (0 until Dedup.NumPerms).map(i =>
+    s"CAST(min((${Dedup.PermA(i)}*h + ${Dedup.PermB(i)}) % 1000000007) AS BIGINT) AS m$i").mkString(", ")
+  private val bandKeys = (0 until 4).map { b =>
+    val key = (b * 4 until (b + 1) * 4).map(i => s"m$i").mkString(" || '_' || ")
+    s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+  }.mkString(" UNION ALL ")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- J8 exact dedup by normalized-content fingerprint ----
+    "dedup_exact" -> QueryDef.sql(
+      (s, d) => Dedup.exactDuplicateGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fp")),
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n, MIN(doc_id) AS keep_id,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS member_ids
+        |FROM documents
+        |GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin),
+
+    // ---- MinHash + LSH + exact-Jaccard verification ----
+    "dedup_minhash_lsh" -> QueryDef.sql(
+      (s, d) => Dedup.verifiedNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
+         |       WHERE len($duckShingles) > 0),
+         |h AS (SELECT doc_id, ${duckPoly("sng")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashMins FROM h GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM banded a JOIN banded b
+         |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+         |          FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+         |                        JOIN sh b ON b.doc_id = p.doc_b AND a.sng = b.sng
+         |          GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  ROUND(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) AS jaccard
+         |FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id
+         |             JOIN cnt cb ON i.doc_b = cb.doc_id
+         |WHERE ROUND(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- SimHash near-dup with banded hamming join ----
+    "dedup_simhash" -> QueryDef.sql(
+      (s, d) => {
+        val sim = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhashNearDuplicates(sim, maxHamming = 2)
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u GROUP BY doc_id, t),
+         |hh AS (SELECT doc_id, tf, ${duckPoly("t")} * 2147483647 + ${duckPoly("t || '!'")} AS h64 FROM tf),
+         |bits AS (SELECT doc_id, j, SUM(CASE WHEN (h64 >> j) & 1 = 1 THEN tf ELSE -tf END) AS sgn
+         |         FROM hh, (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+         |sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) & 32767 AS key
+         |           FROM sim, (SELECT unnest(range(4)) AS b) bs),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |          FROM banded a JOIN banded b
+         |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+         |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- n-gram Jaccard similarity join (exact, inverted-index style) ----
+    "dedup_ngram_jaccard" -> QueryDef.sql(
+      (s, d) => {
+        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), explode(col("shingles")).as("sng"))
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("sng"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sng")), "sng")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+        inter
+          .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+          .filter(col("jaccard") >= 0.7)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
+         |       WHERE len($duckShingles) > 0),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |          FROM sh a JOIN sh b ON a.sng = b.sng AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) AS jaccard
+         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+         |           JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- embedding near-dup within IVF clusters (cosine threshold join) ----
+    "vec_neardup_cluster" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        val cl = VectorSearch.assignClusters(emb, "embedding", cents)
+        val a = cl.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        val b = cl.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))
+          .withColumn("score", F.cosineSim(col("ea"), col("eb")))
+          .filter(col("score") >= 0.45)
+          .select("vec_a", "vec_b", "score")
+          .orderBy("vec_a", "vec_b")
+      },
+      s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (u,v)->u+v)), c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${duckCosRaw("a.ev", "b.ev")} AS score
+         |FROM assigned a JOIN assigned b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE ${duckCosRaw("a.ev", "b.ev")} >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin)
+  )
+}

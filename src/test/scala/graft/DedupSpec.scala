@@ -1,0 +1,46 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The quick brown fox jumps over the lazy dog near the river bank!"), // exact after normalize
+    (3L, "the quick brown fox jumps over the lazy dog near the river delta"), // near-dup
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "yet another unrelated document mentioning databases and indexes only")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicate groups found by normalized fingerprint") {
+    val groups = Dedup.exactDuplicateGroups(corpus, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+    assert(groups.head.getAs[String]("member_ids") == "1,2")
+  }
+
+  test("minhash+lsh+verify finds near-duplicates with exact jaccard") {
+    val pairs = Dedup.verifiedNearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L))) // near-dup caught
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs have hamming 0; unrelated docs don't collide at <=2") {
+    val sim = Dedup.simhash(corpus, "doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(sim, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 4L && p._3 == 0))
+  }
+
+  test("shingle sets drop docs shorter than n") {
+    val tiny = Seq((1L, "two words"), (2L, "three little words here")).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(tiny, "doc_id", "text", shingleSize = 3)
+    assert(sh.count() == 1)
+  }
+}
