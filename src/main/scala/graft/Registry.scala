@@ -9,5 +9,6 @@ object Registry {
     graft.queries.TextSearch.defs ++
     graft.queries.SearchQueries.defs ++
     graft.queries.VectorQueries.defs ++
-    graft.queries.DedupQueries.defs
+    graft.queries.DedupQueries.defs ++
+    graft.queries.MemoryGraphQueries.defs
 }

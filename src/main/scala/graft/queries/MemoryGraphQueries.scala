@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.memory.MemoryCards
+import graft.graph.LogicMesh
+import graft.ops.Sessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured memory, entity graph, temporal overlap, and sessionization —
+  * SURVEY §2 A8–A12, W2/J9, J5–J7, F6, ST6-adjacent.
+  *
+  * Memory cards are derived deterministically from `events`
+  * (entity = user, slot = event_type, value = props, ts) so every card
+  * operation is oracle-checkable on driver data; the graph derives from
+  * orders⨝lineitem (customer —ordered_from→ supplier).
+  */
+object MemoryGraphQueries {
+
+  /** events → memory cards view (same derivation in every query + oracle) */
+  private def cards(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      concat(lit("user:"), col("user_id")).as("entity"),
+      col("event_type").as("slot"),
+      col("props").as("value"),
+      col("value").as("num_value"),
+      col("ts"),
+      col("event_id").as("cardId"),
+      lit("sets").as("relation"),
+      lit("event").as("kind"))
+
+  private val duckCards =
+    """(SELECT 'user:' || user_id AS entity, event_type AS slot, props AS value,
+      |        value AS num_value, ts, event_id AS cardId FROM events)""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- A10/W2 get_current: newest card per (entity, slot) ----
+    "mem_get_current" -> QueryDef.sql(
+      (s, d) => MemoryCards.getCurrent(cards(s, d))
+        .select(col("entity"), col("slot"), col("value"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("entity"), col("slot")),
+      s"""SELECT entity, slot, value, epoch_us(ts) AS ts_us FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY entity, slot ORDER BY ts DESC, cardId DESC) AS rn
+         |  FROM $duckCards c) t
+         |WHERE rn = 1 ORDER BY entity, slot""".stripMargin),
+
+    // ---- J9 get_at_time: as-of view of memory ----
+    "mem_as_of" -> QueryDef.sql(
+      (s, d) => MemoryCards.getAtTime(cards(s, d),
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select(col("entity"), col("slot"), col("value"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("entity"), col("slot")),
+      s"""SELECT entity, slot, value, epoch_us(ts) AS ts_us FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY entity, slot ORDER BY ts DESC, cardId DESC) AS rn
+         |  FROM $duckCards c WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+         |WHERE rn = 1 ORDER BY entity, slot""".stripMargin),
+
+    // ---- A8 aggregate_slot: all values newest-first ----
+    "mem_aggregate_slot" -> QueryDef.sql(
+      (s, d) => MemoryCards.aggregateSlot(cards(s, d))
+        .orderBy(col("entity"), col("slot")),
+      s"""SELECT entity, slot, COUNT(*) AS n_versions,
+         |  string_agg(value, ',' ORDER BY ts DESC, cardId DESC) AS values_newest_first
+         |FROM $duckCards c
+         |GROUP BY entity, slot ORDER BY entity, slot""".stripMargin),
+
+    // ---- A9 count_occurrences by value containment ----
+    "mem_count_occurrences" -> QueryDef.sql(
+      (s, d) => MemoryCards.countOccurrences(cards(s, d), "7")
+        .orderBy(col("entity"), col("slot")),
+      s"""SELECT entity, slot, COUNT(*) AS n FROM $duckCards c
+         |WHERE contains(value, '7')
+         |GROUP BY entity, slot ORDER BY entity, slot""".stripMargin),
+
+    // ---- A12 schema inference: per-slot type histogram ----
+    "mem_schema_inference" -> QueryDef.sql(
+      (s, d) => MemoryCards.inferSchemas(
+          cards(s, d).withColumn("value", col("num_value").cast("string")))
+        .orderBy(col("slot")),
+      s"""SELECT slot, COUNT(*) AS n_cards,
+         |  COUNT(DISTINCT entity) AS n_entities,
+         |  COUNT(DISTINCT CAST(num_value AS VARCHAR)) AS n_values,
+         |  CAST(SUM(CASE WHEN regexp_matches(CAST(num_value AS VARCHAR), '^-?[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+         |  CAST(SUM(CASE WHEN regexp_matches(CAST(num_value AS VARCHAR), '^-?[0-9]*\\.[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_number,
+         |  CAST(0 AS BIGINT) AS n_boolean, CAST(0 AS BIGINT) AS n_datetime,
+         |  CAST(SUM(CASE WHEN NOT regexp_matches(CAST(num_value AS VARCHAR), '^-?[0-9]+$$')
+         |                 AND NOT regexp_matches(CAST(num_value AS VARCHAR), '^-?[0-9]*\\.[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_string
+         |FROM $duckCards c GROUP BY slot ORDER BY slot""".stripMargin),
+
+    // ---- J6 multi-hop graph traversal (2 hops over cust—supp edges) ----
+    "graph_follow_2hop" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val edgesCS = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+                  concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+        val edges = edgesCS.unionByName(
+            edgesCS.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("linkType", lit("ordered_from"))
+        val start = Seq("c1").toDF("id")
+        LogicMesh.follow(edges, start, Some("ordered_from"), hops = 2)
+          .filter($"id".startsWith("c"))
+          .orderBy($"id")
+      },
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT DISTINCT 'c' || b.cust AS id
+        |FROM edges a JOIN edges b ON a.supp = b.supp
+        |WHERE a.cust = 1 AND b.cust != 1
+        |ORDER BY id""".stripMargin),
+
+    // ---- J5 triple-pattern match: (?entity, priority, contains URGENT) ----
+    "graph_triple_match" -> QueryDef.sql(
+      (s, d) => {
+        val triples = Tables.orders(s, d).select(
+          concat(lit("cust:"), col("o_custkey")).as("entity"),
+          lit("order_priority").as("slot"),
+          col("o_orderpriority").as("value"))
+        LogicMesh.matchTriple(triples, None, Some("order_priority"), Some("URGENT"))
+          .groupBy(col("entity")).agg(count(lit(1)).as("n"))
+          .orderBy(col("entity"))
+      },
+      """SELECT 'cust:' || o_custkey AS entity, COUNT(*) AS n
+        |FROM orders
+        |WHERE contains(o_orderpriority, 'URGENT')
+        |GROUP BY entity ORDER BY entity""".stripMargin),
+
+    // ---- F6 interval-overlap (range) join on event windows ----
+    "temporal_overlap" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+        Tables.events(s, d)
+          .withColumn("start_us", unix_micros($"ts"))
+          .withColumn("end_us", $"start_us" + floor($"value" * 1000000L).cast("long"))
+          .filter($"start_us" <= unix_micros(hi) && $"end_us" >= unix_micros(lo))
+          .select($"event_id", $"user_id", $"start_us", $"end_us")
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, user_id, epoch_us(ts) AS start_us,
+        |  epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS end_us
+        |FROM events
+        |WHERE epoch_us(ts) <= epoch_us(TIMESTAMP '2024-01-12 00:00:00')
+        |  AND epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- sessionization (gap > 30 min) ----
+    "ses_sessionize" -> QueryDef.sql(
+      (s, d) => Sessionize.stats(Tables.events(s, d), "user_id", "ts",
+          maxGapSeconds = 1800, tieBreak = "event_id")
+        .orderBy(col("user_id")),
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |assigned AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |         MAX(ts_us) - MIN(ts_us) AS span_us
+        |  FROM assigned GROUP BY user_id, session_idx)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n_events) AS BIGINT) AS largest_session,
+        |  CAST(MAX(span_us) AS BIGINT) AS longest_span_us
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+}

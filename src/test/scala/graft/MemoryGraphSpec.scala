@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.LocalDate
+import graft.acl.Acl
+import graft.graph.LogicMesh
+import graft.memory.MemoryCards
+import graft.ops.Sessionize
+import graft.temporal.TemporalNormalizer
+import org.apache.spark.sql.functions._
+
+class MemoryGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // FIXTURES.md §4: location set then updated; hobby extends; employer retracted
+  private def cardsDf = Seq(
+    (1L, "user", "location", "Paris", "fact", "sets", ts("2024-01-01 00:00:00")),
+    (2L, "user", "location", "San Francisco", "fact", "updates", ts("2024-02-01 00:00:00")),
+    (3L, "user", "hobby", "chess", "preference", "sets", ts("2024-01-05 00:00:00")),
+    (4L, "user", "hobby", "climbing", "preference", "extends", ts("2024-03-01 00:00:00")),
+    (5L, "user", "employer", "Acme", "fact", "sets", ts("2024-01-10 00:00:00")),
+    (6L, "user", "employer", "", "fact", "retracts", ts("2024-04-01 00:00:00")),
+    (7L, "alice", "location", "Berlin", "fact", "sets", ts("2024-01-20 00:00:00"))
+  ).toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts")
+
+  test("get_current: updates replace, retracts hide") {
+    val cur = MemoryCards.getCurrent(cardsDf)
+      .select("entity", "slot", "value").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(cur(("user", "location")) == "San Francisco")
+    assert(cur(("user", "hobby")) == "climbing")
+    assert(!cur.contains(("user", "employer"))) // retracted
+    assert(cur(("alice", "location")) == "Berlin")
+  }
+
+  test("get_at_time returns the pre-update value") {
+    val atJan15 = MemoryCards.getAtTime(cardsDf, lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("entity", "slot", "value").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(atJan15(("user", "location")) == "Paris")
+    assert(atJan15(("user", "employer")) == "Acme") // not yet retracted
+  }
+
+  test("aggregate_slot lists values newest first") {
+    val agg = MemoryCards.aggregateSlot(cardsDf)
+      .filter($"entity" === "user" && $"slot" === "location").head
+    assert(agg.getAs[Long]("n_versions") == 2)
+    assert(agg.getAs[String]("values_newest_first") == "San Francisco,Paris")
+  }
+
+  test("schema inference classifies value types") {
+    val typed = Seq(
+      (1L, "e", "age", "34", "f", "sets", ts("2024-01-01 00:00:00")),
+      (2L, "e", "age", "35", "f", "sets", ts("2024-01-02 00:00:00")),
+      (3L, "e", "weight", "70.5", "f", "sets", ts("2024-01-01 00:00:00")),
+      (4L, "e", "active", "true", "f", "sets", ts("2024-01-01 00:00:00")),
+      (5L, "e", "joined", "2024-01-01", "f", "sets", ts("2024-01-01 00:00:00")),
+      (6L, "e", "name", "bob", "f", "sets", ts("2024-01-01 00:00:00"))
+    ).toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts")
+    val m = MemoryCards.inferSchemas(typed).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("age").getAs[Long]("n_integer") == 2)
+    assert(m("weight").getAs[Long]("n_number") == 1)
+    assert(m("active").getAs[Long]("n_boolean") == 1)
+    assert(m("joined").getAs[Long]("n_datetime") == 1)
+    assert(m("name").getAs[Long]("n_string") == 1)
+  }
+
+  test("mesh follow: 1 and 2 hops, no revisit of start") {
+    val edges = Seq(
+      ("a", "b", "knows"), ("b", "c", "knows"), ("c", "d", "knows"),
+      ("a", "x", "owns"), ("b", "a", "knows")
+    ).toDF("src", "dst", "linkType")
+    val start = Seq("a").toDF("id")
+    val oneHop = LogicMesh.follow(edges, start, Some("knows"), 1)
+      .collect().map(_.getString(0)).toSet
+    assert(oneHop == Set("b"))
+    val twoHop = LogicMesh.follow(edges, start, Some("knows"), 2)
+      .collect().map(_.getString(0)).toSet
+    assert(twoHop == Set("b", "c")) // 'a' excluded as start
+    val anyLink = LogicMesh.follow(edges, start, None, 1)
+      .collect().map(_.getString(0)).toSet
+    assert(anyLink == Set("b", "x"))
+  }
+
+  test("temporal normalizer resolves phrase families") {
+    val anchor = LocalDate.of(2026, 8, 12) // a Wednesday
+    def r(p: String) = TemporalNormalizer.resolve(p, anchor)
+    val day = 86400000000L
+    val today = r("today").get
+    assert(today.endUtc - today.startUtc == day)
+    assert(r("yesterday").get.startUtc == today.startUtc - day)
+    // last Tuesday = 2026-08-11 (the day before the anchor Wednesday)
+    val lastTue = r("last Tuesday").get
+    assert(lastTue.startUtc == today.startUtc - day)
+    // next Friday = 2026-08-14
+    assert(r("next friday").get.startUtc == today.startUtc + 2 * day)
+    val march = r("March 2024").get
+    assert(!march.relative && march.confidence == 1.0)
+    assert(r("mid-March 2024").get.startUtc == r("2024-03-11").get.startUtc)
+    assert(r("March 5, 2024").get.startUtc == r("2024-03-05").get.startUtc)
+    assert(r("3 days ago").get.startUtc == today.startUtc - 3 * day)
+    assert(r("last week").get.relative)
+    val iso = r("2024-01-01 to 2024-01-31").get
+    assert(iso.endUtc - iso.startUtc == 31 * day)
+    assert(r("gibberish phrase").isEmpty)
+    assert(r("monday").get.ambiguous)
+  }
+
+  test("sessionize: splits on gap, counts sessions") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), (2L, 1L, ts("2024-01-01 10:10:00")),
+      (3L, 1L, ts("2024-01-01 12:00:00")), // gap > 30min -> new session
+      (4L, 2L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val stats = Sessionize.stats(ev, "user_id", "ts", 1800, "event_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).getAs[Long]("n_sessions") == 2)
+    assert(stats(1L).getAs[Long]("largest_session") == 2)
+    assert(stats(2L).getAs[Long]("n_sessions") == 1)
+  }
+
+  test("acl: enforce drops, audit flags, longest prefix wins") {
+    val hits = Seq((1L, "mv2://a/secret/x"), (2L, "mv2://a/pub/y"), (3L, "mv2://b/z"))
+      .toDF("frameId", "uri")
+    val rules = Seq(
+      ("bob", "mv2://a/", true),
+      ("bob", "mv2://a/secret/", false)
+    ).toDF("principal", "uriPrefix", "allow")
+    val enforced = Acl(hits, col("uri"), rules, "bob", Acl.Enforce)
+      .collect().map(_.getLong(0)).toSet
+    assert(enforced == Set(2L)) // secret denied by longer prefix, b/z no rule
+    val audited = Acl(hits, col("uri"), rules, "bob", Acl.Audit)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("acl_allowed")).toMap
+    assert(audited == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+}
