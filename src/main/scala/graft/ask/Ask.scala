@@ -1,0 +1,151 @@
+package graft.ask
+
+import graft.functions.F
+import graft.search.{FrameCols, Lexical, QExpr, QueryParser, Snippets}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The RAG `ask()` orchestrator — Spark-native reimplementation of the
+  * reference lifecycle (src/memvid/ask.rs:23-437, SURVEY §3.2):
+  * classify → rewrite → retrieve candidate lists (lexical, OR-expanded,
+  * vector, corrections) → RRF fusion → re-rank ladder (temporal extremes,
+  * session diversification, semantic re-rank, correction promotion) →
+  * citations + extractive synthesis.
+  *
+  * Every candidate list is a lazy DataFrame; Catalyst collapses the shared
+  * corpus scan, and all re-ranks are window functions over the fused top-k'
+  * (tens of rows), so the expensive part remains the initial scans.
+  */
+object Ask {
+
+  final case class Corpus(docs: DataFrame, idCol: String, f: FrameCols,
+                          embeddings: Option[DataFrame] = None, // (id, vector)
+                          correctionUriPrefix: String = "mv2://correction/")
+
+  final case class Citation(index: Int, id: Long, score: Double, snippet: String)
+  final case class Response(answer: String, citations: Seq[Citation],
+                            engine: String, question: String,
+                            classification: Map[String, Boolean])
+
+  def ask(spark: SparkSession, corpus: Corpus, question: String,
+          embedder: Option[Embedder] = None, topK: Int = 5): Response = {
+    val terms = Classify.contentTokens(question)
+    val effectiveK = topK * Classify.topKMultiplier(question)
+    val docs = corpus.docs
+    val id = corpus.idCol
+    val f = corpus.f
+
+    // --- candidate lists (ask.rs:216-297) ---
+    def lexList(q: String): Option[DataFrame] =
+      try {
+        val hits = graft.search.Search.search(docs, id, f, q,
+          graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false))
+        if (hits.isEmpty) None else Some(hits)
+      } catch { case _: graft.search.QueryParseException => None }
+
+    val primary = lexList(terms.mkString(" "))
+    // fallback ladder (ask.rs:131-210): disjunctive OR → plural expansion
+    val orList = lexList(Classify.disjunctive(question))
+    val expanded = if (primary.isEmpty) lexList(Classify.expandedQuery(question)) else None
+
+    val vectorList = for {
+      emb <- corpus.embeddings
+      e <- embedder
+    } yield {
+      F.ensureRegistered(spark)
+      val qv = typedlit(e.embed(question))
+      emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(effectiveK * 2)
+    }
+
+    val corrections = {
+      val pred = f.uri.startsWith(corpus.correctionUriPrefix) &&
+        terms.map(t => lower(f.text).contains(t)).reduceOption(_ || _).getOrElse(lit(false))
+      val c = docs.filter(pred)
+        .select(col(id).as("id"), lit(1.0).as("score"))
+      if (c.isEmpty) None else Some(c)
+    }
+
+    val lists = Seq(
+      primary.map(df => Fusion.RankedList("lex", df, "score")),
+      orList.map(df => Fusion.RankedList("or", df, "score")),
+      expanded.map(df => Fusion.RankedList("expanded", df, "score")),
+      vectorList.map(df => Fusion.RankedList("vector", df, "score")),
+      corrections.map(df => Fusion.RankedList("correction", df, "score"))
+    ).flatten
+
+    if (lists.isEmpty)
+      return Response("No relevant memories found.", Seq.empty, "none", question,
+        classification(question))
+
+    // --- RRF fusion (ask.rs:300-307) ---
+    var fused = Fusion.rrf(lists, "id")
+
+    // --- re-rank ladder ---
+    val meta = docs.select(col(id).as("id"), f.text.as("__text"),
+      f.timestamp.as("__ts"), f.uri.as("__uri"))
+    fused = fused.join(meta, "id")
+
+    // temporal extremes promotion (ask.rs:1500-1575)
+    if (Classify.isUpdate(question) || Classify.isRecency(question)) {
+      val newestFirst = Window.orderBy(col("__ts").desc_nulls_last, col("id"))
+      fused = fused.withColumn("__recency_rank", row_number().over(newestFirst))
+        .withColumn("rrf_score",
+          when(col("__recency_rank") === 1, col("rrf_score") + 1.0)
+            .otherwise(col("rrf_score")))
+        .drop("__recency_rank")
+    }
+
+    // session diversification for aggregation questions (ask.rs:1300-1334)
+    if (Classify.isAggregation(question)) {
+      val baseUri = regexp_extract(col("__uri"), "^(.*/)[^/]*$", 1)
+      val perSession = Window.partitionBy(baseUri).orderBy(col("rrf_score").desc, col("id"))
+      fused = fused.withColumn("__sess_rank", row_number().over(perSession))
+        .withColumn("rrf_score", col("rrf_score") / col("__sess_rank"))
+        .drop("__sess_rank")
+    }
+
+    // semantic re-rank by cosine to query embedding (ask.rs:476-553)
+    var engine = if (vectorList.isDefined) "hybrid" else "lex"
+    for (emb <- corpus.embeddings; e <- embedder) {
+      val qv = typedlit(e.embed(question))
+      val sem = emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("__sem"))
+      fused = fused.join(sem, Seq("id"), "left")
+        .withColumn("rrf_score", col("rrf_score") * (lit(1.0) + coalesce(col("__sem"), lit(0.0))))
+        .drop("__sem")
+    }
+
+    // correction promotion LAST (ask.rs:1437-1498)
+    fused = fused.withColumn("__is_corr",
+      col("__uri").startsWith(corpus.correctionUriPrefix).cast("int"))
+
+    val top = fused
+      .orderBy(col("__is_corr").desc, col("rrf_score").desc, col("id"))
+      .limit(topK)
+      .withColumn("snips", Snippets.snippets(col("__text"), typedlit(terms)))
+      .select(col("id"), col("rrf_score"), col("snips"), col("__text"))
+      .collect()
+
+    // --- citations + extractive synthesis (ask.rs:766-813) ---
+    val citations = top.zipWithIndex.map { case (r, i) =>
+      val snips = r.getSeq[String](2)
+      val snippet = if (snips.nonEmpty) snips.head
+                    else r.getString(3).take(160)
+      Citation(i + 1, r.getLong(0), r.getDouble(1),
+               snippet.replaceAll("\\s+", " ").trim)
+    }
+    val answer =
+      if (citations.isEmpty) "No relevant memories found."
+      else citations.take(3).map(c => s"${c.snippet} [${c.index}]").mkString(" ")
+
+    Response(answer, citations.toSeq, engine, question, classification(question))
+  }
+
+  def classification(q: String): Map[String, Boolean] = Map(
+    "update" -> Classify.isUpdate(q),
+    "aggregation" -> Classify.isAggregation(q),
+    "recency" -> Classify.isRecency(q),
+    "analytical" -> Classify.isAnalytical(q))
+}

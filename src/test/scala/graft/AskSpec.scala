@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ask.{Ask, Classify, Embedder, Fusion, HashEmbedder}
+import graft.search.FrameCols
+import org.apache.spark.sql.functions._
+
+class AskSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // LoCoMo-style conversation fixture (FIXTURES.md §7)
+  private def convo = Seq(
+    (1L, "mv2://sessions/1/1", "I live in Paris and love croissants", ts("2024-01-01 09:00:00")),
+    (2L, "mv2://sessions/1/2", "My favorite hobby is chess", ts("2024-01-01 09:05:00")),
+    (3L, "mv2://sessions/2/1", "I moved to Berlin last month", ts("2024-02-10 10:00:00")),
+    (4L, "mv2://sessions/2/2", "Berlin winters are cold but I like the city", ts("2024-02-10 10:05:00")),
+    (5L, "mv2://sessions/3/1", "chess tournament this weekend in Berlin", ts("2024-03-01 12:00:00")),
+    (6L, "mv2://correction/1", "Correction: I live in Munich now, not Berlin", ts("2024-03-15 08:00:00"))
+  ).toDF("id", "uri", "text", "timestamp")
+
+  private val fcols = FrameCols(text = col("text"), uri = col("uri"),
+                                timestamp = col("timestamp"))
+
+  private def corpus = Ask.Corpus(convo, "id", fcols)
+
+  test("classification heuristics") {
+    assert(Classify.isUpdate("where do I live now?"))
+    assert(Classify.isAggregation("how many cities did I mention?"))
+    assert(Classify.isRecency("what did I say recently?"))
+    assert(Classify.isAnalytical("why do I like Berlin?"))
+    assert(Classify.topKMultiplier("how many hobbies?") == 5)
+    assert(Classify.contentTokens("Where do I live now?") == Seq("live", "now"))
+    assert(Classify.disjunctive("chess in Berlin") == "chess OR berlin")
+    assert(Classify.pluralVariants("hobby") == Seq("hobby", "hobbys"))
+    assert(Classify.properNounFallback("tell me about Berlin please") == Some("berlin"))
+  }
+
+  test("rrf fusion sums reciprocal ranks across lists") {
+    val l1 = Seq((10L, 5.0), (20L, 3.0)).toDF("id", "score")
+    val l2 = Seq((20L, 9.0), (30L, 1.0)).toDF("id", "score")
+    val fused = Fusion.rrf(Seq(Fusion.RankedList("a", l1, "score"),
+                               Fusion.RankedList("b", l2, "score")), "id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // 20 appears rank2 in a (1/62) + rank1 in b (1/61) -> top
+    assert(math.abs(fused(20L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(fused(20L)._2 == 2)
+    assert(math.abs(fused(10L)._1 - 1.0 / 61) < 1e-12)
+  }
+
+  test("ask: corrections outrank everything (correction promotion)") {
+    val resp = Ask.ask(spark, corpus, "where do I live in Berlin?")
+    assert(resp.citations.nonEmpty)
+    assert(resp.citations.head.id == 6L, s"expected correction first: $resp")
+    assert(resp.answer.contains("Munich"))
+    assert(resp.answer.contains("[1]"))
+  }
+
+  test("ask: recency question promotes newest matching frame") {
+    val resp = Ask.ask(spark, corpus, "what is the latest chess event?")
+    assert(resp.citations.nonEmpty)
+    // newest chess doc (id 5) should be first among non-corrections
+    assert(resp.citations.head.id == 5L)
+    assert(resp.classification("recency"))
+  }
+
+  test("ask: hybrid engine with hash embedder produces deterministic answer") {
+    val emb = new HashEmbedder(16)
+    val vecs = convo.collect().map(r => (r.getLong(0), emb.embed(r.getString(2))))
+      .toSeq.toDF("id", "vector")
+    val c = corpus.copy(embeddings = Some(vecs))
+    val r1 = Ask.ask(spark, c, "chess hobby", Some(emb))
+    val r2 = Ask.ask(spark, c, "chess hobby", Some(emb))
+    assert(r1.engine == "hybrid")
+    assert(r1.answer == r2.answer)
+    assert(r1.citations.map(_.id) == r2.citations.map(_.id))
+    assert(r1.citations.exists(c => c.id == 2L || c.id == 5L))
+  }
+
+  test("ask: no matches yields fallback message") {
+    val resp = Ask.ask(spark, corpus, "zzzqqq xyzzy")
+    assert(resp.answer == "No relevant memories found.")
+    assert(resp.citations.isEmpty)
+  }
+
+  test("hash embedder is deterministic and normalized") {
+    val e = new HashEmbedder(32)
+    val a = e.embed("hello world")
+    val b = e.embed("hello world")
+    assert(a.toSeq == b.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(e.embed("hello world").toSeq != e.embed("goodbye world").toSeq)
+  }
+}
