@@ -1,0 +1,100 @@
+package graft.api
+
+import java.sql.Timestamp
+import graft.ask.{Ask, Embedder}
+import graft.memory.MemoryCards
+import graft.search.{FrameCols, Search}
+import graft.store.FrameStore
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing facade — the Spark-native `Memvid` handle: a directory of
+  * parquet tables instead of one `.mv2` file, with the same verbs
+  * (put/search/ask/timeline/memory — reference API surface:
+  * src/memvid/lifecycle.rs:448 open, mutation.rs:3090 put,
+  * search/mod.rs:46 search, ask.rs:23 ask, timeline.rs:20 timeline,
+  * memory.rs:269-494 memory ops).
+  */
+final class Graft(val spark: SparkSession, basePath: String,
+                  embedder: Option[Embedder] = None) {
+  import spark.implicits._
+
+  val frames = new FrameStore(spark, s"$basePath/frames")
+  private val cardsPath = s"$basePath/cards"
+
+  private def frameCols = FrameCols(
+    text = coalesce(col("text"), lit("")),
+    uri = col("uri"),
+    track = col("track"),
+    kind = col("kind"),
+    tags = col("tags"),
+    labels = col("labels"),
+    timestamp = col("timestamp"))
+
+  // ---- ingest ----
+  def put(uri: String, text: String, track: Option[String] = None,
+          tags: Seq[String] = Nil,
+          ts: Timestamp = new Timestamp(1700000000000L)): Option[Long] = {
+    val ids = frames.put(Seq((uri, text)), track = track, tags = tags, ts = ts)
+    // rules-engine enrichment mints memory cards (enrichment stage ST2)
+    val facts = graft.ingest.Enrich.extractCards(text)
+    if (facts.nonEmpty && ids.nonEmpty) {
+      val rows = facts.zipWithIndex.map { case (f, i) =>
+        (ids.head * 1000 + i, f.entity, f.slot, f.value, "fact", "sets", ts, ids.head)
+      }
+      rows.toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+        .write.mode(SaveMode.Append).parquet(cardsPath)
+    }
+    ids.headOption
+  }
+
+  // ---- query ----
+  def search(query: String, topK: Int = 10): DataFrame =
+    Search.search(frames.latestActive, "id", frameCols, query,
+      Search.Options(topK = topK))
+
+  def ask(question: String, topK: Int = 5): Ask.Response =
+    Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols), question,
+      embedder, topK)
+
+  /** A18/T3 timeline: time-ordered frames with preview */
+  def timeline(since: Option[Timestamp] = None, until: Option[Timestamp] = None,
+               limit: Int = 100, reverse: Boolean = true): DataFrame = {
+    var df = frames.latestActive.filter(col("role") === "document")
+    since.foreach(t => df = df.filter(col("timestamp") >= t))
+    until.foreach(t => df = df.filter(col("timestamp") <= t))
+    df.select(col("id"), col("uri"), col("timestamp"),
+        substring(coalesce(col("text"), lit("")), 1, 120).as("preview"))
+      .orderBy(if (reverse) col("timestamp").desc else col("timestamp").asc, col("id"))
+      .limit(limit)
+  }
+
+  // ---- structured memory ----
+  def cards: DataFrame =
+    if (new java.io.File(cardsPath).exists) spark.read.parquet(cardsPath)
+    else Seq.empty[(Long, String, String, String, String, String, Timestamp, Long)]
+      .toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+
+  def remember(entity: String, slot: String, value: String, relation: String = "sets",
+               ts: Timestamp = new Timestamp(1700000000000L)): Unit =
+    Seq((ts.getTime * 1000 + math.abs((entity + slot + value).hashCode % 1000).toLong,
+         entity, slot, value, "fact", relation, ts, -1L))
+      .toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+      .write.mode(SaveMode.Append).parquet(cardsPath)
+
+  def getCurrent(entity: String, slot: String): Option[String] =
+    MemoryCards.getCurrent(cards)
+      .filter(col("entity") === entity && col("slot") === slot)
+      .select("value").collect().headOption.map(_.getString(0))
+
+  def aggregateSlot(entity: String, slot: String): Seq[String] =
+    MemoryCards.aggregateSlot(cards)
+      .filter(col("entity") === entity && col("slot") === slot)
+      .select("values_newest_first").collect().headOption
+      .map(_.getString(0).split(",").toSeq).getOrElse(Seq.empty)
+
+  def stats: Map[String, Long] = {
+    val (total, live, tomb) = frames.stats
+    Map("total_versions" -> total, "live_frames" -> live, "tombstoned" -> tomb)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.store
+
+import java.sql.Timestamp
+import graft.model.Frame
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Append-only frame log with mutable-feeling semantics on immutable
+  * storage (SURVEY §7.3): put/update/supersede/tombstone are appended
+  * version rows (reference mutation path: src/memvid/mutation.rs:3090-3316);
+  * the current state is the latest-active window view; `vacuum` is the
+  * compaction batch job (mutation.rs:2999).
+  *
+  * At scale the log is partitioned parquet (partition by track/date in
+  * production); the latest-active view is one window over id — the same
+  * row_number idiom Delta-style MVCC compactions use. Single-writer, like
+  * the reference's one-file engine.
+  */
+final class FrameStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private def logExists: Boolean =
+    new java.io.File(path).exists && new java.io.File(path).list() != null &&
+      new java.io.File(path).list().nonEmpty
+
+  def log: Dataset[Frame] =
+    if (logExists) spark.read.parquet(path).as[Frame]
+    else spark.emptyDataset[Frame]
+
+  private var counters: Option[(Long, Long)] = None // (maxId, maxSeq)
+  private def nextIds(n: Int): (Long, Long) = synchronized {
+    val (maxId, maxSeq) = counters.getOrElse {
+      if (logExists) {
+        val r = log.agg(max("id"), max("commitSeq")).head
+        (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else (0L, 0L)
+    }
+    counters = Some((maxId + n, maxSeq + 1))
+    (maxId, maxSeq)
+  }
+
+  private def appendFrames(fs: Seq[Frame]): Unit =
+    fs.toDS().write.mode(SaveMode.Append).parquet(path)
+
+  /** ingest texts; content-hash dedup skips payloads already in the log
+    * (reference BLAKE3 dedup short-circuit, mutation.rs:3300-3316). */
+  def put(texts: Seq[(String, String)], // (uri, text)
+          track: Option[String] = None, kind: Option[String] = None,
+          ts: Timestamp = new Timestamp(1700000000000L),
+          tags: Seq[String] = Nil, dedup: Boolean = true,
+          enrich: Boolean = true, chunkLargeDocs: Boolean = true): Seq[Long] = {
+    val existing: Set[String] =
+      if (dedup && logExists)
+        log.filter($"status" === Frame.Active)
+          .select("sourceSha256").as[Option[String]].collect().flatten.toSet
+      else Set.empty
+    val fresh = texts.filter { case (_, t) => !existing.contains(sha(t)) }
+    if (fresh.isEmpty) return Seq.empty
+    val (idBase, seqBase) = nextIds(fresh.size * 8)
+    var id = idBase
+    val frames = fresh.flatMap { case (uri, text) =>
+      id += 1
+      val docId = id
+      val docTags = if (enrich) (tags ++ graft.ingest.Enrich.autoTags(text)).distinct else tags
+      val dates = if (enrich) graft.ingest.Enrich.contentDates(text) else Nil
+      val chunks =
+        if (chunkLargeDocs && text.length > 1200) graft.ingest.Structure.chunk(text)
+        else Seq(graft.ingest.Structure.Chunk(0, text))
+      val doc = Frame(docId, seqBase + 1, ts, kind, track, Some(uri), None,
+        text.getBytes("UTF-8"), Some(text), docTags, Nil, Map.empty, dates,
+        "document", None, None, Some(chunks.size), Frame.Active, None, Some(sha(text)))
+      val children = if (chunks.size > 1) chunks.map { c =>
+        id += 1
+        Frame(id, seqBase + 1, ts, kind, track, Some(s"$uri#${c.index}"), None,
+          Array.empty[Byte], Some(c.text), docTags, Nil, Map.empty, Nil,
+          "chunk", Some(docId), Some(c.index), Some(chunks.size),
+          Frame.Active, None, None)
+      } else Nil
+      doc +: children
+    }
+    appendFrames(frames)
+    frames.filter(_.role == "document").map(_.id)
+  }
+
+  /** update = append a superseding version (new id, supersedes old id) */
+  def update(oldId: Long, newText: String, uri: String,
+             ts: Timestamp = new Timestamp(1700000001000L)): Long = {
+    val (idBase, seqBase) = nextIds(1)
+    val f = Frame(idBase + 1, seqBase + 1, ts, None, None, Some(uri), None,
+      newText.getBytes("UTF-8"), Some(newText), Nil, Nil, Map.empty,
+      graft.ingest.Enrich.contentDates(newText), "document", None, None, None,
+      Frame.Active, Some(oldId), Some(sha(newText)))
+    appendFrames(Seq(f))
+    f.id
+  }
+
+  /** delete = append a tombstone version of the same id */
+  def delete(id: Long, ts: Timestamp = new Timestamp(1700000002000L)): Unit = {
+    val (_, seqBase) = nextIds(0)
+    val f = Frame(id, seqBase + 1, ts, None, None, None, None,
+      Array.empty[Byte], None, Nil, Nil, Map.empty, Nil,
+      "document", None, None, None, Frame.Tombstoned, None, None)
+    appendFrames(Seq(f))
+  }
+
+  /** current state: newest version per id, active only, superseded hidden */
+  def latestActive: DataFrame = latestActiveAsOf(None)
+
+  /** F7 time travel: state as of a commitSeq */
+  def asOf(commitSeq: Long): DataFrame = latestActiveAsOf(Some(commitSeq))
+
+  private def latestActiveAsOf(seq: Option[Long]): DataFrame = {
+    val snapshot = seq.map(s => log.filter($"commitSeq" <= s)).getOrElse(log.toDF)
+    val w = Window.partitionBy($"id").orderBy($"commitSeq".desc)
+    val latest = snapshot
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1 && $"status" === Frame.Active)
+      .drop("__rn")
+    val superseded = snapshot.filter($"supersedes".isNotNull)
+      .select($"supersedes".as("id")).distinct()
+    latest.join(superseded, Seq("id"), "left_anti")
+  }
+
+  /** compaction: rewrite only the live view, dropping dead versions
+    * (reference vacuum, mutation.rs:2999) */
+  def vacuum(): Unit = {
+    val live = latestActive.as[Frame].collect()
+    val tmp = path + "_vacuum"
+    live.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path)
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    new java.io.File(tmp).renameTo(dir)
+    counters = None
+  }
+
+  def stats: (Long, Long, Long) = {
+    val total = log.count()
+    val live = latestActive.count()
+    val tomb = log.filter($"status" === Frame.Tombstoned).select("id").distinct().count()
+    (total, live, tomb)
+  }
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.api.Graft
+import graft.ingest.{Enrich, Structure}
+import graft.store.FrameStore
+
+class StoreSpec extends SparkSpec {
+
+  private def tmpDir: String =
+    Files.createTempDirectory("graft-test").toString
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("lifecycle: put -> search -> reopen (mirrors tests/lifecycle.rs)") {
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    g.put("mv2://physics/quantum", "Quantum mechanics describes the behavior of particles at the atomic scale")
+    g.put("mv2://physics/classical", "Classical mechanics describes motion of macroscopic objects")
+    g.put("mv2://bio/cells", "Cells are the basic unit of life in biology")
+    val hits = g.search("quantum").collect()
+    assert(hits.length == 1 && hits.head.getDouble(1) > 0)
+    // reopen: a fresh handle over the same path sees the data
+    val g2 = new Graft(spark, dir)
+    assert(g2.search("mechanics").count() == 2)
+    assert(g2.stats("live_frames") == 3)
+  }
+
+  test("mutation: update supersedes, delete tombstones, as-of time-travel") {
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    val Seq(id1) = store.put(Seq(("mv2://a", "original content alpha")), ts = ts(1000))
+    val seqAfterPut = 1L
+    val id2 = store.update(id1, "updated content beta", "mv2://a", ts = ts(2000))
+    // latest view shows only the update
+    val live = store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(id2))
+    // as-of before the update shows the original (F7 time travel)
+    val old = store.asOf(seqAfterPut).select("id").collect().map(_.getLong(0)).toSet
+    assert(old == Set(id1))
+    // delete hides from latest
+    store.delete(id2)
+    assert(store.latestActive.count() == 0)
+    val (total, liveN, tomb) = store.stats
+    assert(total == 3 && liveN == 0 && tomb == 1)
+  }
+
+  test("vacuum preserves the latest view (mirrors tests/mutation.rs)") {
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    val Seq(a) = store.put(Seq(("mv2://a", "keep me around")), ts = ts(1000))
+    val Seq(b) = store.put(Seq(("mv2://b", "delete me later")), ts = ts(1000))
+    store.delete(b)
+    val before = store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+    store.vacuum()
+    val after = store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+    assert(before == after && after == Set(a))
+    assert(store.log.count() == 1) // dead versions physically gone
+  }
+
+  test("dedup-by-content skips duplicate payloads (mutation.rs:3300)") {
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    assert(store.put(Seq(("mv2://a", "same text"))).size == 1)
+    assert(store.put(Seq(("mv2://b", "same text"))).isEmpty)
+    assert(store.latestActive.count() == 1)
+  }
+
+  test("large docs chunk with parent/child frames") {
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    val long = (1 to 100).map(i => s"Sentence number $i about various topics.").mkString(" ")
+    store.put(Seq(("mv2://long", long)))
+    val live = store.latestActive
+    val doc = live.filter(live("role") === "document").collect()
+    val chunks = live.filter(live("role") === "chunk").collect()
+    assert(doc.length == 1)
+    assert(chunks.length > 1)
+    assert(chunks.forall(_.getAs[Long]("parentId") == doc.head.getAs[Long]("id")))
+  }
+
+  test("structural chunker: headers propagate, code whole, tables split with header") {
+    val md =
+      """# Title
+        |Some intro paragraph.
+        |```scala
+        |val x = 1
+        |```
+        || h1 | h2 |
+        || --- | --- |
+        || a | b |
+        || c | d |
+        |""".stripMargin
+    val els = Structure.detect(md)
+    assert(els.exists(_.isInstanceOf[Structure.Heading]))
+    assert(els.exists(_.isInstanceOf[Structure.CodeBlock]))
+    assert(els.collect { case t: Structure.TableBlock => t }.head.rows.length == 2)
+    val chunks = Structure.chunk(md, maxChars = 60)
+    assert(chunks.nonEmpty)
+    // code block stays intact in some chunk
+    assert(chunks.exists(_.text.contains("val x = 1")))
+    // table rows carry the header when split
+    val tableChunks = chunks.filter(_.text.contains("| a | b |"))
+    assert(tableChunks.forall(_.text.contains("| h1 | h2 |")))
+  }
+
+  test("enrichment: auto-tags, content dates, pii, rules cards") {
+    val text = "Meeting on 2024-03-05 about the deploy. Email bob@example.com, " +
+      "call 555-123-4567. I live in Lisbon. My name is Bob. I am 34 years old."
+    assert(Enrich.autoTags(text).contains("meeting"))
+    assert(Enrich.autoTags(text).contains("release"))
+    assert(Enrich.contentDates(text) == Seq("2024-03-05"))
+    assert(Enrich.contentDates("due 15/03/2024 and January 5th, 2024") ==
+      Seq("2024-01-05", "2024-03-15"))
+    val masked = Enrich.maskPii(text)
+    assert(!masked.contains("bob@example.com") && masked.contains("[EMAIL]"))
+    assert(masked.contains("[PHONE]"))
+    val cards = Enrich.extractCards(text)
+    assert(cards.contains(Enrich.CardFact("user", "location", "Lisbon")))
+    assert(cards.contains(Enrich.CardFact("user", "name", "Bob")))
+    assert(cards.contains(Enrich.CardFact("user", "age", "34")))
+  }
+
+  test("graft facade: memory ops and timeline") {
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    g.put("mv2://notes/1", "My name is Alice. I live in Oslo.", ts = ts(1000))
+    g.put("mv2://notes/2", "Second note much later", ts = ts(500000))
+    assert(g.getCurrent("user", "location") == Some("Oslo"))
+    g.remember("user", "location", "Bergen", ts = ts(2000))
+    assert(g.getCurrent("user", "location") == Some("Bergen"))
+    assert(g.aggregateSlot("user", "location") == Seq("Bergen", "Oslo"))
+    val tl = g.timeline(limit = 10).collect()
+    assert(tl.length == 2 && tl.head.getAs[Long]("id") != tl.last.getAs[Long]("id"))
+    assert(tl.head.getAs[Timestamp]("timestamp").getTime == 500000L) // newest first
+  }
+}
