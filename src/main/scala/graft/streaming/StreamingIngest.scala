@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.functions.F
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest — the reference's WAL/instant-index model mapped onto
+  * Structured Streaming (SURVEY §2.9): the WAL is the micro-batch source,
+  * `commit` is the epoch, checkpointing is the stream checkpoint (ST1);
+  * frames are searchable as soon as the raw append lands, while enrichment
+  * (sketches, cards, embeddings) runs as a second incremental stage keyed
+  * by an enrichment log (ST2/ST5 — EnrichmentManifest::needs_enrichment,
+  * src/types/memories_track.rs:147-232, becomes an anti-join).
+  */
+object StreamingIngest {
+
+  /** Stage 1 — instant index: text files appearing under `inputDir` become
+    * searchable frame rows in `framesDir` within one micro-batch. */
+  def ingestFiles(spark: SparkSession, inputDir: String, framesDir: String,
+                  checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", 64)
+      .load(inputDir)
+      .withColumn("uri", input_file_name())
+      .withColumn("text", col("value"))
+      .withColumn("ingestTs", current_timestamp())
+      .drop("value")
+    raw.writeStream
+      .format("parquet")
+      .option("path", framesDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Stage 2 — incremental enrichment: frames not yet in the enrichment log
+    * get sketches (tokens/simhash-ready hashes) appended; idempotent via
+    * left-anti join, exactly the manifest check of the reference. */
+  def enrichIncrement(spark: SparkSession, framesDir: String,
+                      sketchesDir: String, logDir: String): Long = {
+    F.ensureRegistered(spark)
+    val frames = spark.read.parquet(framesDir)
+    val done: DataFrame =
+      if (new java.io.File(logDir).exists) spark.read.parquet(logDir)
+      else spark.emptyDataFrame.withColumn("uri", lit(""))
+    val todo = if (done.columns.contains("uri"))
+      frames.join(done.select("uri"), Seq("uri"), "left_anti") else frames
+    val n = todo.count()
+    if (n > 0) {
+      todo.select(col("uri"),
+          F.tokens(col("text")).as("tokens"),
+          F.polyHash(col("text")).as("contentHash"))
+        .write.mode("append").parquet(sketchesDir)
+      todo.select("uri").write.mode("append").parquet(logDir)
+    }
+    n
+  }
+
+  /** ST4 extension: tumbling-window event counts with a watermark for state
+    * cleanup (the reference has no event-time windows; `events` testdata
+    * lets us expose them as an engine extension). */
+  def windowedEventCounts(events: DataFrame, windowDur: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("total_value"))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest: files become searchable frames; enrichment is incremental") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val frames = s"$base/frames"
+    val ck = s"$base/ck"; val sketches = s"$base/sk"; val log = s"$base/log"
+    new java.io.File(in).mkdirs()
+    Files.writeString(java.nio.file.Path.of(s"$in/doc1.txt"), "hello streaming world")
+    Files.writeString(java.nio.file.Path.of(s"$in/doc2.txt"), "second document arrives")
+
+    val q = StreamingIngest.ingestFiles(spark, in, frames, ck)
+    q.awaitTermination(60000)
+    val ingested = spark.read.parquet(frames)
+    assert(ingested.count() == 2)
+    assert(ingested.columns.toSet == Set("uri", "text", "ingestTs"))
+
+    // first enrichment pass: both docs; second pass: idempotent no-op
+    assert(StreamingIngest.enrichIncrement(spark, frames, sketches, log) == 2)
+    assert(StreamingIngest.enrichIncrement(spark, frames, sketches, log) == 0)
+    val sk = spark.read.parquet(sketches)
+    assert(sk.count() == 2 && sk.columns.contains("contentHash"))
+
+    // late file picked up by a restarted stream (checkpoint resume, ST1)
+    Files.writeString(java.nio.file.Path.of(s"$in/doc3.txt"), "third arrives late")
+    val q2 = StreamingIngest.ingestFiles(spark, in, frames, ck)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(frames).count() == 3)
+    assert(StreamingIngest.enrichIncrement(spark, frames, sketches, log) == 1)
+  }
+
+  test("windowed event counts with watermark (streaming semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedEventCounts(events, "10 minutes", "20 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:01:00"), "click", 1.0),
+                (t("2024-01-01 10:04:00"), "click", 2.0),
+                (t("2024-01-01 10:11:00"), "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the earlier windows
+    mem.addData((t("2024-01-01 11:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+    q.stop()
+    val clicks = rows.find(r => r.getString(1) == "click" &&
+      r.getTimestamp(0) == t("2024-01-01 10:00:00"))
+    assert(clicks.isDefined && clicks.get.getAs[Long]("n") == 2)
+  }
+
+  test("multimodal: binary columns flow through batched stub inference") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img://a", "image", Array[Byte](1, 2, 3, 4), Map("w" -> "64")),
+      Multimodal.MediaRow(2L, "img://b", "image", Array[Byte](9, 9, 9), Map.empty),
+      Multimodal.MediaRow(3L, "aud://c", "audio", Array.fill[Byte](200)(7), Map.empty),
+      Multimodal.MediaRow(4L, "vid://d", "video", Array.fill[Byte](64)(3), Map.empty)
+    ).toDS()
+    val feats = Multimodal.embedBatch(media).collect()
+    assert(feats.length == 4)
+    assert(feats.forall(_.feature.length == Multimodal.FeatureDim))
+    // deterministic: same content -> same feature
+    val again = Multimodal.embedBatch(media).collect()
+    assert(feats.map(_.feature.toSeq).toSet == again.map(_.feature.toSeq).toSet)
+    val tx = Multimodal.transcribeBatch(media).collect()
+    assert(tx.nonEmpty && tx.forall(_.mediaId == 3L))
+    assert(tx.length == 3) // 200/64
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty && frames.forall(_.getLong(0) == 4L))
+  }
+}
