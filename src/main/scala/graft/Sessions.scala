@@ -16,6 +16,12 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession =
-    builder(s"local[$cores]", cores.toString).getOrCreate()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$cores]", cores.toString).getOrCreate()
+    ensureFunctions(s)
+    s
+  }
+
+  def ensureFunctions(s: SparkSession): Unit =
+    graft.functions.F.ensureRegistered(s)
 }

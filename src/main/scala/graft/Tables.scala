@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.LongType
   * the call sites below never assume single-file layout.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.F.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

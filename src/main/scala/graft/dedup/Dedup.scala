@@ -47,12 +47,15 @@ object Dedup {
       .filter(col("n") > 1)
   }
 
-  /** distinct word-shingle set per doc */
+  /** distinct word-shingle set per doc. Tokens are bound to a column first
+    * so the tokenizer runs once per row, not once per shingle. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-                array_distinct(F.shingles(col(textCol), shingleSize)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    docs
+      .withColumn("__toks", F.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+              array_distinct(F.shinglesFromTokens(col("__toks"), shingleSize)).as("shingles"))
+      .filter(size(col("__toks")) >= shingleSize)
 
   /** MinHash signature: per permutation i, min over shingles of
     * (a_i * polyHash(s) + b_i) mod P. Output: (doc_id, sig array<long>).
@@ -89,11 +92,50 @@ object Dedup {
   def verifiedNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, shingleSize: Int = 3,
                              roundDp: Int = 6): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleSize)
+    val sh = shingleSets(docs, idCol, textCol, shingleSize).persist()
     val sig = minhashSignatures(sh)
     val pairs = lshCandidatePairs(sig)
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    pairs.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), roundDp))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact similarity join with prefix filtering (PPJoin-family): for
+    * Jaccard ≥ t, two docs must share at least one of the
+    * n - ⌈t·n⌉ + 1 globally-rarest shingles of each — so only those
+    * prefixes are indexed and joined. Provably lossless for the threshold,
+    * and the join touches rare tokens only: at 100 TB this is the
+    * difference between joining the full inverted index (quadratic in
+    * popular-shingle frequency) and a candidate set near-linear in the
+    * true-duplicate count. Candidates verify with exact Jaccard.
+    */
+  def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, shingleSize: Int = 3,
+                            roundDp: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialize the shingle "index" once — every downstream stage
+    // (dfreq, prefix, both join sides, verification) reuses it
+    val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("sng"))
+    val dfreq = sh.groupBy("sng").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sng"))
+    val prefix = sh.join(dfreq, "sng")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "sng")
+      .persist()
+    val pairs = prefix.select(col("doc_id").as("doc_a"), col("sng"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sng")), "sng")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     pairs.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -22,6 +22,7 @@ object F {
       reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("porter_stem", es => PorterStemExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("tokenize", es => TokenizeExpr(es.head), "built-in")
     }
   }
 
@@ -33,20 +34,26 @@ object F {
 
   /** Reference tokenizer (src/lex.rs:416-431): lowercase, split on anything
     * outside [a-z0-9&@+/_], keep tokens containing at least one alnum.
-    * DuckDB equivalent:
+    * Native codegen expression (TokenizeExpr) — the lambda-HOF formulation
+    * is ~50x slower inside Filter nodes. DuckDB equivalent:
     * list_filter(regexp_split_to_array(lower(t),'[^a-z0-9&@+/_]+'),
     *             x -> regexp_matches(x, '[a-z0-9]'))
     */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9&@+/_]+"), t => t.rlike("[a-z0-9]"))
+  def tokens(c: Column): Column = call_function("tokenize", c)
 
-  /** word n-gram shingles over the token array, joined by single spaces */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** n-gram shingles from an already-bound token-array column.
+    * IMPORTANT: pass an attribute (withColumn-bound) tokens column, not an
+    * inline tokens(...) expression — a lambda body re-evaluates non-trivial
+    * subexpressions once per array element, which turns shingling into
+    * O(tokens × tokenize) per row. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+
+  /** word n-gram shingles over text (convenience; see shinglesFromTokens
+    * for the hot path) */
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** substring occurrence count — the fallback lexical scorer primitive
     * (ref src/lex.rs:185-297): exact integer arithmetic on lengths. */

@@ -102,24 +102,13 @@ object DedupQueries {
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
          |WHERE hamming <= 2 ORDER BY doc_a, doc_b""".stripMargin),
 
-    // ---- n-gram Jaccard similarity join (exact, inverted-index style) ----
+    // ---- n-gram Jaccard similarity join (exact, prefix-filtered).
+    // The oracle states the naive all-pairs semantics; prefix filtering is
+    // provably lossless at the threshold so results are identical. ----
     "dedup_ngram_jaccard" -> QueryDef.sql(
-      (s, d) => {
-        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text")
-          .select(col("doc_id"), explode(col("shingles")).as("sng"))
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("sng"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sng")), "sng")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-        inter
-          .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-          .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
-          .filter(col("jaccard") >= 0.7)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => Dedup.jaccardSimilarityJoin(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.7)
+        .orderBy("doc_a", "doc_b"),
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
          |       WHERE len($duckShingles) > 0),

@@ -37,6 +37,7 @@ object Lexical {
     */
   def search(docs: DataFrame, idCol: String, textCol: String, query: String,
              topK: Int = 10): DataFrame = {
+    graft.functions.F.ensureRegistered(docs.sparkSession)
     val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     val phrase = if (terms.length > 1) Some(terms.mkString(" ")) else None
     val textLower = lower(col(textCol))

@@ -19,6 +19,7 @@ object Search {
     */
   def search(docs: DataFrame, idCol: String, f: FrameCols, query: String,
              opts: Options = Options()): DataFrame = {
+    graft.functions.F.ensureRegistered(docs.sparkSession)
     val ast = QueryParser.parse(query)
     val pred = QueryCompiler.compile(ast, f)
     val terms = QExpr.words(ast).distinct

@@ -10,6 +10,7 @@ object SparkSpec {
   lazy val spark: SparkSession = {
     val s = Sessions.builder("local[4]", "4").appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    Sessions.ensureFunctions(s)
     s
   }
 }
