@@ -106,6 +106,57 @@ object TextSearch {
          |       THEN 'good' ELSE 'low' END AS quality
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- language ID (stopword-profile argmax, alphabetical ties) ----
+    "text_langid" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val detectUdf = udf((t: String) => graft.text.LangId.detect(t)._1)
+        val scoreUdf = udf((t: String) => graft.text.LangId.detect(t)._2)
+        Tables.documents(s, d)
+          .withColumn("pred_lang", detectUdf($"text"))
+          .withColumn("hits", scoreUdf($"text").cast("long"))
+          .select($"doc_id", $"pred_lang", $"hits",
+                  ($"pred_lang" === $"lang").as("matches_label"))
+          .orderBy($"doc_id")
+      },
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($duckToks, x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) AS c_en,
+         |    len(list_filter($duckToks, x -> x IN ('el','la','de','que','y','en','un','los','se','del'))) AS c_es,
+         |    len(list_filter($duckToks, x -> x IN ('le','les','des','et','une','du','est','dans','pour','que'))) AS c_fr,
+         |    len(list_filter($duckToks, x -> x IN ('der','die','und','das','den','von','zu','mit','ist','auf'))) AS c_de
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN GREATEST(c_en,c_es,c_fr,c_de) = 0 THEN 'unknown'
+         |       WHEN c_de = GREATEST(c_en,c_es,c_fr,c_de) THEN 'de'
+         |       WHEN c_en = GREATEST(c_en,c_es,c_fr,c_de) THEN 'en'
+         |       WHEN c_es = GREATEST(c_en,c_es,c_fr,c_de) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  CAST(GREATEST(c_en,c_es,c_fr,c_de) AS BIGINT) AS hits,
+         |  (CASE WHEN GREATEST(c_en,c_es,c_fr,c_de) = 0 THEN 'unknown'
+         |       WHEN c_de = GREATEST(c_en,c_es,c_fr,c_de) THEN 'de'
+         |       WHEN c_en = GREATEST(c_en,c_es,c_fr,c_de) THEN 'en'
+         |       WHEN c_es = GREATEST(c_en,c_es,c_fr,c_de) THEN 'es'
+         |       ELSE 'fr' END) = lang AS matches_label
+         |FROM scored ORDER BY doc_id""".stripMargin),
+
+    // ---- token counting: whitespace, engine tokens, BPE-ish estimate ----
+    "text_token_counts" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_ws"),
+            size(F.tokens($"text")).cast("long").as("n_tok"),
+            ceil(length($"text") / 4.0).cast("long").as("n_bpe_est"))
+          .orderBy($"doc_id")
+      },
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_ws,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tok,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- X3-style normalization + content fingerprint (dedup key) ----
     "text_fingerprint" -> QueryDef.sql(
       (s, d) => {

@@ -1,0 +1,110 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for compressed ANN (reference:
+  * ProductQuantizer::train / asymmetric_distance, src/vec_pq.rs:106-223):
+  * split the vector into M subspaces, k-means each subspace into K
+  * centroids, store each vector as M one-byte codes (M·1 bytes instead of
+  * dim·4). Queries precompute an (M × K) distance table once, then score
+  * every code word with M table lookups.
+  *
+  * Training is driver-side over a bounded sample (mirrors the reference's
+  * in-process k-means); encode/score run distributed with the codebooks
+  * broadcast — at 100 TB the codes table is ~25× smaller than the raw
+  * vectors, which is the point.
+  */
+final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 16,
+                             iters: Int = 10, seed: Long = 42L) {
+
+  final case class Model(dim: Int, codebooks: Array[Array[Array[Float]]]) {
+    def subDim: Int = dim / numSubspaces
+  }
+
+  /** deterministic Lloyd k-means per subspace (seeded init) */
+  def train(sample: Array[Array[Float]]): Model = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val sub = dim / numSubspaces
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(numSubspaces) { s =>
+      val pts = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      // seeded init: distinct sample points (fallback: jittered repeats)
+      val init = rnd.shuffle(pts.toSeq.map(_.toSeq)).distinct.take(numCentroids)
+      var cents = (init ++ Seq.fill(math.max(0, numCentroids - init.size))(
+        init.head.map(x => x + rnd.nextFloat() * 1e-3f))).map(_.toArray).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(numCentroids)(new Array[Double](sub))
+        val counts = new Array[Int](numCentroids)
+        for (p <- pts) {
+          val c = nearest(cents, p)
+          counts(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(numCentroids) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+    Model(dim, codebooks)
+  }
+
+  private def nearest(cents: Array[Array[Float]], p: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < p.length) { val t = cents(c)(j) - p(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** encode vectors into M codes (one int per subspace) */
+  def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val m = model
+    val ns = numSubspaces
+    val enc = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      (0 until ns).map { s =>
+        nearest(m.codebooks(s), arr.slice(s * m.subDim, (s + 1) * m.subDim))
+      }
+    }
+    df.withColumn("pq_codes", enc(col(vecCol)))
+  }
+
+  /** asymmetric distance: exact query vs quantized base (vec_pq.rs:201) */
+  def asymmetricDistance(query: Array[Float], model: Model): Column => Column = {
+    val table: Array[Array[Double]] = Array.tabulate(numSubspaces) { s =>
+      val q = query.slice(s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).map { c =>
+        var d = 0.0; var j = 0
+        while (j < q.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+        d
+      }
+    }
+    val scoreUdf = udf { (codes: Seq[Int]) =>
+      var s = 0; var d = 0.0
+      while (s < codes.length) { d += table(s)(codes(s)); s += 1 }
+      math.sqrt(d)
+    }
+    codes => scoreUdf(codes)
+  }
+
+  /** PQ-approximate top-k over an encoded table */
+  def search(encoded: DataFrame, idCol: String, query: Array[Float],
+             model: Model, k: Int): DataFrame = {
+    val dist = asymmetricDistance(query, model)
+    encoded.withColumn("pq_dist", dist(col("pq_codes")))
+      .select(col(idCol), col("pq_dist"))
+      .orderBy(col("pq_dist"), col(idCol))
+      .limit(k)
+  }
+}
