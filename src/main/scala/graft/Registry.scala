@@ -10,5 +10,6 @@ object Registry {
     graft.queries.SearchQueries.defs ++
     graft.queries.VectorQueries.defs ++
     graft.queries.DedupQueries.defs ++
-    graft.queries.MemoryGraphQueries.defs
+    graft.queries.MemoryGraphQueries.defs ++
+    graft.queries.MiscQueries.defs
 }

@@ -143,6 +143,35 @@ object Ask {
     Response(answer, citations.toSeq, engine, question, classification(question))
   }
 
+  /** A15 build_context (search/helpers.rs:77-150): group hits by base URI
+    * (cap 24 hits), emit an LLM-ready context block per group. */
+  def buildContext(hits: DataFrame, uriCol: String, textCol: String,
+                   maxHits: Int = 24): DataFrame = {
+    val baseUri = regexp_extract(col(uriCol), "^(.*/)[^/]*$", 1)
+    hits.limit(maxHits)
+      .groupBy(baseUri.as("base_uri"))
+      .agg(count(lit(1)).as("n_hits"),
+           concat_ws("\n", sort_array(collect_list(
+             concat(lit("- "), col(textCol))))).as("context_block"))
+      .withColumn("context",
+        concat(lit("## "), col("base_uri"), lit("\n"), col("context_block")))
+      .drop("context_block")
+  }
+
+  /** W5 token-match reorder (search/helpers.rs:207-260): sort hits by
+    * (#distinct query tokens present, total occurrences, prior score). */
+  def reorderByTokenMatches(hits: DataFrame, textCol: String, scoreCol: String,
+                            terms: Seq[String]): DataFrame = {
+    val lowered = lower(col(textCol))
+    val uniques = terms.map(t =>
+      when(lowered.contains(t.toLowerCase), 1).otherwise(0)).reduce(_ + _)
+    val occs = terms.map(t => graft.functions.F.occurrences(lowered, t.toLowerCase))
+      .reduce(_ + _)
+    hits.withColumn("__uniq", uniques).withColumn("__occ", occs)
+      .orderBy(col("__uniq").desc, col("__occ").desc, col(scoreCol).desc)
+      .drop("__uniq", "__occ")
+  }
+
   def classification(q: String): Map[String, Boolean] = Map(
     "update" -> Classify.isUpdate(q),
     "aggregation" -> Classify.isAggregation(q),

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ask.{Ask, HashEmbedder}
+import graft.functions.F
+import graft.search.FrameCols
+import graft.tables.ExtractedTables
+import org.apache.spark.sql.functions._
+
+/** Remaining inventory: embedding-quality analytics A13, the ask() RAG
+  * pipeline end-to-end (rows-only — its ladder is not SQL-expressible),
+  * table extraction S7-S9 over synthetic markdown, and BM25-engine search.
+  */
+object MiscQueries {
+
+  private def duckCos(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1]*p[2])), (u,v)->u+v)"
+    def nsq(x: String) =
+      s"list_reduce(list_prepend(0.0, list_transform($x, z->z*z)), (u,v)->u+v)"
+    s"${dot(a, b)} / (sqrt(${nsq(a)}) * sqrt(${nsq(b)}))"
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- A13 embedding quality: sampled pairwise-similarity stats ----
+    "vec_embedding_quality" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val emb = Tables.embeddings(s, d)
+        val a = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        val b = emb.filter(col("vec_id") % 10 === 5)
+          .select(col("vec_id").as("ib"), col("embedding").as("eb"))
+        a.crossJoin(b).filter(col("ia") < col("ib"))
+          .withColumn("cos", F.cosineSim(col("ea"), col("eb")))
+          .agg(count(lit(1)).as("n_pairs"),
+               round(avg(col("cos")), 6).as("avg_sim"),
+               round(min(col("cos")), 6).as("min_sim"),
+               round(max(col("cos")), 6).as("max_sim"),
+               sum(when(col("cos") > 0.3, 1L).otherwise(0L)).as("n_close"))
+          .withColumn("quality",
+            when(col("avg_sim").between(-0.2, 0.2), lit("well_spread"))
+              .otherwise(lit("collapsed")))
+      },
+      s"""WITH a AS (SELECT vec_id AS ia, CAST(embedding AS DOUBLE[]) AS ea
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |b AS (SELECT vec_id AS ib, CAST(embedding AS DOUBLE[]) AS eb
+         |      FROM embeddings WHERE vec_id % 10 = 5),
+         |pairs AS (SELECT ia, ib, ${duckCos("ea", "eb")} AS cos
+         |          FROM a, b WHERE ia < ib)
+         |SELECT COUNT(*) AS n_pairs,
+         |  ROUND(AVG(cos), 6) AS avg_sim,
+         |  ROUND(MIN(cos), 6) AS min_sim,
+         |  ROUND(MAX(cos), 6) AS max_sim,
+         |  CAST(SUM(CASE WHEN cos > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+         |  CASE WHEN ROUND(AVG(cos), 6) BETWEEN -0.2 AND 0.2
+         |       THEN 'well_spread' ELSE 'collapsed' END AS quality
+         |FROM pairs""".stripMargin),
+
+    // ---- ask() end-to-end (rows-only: driver checks shape/rows) ----
+    "ask_citations" -> QueryDef.rowsOnly(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+                          track = col("source"))
+        val emb = new HashEmbedder(64)
+        val vectors = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+        val corpus = Ask.Corpus(docs, "doc_id", f, embeddings = Some(vectors),
+                                correctionUriPrefix = "doc://correction/")
+        val resp = Ask.ask(s, corpus, "how do spark joins merge batches", Some(emb))
+        resp.citations.map(c => (c.index, c.id, c.score, c.snippet))
+          .toDF("citation_idx", "doc_id", "score", "snippet")
+      }),
+
+    // ---- S7-S9: table extraction + cell model over synthetic markdown ----
+    "table_extract_cells" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        // deterministic markdown tables derived from the region table
+        val mdDocs = Tables.region(s, d)
+          .select(col("r_regionkey").cast("long").as("id"),
+            concat(lit("| key | name |\n| --- | --- |\n| "),
+              col("r_regionkey"), lit(" | "), col("r_name"), lit(" |")).as("text"))
+        val tables = ExtractedTables.extract(mdDocs, "id", "text")
+        ExtractedTables.cells(tables)
+          .orderBy(col("tableId"), col("rowIdx"), col("colIdx"))
+      },
+      """SELECT r_regionkey * 1000 AS tableId, 0 AS rowIdx, 0 AS colIdx,
+        |       CAST(r_regionkey AS VARCHAR) AS text
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey * 1000, 0, 1, r_name FROM region
+        |ORDER BY tableId, rowIdx, colIdx""".stripMargin),
+
+    // ---- BM25-engine search through the full facade ----
+    "search_bm25_engine" -> QueryDef.rowsOnly(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.search.Search.search(docs, "doc_id",
+          FrameCols(text = col("text")), "spark join window",
+          graft.search.Search.Options(topK = 20, withSnippets = false,
+            engine = graft.search.Search.BM25Engine, stemmed = true))
+          .drop("snippets")
+      })
+  )
+}

@@ -53,6 +53,7 @@ object TextSearch {
       (s, d) => {
         val toks = BM25.tokenTable(Tables.documents(s, d), "doc_id", "text", stemmed = false)
         BM25.score(s, toks, Seq("spark", "join", "window"), topK = 25)
+          .drop("n_terms_matched")
       },
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),

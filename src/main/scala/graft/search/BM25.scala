@@ -60,8 +60,10 @@ object BM25 {
       .agg(terms.map(t => sum(when(col("term") === t, col("c"))).as(s"c_$t")).head,
            terms.map(t => sum(when(col("term") === t, col("c"))).as(s"c_$t")).tail: _*)
     val total = terms.map(t => coalesce(col(s"c_$t"), lit(0.0))).reduce(_ + _)
+    val nTerms = terms.map(t => when(col(s"c_$t").isNotNull, 1).otherwise(0)).reduce(_ + _)
     pivoted
-      .select(col("doc_id"), round(total, roundDp).as("score"))
+      .select(col("doc_id"), round(total, roundDp).as("score"),
+              nTerms.as("n_terms_matched"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** engine selection mirrors the reference's enum (src/types/search.rs:27-31):
+    * Fallback = substring occurrence scorer; BM25 = stemmed Okapi ranking. */
+  sealed trait Engine
+  case object FallbackEngine extends Engine
+  case object BM25Engine extends Engine
+
   final case class Options(topK: Int = 10, offset: Int = 0,
-                           withSnippets: Boolean = true, snippetWindow: Int = 60)
+                           withSnippets: Boolean = true, snippetWindow: Int = 60,
+                           engine: Engine = FallbackEngine, stemmed: Boolean = true)
 
   /** @param docs corpus; @param idCol unique id column name;
     * @param f column bindings for the queryable fields
@@ -30,15 +37,40 @@ object Search {
         Some(terms.mkString(" "))
       case _ => None
     }
-    val scoreCol: Column =
-      if (terms.isEmpty) lit(0.0)
-      else Lexical.score(lower(f.text), terms, phrase)
-    val base = docs
-      .filter(pred)
-      .withColumn("score", coalesce(scoreCol, lit(0.0)))
-      .select(col(idCol).as("id"), col("score"),
+    // pure conjunction of bare words? then BM25-mode membership comes from
+    // the (stemmed) engine itself, like the reference's tantivy must-clauses
+    def pureWordAnd(e: QExpr): Boolean = e match {
+      case QExpr.And(l, r) => pureWordAnd(l) && pureWordAnd(r)
+      case QExpr.Word(_)   => true
+      case _               => false
+    }
+    val bm25Membership = opts.engine == BM25Engine && pureWordAnd(ast)
+    val filtered = if (bm25Membership) docs else docs.filter(pred)
+    val scored = opts.engine match {
+      case BM25Engine if terms.nonEmpty =>
+        // BM25 over the predicate-filtered corpus: stats from the corpus,
+        // over-fetch ×4 like the reference (tantivy.rs:53-57)
+        val toks = BM25.tokenTable(filtered.select(col(idCol), f.text.as("__t")),
+          idCol, "__t", stemmed = opts.stemmed)
+        val qTerms = (if (opts.stemmed) terms.map(graft.text.Porter.stem) else terms).distinct
+        val ranked0 = BM25.score(docs.sparkSession, toks, qTerms,
+          topK = (opts.offset + opts.topK) * 4)
+        // AND semantics: every (stemmed) query term must be present
+        val ranked = if (bm25Membership)
+          ranked0.filter(col("n_terms_matched") === qTerms.size) else ranked0
+        filtered.select(col(idCol).as("id"), f.text.as("__text"))
+          .join(ranked.drop("n_terms_matched").withColumnRenamed("doc_id", "id"), "id")
+      case _ =>
+        val scoreCol: Column =
+          if (terms.isEmpty) lit(0.0)
+          else Lexical.score(lower(f.text), terms, phrase)
+        filtered.select(col(idCol).as("id"), f.text.as("__text"),
+          coalesce(scoreCol, lit(0.0)).as("score"))
+    }
+    val base = scored
+      .select(col("id"), col("score"),
         (if (opts.withSnippets)
-           Snippets.snippets(f.text, typedLit(terms)) else
+           Snippets.snippets(col("__text"), typedLit(terms)) else
            array().cast("array<string>")).as("snippets"))
       .orderBy(col("score").desc, col("id"))
     // cursor pagination (fallback.rs:88-196): over-fetch then trim — the

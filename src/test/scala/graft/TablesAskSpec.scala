@@ -1,0 +1,87 @@
+package graft
+
+import graft.ask.Ask
+import graft.search.{FrameCols, Search}
+import graft.tables.ExtractedTables
+import org.apache.spark.sql.functions._
+
+class TablesAskSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val md =
+    """Intro text.
+      || name | age |
+      || --- | --- |
+      || alice | 30 |
+      || bob | 25 |
+      |More prose.
+      || x |
+      || 1 |
+      |""".stripMargin
+
+  test("table extraction: headers, cells, summaries, row maps") {
+    val docs = Seq((7L, md)).toDF("id", "text")
+    val tables = ExtractedTables.extract(docs, "id", "text")
+    val collected = tables.orderBy("tableIdx").collect()
+    assert(collected.length == 2)
+    assert(collected(0).getSeq[String](3) == Seq("name", "age"))
+    assert(collected(0).getSeq[Seq[String]](4).length == 2)
+    // second table has no separator row -> headerless
+    assert(collected(1).getSeq[String](3).isEmpty)
+
+    val cells = ExtractedTables.cells(tables)
+    assert(cells.filter(col("tableId") === 7000L).count() == 4)
+    val maps = ExtractedTables.rowsAsMaps(tables).collect()
+    assert(maps.length == 2)
+    val m = maps.map(_.getMap[String, String](2)).find(_.get("name").contains("alice"))
+    assert(m.isDefined && m.get("age") == "30")
+    val sums = ExtractedTables.summaries(tables).orderBy("tableIdx").collect()
+    assert(sums(0).getAs[Int]("n_rows") == 2 && sums(0).getAs[Int]("n_cols") == 2)
+  }
+
+  test("table export: csv and json round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tables").toString
+    val docs = Seq((7L, md)).toDF("id", "text")
+    val tables = ExtractedTables.extract(docs, "id", "text")
+    ExtractedTables.exportCsv(tables, 7000L, s"$dir/csv")
+    val csv = spark.read.option("header", true).csv(s"$dir/csv").collect()
+    assert(csv.length == 2 && csv.head.getAs[String]("name") == "alice")
+    ExtractedTables.exportJson(tables, 7000L, s"$dir/json")
+    val json = spark.read.json(s"$dir/json").collect()
+    assert(json.length == 2)
+  }
+
+  test("build_context groups hits by base uri") {
+    val hits = Seq(
+      (1L, "mv2://a/1", "first fact"), (2L, "mv2://a/2", "second fact"),
+      (3L, "mv2://b/1", "other fact")).toDF("id", "uri", "text")
+    val ctx = Ask.buildContext(hits, "uri", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ctx.keySet == Set("mv2://a/", "mv2://b/"))
+    assert(ctx("mv2://a/").getAs[Long]("n_hits") == 2)
+    assert(ctx("mv2://a/").getAs[String]("context").startsWith("## mv2://a/"))
+  }
+
+  test("token-match reorder prefers hits covering more distinct terms") {
+    val hits = Seq(
+      (1L, "alpha alpha alpha", 9.0),     // 1 distinct term, 3 occ
+      (2L, "alpha beta", 1.0),            // 2 distinct terms
+      (3L, "nothing here", 5.0)
+    ).toDF("id", "text", "score")
+    val ordered = Ask.reorderByTokenMatches(hits, "text", "score", Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ordered == Seq(2L, 1L, 3L))
+  }
+
+  test("bm25 engine through the search facade ranks stemmed matches") {
+    val docs = Seq(
+      (1L, "sparks joining windows repeatedly sparks"),
+      (2L, "spark join window"),
+      (3L, "unrelated content entirely")).toDF("doc_id", "text")
+    val hits = Search.search(docs, "doc_id", FrameCols(text = col("text")),
+      "spark join", Search.Options(topK = 5, withSnippets = false,
+        engine = Search.BM25Engine)).collect()
+    // stemming folds sparks/spark, joining/join -> both docs hit; doc 3 absent
+    assert(hits.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+}
