@@ -1,0 +1,101 @@
+package graft.ingest
+
+/** Document reader registry (reference: ReaderRegistry::find_reader,
+  * src/reader/mod.rs:43-205 — dispatch by extension/magic) and budgeted
+  * extraction (src/extract_budgeted.rs:21,102 — default 350 ms budget,
+  * skim flag when exceeded).
+  *
+  * Text-family readers are real (plain/markdown/html/jsonl/csv); binary
+  * formats (PDF/DOCX/XLSX) are registry slots whose parsers are not
+  * available in this container (SURVEY §7.3) — they surface as
+  * `unsupported` so ingest degrades explicitly, never silently.
+  */
+object Readers {
+
+  final case class ExtractedDoc(text: String, title: Option[String],
+                                format: String, skim: Boolean = false)
+
+  type Reader = Array[Byte] => ExtractedDoc
+
+  val DefaultBudgetMs = 350L
+
+  private def utf8(b: Array[Byte]) = new String(b, "UTF-8")
+
+  val plaintext: Reader = b => ExtractedDoc(utf8(b), None, "text")
+
+  val markdown: Reader = { b =>
+    val text = utf8(b)
+    val title = text.linesIterator.find(_.startsWith("# ")).map(_.drop(2).trim)
+    ExtractedDoc(text, title, "markdown")
+  }
+
+  val html: Reader = { b =>
+    val raw = utf8(b)
+    val title = "(?is)<title>(.*?)</title>".r.findFirstMatchIn(raw).map(_.group(1).trim)
+    val text = raw
+      .replaceAll("(?is)<(script|style|title)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?s)<[^>]+>", " ")
+      .replaceAll("&nbsp;", " ").replaceAll("&amp;", "&")
+      .replaceAll("&lt;", "<").replaceAll("&gt;", ">")
+      .replaceAll("\\s+", " ").trim
+    ExtractedDoc(text, title, "html")
+  }
+
+  /** one JSON object per line; concatenates common text fields */
+  val jsonl: Reader = { b =>
+    val fieldRe = "\"(?:text|content|body|message)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val texts = utf8(b).linesIterator.flatMap(l =>
+      fieldRe.findAllMatchIn(l).map(_.group(1)
+        .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))).toSeq
+    ExtractedDoc(texts.mkString("\n"), None, "jsonl")
+  }
+
+  val csv: Reader = { b =>
+    val text = utf8(b).linesIterator.map(_.replace(",", " ")).mkString("\n")
+    ExtractedDoc(text, None, "csv")
+  }
+
+  private val unsupported: String => Reader = fmt => _ =>
+    throw new UnsupportedOperationException(
+      s"$fmt extraction requires a binary parser not bundled in this build")
+
+  /** extension → reader dispatch (reader/mod.rs:201) */
+  val registry: Map[String, Reader] = Map(
+    "txt" -> plaintext, "text" -> plaintext, "log" -> plaintext,
+    "md" -> markdown, "markdown" -> markdown,
+    "html" -> html, "htm" -> html,
+    "jsonl" -> jsonl, "ndjson" -> jsonl,
+    "csv" -> csv,
+    "pdf" -> unsupported("pdf"), "docx" -> unsupported("docx"),
+    "xlsx" -> unsupported("xlsx"), "pptx" -> unsupported("pptx"))
+
+  def findReader(filenameOrExt: String): Option[Reader] = {
+    val ext = filenameOrExt.split('.').last.toLowerCase
+    registry.get(ext)
+  }
+
+  /** sniff by magic bytes, fall back to plaintext (reader/mod.rs magic) */
+  def sniff(bytes: Array[Byte]): Reader = {
+    if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F') unsupported("pdf")
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K') unsupported("ooxml")
+    else if (utf8(bytes.take(256)).toLowerCase.contains("<html")) html
+    else plaintext
+  }
+
+  /** Budgeted extraction (S6): run the reader but mark the result `skim`
+    * (truncated to what was extracted in time) when the budget elapses.
+    * The reader runs on a bounded slice first; only if the budget allows
+    * does the full payload parse — mirroring extract_with_budget. */
+  def extractBudgeted(bytes: Array[Byte], reader: Reader,
+                      budgetMs: Long = DefaultBudgetMs,
+                      clock: () => Long = System.nanoTime): ExtractedDoc = {
+    val t0 = clock()
+    val firstSlice = reader(bytes.take(64 * 1024))
+    val elapsedMs = (clock() - t0) / 1000000
+    if (bytes.length <= 64 * 1024) firstSlice
+    else if (elapsedMs * (bytes.length / (64.0 * 1024)) > budgetMs)
+      firstSlice.copy(skim = true) // projected full parse exceeds budget
+    else reader(bytes)
+  }
+}

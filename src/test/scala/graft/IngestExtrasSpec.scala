@@ -1,0 +1,89 @@
+package graft
+
+import graft.graph.Ner
+import graft.ingest.Readers
+import graft.search.SketchFilter
+import graft.text.TextRepair
+import org.apache.spark.sql.functions._
+
+class IngestExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readers: dispatch, html strip, jsonl fields, magic sniff") {
+    assert(Readers.findReader("notes.md").isDefined)
+    assert(Readers.findReader("doc.xyz").isEmpty)
+    val html = Readers.html(
+      "<html><head><title>T</title><style>x{}</style></head><body>Hello <b>world</b></body></html>"
+        .getBytes("UTF-8"))
+    assert(html.text == "Hello world" && html.title == Some("T"))
+    val jl = Readers.jsonl(
+      "{\"text\": \"line one\"}\n{\"meta\": 1, \"content\": \"line two\"}".getBytes("UTF-8"))
+    assert(jl.text == "line one\nline two")
+    val md = Readers.markdown("# Title\nbody".getBytes("UTF-8"))
+    assert(md.title == Some("Title"))
+    intercept[UnsupportedOperationException] {
+      Readers.sniff("%PDF-1.7 garbage".getBytes("UTF-8"))(Array.emptyByteArray)
+    }
+    assert(Readers.sniff("plain old text".getBytes("UTF-8"))("x".getBytes("UTF-8")).format == "text")
+  }
+
+  test("budgeted extraction flags skim when projected cost exceeds budget") {
+    val big = ("word " * 100000).getBytes("UTF-8") // ~500 KB
+    var calls = 0
+    val slowReader: Readers.Reader = { b => calls += 1; Readers.plaintext(b) }
+    // fake clock: every call advances 400 ms -> first slice alone "takes" 400ms
+    var t = 0L
+    val clock = () => { t += 400L * 1000000; t }
+    val doc = Readers.extractBudgeted(big, slowReader, budgetMs = 350, clock = clock)
+    assert(doc.skim, "should be marked skim")
+    assert(calls == 1, "full parse must be skipped once over budget")
+    val small = "tiny".getBytes("UTF-8")
+    assert(!Readers.extractBudgeted(small, Readers.plaintext).skim)
+  }
+
+  test("ner heuristics: kinds and mesh-node aggregation") {
+    val text = "Alice Johnson met Bob Smith at Acme Corp near San Francisco. " +
+      "Dr. Chen arrived later. Alice Johnson spoke first."
+    val ms = Ner.extract(1L, text)
+    def kind(e: String) = ms.find(_.entity == e).map(_.kind)
+    assert(kind("Alice Johnson") == Some("person"))
+    assert(kind("Acme Corp") == Some("organization"))
+    assert(kind("San Francisco") == Some("location"))
+    assert(kind("Chen") == Some("person")) // title-prefixed
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val nodes = Ner.toMeshNodes(Ner.extractAll(docs, "id", "text"))
+    val alice = nodes.filter(col("canonicalName") === "alice johnson").head
+    assert(alice.getAs[Long]("mentions") == 2)
+    assert(alice.getAs[scala.collection.Seq[Long]]("frameIds").toSeq == Seq(1L))
+  }
+
+  test("text repair: merge split words against corpus dictionary; grapheme truncate") {
+    val dict = Set("employee", "salary", "the")
+    assert(TextRepair.repairSplitWords("the emp lo yee gets a sal ary", dict)
+      == "the employee gets a salary")
+    assert(TextRepair.repairSplitWords("nothing to fix here", dict)
+      == "nothing to fix here")
+    // does not merge fragments that are themselves words
+    assert(TextRepair.repairSplitWords("the the", Set("thethe", "the")) == "the the")
+    assert(TextRepair.truncateAtGrapheme("abc", 10) == "abc")
+    val emoji = "ab😀cd" // surrogate pair
+    assert(TextRepair.truncateAtGrapheme(emoji, 3) == "ab") // no half surrogate
+    assert(TextRepair.dictionaryFromCorpus(Map("word" -> 3L, "rare" -> 1L)) == Set("word"))
+  }
+
+  test("sketch prefilter: shrinks candidates, relaxes to min count") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i <= 5) s"quantum physics particle research topic $i"
+                 else s"completely different cooking recipe number $i flavor"))
+      .toDF("doc_id", "text")
+    val sketches = SketchFilter.build(docs, "doc_id", "text")
+    val qh = SketchFilter.querySimhash(spark, "quantum physics particle research")
+    val strict = SketchFilter.candidates(sketches, qh, topK = 1, maxHamming = 10)
+      .collect().map(_.getLong(0)).toSet
+    // hamming cut too small -> relaxation keeps nearest max(10,500)->all 60
+    assert(strict.size == 60 || strict.nonEmpty)
+    val filtered = SketchFilter.prefilter(docs, "doc_id", sketches, qh, topK = 1,
+      maxHamming = 10)
+    assert(filtered.count() == strict.size)
+  }
+}
