@@ -96,6 +96,29 @@ object MiscQueries {
         |SELECT r_regionkey * 1000, 0, 1, r_name FROM region
         |ORDER BY tableId, rowIdx, colIdx""".stripMargin),
 
+    // ---- F9 ACL: audit-mode annotation with longest-prefix rules ----
+    "acl_audit" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        val rules = Seq(
+          ("analyst", "doc://src1", true),
+          ("analyst", "doc://src12", false),
+          ("analyst", "doc://src3", true)).toDF("principal", "uriPrefix", "allow")
+        graft.acl.Acl(docs.select("doc_id", "uri"), col("uri"), rules,
+            "analyst", graft.acl.Acl.Audit)
+          .select(col("doc_id"), col("acl_allowed"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  COALESCE((
+        |    SELECT r.allow FROM (VALUES ('doc://src1', TRUE), ('doc://src12', FALSE),
+        |                                ('doc://src3', TRUE)) r(pfx, allow)
+        |    WHERE starts_with('doc://' || source || '/' || doc_id, r.pfx)
+        |    ORDER BY length(r.pfx) DESC LIMIT 1), FALSE) AS acl_allowed
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- BM25-engine search through the full facade ----
     "search_bm25_engine" -> QueryDef.rowsOnly(
       (s, d) => {
