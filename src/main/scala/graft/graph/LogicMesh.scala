@@ -20,6 +20,9 @@ object LogicMesh {
              hops: Int): DataFrame = {
     val typed = linkType.map(t => edges.filter(col("linkType") === t)).getOrElse(edges)
       .select(col("src"), col("dst"))
+    // no persist here: the repeated edge/frontier subtrees are identical
+    // plans, and Catalyst's ReuseExchange shares their shuffles — an
+    // explicit cache would block that reuse (measured slower)
     var frontier = start.select(col("id")).distinct()
     var visited = frontier
     var h = 0
