@@ -69,6 +69,42 @@ final class Graft(val spark: SparkSession, basePath: String,
       .limit(limit)
   }
 
+  // ---- vector search over hash-embedded frames ----
+  private def activeEmbedder: Embedder =
+    embedder.getOrElse(new graft.ask.HashEmbedder(64))
+
+  /** enrichment-stage embedding build: one vector per live document frame */
+  def embeddingsTable: DataFrame = {
+    val e = activeEmbedder
+    val embedUdf = udf((t: String) => e.embed(if (t == null) "" else t))
+    frames.latestActive.filter(col("role") === "document")
+      .select(col("id"), embedUdf(coalesce(col("text"), lit(""))).as("vector"))
+  }
+
+  /** semantic search: cosine k-NN of the query embedding (vec path A4) */
+  def vectorSearch(query: String, topK: Int = 10): DataFrame = {
+    graft.functions.F.ensureRegistered(spark)
+    val qv = org.apache.spark.sql.functions.typedlit(activeEmbedder.embed(query))
+    embeddingsTable
+      .withColumn("score", graft.functions.F.cosineSim(col("vector"), qv))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** frames most similar to an existing frame (similar-documents) */
+  def similar(id: Long, topK: Int = 10): DataFrame = {
+    graft.functions.F.ensureRegistered(spark)
+    val emb = embeddingsTable
+    val q = emb.filter(col("id") === id).select("vector").head.getSeq[Float](0).toArray
+    emb.filter(col("id") =!= id)
+      .withColumn("score", graft.functions.F.cosineSim(col("vector"),
+        org.apache.spark.sql.functions.typedlit(q)))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   // ---- structured memory ----
   def cards: DataFrame =
     if (new java.io.File(cardsPath).exists) spark.read.parquet(cardsPath)

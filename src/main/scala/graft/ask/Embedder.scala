@@ -5,7 +5,7 @@ package graft.ask
   * (SURVEY §7.3 non-goals); HashEmbedder is the deterministic stand-in the
   * reference tests pattern calls for (FIXTURES.md §3).
   */
-trait Embedder {
+trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
 }

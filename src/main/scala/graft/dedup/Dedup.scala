@@ -154,15 +154,16 @@ object Dedup {
     val tf = docs.select(col(idCol).as("doc_id"), explode(F.tokens(col(textCol))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       .withColumn("h64", F.polyHash(col("t")) * lit(2147483647L) + F.polyHash(concat(col("t"), lit("!"))))
-    val bitRows = tf.select(col("doc_id"), col("tf"), col("h64"),
-        posexplode(transform(sequence(lit(0), lit(bits - 1)),
-          j => when(call_function("shiftright", col("h64"), j).bitwiseAND(1) === 1, col("tf"))
-                 .otherwise(-col("tf")))))
-      .toDF("doc_id", "tf", "h64", "bit", "w")
-    bitRows.groupBy("doc_id", "bit").agg(sum(col("w")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, call_function("shiftleft", lit(1L), col("bit").cast("int")))
-        .otherwise(0L)).as("simhash"))
+    // one aggregate column per bit (not a 60× row explosion): a single
+    // shuffle on doc_id carries all 60 weighted sums through codegen
+    val bitSums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h64"), j).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$j"))
+    tf.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
   }
 
   /** near-dup pairs by banded SimHash + hamming cutoff. Bands: 4×15 bits. */

@@ -122,6 +122,20 @@ class StoreSpec extends SparkSpec {
     assert(cards.contains(Enrich.CardFact("user", "age", "34")))
   }
 
+  test("graft facade: vector search and similar-documents") {
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    g.put("mv2://a", "quantum physics particles and wave functions")
+    g.put("mv2://b", "quantum physics experiments with particles")
+    g.put("mv2://c", "cooking pasta with tomato sauce tonight")
+    val hits = g.vectorSearch("quantum particle physics", topK = 2).collect()
+    assert(hits.length == 2)
+    val ids = g.frames.latestActive.select("id", "uri").collect()
+      .map(r => r.getAs[String]("uri") -> r.getAs[Long]("id")).toMap
+    val sim = g.similar(ids("mv2://a"), topK = 2).collect()
+    assert(sim.head.getLong(0) == ids("mv2://b")) // b more similar than c
+  }
+
   test("graft facade: memory ops and timeline") {
     val dir = tmpDir
     val g = new Graft(spark, dir)
