@@ -149,6 +149,23 @@ object MemoryGraphQueries {
         |  AND epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
         |ORDER BY event_id""".stripMargin),
 
+    // ---- JSON metadata extraction (extra_metadata KV handling, §1.1) ----
+    "mem_props_extract" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+               min($"k").as("min_k"), max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- sessionization (gap > 30 min) ----
     "ses_sessionize" -> QueryDef.sql(
       (s, d) => Sessionize.stats(Tables.events(s, d), "user_id", "ts",
