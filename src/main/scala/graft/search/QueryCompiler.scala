@@ -30,12 +30,20 @@ object QueryCompiler {
 
   /** glob (`*`, `?`) → anchored Java regex */
   def globToRegex(glob: String): String =
-    "^" + glob.flatMap {
-      case '*' => ".*"
-      case '?' => "."
+    "^" + globBody(glob) + "$"
+
+  /** glob matched against one token inside a space-joined token string:
+    * `*`/`?` must not cross token boundaries */
+  def globToTokenRegex(glob: String): String =
+    "(^|.* )" + globBody(glob, tokenLocal = true) + "( .*|$)"
+
+  private def globBody(glob: String, tokenLocal: Boolean = false): String =
+    glob.flatMap {
+      case '*' => if (tokenLocal) "[^ ]*" else ".*"
+      case '?' => if (tokenLocal) "[^ ]" else "."
       case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
       case c => c.toString
-    } + "$"
+    }
 
   def compile(e: QExpr, f: FrameCols): Column = e match {
     case And(l, r) => compile(l, f) && compile(r, f)
@@ -50,7 +58,11 @@ object QueryCompiler {
       val trackHit = coalesce(f.track === w, lit(false))
       token || tagHit || labelHit || trackHit
     case Phrase(p)    => f.text.contains(p) || lower(f.text).contains(p.toLowerCase)
-    case Wildcard(g)  => exists(F.tokens(f.text), t => t.rlike(globToRegex(g)))
+    case Wildcard(g)  =>
+      // match the glob against the space-joined token string instead of an
+      // exists() lambda — lambda HOFs fall out of codegen inside Filter
+      // nodes (see TokenizeExpr scaladoc); a plain RLIKE stays compiled
+      array_join(F.tokens(f.text), " ").rlike(globToTokenRegex(g))
     case UriField(v) =>
       if (v.endsWith("*")) f.uri.startsWith(v.dropRight(1)) else f.uri === v
     case ScopeField(p) => f.uri.startsWith(p)
