@@ -36,15 +36,16 @@ object Ask {
     val id = corpus.idCol
     val f = corpus.f
 
-    // --- candidate lists (ask.rs:216-297) ---
+    // --- candidate lists (ask.rs:216-297). Only the primary list needs an
+    // eager emptiness check (it gates the fallback ladder); the other lists
+    // stay lazy — an empty list contributes nothing to the fusion union.
     def lexList(q: String): Option[DataFrame] =
       try {
-        val hits = graft.search.Search.search(docs, id, f, q,
-          graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false))
-        if (hits.isEmpty) None else Some(hits)
+        Some(graft.search.Search.search(docs, id, f, q,
+          graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false)))
       } catch { case _: graft.search.QueryParseException => None }
 
-    val primary = lexList(terms.mkString(" "))
+    val primary = lexList(terms.mkString(" ")).filter(!_.isEmpty)
     // fallback ladder (ask.rs:131-210): disjunctive OR → plural expansion
     val orList = lexList(Classify.disjunctive(question))
     val expanded = if (primary.isEmpty) lexList(Classify.expandedQuery(question)) else None
@@ -63,9 +64,7 @@ object Ask {
     val corrections = {
       val pred = f.uri.startsWith(corpus.correctionUriPrefix) &&
         terms.map(t => lower(f.text).contains(t)).reduceOption(_ || _).getOrElse(lit(false))
-      val c = docs.filter(pred)
-        .select(col(id).as("id"), lit(1.0).as("score"))
-      if (c.isEmpty) None else Some(c)
+      Some(docs.filter(pred).select(col(id).as("id"), lit(1.0).as("score")))
     }
 
     val lists = Seq(
