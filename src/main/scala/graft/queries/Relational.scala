@@ -280,6 +280,69 @@ object Relational {
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000
         |) t ORDER BY o_custkey""".stripMargin),
 
+    // ---- TPC-H Q3 shape: 3-way join + agg + top-k by revenue ----
+    "rel_shipping_priority" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate" < lit("1997-03-15").cast("timestamp"))
+        val li = Tables.lineitem(s, d)
+          .filter($"l_shipdate" > lit("1997-03-15").cast("timestamp"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey", "left_semi")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+            .cast("double").as("revenue"))
+          .select($"l_orderkey", $"revenue",
+            unix_micros($"o_orderdate".cast("timestamp")).as("orderdate_us"),
+            $"o_orderpriority")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  epoch_us(o_orderdate) AS orderdate_us, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // ---- TPC-H Q5 shape: 5-way snowflake join, broadcast dims ----
+    "rel_supplier_volume" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+          .filter($"o_orderdate".between(lit("1996-01-01").cast("timestamp"),
+                                         lit("1996-12-31 23:59:59").cast("timestamp")))
+        val supp = Tables.supplier(s, d)
+        val nat = Tables.nation(s, d)
+        val reg = Tables.region(s, d)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"r_name", $"n_name")
+      },
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+
     // ---- A18/T3 timeline assembly (memvid/timeline.rs:20-120) ----
     "rel_timeline" -> QueryDef.sql(
       (s, d) => {
