@@ -171,6 +171,22 @@ object Ask {
       .drop("__uniq", "__occ")
   }
 
+  /** X20 audit report: provenance of an answer as text/markdown
+    * (reference: SourceSpan src/types/audit.rs:17-59; to_text/to_markdown
+    * at audit.rs:134,274). */
+  def auditReport(r: Response, markdown: Boolean = true): String = {
+    val header =
+      if (markdown) s"# Audit: ${r.question}\n\nEngine: ${r.engine}\n"
+      else s"AUDIT: ${r.question}\nEngine: ${r.engine}\n"
+    val flags = r.classification.filter(_._2).keys.toSeq.sorted
+    val cls = if (flags.isEmpty) "none" else flags.mkString(", ")
+    val sources = r.citations.map { c =>
+      if (markdown) s"- [${c.index}] frame ${c.id} (score ${f"${c.score}%.4f"}): ${c.snippet}"
+      else s"[${c.index}] frame=${c.id} score=${f"${c.score}%.4f"} :: ${c.snippet}"
+    }.mkString("\n")
+    s"$header\nClassification: $cls\n\nAnswer: ${r.answer}\n\nSources:\n$sources\n"
+  }
+
   def classification(q: String): Map[String, Boolean] = Map(
     "update" -> Classify.isUpdate(q),
     "aggregation" -> Classify.isAggregation(q),

@@ -149,6 +149,25 @@ object MemoryGraphQueries {
         |  AND epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
         |ORDER BY event_id""".stripMargin),
 
+    // ---- ST4 tumbling-window aggregation (batch form of the streaming
+    // window; the streaming variant is StreamingIngest.windowedEventCounts)
+    "events_windowed" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum($"value".cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
+                 .cast("double").as("total_value"))
+          .select(unix_micros($"w.start").as("window_start_us"), $"event_type", $"n", $"total_value")
+          .orderBy($"window_start_us", $"event_type")
+      },
+      """SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin),
+
     // ---- JSON metadata extraction (extra_metadata KV handling, §1.1) ----
     "mem_props_extract" -> QueryDef.sql(
       (s, d) => {

@@ -58,6 +58,18 @@ object StreamingIngest {
     n
   }
 
+  /** Streaming exact dedup: drop payloads whose content hash was already
+    * seen, with a watermark bounding the dedup state — the streaming form
+    * of the ingest dedup short-circuit (mutation.rs:3300-3316). */
+  def dedupStream(frames: DataFrame, tsCol: String, textCol: String,
+                  watermark: String): DataFrame = {
+    F.ensureRegistered(frames.sparkSession)
+    frames
+      .withColumn("contentHash", F.polyHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("contentHash")
+  }
+
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */

@@ -84,6 +84,16 @@ class AskSpec extends SparkSpec {
     assert(resp.citations.isEmpty)
   }
 
+  test("audit report formats provenance in markdown and text") {
+    val resp = Ask.ask(spark, corpus, "where do I live in Berlin?")
+    val md = Ask.auditReport(resp)
+    assert(md.startsWith("# Audit: where do I live in Berlin?"))
+    assert(md.contains("[1] frame 6"))
+    assert(md.contains("Answer: "))
+    val txt = Ask.auditReport(resp, markdown = false)
+    assert(txt.startsWith("AUDIT:") && txt.contains("frame=6"))
+  }
+
   test("hash embedder is deterministic and normalized") {
     val e = new HashEmbedder(32)
     val a = e.embed("hello world")

@@ -59,6 +59,24 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.isDefined && clicks.get.getAs[Long]("n") == 2)
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val frames = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingIngest.dedupStream(frames, "ts", "text", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(s2: String) = java.sql.Timestamp.valueOf(s2)
+    mem.addData((t("2024-01-01 10:00:00"), "hello"), (t("2024-01-01 10:01:00"), "hello"),
+                (t("2024-01-01 10:02:00"), "world"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 10:03:00"), "hello"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream").collect()
+    q.stop()
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("hello", "world"))
+  }
+
   test("multimodal: binary columns flow through batched stub inference") {
     val media = Seq(
       Multimodal.MediaRow(1L, "img://a", "image", Array[Byte](1, 2, 3, 4), Map("w" -> "64")),
