@@ -45,7 +45,15 @@ object Ask {
           graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false)))
       } catch { case _: graft.search.QueryParseException => None }
 
-    val primary = lexList(terms.mkString(" ")).filter(!_.isEmpty)
+    // eager emptiness probe runs the compiled *predicate* only (limit(1),
+    // pushdown-friendly) — not the full ranked search, which would score and
+    // sort the corpus once extra just to learn it is non-empty
+    val primaryQ = terms.mkString(" ")
+    val primaryHasHits =
+      try !docs.filter(graft.search.QueryCompiler.predicate(primaryQ, f))
+        .limit(1).isEmpty
+      catch { case _: graft.search.QueryParseException => false }
+    val primary = if (primaryHasHits) lexList(primaryQ) else None
     // fallback ladder (ask.rs:131-210): disjunctive OR → plural expansion
     val orList = lexList(Classify.disjunctive(question))
     val expanded = if (primary.isEmpty) lexList(Classify.expandedQuery(question)) else None

@@ -121,17 +121,24 @@ object Dedup {
     // materialize the shingle "index" once — every downstream stage
     // (dfreq, prefix, both join sides, verification) reuses it
     val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    // all index stages (df count, prefix ranking, candidate self-join) run
+    // on 8-byte shingle hashes, not ~20-byte strings — every shuffle key is
+    // a long. Lossless: a hash collision merges two shingles, which can only
+    // RAISE pairwise hash-space Jaccard (J_hash ≥ J), so the prefix theorem
+    // in hash space still yields a candidate superset; verification below is
+    // exact on the string sets.
     val sh = sets.select(col("doc_id"), explode(col("shingles")).as("sng"))
-    val dfreq = sh.groupBy("sng").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sng"))
-    val prefix = sh.join(dfreq, "sng")
+      .select(col("doc_id"), xxhash64(col("sng")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfreq, "h")
       .withColumn("rank", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "sng")
+      .select("doc_id", "h")
       .persist()
-    val pairs = prefix.select(col("doc_id").as("doc_a"), col("sng"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sng")), "sng")
+    val pairs = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val shA = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
@@ -151,15 +158,17 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
     F.ensureRegistered(docs.sparkSession)
-    val tf = docs.select(col(idCol).as("doc_id"), explode(F.tokens(col(textCol))).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // per-OCCURRENCE sign sum ≡ per-term tf-weighted sign sum (integer
+    // addition is associative/commutative), so no (doc, term) TF
+    // pre-aggregation is needed: one explode, ONE shuffle on doc_id
+    val occ = docs.select(col(idCol).as("doc_id"), explode(F.tokens(col(textCol))).as("t"))
       .withColumn("h64", F.polyHash(col("t")) * lit(2147483647L) + F.polyHash(concat(col("t"), lit("!"))))
     // one aggregate column per bit (not a 60× row explosion): a single
     // shuffle on doc_id carries all 60 weighted sums through codegen
     val bitSums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h64"), j).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$j"))
-    tf.groupBy("doc_id")
+      sum(when(shiftright(col("h64"), j).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    occ.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(j =>

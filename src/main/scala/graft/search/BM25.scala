@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * for the reference's Tantivy engine (reference: src/search/tantivy/engine.rs;
   * stemming at src/search/tantivy/schema.rs:8-14).
   *
-  * Classic two-pass aggregation:
-  *   pass 1 (corpus stats): doc lengths + per-term document frequencies —
-  *     partial-aggregated map-side, shuffled once on the term key;
-  *   pass 2: per-(doc, term) TF joined against broadcast DF stats.
+  * Single-pass shape: because the query's term set is tiny and known at
+  * plan time, per-doc length AND per-query-term TFs come out of ONE
+  * aggregation over the token explode (pivoted `sum(when(term === t))`
+  * columns) — one scan, one shuffle keyed by doc. Corpus-level stats
+  * (N, avgdl, per-term DF) fold the same aggregate into a 1-row frame
+  * that is cross-joined (broadcast) back; nothing is collected on the
+  * driver, so the whole query stays one lazy plan and Catalyst reuses the
+  * doc-level exchange for both branches.
   *
-  * At 100 TB the DF/avgdl stats table is tiny (vocabulary-sized) and
-  * broadcast; only the tf aggregation shuffles, keyed by (doc, term).
-  * Per-term contributions are summed via fixed-order pivoted columns so the
-  * double result is independent of shuffle order (oracle-hash-stable).
+  * At 100 TB: the stats side is a 1-row broadcast; the only data-sized
+  * shuffle is the doc-keyed aggregation. Per-term contributions are summed
+  * via fixed-order pivoted columns so the double result is independent of
+  * shuffle order (oracle-hash-stable).
   */
 object BM25 {
   val K1 = 1.2
@@ -38,30 +42,30 @@ object BM25 {
   def score(spark: SparkSession, tokens: DataFrame, queryTerms: Seq[String],
             topK: Int = 10, roundDp: Int = 6): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = docLen.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len")).head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
-
-    val qt = tokens.filter(col("term").isin(terms: _*))
-    val df = qt.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-
-    val contrib = tf
-      .join(broadcast(df), "term")
-      .join(docLen, "doc_id")
-      .withColumn("idf", log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("c", col("idf") * col("tf") * lit(K1 + 1) /
-        (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / lit(avgdl))))
-
-    // fixed-order sum: one pivoted column per query term, added left to right
-    val pivoted = contrib.groupBy("doc_id")
-      .agg(terms.map(t => sum(when(col("term") === t, col("c"))).as(s"c_$t")).head,
-           terms.map(t => sum(when(col("term") === t, col("c"))).as(s"c_$t")).tail: _*)
-    val total = terms.map(t => coalesce(col(s"c_$t"), lit(0.0))).reduce(_ + _)
-    val nTerms = terms.map(t => when(col(s"c_$t").isNotNull, 1).otherwise(0)).reduce(_ + _)
-    pivoted
+    // one aggregation pass: doc length + per-query-term TF per doc
+    val perDoc = tokens.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    // corpus stats as a 1-row broadcast (no driver action): N, Σdl, per-term DF
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("total_len") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - col(s"df_$t") + 0.5) /
+        (col(s"df_$t") + 0.5))
+      when(tf > 0,
+        idf * tf * lit(K1 + 1) /
+          (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl)))
+    }
+    // fixed-order sum: one column per query term, added left to right
+    val total = terms.map(t => coalesce(contrib(t), lit(0.0))).reduce(_ + _)
+    val nTerms = terms.map(t => when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _)
+    perDoc
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"), round(total, roundDp).as("score"),
               nTerms.as("n_terms_matched"))
       .orderBy(col("score").desc, col("doc_id"))
