@@ -42,29 +42,32 @@ object BM25 {
   def score(spark: SparkSession, tokens: DataFrame, queryTerms: Seq[String],
             topK: Int = 10, roundDp: Int = 6): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
+    // Index-based column names (tf_0, df_0, ...) so arbitrary term strings
+    // (containing '.', backticks, ...) never enter column-name parsing.
+    val idx = terms.indices
     // one aggregation pass: doc length + per-query-term TF per doc
     val perDoc = tokens.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
-      terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      idx.map(i => sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"tf_$i")): _*)
     // corpus stats as a 1-row broadcast (no driver action): N, Σdl, per-term DF
-    val stats = perDoc.agg(
-      count(lit(1)).as("n_docs") +:
+    val statsCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("total_len") +:
-      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      idx.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statsCols.head, statsCols.tail: _*)
     val avgdl = col("total_len").cast("double") / col("n_docs")
-    def contrib(t: String): Column = {
-      val tf = col(s"tf_$t")
-      val idf = log(lit(1.0) + (col("n_docs").cast("double") - col(s"df_$t") + 0.5) /
-        (col(s"df_$t") + 0.5))
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf_$i")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - col(s"df_$i") + 0.5) /
+        (col(s"df_$i") + 0.5))
       when(tf > 0,
         idf * tf * lit(K1 + 1) /
           (tf + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / avgdl)))
     }
     // fixed-order sum: one column per query term, added left to right
-    val total = terms.map(t => coalesce(contrib(t), lit(0.0))).reduce(_ + _)
-    val nTerms = terms.map(t => when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _)
+    val total = idx.map(i => coalesce(contrib(i), lit(0.0))).reduce(_ + _)
+    val nTerms = idx.map(i => when(col(s"tf_$i") > 0, 1).otherwise(0)).reduce(_ + _)
     perDoc
-      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .filter(idx.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), round(total, roundDp).as("score"),
               nTerms.as("n_terms_matched"))
