@@ -47,7 +47,12 @@ object Ask {
 
     // eager emptiness probe runs the compiled *predicate* only (limit(1),
     // pushdown-friendly) — not the full ranked search, which would score and
-    // sort the corpus once extra just to learn it is non-empty
+    // sort the corpus once extra just to learn it is non-empty.
+    // INVARIANT: this equivalence (predicate-nonempty ⇒ search-nonempty)
+    // holds because lexList uses FallbackEngine, whose result set is exactly
+    // the predicate-filtered rows. If lexList ever switches to BM25Engine
+    // (where pureWordAnd membership additionally requires every *stemmed*
+    // term to match), gate the fallback ladder on the fused result instead.
     val primaryQ = terms.mkString(" ")
     val primaryHasHits =
       try !docs.filter(graft.search.QueryCompiler.predicate(primaryQ, f))

@@ -128,7 +128,7 @@ object Dedup {
     // in hash space still yields a candidate superset; verification below is
     // exact on the string sets.
     val sh = sets.select(col("doc_id"), explode(col("shingles")).as("sng"))
-      .select(col("doc_id"), xxhash64(col("sng")).as("h"))
+      .select(col("doc_id"), F.polyHash(col("sng")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
     val prefix = sh.join(dfreq, "h")

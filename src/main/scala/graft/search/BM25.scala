@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * columns) — one scan, one shuffle keyed by doc. Corpus-level stats
   * (N, avgdl, per-term DF) fold the same aggregate into a 1-row frame
   * that is cross-joined (broadcast) back; nothing is collected on the
-  * driver, so the whole query stays one lazy plan and Catalyst reuses the
-  * doc-level exchange for both branches.
+  * driver, so the whole query stays one lazy plan. Exchange reuse is
+  * verified in the FINAL adaptive plan (graft.ops.Explain text_bm25):
+  * AQE materializes the doc-keyed shuffle once and the stats branch reads
+  * it via ReusedExchange — the token explode does NOT run twice.
   *
   * At 100 TB: the stats side is a 1-row broadcast; the only data-sized
   * shuffle is the doc-keyed aggregation. Per-term contributions are summed
