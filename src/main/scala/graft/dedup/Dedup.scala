@@ -88,6 +88,28 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Benchmark decontamination (training-data pipeline): corpus docs that
+    * share at least `minShared` distinct word-shingles with any probe
+    * (benchmark/eval) document. The probe set is small by definition, so
+    * its exploded shingle set is broadcast — the only data-sized work is
+    * one narrow pass over the corpus; no corpus-side self-join, no shuffle
+    * beyond the per-(doc, probe) count. At 100 TB this is a broadcast
+    * hash-join against every corpus partition, embarrassingly parallel.
+    */
+  def contaminationCheck(corpus: DataFrame, probe: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int = 3,
+                         minShared: Int = 1): DataFrame = {
+    val c = shingleSets(corpus, idCol, textCol, shingleSize)
+      .select(col("doc_id"), explode(col("shingles")).as("sng"))
+    val p = shingleSets(probe, idCol, textCol, shingleSize)
+      .select(col("doc_id").as("probe_id"), explode(col("shingles")).as("sng"))
+    // shingle arrays are distinct per doc, so each shared shingle joins once
+    c.join(broadcast(p), "sng")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** exact Jaccard verification over candidate pairs */
   def verifiedNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, shingleSize: Int = 3,

@@ -65,6 +65,13 @@ object Enrich {
   def maskPii(text: String): String =
     piiPatterns.foldLeft(text) { case (t, (p, r)) => t.replaceAll(p, r) }
 
+  /** data-path PII mask: the same pattern chain as a codegen'd
+    * regexp_replace pipeline (no UDF, stays in whole-stage codegen) */
+  def maskPiiCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(c) { case (t, (p, r)) =>
+      org.apache.spark.sql.functions.regexp_replace(t, p, r)
+    }
+
   def containsPii(text: String): Boolean =
     piiPatterns.exists { case (p, _) => p.r.findFirstIn(text).isDefined }
 

@@ -123,6 +123,25 @@ object DedupQueries {
          |WHERE ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- benchmark decontamination: corpus ⨝ broadcast(probe shingles) ----
+    "dedup_contamination" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val probe = docs.filter(col("doc_id") % 97 === 0)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        Dedup.contaminationCheck(corpus, probe, "doc_id", "text", minShared = 2)
+          .orderBy(col("doc_id"), col("probe_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
+         |       WHERE len($duckShingles) > 0),
+         |c AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+         |p AS (SELECT doc_id AS probe_id, sng FROM sh WHERE doc_id % 97 = 0)
+         |SELECT c.doc_id, p.probe_id, COUNT(*) AS n_shared
+         |FROM c JOIN p USING (sng)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY doc_id, probe_id""".stripMargin),
+
     // ---- embedding near-dup within IVF clusters (cosine threshold join) ----
     "vec_neardup_cluster" -> QueryDef.sql(
       (s, d) => {

@@ -158,6 +158,78 @@ object TextSearch {
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- duplicate-ngram fraction (MassiveText-style repetition filter) ----
+    "text_repetition" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .withColumn("__toks", F.tokens($"text"))
+          .filter(size($"__toks") >= 3)
+          .withColumn("__sh", F.shinglesFromTokens($"__toks", 3))
+          .select($"doc_id",
+            size($"__sh").cast("long").as("n_shingles"),
+            size(array_distinct($"__sh")).cast("long").as("n_distinct"))
+          .withColumn("dup_fraction",
+            round(lit(1.0) - $"n_distinct".cast("double") / $"n_shingles", 6))
+          .orderBy($"doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(range(greatest(len(tk)-2, 0)),
+         |                 i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS all_sh
+         |  FROM toks WHERE len(tk) >= 3)
+         |SELECT doc_id, CAST(len(all_sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(all_sh)) AS BIGINT) AS n_distinct,
+         |  ROUND(1.0 - CAST(len(list_distinct(all_sh)) AS DOUBLE) / len(all_sh), 6) AS dup_fraction
+         |FROM sh ORDER BY doc_id""".stripMargin),
+
+    // ---- X14 PII masking as a codegen'd regexp_replace chain ----
+    "text_pii_mask" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val synth = concat(lit("contact "), $"c_name",
+          lit(" ph 415-555-"), lpad(($"c_custkey" % 10000).cast("string"), 4, "0"),
+          lit(" em "), lower(regexp_replace($"c_name", "#0*", ".")),
+          lit("@example.com ssn 123-45-6789"))
+        Tables.customer(s, d)
+          .select($"c_custkey", graft.ingest.Enrich.maskPiiCol(synth).as("masked"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    'contact ' || c_name || ' ph 415-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' em ' ||
+        |      lower(regexp_replace(c_name, '#0*', '.', 'g')) || '@example.com ssn 123-45-6789',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '(?:\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b(?:\d[ -]*?){13,16}\b', '[CARD]', 'g') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // ---- X6 date-parsing zoo: multi-format coalesce ladder ----
+    "text_date_zoo" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val od = $"o_orderdate".cast("date")
+        val raw = when($"o_orderkey" % 3 === 0, date_format(od, "yyyy-MM-dd"))
+          .when($"o_orderkey" % 3 === 1, date_format(od, "dd/MM/yyyy"))
+          .otherwise(date_format(od, "MMMM dd, yyyy"))
+        Tables.orders(s, d)
+          .select($"o_orderkey", raw.as("raw"))
+          .withColumn("parsed_day", datediff(
+            coalesce(try_to_date($"raw", "yyyy-MM-dd"),
+                     try_to_date($"raw", "dd/MM/yyyy"),
+                     try_to_date($"raw", "MMMM dd, yyyy")),
+            lit("1970-01-01").cast("date")).cast("long"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  CASE o_orderkey % 3
+        |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |    WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |    ELSE strftime(o_orderdate, '%B %d, %Y') END AS raw,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS parsed_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // ---- X3-style normalization + content fingerprint (dedup key) ----
     "text_fingerprint" -> QueryDef.sql(
       (s, d) => {

@@ -43,4 +43,25 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingleSets(tiny, "doc_id", "text", shingleSize = 3)
     assert(sh.count() == 1)
   }
+
+  test("contamination check: shared-shingle docs flagged, others not") {
+    import org.apache.spark.sql.functions.col
+    val probe = corpus.filter(col("doc_id") === 1L)
+    val rest = corpus.filter(col("doc_id") =!= 1L)
+    val hits = Dedup.contaminationCheck(rest, probe, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 2 and 3 share nearly all shingles with probe doc 1; 4/5 share none
+    assert(hits.map(_._1).toSet == Set(2L, 3L))
+    assert(hits.forall(_._2 == 1L))
+    assert(hits.forall(_._3 >= 3L))
+  }
+
+  test("contamination check: probe side is broadcast (no corpus self-shuffle)") {
+    import org.apache.spark.sql.functions.col
+    val probe = corpus.filter(col("doc_id") === 1L)
+    val rest = corpus.filter(col("doc_id") =!= 1L)
+    val plan = Dedup.contaminationCheck(rest, probe, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
 }

@@ -99,4 +99,20 @@ class TextCoreSpec extends SparkSpec {
     val h = Seq("ab").toDF("s").select(F.polyHash($"s")).head.getLong(0)
     assert(h == 97L * 31 + 98) // ('a'*31+'b') % 1e9+7
   }
+
+  test("maskPiiCol matches driver-side maskPii on mixed PII text") {
+    import graft.ingest.Enrich
+    import org.apache.spark.sql.functions.col
+    val samples = Seq(
+      "reach me at jane.doe+spam@example.co.uk or 415-555-0199",
+      "ssn 123-45-6789 card 4111 1111 1111 1111 end",
+      "+1 (415) 555-0199 and plain text with no pii at all",
+      "just-an-at @ sign, 12-34 not a ssn, 999-99-9999 is one")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val got = df.select(col("id"), Enrich.maskPiiCol(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == Enrich.maskPii(s), s"mismatch on: $s")
+    }
+  }
 }
