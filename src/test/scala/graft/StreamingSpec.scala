@@ -96,4 +96,41 @@ class StreamingSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty && frames.forall(_.getLong(0) == 4L))
   }
+
+  test("stateful streaming sessionization: gap closes sessions, state evicted by watermark") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type").as[SessionEvent]
+    val sessions = Sessionizer.sessionize(events, gapSeconds = 600, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts separated by > gap inside one batch → first burst
+      // closes immediately; user 2: one burst, closed later by watermark
+      mem.addData((1L, t("2024-01-01 10:00:00"), "a"),
+                  (1L, t("2024-01-01 10:05:00"), "b"),
+                  (1L, t("2024-01-01 11:00:00"), "c"),
+                  (2L, t("2024-01-01 10:30:00"), "a"))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      // user 1 first burst (2 events, 5 min span) closes on the in-batch gap;
+      // user 2's timeout (10:40) is already behind the batch-1 watermark
+      // (11:00), so the event-time timeout closes it right after batch 1
+      assert(afterBatch1.toSet == Set((1L, 2L, 300000L), (2L, 1L, 0L)))
+
+      // advance the watermark far past both open sessions → timeouts fire
+      mem.addData((3L, t("2024-01-01 13:00:00"), "z"))
+      q.processAllAvailable()
+      mem.addData((3L, t("2024-01-01 13:00:01"), "z2"))
+      q.processAllAvailable()
+      val all = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+      assert(all.contains((1L, 1L, 0L)))   // user 1 second burst (1 event)
+      assert(all.contains((2L, 1L, 0L)))   // user 2 session closed by timeout
+    } finally q.stop()
+  }
 }
