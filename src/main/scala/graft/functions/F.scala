@@ -23,6 +23,7 @@ object F {
       reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("porter_stem", es => PorterStemExpr(es.head), "built-in")
       reg.createOrReplaceTempFunction("tokenize", es => TokenizeExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("word_shingles", es => WordShinglesExpr(es(0), es(1)), "built-in")
     }
   }
 
@@ -41,15 +42,13 @@ object F {
     */
   def tokens(c: Column): Column = call_function("tokenize", c)
 
-  /** n-gram shingles from an already-bound token-array column.
-    * IMPORTANT: pass an attribute (withColumn-bound) tokens column, not an
-    * inline tokens(...) expression — a lambda body re-evaluates non-trivial
-    * subexpressions once per array element, which turns shingling into
-    * O(tokens × tokenize) per row. */
+  /** n-gram shingles from a token-array column — native codegen expression
+    * (WordShinglesExpr). The previous transform/slice/array_join lambda
+    * pipeline ran interpreted whenever Catalyst's constraint propagation
+    * copied it into Filter nodes (generator constraints below an explode
+    * re-derived the whole tokenize+shingle chain several times per row). */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    call_function("word_shingles", toks, lit(n))
 
   /** word n-gram shingles over text (convenience; see shinglesFromTokens
     * for the hot path) */
