@@ -150,15 +150,16 @@ object Dedup {
     // in hash space still yields a candidate superset; verification below is
     // exact on the string sets.
     // per-doc shingle count comes free from the persisted sets (the array is
-    // already distinct), and document frequency comes from a window over h —
-    // one shuffle on h instead of a groupBy + sort-merge join back
+    // already distinct); document frequency is a hash aggregate joined back —
+    // AQE picks a broadcast join while dfreq is small and a shuffle join at
+    // scale (a window over h pays WindowExec's per-group buffer for ~1 row
+    // per group — measured slower than the agg+join at sf0.1)
     val sh = sets.select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("sng"))
       .select(col("doc_id"), col("n"), F.polyHash(col("sng")).as("h"))
-    val wDf = Window.partitionBy(col("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val prefix = sh
-      .withColumn("df", count(lit(1)).over(wDf))
+    val prefix = sh.join(dfreq, "h")
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select("doc_id", "n", "rank", "h")
