@@ -36,29 +36,27 @@ object Ask {
     val id = corpus.idCol
     val f = corpus.f
 
-    // --- candidate lists (ask.rs:216-297). Only the primary list needs an
-    // eager emptiness check (it gates the fallback ladder); the other lists
-    // stay lazy — an empty list contributes nothing to the fusion union.
-    def lexList(q: String): Option[DataFrame] =
+    // --- candidate lists (ask.rs:216-297), each collected as a bounded
+    // top-k' (≤ effectiveK*2 rows by construction — exactly the reference's
+    // in-memory fuse_hits_rrf inputs), so fusing the COLLECTED lists on the
+    // driver is not a distributed-design violation, it is the reference's
+    // own shape. The payoff: the retrieval queries stay small independent
+    // plans instead of one mega-union whose Catalyst + codegen time
+    // dominates wall clock; and the primary list's own (eager) emptiness
+    // gates the fallback ladder — no separate probe query needed.
+    def collectRanked(df: DataFrame): Array[(Long, Double)] =
+      df.select(col("id").cast("long").as("id"), col("score").cast("double").as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (i2, s2) => (-s2, i2) } // rank order: score desc, id asc
+
+    def lexList(q: String): Option[Array[(Long, Double)]] =
       try {
-        Some(graft.search.Search.search(docs, id, f, q,
-          graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false)))
+        Some(collectRanked(graft.search.Search.search(docs, id, f, q,
+          graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false))))
       } catch { case _: graft.search.QueryParseException => None }
 
-    // eager emptiness probe runs the compiled *predicate* only (limit(1),
-    // pushdown-friendly) — not the full ranked search, which would score and
-    // sort the corpus once extra just to learn it is non-empty.
-    // INVARIANT: this equivalence (predicate-nonempty ⇒ search-nonempty)
-    // holds because lexList uses FallbackEngine, whose result set is exactly
-    // the predicate-filtered rows. If lexList ever switches to BM25Engine
-    // (where pureWordAnd membership additionally requires every *stemmed*
-    // term to match), gate the fallback ladder on the fused result instead.
     val primaryQ = terms.mkString(" ")
-    val primaryHasHits =
-      try !docs.filter(graft.search.QueryCompiler.predicate(primaryQ, f))
-        .limit(1).isEmpty
-      catch { case _: graft.search.QueryParseException => false }
-    val primary = if (primaryHasHits) lexList(primaryQ) else None
+    val primary = lexList(primaryQ).filter(_.nonEmpty)
     // fallback ladder (ask.rs:131-210): disjunctive OR → plural expansion
     val orList = lexList(Classify.disjunctive(question))
     val expanded = if (primary.isEmpty) lexList(Classify.expandedQuery(question)) else None
@@ -69,9 +67,10 @@ object Ask {
     } yield {
       F.ensureRegistered(spark)
       val qv = typedlit(e.embed(question))
-      emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
-        .orderBy(col("score").desc, col("id"))
-        .limit(effectiveK * 2)
+      collectRanked(
+        emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(effectiveK * 2))
     }
 
     val corrections = {
@@ -79,36 +78,24 @@ object Ask {
         terms.map(t => lower(f.text).contains(t)).reduceOption(_ || _).getOrElse(lit(false))
       // bounded like the reference's correction search (ask.rs:278-297 runs
       // a normal top-k search under the correction uri prefix)
-      Some(docs.filter(pred).select(col(id).as("id"), lit(1.0).as("score"))
-        .orderBy(col("id")).limit(effectiveK * 2))
+      Some(collectRanked(docs.filter(pred)
+        .select(col(id).as("id"), lit(1.0).as("score"))
+        .orderBy(col("id")).limit(effectiveK * 2)))
     }
 
-    val lists = Seq(
-      primary.map(df => Fusion.RankedList("lex", df, "score")),
-      orList.map(df => Fusion.RankedList("or", df, "score")),
-      expanded.map(df => Fusion.RankedList("expanded", df, "score")),
-      vectorList.map(df => Fusion.RankedList("vector", df, "score")),
-      corrections.map(df => Fusion.RankedList("correction", df, "score"))
+    val collected: Seq[(String, Array[(Long, Double)])] = Seq(
+      primary.map("lex" -> _),
+      orList.map("or" -> _),
+      expanded.map("expanded" -> _),
+      vectorList.map("vector" -> _),
+      corrections.map("correction" -> _)
     ).flatten
 
-    if (lists.isEmpty)
+    if (collected.isEmpty)
       return Response("No relevant memories found.", Seq.empty, "none", question,
         classification(question))
 
-    // --- RRF fusion, driver-side over the bounded lists (ask.rs:1381-1432).
-    // Every list is a top-k' (≤ effectiveK*2 rows) by construction, exactly
-    // like the reference's in-memory fuse_hits_rrf inputs — so fusing the
-    // COLLECTED lists on the driver is not a distributed-design violation,
-    // it is the reference's own shape. The payoff: the retrieval queries
-    // stay small independent plans instead of one mega-union whose Catalyst
-    // + codegen time dominates wall clock (measured: 3.4 s → mostly plan
-    // compile; the data work on the fused ≤200 rows is microseconds).
-    val collected: Seq[(String, Array[(Long, Double)])] = lists.map { rl =>
-      rl.listId -> rl.df
-        .select(col("id").cast("long").as("id"), col(rl.scoreCol).cast("double").as("s"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
-        .sortBy { case (i2, s2) => (-s2, i2) } // rank order: score desc, id asc
-    }
+    // --- RRF fusion, driver-side over the bounded lists (ask.rs:1381-1432)
     val rrf = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
     collected.foreach { case (_, entries) =>
       entries.zipWithIndex.foreach { case ((docId, _), rank0) =>
