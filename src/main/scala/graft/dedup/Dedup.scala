@@ -199,21 +199,15 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
     F.ensureRegistered(docs.sparkSession)
-    // per-OCCURRENCE sign sum ≡ per-term tf-weighted sign sum (integer
-    // addition is associative/commutative), so no (doc, term) TF
-    // pre-aggregation is needed: one explode, ONE shuffle on doc_id
-    val occ = docs.select(col(idCol).as("doc_id"), explode(F.tokens(col(textCol))).as("t"))
-      .withColumn("h64", F.polyHash(col("t")) * lit(2147483647L) + F.polyHash(concat(col("t"), lit("!"))))
-    // one aggregate column per bit (not a 60× row explosion): a single
-    // shuffle on doc_id carries all 60 weighted sums through codegen
-    val bitSums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h64"), j).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$j"))
-    occ.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("simhash"))
+    // ONE narrow scalar pass (SimHash64Expr): no explode, no shuffle — the
+    // sketch build is per-row exactly like the reference's generate_sketch.
+    // (Bit-identical to the former explode + 60-aggregate formulation.)
+    // Docs with zero tokens are dropped, matching the aggregate form where
+    // an empty explode produced no group.
+    docs
+      .withColumn("__toks", F.tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol).as("doc_id"), F.simhash64(col("__toks"), bits).as("simhash"))
   }
 
   /** near-dup pairs by banded SimHash + hamming cutoff. Bands: 4×15 bits. */

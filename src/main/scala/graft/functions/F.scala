@@ -24,6 +24,7 @@ object F {
       reg.createOrReplaceTempFunction("porter_stem", es => PorterStemExpr(es.head), "built-in")
       reg.createOrReplaceTempFunction("tokenize", es => TokenizeExpr(es.head), "built-in")
       reg.createOrReplaceTempFunction("word_shingles", es => WordShinglesExpr(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es(0), es(1)), "built-in")
     }
   }
 
@@ -49,6 +50,11 @@ object F {
     * re-derived the whole tokenize+shingle chain several times per row). */
   def shinglesFromTokens(toks: Column, n: Int): Column =
     call_function("word_shingles", toks, lit(n))
+
+  /** per-row SimHash sketch over a token array (SimHash64Expr) — the
+    * narrow form of the reference's generate_sketch */
+  def simhash64(toks: Column, bits: Int): Column =
+    call_function("simhash64", toks, lit(bits))
 
   /** word n-gram shingles over text (convenience; see shinglesFromTokens
     * for the hot path) */
