@@ -123,6 +123,35 @@ object DedupQueries {
          |WHERE ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- F10 sketch pre-filter: hamming of doc sketches vs query sketch.
+    // (The ≥max(top_k·10,500) relaxation policy is covered by
+    // IngestExtrasSpec; this gates the sketch+hamming computation.) ----
+    "search_sketch_prefilter" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.SketchFilter
+        val sk = SketchFilter.build(Tables.documents(s, d), "doc_id", "text")
+        val qh = SketchFilter.querySimhash(s, "spark join window shuffle")
+        sk.select(col("doc_id"),
+            bit_count(col("simhash").bitwiseXOR(lit(qh))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 20)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |             UNION ALL SELECT -1, 'spark join window shuffle'),
+         |toks AS (SELECT doc_id, ${duckToks.replace("lower(text)", "lower(text)")} AS tk FROM src),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u GROUP BY doc_id, t),
+         |hh AS (SELECT doc_id, tf, ${duckPoly("t")} * 2147483647 + ${duckPoly("t || '!'")} AS h64 FROM tf),
+         |bits AS (SELECT doc_id, j, SUM(CASE WHEN (h64 >> j) & 1 = 1 THEN tf ELSE -tf END) AS sgn
+         |         FROM hh, (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+         |sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(bit_count(xor(d.simhash, (SELECT simhash FROM sim WHERE doc_id = -1))) AS BIGINT) AS hamming
+         |FROM sim d WHERE d.doc_id >= 0
+         |  AND bit_count(xor(d.simhash, (SELECT simhash FROM sim WHERE doc_id = -1))) <= 20
+         |ORDER BY doc_id""".stripMargin),
+
     // ---- benchmark decontamination: corpus ⨝ broadcast(probe shingles) ----
     "dedup_contamination" -> QueryDef.sql(
       (s, d) => {
