@@ -97,6 +97,39 @@ object VectorQueries {
          |SELECT cluster, label, COUNT(*) AS n FROM assigned
          |GROUP BY cluster, label ORDER BY cluster, label""".stripMargin),
 
+    // ---- hyperplane LSH: banded cosine near-dup with exact verification.
+    // The oracle replays the deterministic integer hyperplanes, sequential
+    // dot folds, bucket keys, and verification — the approximation itself
+    // is reproduced hash-exactly. ----
+    "vec_lsh_cosine" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        graft.vector.HyperplaneLSH.cosineNearDuplicates(
+            Tables.embeddings(s, d), "vec_id", "embedding",
+            dim = 64, threshold = 0.4)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      s"""WITH emb AS (SELECT vec_id, $e AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, v,
+         |    [CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(64),
+         |        i -> v[i+1] * CAST(((1000003*(p+1) + 7919*(i+1)) % 1999) - 999 AS DOUBLE))), (a,b)->a+b) > 0
+         |      THEN 1 ELSE 0 END FOR p IN range(24)] AS bits
+         |  FROM emb),
+         |banded AS (
+         |  SELECT vec_id, v, b AS band,
+         |    ${(0 until 8).map(j => s"bits[8*b+${j + 1}]*${1 << (7 - j)}").mkString(" + ")} AS key
+         |  FROM sig, (SELECT unnest(range(3)) AS b) bs),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT p.vec_a, p.vec_b, ROUND(${duckCos("ea.v", "eb.v")}, 6) AS score
+         |FROM pairs p JOIN emb ea ON p.vec_a = ea.vec_id
+         |             JOIN emb eb ON p.vec_b = eb.vec_id
+         |WHERE ROUND(${duckCos("ea.v", "eb.v")}, 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
     // ---- A13 embedding quality stats per label ----
     "vec_norm_stats" -> QueryDef.sql(
       (s, d) => {

@@ -73,4 +73,36 @@ class VectorSpec extends SparkSpec {
     val flat = Seq((1L, 0.9), (2L, 0.89), (3L, 0.88)).toDF("id", "score")
     assert(AdaptiveCutoff(flat, "score", AdaptiveCutoff.Cliff(0.3)).count() == 3)
   }
+
+  test("hyperplane LSH: identical vectors always collide; results subset of brute force") {
+    import graft.vector.HyperplaneLSH
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    val vecs = Seq(
+      (1L, Array( 1f, 2f, 3f, 4f, -1f, -2f, 0.5f, 1f)),
+      (2L, Array( 1f, 2f, 3f, 4f, -1f, -2f, 0.5f, 1f)),  // identical to 1
+      (3L, Array(-4f, 3f, -2f, 1f, 2f, -3f, 4f, -1f)),
+      (4L, Array( 2f, 4f, 6f, 8f, -2f, -4f, 1f, 2f))      // parallel to 1 (cos 1.0)
+    ).toDF("vec_id", "embedding")
+    val pairs = HyperplaneLSH.cosineNearDuplicates(vecs, "vec_id", "embedding",
+        dim = dim, threshold = 0.9, nBands = 2, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical and parallel vectors share every sign bit -> every band collides
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 4L))
+    // subset-of-brute-force: every reported pair really has cos >= 0.9
+    assert(pairs.forall(_._3 >= 0.9))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("hyperplane LSH signatures are deterministic integer planes") {
+    import graft.vector.HyperplaneLSH
+    val w = HyperplaneLSH.planeWeights(0, 4)
+    assert(w.toSeq == Seq(((1000003L + 7919L*1) % 1999 - 999).toFloat,
+                          ((1000003L + 7919L*2) % 1999 - 999).toFloat,
+                          ((1000003L + 7919L*3) % 1999 - 999).toFloat,
+                          ((1000003L + 7919L*4) % 1999 - 999).toFloat))
+    assert(w.forall(x => x == x.toLong.toFloat)) // exact small ints in float
+  }
 }
