@@ -55,6 +55,22 @@ object VectorSearch {
     emb.withColumn("cluster", array_min(array(dists: _*)).getField("cid"))
   }
 
+  /** IVF centroid training via MLlib KMeans (seeded → reproducible): the
+    * batch index-build path. At 100 TB: train on a sample
+    * (`emb.sample(...)`), broadcast the k centroids, assign in one narrow
+    * pass (assignClusters), and write the table partitioned by cluster so
+    * ivfSearch scans nprobe/k of the data. */
+  def trainCentroids(emb: DataFrame, vecCol: String, k: Int,
+                     seed: Long = 42L, maxIter: Int = 20): Seq[(Int, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+  }
+
   /** IVF search: prune to nprobe nearest clusters (driver-side — centroid
     * count is tiny), then exact knn within the surviving partitions. */
   def ivfSearch(embWithCluster: DataFrame, idCol: String, vecCol: String,

@@ -105,4 +105,30 @@ class VectorSpec extends SparkSpec {
                           ((1000003L + 7919L*4) % 1999 - 999).toFloat))
     assert(w.forall(x => x == x.toLong.toFloat)) // exact small ints in float
   }
+
+  test("MLlib-trained IVF: seeded KMeans centers, full assignment, decent recall") {
+    import graft.vector.VectorSearch
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = VectorSearch.trainCentroids(emb, "embedding", k = 4)
+    assert(cents.map(_._1) == Seq(0, 1, 2, 3))
+    assert(cents.forall(_._2.length == 64))
+    // same seed -> same centers (reproducible index build)
+    val cents2 = VectorSearch.trainCentroids(emb, "embedding", k = 4)
+    assert(cents.map(_._2.toSeq) == cents2.map(_._2.toSeq))
+
+    val assigned = VectorSearch.assignClusters(emb, "embedding", cents)
+    assert(assigned.filter(col("cluster").isNull).count() == 0)
+    assert(assigned.select("cluster").distinct().count() > 1)
+
+    val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+    val exact = VectorSearch.knn(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = VectorSearch.ivfSearch(assigned, "vec_id", "embedding",
+        cents, q, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    // nprobe=2 of 4 clusters: expect at least half the true neighbors
+    assert(approx.intersect(exact).size >= 5,
+      s"recall too low: ${approx.intersect(exact).size}/10")
+  }
 }
