@@ -70,6 +70,23 @@ object StreamingIngest {
       .dropDuplicates("contentHash")
   }
 
+  /** Stream-stream interval join — the streaming form of the temporal
+    * overlap join (F6): correlate two event streams on a key where the
+    * right event lands within `within` after the left event. Both sides
+    * carry watermarks so Spark can bound the join state (left rows are
+    * dropped once the right watermark passes their ts + within).
+    */
+  def correlateStreams(left: DataFrame, leftTs: String,
+                       right: DataFrame, rightTs: String,
+                       key: String, within: String,
+                       watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
+      s"r.$rightTs <= l.$leftTs + interval $within"))
+  }
+
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */

@@ -133,4 +133,27 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains((2L, 1L, 0L)))   // user 2 session closed by timeout
     } finally q.stop()
   }
+
+  test("stream-stream interval join correlates events within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingIngest.correlateStreams(
+      clicks.toDF().toDF("user_id", "click_ts"), "click_ts",
+      views.toDF().toDF("user_id", "view_ts"), "view_ts",
+      key = "user_id", within = "10 minutes", watermark = "0 seconds")
+      .selectExpr("l.user_id AS user_id", "click_ts", "view_ts")
+    val q = joined.writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+      views.addData((1L, t("2024-01-01 10:05:00")),   // within 10 min -> joins
+                    (2L, t("2024-01-01 10:30:00")),   // outside window -> dropped
+                    (3L, t("2024-01-01 10:02:00")))   // no matching click
+      q.processAllAvailable()
+      val rows = spark.table("corr_out").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
 }

@@ -115,4 +115,51 @@ class TextCoreSpec extends SparkSpec {
       assert(got(i.toLong) == Enrich.maskPii(s), s"mismatch on: $s")
     }
   }
+
+  test("WordShinglesExpr matches the declarative transform formulation (seeded random)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "x1", "y2", "z_3", "a@b")
+    val rows = (0 until 300).map { i =>
+      val n = rnd.nextInt(8) // 0..7 tokens
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))))
+    }
+    val df = rows.toDF("id", "toks")
+    for (sh <- Seq(2, 3, 5)) {
+      val declarative = when(size(col("toks")) < sh, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - sh),
+          i => array_join(slice(col("toks"), i + 1, lit(sh)), " ")))
+      val mismatches = df.select(col("id"),
+          F.shinglesFromTokens(col("toks"), sh).as("native"),
+          declarative.as("decl"))
+        .filter(not(col("native") <=> col("decl")))
+        .count()
+      assert(mismatches == 0, s"shingle n=$sh mismatch")
+    }
+  }
+
+  test("SimHash64Expr matches the explode + per-bit aggregate formulation (seeded random)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("spark", "join", "window", "merge", "batch", "row", "scan", "sort")
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val native = graft.dedup.Dedup.simhash(docs, "doc_id", "text")
+    // the former formulation, inlined: explode -> h64 -> 60 bit sums -> pack
+    val occ = docs.select(col("doc_id"), explode(F.tokens(col("text"))).as("t"))
+      .withColumn("h64", F.polyHash(col("t")) * lit(2147483647L) +
+        F.polyHash(concat(col("t"), lit("!"))))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(shiftright(col("h64"), j).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val old = occ.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), (0 until 60).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("sim_old"))
+    val joined = native.join(old, "doc_id")
+    assert(joined.count() == 200)
+    assert(joined.filter(col("simhash") =!= col("sim_old")).count() == 0)
+  }
 }
