@@ -83,4 +83,35 @@ class ReferenceCorpusSpec extends SparkSpec {
     val resp = Ask.ask(spark, corpus2, "quantum calculus")
     assert(resp.citations.map(_.id).toSet == Set(1L, 5L))
   }
+
+  test("search with no matches / empty corpus returns empty (search.rs:255,286)") {
+    assert(ids("nonexistentterm12345").isEmpty)
+    val empty = corpus.filter(col("id") < 0)
+    assert(Search.search(empty, "id", f, "quantum",
+      Search.Options(withSnippets = false)).collect().isEmpty)
+  }
+
+  test("timeline: ordered, since/until bounds, limit (search.rs:324-494)") {
+    import graft.api.Graft
+    val dir = java.nio.file.Files.createTempDirectory("graft-timeline").toString
+    val g = new Graft(spark, dir)
+    // reference fixture puts docs with increasing timestamps
+    Seq(("mv2://a", "first doc",  1700000000L), ("mv2://b", "second doc", 1700000100L),
+        ("mv2://c", "third doc",  1700000200L), ("mv2://d", "fourth doc", 1700000300L))
+      .foreach { case (u, t2, s) => g.put(u, t2, ts = ts(s)) }
+
+    val newest = g.timeline().collect()
+    assert(newest.map(_.getString(1)).toSeq ==
+      Seq("mv2://d", "mv2://c", "mv2://b", "mv2://a")) // reverse-chronological
+    val oldestFirst = g.timeline(reverse = false).collect()
+    assert(oldestFirst.map(_.getString(1)).toSeq ==
+      Seq("mv2://a", "mv2://b", "mv2://c", "mv2://d"))
+
+    val since = g.timeline(since = Some(ts(1700000150L))).collect()
+    assert(since.map(_.getString(1)).toSet == Set("mv2://c", "mv2://d"))
+    val until = g.timeline(until = Some(ts(1700000150L))).collect()
+    assert(until.map(_.getString(1)).toSet == Set("mv2://a", "mv2://b"))
+    assert(g.timeline(limit = 2).collect().map(_.getString(1)).toSeq ==
+      Seq("mv2://d", "mv2://c"))
+  }
 }
