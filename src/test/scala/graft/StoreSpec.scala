@@ -149,4 +149,19 @@ class StoreSpec extends SparkSpec {
     assert(tl.length == 2 && tl.head.getAs[Long]("id") != tl.last.getAs[Long]("id"))
     assert(tl.head.getAs[Timestamp]("timestamp").getTime == 500000L) // newest first
   }
+
+  test("same-uri re-put appends (no panic) and empty content is storable (mutation.rs:210,352)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-uri").toString
+    val g = new Graft(spark, dir)
+    assert(g.put("mv2://unique", "First").isDefined)
+    // reference contract: replace OR append, but never a crash
+    g.put("mv2://unique", "Second")
+    val withUri = g.frames.latestActive.filter(col("uri") === "mv2://unique").count()
+    assert(withUri >= 1)
+
+    // empty payload is accepted and retrievable by uri
+    assert(g.put("mv2://empty", "").isDefined)
+    assert(g.frames.latestActive.filter(col("uri") === "mv2://empty").count() == 1)
+  }
 }

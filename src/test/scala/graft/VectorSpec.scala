@@ -131,4 +131,17 @@ class VectorSpec extends SparkSpec {
     assert(approx.intersect(exact).size >= 5,
       s"recall too low: ${approx.intersect(exact).size}/10")
   }
+
+  test("mixed embedding dimensions raise an error (mutation.rs:239 contract)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    val df = Seq((1L, Array(1f, 2f, 3f), Array(1f, 2f))).toDF("id", "a", "b")
+    val ex = intercept[Exception] {
+      df.select(F.cosineSim(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")))
+  }
 }
