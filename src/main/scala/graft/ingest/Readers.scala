@@ -5,10 +5,11 @@ package graft.ingest
   * extraction (src/extract_budgeted.rs:21,102 — default 350 ms budget,
   * skim flag when exceeded).
   *
-  * Text-family readers are real (plain/markdown/html/jsonl/csv); binary
-  * formats (PDF/DOCX/XLSX) are registry slots whose parsers are not
-  * available in this container (SURVEY §7.3) — they surface as
-  * `unsupported` so ingest degrades explicitly, never silently.
+  * Text-family readers are real (plain/markdown/html/jsonl/csv), and so
+  * are the OOXML family (docx/xlsx/pptx — zipped XML parsed with the JDK
+  * only, see `Ooxml`). PDF needs a binary tokenizer not bundled in this
+  * build (SURVEY §7.3) and surfaces as `unsupported` so ingest degrades
+  * explicitly, never silently.
   */
 object Readers {
 
@@ -66,8 +67,9 @@ object Readers {
     "html" -> html, "htm" -> html,
     "jsonl" -> jsonl, "ndjson" -> jsonl,
     "csv" -> csv,
-    "pdf" -> unsupported("pdf"), "docx" -> unsupported("docx"),
-    "xlsx" -> unsupported("xlsx"), "pptx" -> unsupported("pptx"))
+    "pdf" -> unsupported("pdf"),
+    "docx" -> (Ooxml.docxText _), "xlsx" -> (Ooxml.xlsxText _),
+    "pptx" -> (Ooxml.pptxText _))
 
   def findReader(filenameOrExt: String): Option[Reader] = {
     val ext = filenameOrExt.split('.').last.toLowerCase
@@ -78,7 +80,8 @@ object Readers {
   def sniff(bytes: Array[Byte]): Reader = {
     if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F') unsupported("pdf")
-    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K') unsupported("ooxml")
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K')
+      Ooxml.sniffOoxml(bytes).getOrElse(unsupported("ooxml"))
     else if (utf8(bytes.take(256)).toLowerCase.contains("<html")) html
     else plaintext
   }

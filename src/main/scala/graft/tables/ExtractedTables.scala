@@ -29,6 +29,18 @@ object ExtractedTables {
                        t.rows.map(parseRow))
       }
 
+  /** S8 XLSX-native table detection: each sheet's rectangular grid becomes
+    * an ExtractedTable — first non-empty row is the header, trailing
+    * all-empty rows are trimmed (reference: xlsx_table_detect.rs). */
+  def fromXlsx(sourceId: Long, bytes: Array[Byte]): Seq[ExtractedTable] =
+    graft.ingest.Ooxml.xlsxSheets(bytes).zipWithIndex.collect {
+      case ((_, rows), i) if rows.exists(_.exists(_.nonEmpty)) =>
+        val trimmed = rows.dropWhile(!_.exists(_.nonEmpty))
+          .reverse.dropWhile(!_.exists(_.nonEmpty)).reverse
+        ExtractedTable(sourceId * 1000 + i, sourceId, i,
+                       trimmed.head, trimmed.tail)
+    }
+
   /** distributed extraction: docs(id, text) → extracted_tables rows */
   def extract(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import docs.sparkSession.implicits._

@@ -86,4 +86,55 @@ class IngestExtrasSpec extends SparkSpec {
       maxHamming = 10)
     assert(filtered.count() == strict.size)
   }
+
+  test("ooxml readers: docx paragraphs, xlsx grid with shared strings, pptx slides") {
+    import graft.ingest.{Ooxml, Readers}
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, content) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+
+    val docx = zip("word/document.xml" ->
+      """<?xml version="1.0"?><w:document xmlns:w="http://x">
+        |<w:body><w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Second paragraph</w:t></w:r></w:p></w:body></w:document>""".stripMargin)
+    val dtext = Ooxml.docxText(docx)
+    assert(dtext.text == "Hello world\nSecond paragraph" && dtext.format == "docx")
+
+    val xlsx = zip(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook><sheets><sheet name="Budget" sheetId="1"/></sheets></workbook>""",
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?><sst><si><t>item</t></si><si><t>cost</t></si><si><t>widget</t></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>9.5</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val sheets = Ooxml.xlsxSheets(xlsx)
+    assert(sheets.map(_._1) == Seq("Budget"))
+    assert(sheets.head._2 == Seq(Seq("item", "cost"), Seq("widget", "", "9.5")))
+    assert(Ooxml.xlsxText(xlsx).text.contains("## Budget"))
+
+    val pptx = zip(
+      "ppt/slides/slide1.xml" ->
+        """<?xml version="1.0"?><p:sld xmlns:a="http://y" xmlns:p="http://z"><a:t>Title slide</a:t></p:sld>""",
+      "ppt/slides/slide2.xml" ->
+        """<?xml version="1.0"?><p:sld xmlns:a="http://y" xmlns:p="http://z"><a:t>Second</a:t><a:t>slide</a:t></p:sld>""")
+    assert(Ooxml.pptxText(pptx).text == "Title slide\nSecond slide")
+
+    // registry + magic sniffing dispatch to the real readers now
+    assert(Readers.findReader("report.xlsx").isDefined)
+    assert(Readers.sniff(docx)(docx).format == "docx")
+    assert(Readers.sniff(xlsx)(xlsx).format == "xlsx")
+    // PDF remains explicitly unsupported
+    intercept[UnsupportedOperationException] {
+      Readers.sniff("%PDF-1.7".getBytes)("%PDF-1.7".getBytes)
+    }
+  }
 }

@@ -84,4 +84,31 @@ class TablesAskSpec extends SparkSpec {
     // stemming folds sparks/spark, joining/join -> both docs hit; doc 3 absent
     assert(hits.map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  test("xlsx-native table detect: sheet grid becomes headers + rows (S8)") {
+    import graft.tables.ExtractedTables
+    def zip(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (name, content) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    val xlsx = zip(
+      "xl/sharedStrings.xml" ->
+        """<?xml version="1.0"?><sst><si><t>name</t></si><si><t>qty</t></si><si><t>bolt</t></si><si><t>nut</t></si></sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?><worksheet><sheetData>
+          |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+          |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>12</v></c></row>
+          |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>40</v></c></row>
+          |</sheetData></worksheet>""".stripMargin)
+    val tables = ExtractedTables.fromXlsx(7L, xlsx)
+    assert(tables.length == 1)
+    assert(tables.head.headers == Seq("name", "qty"))
+    assert(tables.head.rows == Seq(Seq("bolt", "12"), Seq("nut", "40")))
+    assert(tables.head.sourceId == 7L)
+  }
 }
