@@ -51,8 +51,38 @@ object Readers {
     ExtractedDoc(texts.mkString("\n"), None, "jsonl")
   }
 
+  /** RFC-4180-ish row split: quoted fields may contain commas, newlines,
+    * and doubled quotes */
+  private[graft] def csvRows(text: String): Seq[Seq[String]] = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val row = scala.collection.mutable.ArrayBuffer.empty[String]
+    val field = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    def endField(): Unit = { row += field.toString; field.clear() }
+    def endRow(): Unit = { endField(); rows += row.toSeq; row.clear() }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < text.length && text.charAt(i + 1) == '"') {
+          field.append('"'); i += 1
+        } else if (c == '"') inQuotes = false
+        else field.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => endField()
+        case '\r' => if (i + 1 >= text.length || text.charAt(i + 1) != '\n') endRow()
+        case '\n' => endRow()
+        case other => field.append(other)
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.nonEmpty) endRow()
+    rows.toSeq
+  }
+
   val csv: Reader = { b =>
-    val text = utf8(b).linesIterator.map(_.replace(",", " ")).mkString("\n")
+    val text = csvRows(utf8(b)).map(_.mkString(" ")).mkString("\n")
     ExtractedDoc(text, None, "csv")
   }
 

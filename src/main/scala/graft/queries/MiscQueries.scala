@@ -129,5 +129,37 @@ object MiscQueries {
             engine = graft.search.Search.BM25Engine, stemmed = true))
           .drop("snippets")
       })
+,
+
+    // ---- A15 build_context: base-uri grouping for the LLM context block.
+    // Hits input is a deterministic <=24-row set so the cap is a no-op
+    // (buildContext's limit is order-insensitive only when input fits). ----
+    "ask_build_context" -> QueryDef.sql(
+      (s, d) => {
+        val hits = Tables.documents(s, d)
+          .filter(col("doc_id") < 24)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        Ask.buildContext(hits, "uri", "text")
+          .orderBy(col("base_uri"))
+      },
+      """WITH hits AS (
+        |  SELECT 'doc://' || source || '/' || doc_id AS uri, text
+        |  FROM documents WHERE doc_id < 24)
+        |SELECT regexp_extract(uri, '^(.*/)[^/]*$', 1) AS base_uri,
+        |  COUNT(*) AS n_hits,
+        |  '## ' || regexp_extract(uri, '^(.*/)[^/]*$', 1) || chr(10) ||
+        |    string_agg('- ' || text, chr(10) ORDER BY '- ' || text) AS context
+        |FROM hits GROUP BY 1 ORDER BY base_uri""".stripMargin),
+
+    // ---- A11 memory entities / slots-for-entity ----
+    "mem_entities" -> QueryDef.sql(
+      (s, d) => {
+        val cards = Tables.events(s, d).select(
+          concat(lit("user:"), col("user_id")).as("entity"),
+          col("event_type").as("slot"))
+        graft.memory.MemoryCards.entities(cards).orderBy(col("entity"))
+      },
+      """SELECT DISTINCT 'user:' || user_id AS entity
+        |FROM events ORDER BY entity""".stripMargin)
   )
 }

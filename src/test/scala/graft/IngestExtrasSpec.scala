@@ -137,4 +137,16 @@ class IngestExtrasSpec extends SparkSpec {
       Readers.sniff("%PDF-1.7".getBytes)("%PDF-1.7".getBytes)
     }
   }
+
+  test("csv reader handles quoted fields, embedded commas/newlines, doubled quotes") {
+    import graft.ingest.Readers
+    val csv = "name,notes\n\"Smith, Jane\",\"said \"\"hi\"\"\"\nplain,\"multi\nline\""
+    val rows = Readers.csvRows(csv)
+    assert(rows == Seq(
+      Seq("name", "notes"),
+      Seq("Smith, Jane", "said \"hi\""),
+      Seq("plain", "multi\nline")))
+    val doc = Readers.csv(csv.getBytes("UTF-8"))
+    assert(doc.format == "csv" && doc.text.startsWith("name notes"))
+  }
 }
