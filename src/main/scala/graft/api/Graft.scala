@@ -133,4 +133,37 @@ final class Graft(val spark: SparkSession, basePath: String,
     val (total, live, tomb) = frames.stats
     Map("total_versions" -> total, "live_frames" -> live, "tombstoned" -> tomb)
   }
+
+  // ---- training-data pipeline ops over the live corpus ----
+  private def liveDocs: DataFrame =
+    frames.latestActive.filter(col("role") === "document")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+
+  /** verified near-duplicate pairs among live documents (MinHash+LSH +
+    * exact-Jaccard verification) */
+  def nearDuplicates(threshold: Double = 0.7): DataFrame =
+    graft.dedup.Dedup.verifiedNearDuplicates(liveDocs, "id", "text", threshold)
+
+  /** live documents sharing ≥ minShared word-shingles with any probe doc
+    * (benchmark decontamination; probe is broadcast) */
+  def contaminatedBy(probe: DataFrame, probeIdCol: String, probeTextCol: String,
+                     minShared: Int = 5): DataFrame =
+    graft.dedup.Dedup.contaminationCheck(
+      liveDocs, probe.select(col(probeIdCol).as("id"), col(probeTextCol).as("text")),
+      "id", "text", minShared = minShared)
+
+  /** per-document quality signals: token counts + duplicate-ngram fraction */
+  def qualityReport(): DataFrame = {
+    graft.Sessions.ensureFunctions(spark)
+    import graft.functions.F
+    liveDocs
+      .withColumn("__toks", F.tokens(col("text")))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("__sh", F.shinglesFromTokens(col("__toks"), 3))
+      .withColumn("dup_ngram_fraction",
+        when(size(col("__sh")) > 0,
+          lit(1.0) - size(array_distinct(col("__sh"))).cast("double") / size(col("__sh")))
+        .otherwise(0.0))
+      .select("id", "n_tokens", "dup_ngram_fraction")
+  }
 }

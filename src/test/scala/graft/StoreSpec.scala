@@ -164,4 +164,26 @@ class StoreSpec extends SparkSpec {
     assert(g.put("mv2://empty", "").isDefined)
     assert(g.frames.latestActive.filter(col("uri") === "mv2://empty").count() == 1)
   }
+
+  test("graft facade: near-duplicates, contamination, quality report") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val g = new Graft(spark, dir)
+    g.put("mv2://a", "the quick brown fox jumps over the lazy dog near the river bank")
+    g.put("mv2://b", "the quick brown fox jumps over the lazy dog near the river delta")
+    g.put("mv2://c", "completely different content about spark query engines and shuffles")
+
+    val dups = g.nearDuplicates(threshold = 0.5).collect()
+    assert(dups.length == 1 && dups.head.getDouble(2) >= 0.5)
+
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("pid", "ptext")
+    val cont = g.contaminatedBy(probe, "pid", "ptext", minShared = 3).collect()
+    assert(cont.length == 2) // both fox docs share >=3 shingles with the probe
+
+    val q = g.qualityReport().collect()
+    assert(q.length == 3)
+    assert(q.forall(_.getLong(1) > 0))
+    assert(q.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+  }
 }
