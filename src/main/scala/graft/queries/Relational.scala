@@ -355,6 +355,45 @@ object Relational {
       },
       """SELECT epoch_us(ts) AS ts_us, event_id, user_id, value
         |FROM events WHERE event_type = 'error'
-        |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin)
+        |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin),
+
+    // ---- TPC-H Q7-shaped: nation-pair shipping volume by year.
+    // Two broadcast nation dims with distinct aliases; the only data-sized
+    // shuffle is the final (supp_nation, cust_nation, year) aggregate. ----
+    "rel_nation_pair_volume" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val supp = Tables.supplier(s, d)
+        val n1 = Tables.nation(s, d).select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+        val n2 = Tables.nation(s, d).select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+          .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+          .filter($"supp_nation" < $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation",
+                   year($"l_shipdate".cast("timestamp")).as("l_year"))
+          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+            .cast("double").as("volume"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name < cn.n_name
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   )
 }
