@@ -26,12 +26,11 @@ object Dedup {
 
   val P: Long = graft.functions.HashUtil.Mod
 
-  /** fixed MinHash permutation parameters (a*h+b mod P), public constants */
-  val PermA: Seq[Long] = Seq(7, 13, 29, 53, 97, 193, 389, 769,
-                             1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613)
-  val PermB: Seq[Long] = Seq(3, 11, 19, 41, 89, 179, 359, 719,
-                             1439, 2879, 5741, 11483, 22943, 45887, 91733, 183479)
-  val NumPerms = 16
+  /** fixed MinHash permutation parameters (a*h+b mod P) — shared with the
+    * native MinHashSigExpr and the DuckDB oracle */
+  val PermA: Seq[Long] = graft.functions.HashUtil.PermA.toSeq
+  val PermB: Seq[Long] = graft.functions.HashUtil.PermB.toSeq
+  val NumPerms: Int = graft.functions.HashUtil.NumPerms
 
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
@@ -62,14 +61,10 @@ object Dedup {
     */
   def minhashSignatures(shingles: DataFrame): DataFrame = {
     F.ensureRegistered(shingles.sparkSession)
-    val hashed = shingles.select(col("doc_id"),
-      explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), F.polyHash(col("sh")).as("h"))
-    val mins = (0 until NumPerms).map(i =>
-      min(pmod(lit(PermA(i)) * col("h") + lit(PermB(i)), lit(P))).as(s"m$i"))
-    hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+    // ONE narrow scalar pass (MinHashSigExpr): no explode, no shuffle —
+    // value-identical to the former explode + groupBy(min x16) since min
+    // is order-independent
+    shingles.select(col("doc_id"), F.minhashSig(col("shingles")).as("sig"))
   }
 
   /** LSH banding: bands of `rowsPerBand` signature slots; candidates are

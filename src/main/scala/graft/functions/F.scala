@@ -25,6 +25,7 @@ object F {
       reg.createOrReplaceTempFunction("tokenize", es => TokenizeExpr(es.head), "built-in")
       reg.createOrReplaceTempFunction("word_shingles", es => WordShinglesExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "built-in")
     }
   }
 
@@ -55,6 +56,10 @@ object F {
     * narrow form of the reference's generate_sketch */
   def simhash64(toks: Column, bits: Int): Column =
     call_function("simhash64", toks, lit(bits))
+
+  /** per-row MinHash signature over a shingle array (MinHashSigExpr) */
+  def minhashSig(shingles: Column): Column =
+    call_function("minhash_sig", shingles)
 
   /** word n-gram shingles over text (convenience; see shinglesFromTokens
     * for the hot path) */

@@ -16,6 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashUtil {
   final val Mod: Long = 1000000007L
 
+  /** fixed MinHash permutation parameters (a*h+b mod Mod), public constants
+    * shared by the engine (MinHashSigExpr) and the DuckDB oracle */
+  final val PermA: Array[Long] = Array(7, 13, 29, 53, 97, 193, 389, 769,
+    1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613)
+  final val PermB: Array[Long] = Array(3, 11, 19, 41, 89, 179, 359, 719,
+    1439, 2879, 5741, 11483, 22943, 45887, 91733, 183479)
+  final val NumPerms = 16
+
   def polyHash(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
