@@ -33,17 +33,22 @@ object Relational {
           .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sumd($"l_quantity").as("sum_qty"),
-            sumd($"l_extendedprice").as("sum_base_price"),
+            // exact DECIMAL outputs, no double cast: decimal->double is
+            // correctly rounded in Spark (BigDecimal) but 1 ulp off in
+            // DuckDB's int128/10^scale division at ~1e9 magnitudes —
+            // observed as a hash mismatch at sf0.1. Decimals compare
+            // exactly at ANY scale factor.
+            sum(dec($"l_quantity")).cast(DecimalType(38, 4)).as("sum_qty"),
+            sum(dec($"l_extendedprice")).cast(DecimalType(38, 4)).as("sum_base_price"),
             sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-              .cast("double").as("sum_disc_price"),
+              .cast(DecimalType(38, 4)).as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -91,11 +96,12 @@ object Relational {
         ord.join(cust, ord("o_custkey") === cust("c_custkey"))
           .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
           .groupBy($"n_name")
-          .agg(sumd($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+          .agg(sum(dec($"o_totalprice")).cast(DecimalType(38, 4)).as("revenue"), // exact decimal
+               count(lit(1)).as("n_orders"))
           .orderBy($"n_name")
       },
       """SELECT n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -328,12 +334,12 @@ object Relational {
           .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
           .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-            .cast("double").as("revenue"),
+            .cast(DecimalType(38, 4)).as("revenue"), // exact decimal: see rel_pricing_summary
             count(lit(1)).as("n_items"))
           .orderBy($"r_name", $"n_name")
       },
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
