@@ -73,12 +73,22 @@ final class Graft(val spark: SparkSession, basePath: String,
   private def activeEmbedder: Embedder =
     embedder.getOrElse(new graft.ask.HashEmbedder(64))
 
-  /** enrichment-stage embedding build: one vector per live document frame */
+  /** enrichment-stage embedding build: one vector per live document frame.
+    * The embedder runs once per DISTINCT content hash, not per frame —
+    * the reference's embedding LRU-cache-by-text (text_embed.rs:310-330,
+    * SURVEY §4 O11) expressed as dropDuplicates + join back; duplicated
+    * payloads cost one inference at any corpus size. */
   def embeddingsTable: DataFrame = {
+    graft.Sessions.ensureFunctions(spark)
     val e = activeEmbedder
     val embedUdf = udf((t: String) => e.embed(if (t == null) "" else t))
-    frames.latestActive.filter(col("role") === "document")
-      .select(col("id"), embedUdf(coalesce(col("text"), lit(""))).as("vector"))
+    val docs = frames.latestActive.filter(col("role") === "document")
+      .select(col("id"), coalesce(col("text"), lit("")).as("__text"))
+      .withColumn("__h", graft.functions.F.polyHash(col("__text")))
+    val uniq = docs.select("__h", "__text").dropDuplicates("__h")
+      .withColumn("vector", embedUdf(col("__text")))
+      .select("__h", "vector")
+    docs.join(uniq, "__h").select(col("id"), col("vector"))
   }
 
   /** semantic search: cosine k-NN of the query embedding (vec path A4) */
