@@ -82,9 +82,13 @@ final class Graft(val spark: SparkSession, basePath: String,
     graft.Sessions.ensureFunctions(spark)
     val e = activeEmbedder
     val embedUdf = udf((t: String) => e.embed(if (t == null) "" else t))
+    // 128-bit content hash: a 64-bit-or-less key (polyHash) would collide
+    // by the birthday bound at ~50k docs and silently give one doc the
+    // other's embedding; md5 keeps the dedup deterministic and exact for
+    // any realistic corpus
     val docs = frames.latestActive.filter(col("role") === "document")
       .select(col("id"), coalesce(col("text"), lit("")).as("__text"))
-      .withColumn("__h", graft.functions.F.polyHash(col("__text")))
+      .withColumn("__h", md5(col("__text").cast("binary")))
     val uniq = docs.select("__h", "__text").dropDuplicates("__h")
       .withColumn("vector", embedUdf(col("__text")))
       .select("__h", "vector")

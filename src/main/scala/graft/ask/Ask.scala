@@ -102,16 +102,19 @@ object Ask {
         rrf(docId) = rrf.getOrElse(docId, 0.0) + 1.0 / (Fusion.RrfK + rank0 + 1)
       }
     }
-    val candIds = rrf.keys.toSeq.sorted
-
     // one small lookup for the ladder's metadata (ts, uri) on candidates only
-    val metaRows = docs.filter(col(id).isin(candIds: _*))
+    val metaRows = docs.filter(col(id).isin(rrf.keys.toSeq: _*))
       .select(col(id).cast("long").as("id"), f.timestamp.as("__ts"), f.uri.as("__uri"))
       .collect()
     val tsOf = metaRows.map(r => r.getLong(0) ->
       (if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))).toMap
     val uriOf = metaRows.map(r => r.getLong(0) ->
       (if (r.isNullAt(2)) "" else r.getString(2))).toMap
+    // inner-join semantics with the corpus (as the previous plan-side
+    // fused.join(meta, "id") had): ids with no doc row — e.g. stale
+    // embeddings for since-deleted frames — must not become ghost
+    // citations with empty snippets
+    val candIds = rrf.keys.toSeq.filter(tsOf.contains).sorted
 
     // temporal extremes promotion (ask.rs:1500-1575): +1.0 to the newest
     // candidate — ts desc nulls last, id asc tiebreak

@@ -63,8 +63,12 @@ object Dedup {
     F.ensureRegistered(shingles.sparkSession)
     // ONE narrow scalar pass (MinHashSigExpr): no explode, no shuffle —
     // value-identical to the former explode + groupBy(min x16) since min
-    // is order-independent
-    shingles.select(col("doc_id"), F.minhashSig(col("shingles")).as("sig"))
+    // is order-independent. Empty shingle sets are dropped here (the old
+    // groupBy form dropped them structurally); without this, every empty
+    // doc would share the sentinel signature and band-collide with every
+    // other empty doc — an O(m²) candidate blowup.
+    shingles.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), F.minhashSig(col("shingles")).as("sig"))
   }
 
   /** LSH banding: bands of `rowsPerBand` signature slots; candidates are

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** MinHash signature over a (distinct) shingle array in ONE scalar pass:
   * slot i is min over shingles of (PermA(i)·polyHash(s) + PermB(i)) mod M.
   *
-  * Value-identical to the explode → groupBy(min × 16) formulation (min is
-  * order-independent), but the signature build is narrow — no explode, no
-  * shuffle; MinHash+LSH's only shuffle is then the (band, key) candidate
-  * join. Same motivation and shape as SimHash64Expr.
+  * Value-identical to the explode → groupBy(min × 16) formulation for
+  * NON-EMPTY input (min is order-independent); an empty array yields the
+  * [Long.MaxValue × 16] sentinel where the groupBy form emitted no row —
+  * callers must drop empty shingle sets first (Dedup.minhashSignatures
+  * does). The signature build is narrow — no explode, no shuffle;
+  * MinHash+LSH's only shuffle is then the (band, key) candidate join.
+  * Same motivation and shape as SimHash64Expr.
   */
 case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

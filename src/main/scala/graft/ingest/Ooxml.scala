@@ -31,6 +31,9 @@ object Ooxml {
         val chunk = new Array[Byte](8192)
         var n = zin.read(chunk)
         while (n > 0 && buf.size < MaxEntryBytes) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+        if (n > 0) // explicit failure beats silently truncating into invalid XML
+          throw new IllegalArgumentException(
+            s"ooxml part ${e.getName} exceeds $MaxEntryBytes bytes")
         out(e.getName) = buf.toByteArray
       }
       e = zin.getNextEntry
@@ -43,7 +46,11 @@ object Ooxml {
     // no DTDs / external entities — OOXML parts never need them
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.setExpandEntityReferences(false)
-    f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+    try f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+    catch { // degrade EXPLICITLY (Readers contract), not with a raw SAX error
+      case e: Exception =>
+        throw new IllegalArgumentException(s"malformed ooxml xml part: ${e.getMessage}", e)
+    }
   }
 
   /** depth-first text of all elements whose local/prefixed name matches */
@@ -93,6 +100,28 @@ object Ooxml {
         (0 until sis.getLength).map(i => collectText(sis.item(i), "t").mkString(""))
       }.getOrElse(IndexedSeq.empty)
 
+    // sheet display names resolve through the relationship graph (name +
+    // r:id in workbook.xml, r:id → worksheets/sheetN.xml in the rels part):
+    // Excel reorders/deletes sheets without renumbering part files, so a
+    // positional mapping attaches wrong names. Positional is the fallback
+    // when either part is absent.
+    val relTarget: Map[String, String] = // relationship id -> entry path
+      entries.get("xl/_rels/workbook.xml.rels").map { b =>
+        val rels = parseXml(b).getElementsByTagName("Relationship")
+        (0 until rels.getLength).map { i =>
+          val el = rels.item(i).asInstanceOf[Element]
+          el.getAttribute("Id") -> ("xl/" + el.getAttribute("Target").stripPrefix("/xl/"))
+        }.toMap
+      }.getOrElse(Map.empty)
+    val nameByPath: Map[String, String] = entries.get("xl/workbook.xml").map { b =>
+      val sheets = parseXml(b).getElementsByTagName("sheet")
+      (0 until sheets.getLength).flatMap { i =>
+        val el = sheets.item(i).asInstanceOf[Element]
+        val nm = Option(el.getAttribute("name")).filter(_.nonEmpty)
+        val rid = Option(el.getAttribute("r:id")).filter(_.nonEmpty)
+        for (n <- nm; r <- rid; path <- relTarget.get(r)) yield path -> n
+      }.toMap
+    }.getOrElse(Map.empty)
     val sheetNames: Map[Int, String] = entries.get("xl/workbook.xml").map { b =>
       val d = parseXml(b)
       val sheets = d.getElementsByTagName("sheet")
@@ -128,7 +157,8 @@ object Ooxml {
           if (byCol.isEmpty) Seq.empty[String]
           else (0 to byCol.lastKey).map(c => byCol.getOrElse(c, ""))
         }
-        (sheetNames.getOrElse(idx, s"Sheet$idx"), rows.toSeq)
+        (nameByPath.getOrElse(name,
+           sheetNames.getOrElse(idx, s"Sheet$idx")), rows.toSeq)
       }
   }
 

@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
 object Salt {
 
   /** salted equi-join of a skewed `fact` against a small `dim` on `key`.
-    * Deterministic: the salt is a hash of the fact row's other columns,
-    * not a random number — replays and retries produce identical plans. */
+    * The salt mixes the row hash with a per-row ordinal so even
+    * byte-identical duplicate rows (a common skew shape: replayed events)
+    * spread across reducers — a row-content-only hash would send every
+    * duplicate to ONE salt and keep the straggler. The join RESULT is
+    * salt-independent (dim is replicated to every salt), so the
+    * non-reproducible ordinal affects load balance only, never output. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     val factCols = fact.columns.map(col).toSeq
-    val salted = fact.withColumn("__salt", pmod(hash(factCols: _*), lit(salts)))
+    val salted = fact.withColumn("__salt",
+      pmod(hash(factCols :+ monotonically_increasing_id(): _*), lit(salts)))
     val dimExp = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(dimExp, Seq(key, "__salt")).drop("__salt")

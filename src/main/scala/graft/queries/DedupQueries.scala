@@ -138,7 +138,7 @@ object DedupQueries {
       },
       s"""WITH src AS (SELECT doc_id, text FROM documents
          |             UNION ALL SELECT -1, 'spark join window shuffle'),
-         |toks AS (SELECT doc_id, ${duckToks.replace("lower(text)", "lower(text)")} AS tk FROM src),
+         |toks AS (SELECT doc_id, $duckToks AS tk FROM src),
          |tf AS (SELECT doc_id, t, COUNT(*) AS tf
          |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u GROUP BY doc_id, t),
          |hh AS (SELECT doc_id, tf, ${duckPoly("t")} * 2147483647 + ${duckPoly("t || '!'")} AS h64 FROM tf),

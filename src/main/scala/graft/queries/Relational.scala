@@ -384,13 +384,13 @@ object Relational {
           .groupBy($"supp_nation", $"cust_nation",
                    year($"l_shipdate".cast("timestamp")).as("l_year"))
           .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-            .cast("double").as("volume"),
+            .cast(DecimalType(38, 4)).as("volume"), // exact decimal: see rel_pricing_summary
             count(lit(1)).as("n_items"))
           .orderBy($"supp_nation", $"cust_nation", $"l_year")
       },
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS volume,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

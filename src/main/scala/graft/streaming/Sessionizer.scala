@@ -46,7 +46,11 @@ object Sessionizer {
         val ms = e.ts.getTime
         cur match {
           case Some(s) if ms - s.lastSeenMs <= gapMs =>
-            cur = Some(SessionState(s.startMs, math.max(s.lastSeenMs, ms), s.nEvents + 1))
+            // min() on start: a cross-batch late event (older than the
+            // session start but above the watermark) must extend the
+            // session backwards, not silently inherit the later start
+            cur = Some(SessionState(math.min(s.startMs, ms),
+              math.max(s.lastSeenMs, ms), s.nEvents + 1))
           case Some(s) => // in-batch gap: close and start fresh
             closed ::= close(userId, s)
             cur = Some(SessionState(ms, ms, 1))

@@ -40,15 +40,18 @@ object HyperplaneLSH {
     emb.select((col(idCol).as("vec_id") +: col(vecCol).as("v") +: bits): _*)
   }
 
-  /** banded bucket keys: band b's key packs its rowsPerBand sign bits */
+  /** banded bucket keys: band b's key packs its rowsPerBand sign bits.
+    * IDs only — vectors deliberately do NOT ride through the banded
+    * explode/join shuffles (that would move nBands×dim floats per row);
+    * verification re-joins the embeddings table by id afterwards. */
   def banded(sig: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
     val keys = (0 until nBands).map { b =>
       (0 until rowsPerBand).map(j =>
         col(s"bit_${b * rowsPerBand + j}") * (1 << (rowsPerBand - 1 - j)))
         .reduce(_ + _)
     }
-    sig.select(col("vec_id"), col("v"), posexplode(array(keys: _*)))
-      .toDF("vec_id", "v", "band", "key")
+    sig.select(col("vec_id"), posexplode(array(keys: _*)))
+      .toDF("vec_id", "band", "key")
   }
 
   /** verified near-duplicate pairs: same (band, key) bucket → exact cosine */
@@ -58,11 +61,16 @@ object HyperplaneLSH {
                            roundDp: Int = 6): DataFrame = {
     val sig = signatures(emb, idCol, vecCol, dim, nBands * rowsPerBand)
     val bk = banded(sig, nBands, rowsPerBand)
-    val a = bk.select(col("band"), col("key"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = bk.select(col("band"), col("key"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("band", "key"))
+    val a = bk.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+    val b = bk.select(col("band"), col("key"), col("vec_id").as("vec_b"))
+    // dedup candidate PAIRS as 8-byte ids, then fetch vectors once per
+    // side for verification — the same shape as the DuckDB oracle
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "va", "vb").distinct()
+      .select("vec_a", "vec_b").distinct()
+    val ea = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val eb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    pairs.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("score", round(F.cosineSim(col("va"), col("vb")), roundDp))
       .filter(col("score") >= threshold)
       .select("vec_a", "vec_b", "score")

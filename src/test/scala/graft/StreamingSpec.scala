@@ -156,4 +156,32 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Seq(1L))
     } finally q.stop()
   }
+
+  test("sessionizer: cross-batch late event extends the session backwards") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type").as[SessionEvent]
+    // 1 h watermark slack admits the out-of-order event in batch 2
+    val sessions = Sessionizer.sessionize(events, gapSeconds = 600, watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t("2024-01-01 10:00:30"), "a"))
+      q.processAllAvailable()
+      mem.addData((1L, t("2024-01-01 10:00:10"), "late"))
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-01-01 14:00:00"), "z")) // watermark → 13:00, closes user 1
+      q.processAllAvailable()
+      mem.addData((9L, t("2024-01-01 14:00:01"), "z2"))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_late").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1), r.getLong(3), r.getLong(4)))
+      assert(u1.toSeq == Seq((t("2024-01-01 10:00:10"), 2L, 20000L)),
+        s"got ${u1.toSeq}") // start extended BACK to the late event
+    } finally q.stop()
+  }
 }
