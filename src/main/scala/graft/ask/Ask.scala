@@ -194,14 +194,17 @@ object Ask {
   /** W5 token-match reorder (search/helpers.rs:207-260): sort hits by
     * (#distinct query tokens present, total occurrences, prior score). */
   def reorderByTokenMatches(hits: DataFrame, textCol: String, scoreCol: String,
-                            terms: Seq[String]): DataFrame = {
+                            terms: Seq[String],
+                            tieBreak: Option[Column] = None): DataFrame = {
     val lowered = lower(col(textCol))
     val uniques = terms.map(t =>
       when(lowered.contains(t.toLowerCase), 1).otherwise(0)).reduce(_ + _)
     val occs = terms.map(t => graft.functions.F.occurrences(lowered, t.toLowerCase))
       .reduce(_ + _)
+    val order = Seq(col("__uniq").desc, col("__occ").desc, col(scoreCol).desc) ++
+      tieBreak.map(_.asc)
     hits.withColumn("__uniq", uniques).withColumn("__occ", occs)
-      .orderBy(col("__uniq").desc, col("__occ").desc, col(scoreCol).desc)
+      .orderBy(order: _*)
       .drop("__uniq", "__occ")
   }
 

@@ -230,6 +230,33 @@ object TextSearch {
         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS parsed_day
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
+    // ---- W5 token-match reorder (search/helpers.rs:207-260) ----
+    "search_token_reorder" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val hits = Tables.documents(s, d)
+          .filter(lower($"text").contains("spark"))
+          .select($"doc_id", $"text", $"n_chars".cast("double").as("score"))
+        graft.ask.Ask.reorderByTokenMatches(hits, "text", "score",
+            Seq("spark", "join", "window"), tieBreak = Some($"doc_id"))
+          .select($"doc_id", $"score")
+          .limit(100)
+      },
+      """WITH hits AS (
+        |  SELECT doc_id, text, CAST(n_chars AS DOUBLE) AS score
+        |  FROM documents WHERE contains(lower(text), 'spark')),
+        |m AS (
+        |  SELECT doc_id, score,
+        |    (CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'join') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'window') THEN 1 ELSE 0 END) AS uniq,
+        |    (CAST((length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT) +
+        |     CAST((length(lower(text)) - length(replace(lower(text), 'join', ''))) / 4 AS BIGINT) +
+        |     CAST((length(lower(text)) - length(replace(lower(text), 'window', ''))) / 6 AS BIGINT)) AS occ
+        |  FROM hits)
+        |SELECT doc_id, score FROM m
+        |ORDER BY uniq DESC, occ DESC, score DESC, doc_id LIMIT 100""".stripMargin),
+
     // ---- X3-style normalization + content fingerprint (dedup key) ----
     "text_fingerprint" -> QueryDef.sql(
       (s, d) => {

@@ -97,6 +97,38 @@ object VectorQueries {
          |SELECT cluster, label, COUNT(*) AS n FROM assigned
          |GROUP BY cluster, label ORDER BY cluster, label""".stripMargin),
 
+    // ---- A6 end-to-end IVF search: prune to the nprobe nearest clusters
+    // of the query, then exact cosine top-k within the surviving lists ----
+    "vec_ivf_search" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        val assigned = VectorSearch.assignClusters(emb, "embedding", cents)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        VectorSearch.ivfSearch(assigned, "vec_id", "embedding", cents, q,
+            k = 15, nprobe = 2)
+          .withColumn("score", round(col("score"), 6))
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+         |probed AS (
+         |  SELECT c.cid FROM cents c, q
+         |  ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
+         |assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e)
+         |SELECT a.vec_id, ROUND(${duckCos("a.ev", "q.qv")}, 6) AS score
+         |FROM assigned a, q
+         |WHERE a.cluster IN (SELECT cid FROM probed)
+         |ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15""".stripMargin),
+
     // ---- hyperplane LSH: banded cosine near-dup with exact verification.
     // The oracle replays the deterministic integer hyperplanes, sequential
     // dot folds, bucket keys, and verification — the approximation itself
