@@ -57,9 +57,24 @@ object Ask {
 
     val primaryQ = terms.mkString(" ")
     val primary = lexList(primaryQ).filter(_.nonEmpty)
-    // fallback ladder (ask.rs:131-210): disjunctive OR → plural expansion
+    // fallback ladder (ask.rs:131-210): disjunctive OR → proper-noun pick
+    // → singular/plural expansion → timeline sampling last resort
     val orList = lexList(Classify.disjunctive(question))
     val expanded = if (primary.isEmpty) lexList(Classify.expandedQuery(question)) else None
+    val lexDry = primary.isEmpty && orList.forall(_.isEmpty) && expanded.forall(_.isEmpty)
+    val properNoun =
+      if (lexDry) Classify.properNounFallback(question).flatMap(lexList).filter(_.nonEmpty)
+      else None
+    // ask.rs:196-210: when every lexical rung is dry, sample the newest
+    // frames so the answer degrades to "most recent context" not emptiness
+    val timelineList =
+      if (lexDry && properNoun.isEmpty)
+        Some(collectRanked(docs.select(col(id).as("id"),
+            coalesce(unix_micros(f.timestamp.cast("timestamp")).cast("double"), lit(0.0))
+              .as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(effectiveK)))
+      else None
 
     val vectorList = for {
       emb <- corpus.embeddings
@@ -87,6 +102,8 @@ object Ask {
       primary.map("lex" -> _),
       orList.map("or" -> _),
       expanded.map("expanded" -> _),
+      properNoun.map("proper_noun" -> _),
+      timelineList.map("timeline" -> _),
       vectorList.map("vector" -> _),
       corrections.map("correction" -> _)
     ).flatten

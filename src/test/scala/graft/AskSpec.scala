@@ -78,8 +78,27 @@ class AskSpec extends SparkSpec {
     assert(r1.citations.exists(c => c.id == 2L || c.id == 5L))
   }
 
-  test("ask: no matches yields fallback message") {
+  test("ask: lexical dry-out falls back to timeline sampling (ask.rs:196-210)") {
     val resp = Ask.ask(spark, corpus, "zzzqqq xyzzy")
+    // every lexical rung is dry -> newest frames are sampled as context
+    assert(resp.citations.nonEmpty)
+    assert(resp.citations.head.id == 6L) // newest frame first
+  }
+
+  test("ask: disjunctive rescue keeps only frames matching the real term") {
+    // the OR rung rescues "Berlin" out of the noise tokens; the narrower
+    // proper-noun rung sits below it for queries whose OR form fails to
+    // parse (Classify.properNounFallback picks the capitalized term)
+    val resp = Ask.ask(spark, corpus, "zzzqqq Berlin xyzzy")
+    assert(resp.citations.nonEmpty)
+    val cited = resp.citations.map(_.id).toSet
+    assert(cited.subsetOf(Set(3L, 4L, 5L, 6L))) // only Berlin-mentioning frames
+    assert(Classify.properNounFallback("zzzqqq Berlin xyzzy").contains("berlin"))
+  }
+
+  test("ask: empty corpus yields the no-memories message") {
+    val empty = Ask.Corpus(convo.filter(col("id") < 0), "id", fcols)
+    val resp = Ask.ask(spark, empty, "anything at all")
     assert(resp.answer == "No relevant memories found.")
     assert(resp.citations.isEmpty)
   }
