@@ -1,0 +1,50 @@
+package graft.graph
+
+import graft.search.{FrameCols, Search}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J4 — hybrid graph-filtered search (reference hybrid_search,
+  * src/graph_search.rs:311-440): a triple pattern over memory cards
+  * produces candidate frames; when the graph matches, those frames ARE
+  * the result (graph_score 1.0); when it matches nothing, fall back to
+  * plain lexical search (vector_score = lexical score).
+  *
+  * Plan shape: the card match is a filtered scan; candidates reach the
+  * frame table through a left-semi join on sourceFrameId (no payload
+  * moves for the membership test); the fallback is the ordinary Search
+  * pipeline. The empty-candidate probe is a limit(1) existence check,
+  * pushdown-friendly.
+  */
+object GraphSearch {
+
+  /** cards must carry (entity, slot, value, sourceFrameId) */
+  def hybridSearch(cards: DataFrame, frames: DataFrame, idCol: String,
+                   f: FrameCols, entity: Option[String], slot: Option[String],
+                   valueContains: Option[String], queryText: String,
+                   topK: Int = 10): DataFrame = {
+    val matches = LogicMesh.matchTriple(cards, entity, slot, valueContains)
+    val candidateIds = matches.select(col("sourceFrameId").as(idCol)).distinct()
+    val hasGraphMatches = !candidateIds.limit(1).isEmpty
+    if (hasGraphMatches) {
+      val matchedEntity = matches
+        .groupBy(col("sourceFrameId").as(idCol))
+        .agg(min(col("entity")).as("matched_entity"))
+      frames.join(candidateIds, Seq(idCol), "left_semi")
+        .join(matchedEntity, Seq(idCol), "left")
+        .select(col(idCol).as("id"), lit(1.0).as("score"),
+                lit(1.0).as("graph_score"), lit(0.0).as("vector_score"),
+                col("matched_entity"),
+                substring(f.text, 1, 200).as("preview"))
+        .orderBy(col("id"))
+        .limit(topK)
+    } else {
+      Search.search(frames, idCol, f, queryText,
+          Search.Options(topK = topK, withSnippets = false))
+        .select(col("id"), col("score"),
+                lit(0.0).as("graph_score"), col("score").as("vector_score"),
+                lit(null).cast("string").as("matched_entity"),
+                lit(null).cast("string").as("preview"))
+    }
+  }
+}

@@ -136,4 +136,34 @@ class MemoryGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("acl_allowed")).toMap
     assert(audited == Map(1L -> false, 2L -> true, 3L -> false))
   }
+
+  test("hybrid search: graph matches win; dry pattern falls back to lexical (J4)") {
+    import graft.graph.GraphSearch
+    import graft.search.FrameCols
+    import org.apache.spark.sql.functions.col
+    val frames = Seq(
+      (10L, "the capital of France is Paris"),
+      (11L, "chess is popular in parks"),
+      (12L, "berlin has long winters")
+    ).toDF("fid", "text")
+    val cards = Seq(
+      ("user", "location", "Paris", 10L),
+      ("user", "hobby", "chess", 11L)
+    ).toDF("entity", "slot", "value", "sourceFrameId")
+    val f = FrameCols(text = col("text"))
+
+    val matched = GraphSearch.hybridSearch(cards, frames, "fid", f,
+      entity = None, slot = Some("location"), valueContains = None,
+      queryText = "berlin").collect()
+    assert(matched.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(matched.head.getDouble(2) == 1.0) // graph_score
+    assert(matched.head.getString(4) == "user")
+    assert(matched.head.getString(5).contains("Paris")) // preview
+
+    val fallback = GraphSearch.hybridSearch(cards, frames, "fid", f,
+      entity = None, slot = Some("nonexistent_slot"), valueContains = None,
+      queryText = "berlin").collect()
+    assert(fallback.map(_.getLong(0)).toSeq == Seq(12L))
+    assert(fallback.head.getDouble(2) == 0.0) // no graph score on fallback
+  }
 }
