@@ -148,6 +148,56 @@ final class Graft(val spark: SparkSession, basePath: String,
     Map("total_versions" -> total, "live_frames" -> live, "tombstoned" -> tomb)
   }
 
+  // ---- doctor: integrity scan + derived-table rebuild (SURVEY O17;
+  // reference doctor.rs rebuilds corrupted indexes — here the frames log
+  // is the source of truth and every derived table can be re-derived) ----
+
+  /** consistency counters over the store's tables */
+  def doctor: Map[String, Long] = {
+    val live = frames.latestActive
+    val liveDocIds = live.filter(col("role") === "document").select(col("id"))
+    // chunks whose parent document is gone (e.g. tombstoned parent)
+    val orphanChunks = live.filter(col("role") === "chunk")
+      .join(liveDocIds.withColumnRenamed("id", "parentId"), Seq("parentId"), "left_anti")
+      .count()
+    // cards pointing at frames that never existed in the log (facade
+    // `remember` uses the -1 sentinel deliberately — not dangling)
+    val danglingCards = cards.filter(col("sourceFrameId") >= 0)
+      .join(frames.log.select(col("id").as("sourceFrameId")), Seq("sourceFrameId"), "left_anti")
+      .count()
+    val dupLiveUris = live.filter(col("role") === "document")
+      .groupBy(col("uri")).count().filter(col("count") > 1).count()
+    stats ++ Map(
+      "orphan_chunks" -> orphanChunks,
+      "dangling_cards" -> danglingCards,
+      "duplicate_live_uris" -> dupLiveUris)
+  }
+
+  /** rebuild the memory-cards table from the LIVE frames — the doctor's
+    * index-rebuild analogue: derived state recomputes from the log, so
+    * cards for deleted/superseded frames disappear. One distributed pass
+    * (rules UDF + posexplode); nothing is collected. Returns card count. */
+  def repairCards(): Long = {
+    val extractUdf = udf((t: String) =>
+      graft.ingest.Enrich.extractCards(if (t == null) "" else t)
+        .map(f2 => (f2.entity, f2.slot, f2.value)))
+    val rebuilt = frames.latestActive.filter(col("role") === "document")
+      .select(col("id"), col("timestamp"),
+        posexplode(extractUdf(coalesce(col("text"), lit("")))).as(Seq("__i", "__fact")))
+      .select((col("id") * 1000 + col("__i")).as("cardId"),
+        col("__fact._1").as("entity"), col("__fact._2").as("slot"),
+        col("__fact._3").as("value"), lit("fact").as("kind"),
+        lit("sets").as("relation"), col("timestamp").as("ts"),
+        col("id").as("sourceFrameId"))
+    // rewrite via temp dir: the rebuild reads the same store it replaces
+    val tmp = s"$cardsPath.__rebuild"
+    rebuilt.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(cardsPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    n
+  }
+
   // ---- training-data pipeline ops over the live corpus ----
   private def liveDocs: DataFrame =
     frames.latestActive.filter(col("role") === "document")

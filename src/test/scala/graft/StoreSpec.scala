@@ -186,4 +186,32 @@ class StoreSpec extends SparkSpec {
     assert(q.forall(_.getLong(1) > 0))
     assert(q.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
   }
+
+  test("doctor reports orphans and dangling cards; repairCards rebuilds from live frames") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-doctor").toString
+    val g = new Graft(spark, dir)
+    val bigDoc = (1 to 80).map(i => s"Paragraph $i about spark engines.").mkString(" ")
+    val id1 = g.put("mv2://doc/1", bigDoc + " I live in Berlin.").get     // chunks + a card
+    g.put("mv2://doc/2", "My name is Alice and I work at Initech.")       // cards only
+
+    val healthy = g.doctor
+    assert(healthy("orphan_chunks") == 0L)
+    assert(healthy("dangling_cards") == 0L)
+    assert(healthy("duplicate_live_uris") == 0L)
+
+    // tombstone the chunked parent -> its chunks orphan; its cards dangle
+    // from the LIVE view but still reference a real log id (not dangling)
+    g.frames.delete(id1)
+    val after = g.doctor
+    assert(after("orphan_chunks") > 0L)
+    assert(after("dangling_cards") == 0L)
+
+    // rebuild: cards re-derive from live frames only -> doc/1 cards gone
+    val n = g.repairCards()
+    assert(n > 0L)
+    val entities = g.cards.select("slot").collect().map(_.getString(0)).toSet
+    assert(entities.contains("name") || entities.contains("employer"))
+    assert(!g.cards.filter(col("sourceFrameId") === id1).isEmpty == false)
+  }
 }
