@@ -212,6 +212,6 @@ class StoreSpec extends SparkSpec {
     assert(n > 0L)
     val entities = g.cards.select("slot").collect().map(_.getString(0)).toSet
     assert(entities.contains("name") || entities.contains("employer"))
-    assert(!g.cards.filter(col("sourceFrameId") === id1).isEmpty == false)
+    assert(g.cards.filter(col("sourceFrameId") === id1).isEmpty) // doc/1 cards gone
   }
 }
