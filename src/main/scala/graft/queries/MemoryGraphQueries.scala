@@ -132,6 +132,27 @@ object MemoryGraphQueries {
         |WHERE contains(o_orderpriority, 'URGENT')
         |GROUP BY entity ORDER BY entity""".stripMargin),
 
+    // ---- X7/F6 NL temporal filter: the normalizer's resolved bounds
+    // drive the scan predicate (plan-time resolution, like the reference's
+    // TemporalFilter → UTC window at src/analysis/temporal.rs:92-793);
+    // the oracle hardcodes the same window, so a normalizer regression
+    // surfaces as a row mismatch ----
+    "temporal_nl_filter" -> QueryDef.sql(
+      (s, d) => {
+        val res = graft.temporal.TemporalNormalizer.resolve(
+          "2024-01-10 to 2024-01-12", java.time.LocalDate.of(2026, 8, 12)).get
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .filter(col("ts_us") >= res.startUtc && col("ts_us") < res.endUtc)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events
+        |WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+        |  AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-13 00:00:00')
+        |ORDER BY event_id""".stripMargin),
+
     // ---- F6 interval-overlap (range) join on event windows ----
     "temporal_overlap" -> QueryDef.sql(
       (s, d) => {
