@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Locks in the physical-plan properties the 100 TB design depends on —
+  * a regression here means a plan quietly degraded even if results stay
+  * correct. Complements SCALE.md's claims with executable checks.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Registry.all(name).fn(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("rel_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
+  }
+
+  test("brute-force knn is narrow: no shuffle at all") {
+    val p = plan("vec_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"), "knn must not shuffle")
+  }
+
+  test("ivf search is narrow: cluster pruning + top-k without exchanges") {
+    val p = plan("vec_ivf_search")
+    assert(!p.contains("Exchange hashpartitioning"), "ivf scan must not shuffle")
+  }
+
+  test("filter + projection reach the parquet scan") {
+    val p = plan("rel_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in scan")
+    // column pruning: the lineitem scan must not read all 16 columns
+    val readSchema = "ReadSchema: struct<l_orderkey".r
+    assert(readSchema.findFirstIn(p).isDefined)
+    assert(!p.contains("l_comment"), "unused column read from parquet")
+  }
+
+  test("dimension tables are broadcast in the revenue join") {
+    val p = plan("rel_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("simhash sketch build has no explode or doc-keyed aggregation") {
+    val sim = graft.dedup.Dedup.simhash(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val p = sim.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate explode"), "sketch build must be per-row")
+    assert(!p.contains("Exchange hashpartitioning"), "sketch build must not shuffle")
+  }
+
+  test("minhash signature build has no explode or shuffle") {
+    val sig = graft.dedup.Dedup.minhashSignatures(
+      graft.dedup.Dedup.shingleSets(Tables.documents(spark, sfDir), "doc_id", "text"))
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate explode"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+}
