@@ -21,7 +21,6 @@ object Relational {
 
   /** exact, order-independent aggregation of a double column */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
-  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
   def defs: Map[String, QueryDef] = Map(
 
