@@ -5,7 +5,7 @@ against the Spark parquet dumps written by graft.Verify.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, glob
+import sys, os, json, glob, decimal
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -23,8 +23,13 @@ def canon(tbl: pa.Table):
     return cols, rows
 
 def norm(v):
+    # Strict on purpose: the driver hashes serialized values, so compare
+    # floats bit-exact and decimals scale-exact (Decimal('1.45')==
+    # Decimal('1.4500') in Python would hide a str-level hash mismatch).
     if isinstance(v, float):
-        return round(v, 9)
+        return v.hex()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if hasattr(v, "isoformat"):

@@ -14,10 +14,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST ~2000 chars of sbt output and parses
+    // the JSON line from that tail; sbt's own "[success] Total time" line
+    // (~75 chars) follows us. Rounds 1-3 printed full-precision doubles
+    // for every query (~3000 chars) so the line's head was cut off and
+    // the driver recorded parsed:null. Keep the line under a hard budget:
+    // 3-decimal values, slowest queries first, stop before ~1500 chars.
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":"""
+    val tail = s""","n_queries":${results.size},"sf":"$sfDir"}"""
+    val budget = 1500 - head.length - tail.length
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val sb = new StringBuilder("{")
+    entries.foreach { e =>
+      val add = (if (sb.length > 1) 1 else 0) + e.length
+      if (sb.length + add + 1 <= budget) { if (sb.length > 1) sb.append(','); sb.append(e) }
+    }
+    sb.append('}')
+    println(head + sb.toString + tail)
     spark.stop()
   }
 }

@@ -22,6 +22,23 @@ object Relational {
   /** exact, order-independent aggregation of a double column */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Money amounts as fixed-point integers (units of 10^-4).
+    *
+    * Why not DECIMAL output: the round-3 driver compare hashed the
+    * serialized values, and decimal columns hash differently across
+    * engines/serializers (scale retention, Decimal-vs-float64 pandas
+    * conversion) even when numerically equal — all four DECIMAL(38,4)
+    * outputs mismatched while every integer/double output matched.
+    * Why not DOUBLE: decimal->double is 1 ulp off between DuckDB
+    * (int128/10^scale division) and Spark (BigDecimal) at ~1e9+
+    * magnitudes. A per-row scaled BIGINT is exact in both engines at
+    * any magnitude (sf1000: 6e9 rows x 5e8 < 2^63) and serializes
+    * identically everywhere. The per-row product price*(1-disc) has
+    * <= 4 decimal digits (2 from price, 2 from discount), so *10000
+    * is an exact integer before the cast.
+    */
+  private def e4(c: Column): Column = (c * lit(10000)).cast("long")
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- A17/A1-style full-scan aggregate (TPC-H Q1 shape) ----
@@ -32,22 +49,17 @@ object Relational {
           .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            // exact DECIMAL outputs, no double cast: decimal->double is
-            // correctly rounded in Spark (BigDecimal) but 1 ulp off in
-            // DuckDB's int128/10^scale division at ~1e9 magnitudes —
-            // observed as a hash mismatch at sf0.1. Decimals compare
-            // exactly at ANY scale factor.
-            sum(dec($"l_quantity")).cast(DecimalType(38, 4)).as("sum_qty"),
-            sum(dec($"l_extendedprice")).cast(DecimalType(38, 4)).as("sum_base_price"),
-            sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-              .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            sum(e4(dec($"l_quantity"))).as("sum_qty_e4"),
+            sum(e4(dec($"l_extendedprice"))).as("sum_base_price_e4"),
+            sum(e4(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))))
+              .as("sum_disc_price_e4"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sum_qty_e4,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sum_base_price_e4,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -95,12 +107,12 @@ object Relational {
         ord.join(cust, ord("o_custkey") === cust("c_custkey"))
           .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
           .groupBy($"n_name")
-          .agg(sum(dec($"o_totalprice")).cast(DecimalType(38, 4)).as("revenue"), // exact decimal
+          .agg(sum(e4(dec($"o_totalprice"))).as("revenue_e4"), // exact fixed-point, see e4
                count(lit(1)).as("n_orders"))
           .orderBy($"n_name")
       },
       """SELECT n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -332,13 +344,13 @@ object Relational {
           .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
-          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-            .cast(DecimalType(38, 4)).as("revenue"), // exact decimal: see rel_pricing_summary
+          .agg(sum(e4(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))))
+            .as("revenue_e4"), // exact fixed-point, see e4
             count(lit(1)).as("n_items"))
           .orderBy($"r_name", $"n_name")
       },
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -382,14 +394,14 @@ object Relational {
           .filter($"supp_nation" < $"cust_nation")
           .groupBy($"supp_nation", $"cust_nation",
                    year($"l_shipdate".cast("timestamp")).as("l_year"))
-          .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
-            .cast(DecimalType(38, 4)).as("volume"), // exact decimal: see rel_pricing_summary
+          .agg(sum(e4(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount"))))
+            .as("volume_e4"), // exact fixed-point, see e4
             count(lit(1)).as("n_items"))
           .orderBy($"supp_nation", $"cust_nation", $"l_year")
       },
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS volume,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT)) AS BIGINT) AS volume_e4,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
