@@ -39,8 +39,11 @@ final class Graft(val spark: SparkSession, basePath: String,
     // rules-engine enrichment mints memory cards (enrichment stage ST2)
     val facts = graft.ingest.Enrich.extractCards(text)
     if (facts.nonEmpty && ids.nonEmpty) {
+      // 20-bit stride keeps card ids unique for up to 2^20 facts per
+      // frame (the old *1000 stride collided past 1000) and must stay
+      // identical to repairCards' derivation so a rebuild is id-stable
       val rows = facts.zipWithIndex.map { case (f, i) =>
-        (ids.head * 1000 + i, f.entity, f.slot, f.value, "fact", "sets", ts, ids.head)
+        ((ids.head << 20) + i, f.entity, f.slot, f.value, "fact", "sets", ts, ids.head)
       }
       rows.toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
         .write.mode(SaveMode.Append).parquet(cardsPath)
@@ -184,7 +187,7 @@ final class Graft(val spark: SparkSession, basePath: String,
     val rebuilt = frames.latestActive.filter(col("role") === "document")
       .select(col("id"), col("timestamp"),
         posexplode(extractUdf(coalesce(col("text"), lit("")))).as(Seq("__i", "__fact")))
-      .select((col("id") * 1000 + col("__i")).as("cardId"),
+      .select((shiftleft(col("id"), 20) + col("__i")).as("cardId"), // same stride as put()
         col("__fact._1").as("entity"), col("__fact._2").as("slot"),
         col("__fact._3").as("value"), lit("fact").as("kind"),
         lit("sets").as("relation"), col("timestamp").as("ts"),
@@ -194,7 +197,9 @@ final class Graft(val spark: SparkSession, basePath: String,
     rebuilt.write.mode(SaveMode.Overwrite).parquet(tmp)
     val n = spark.read.parquet(tmp).count()
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(cardsPath)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    // Hadoop FS, not java.io.File: the store path may be non-local (hdfs/s3a)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tmpPath, true)
     n
   }
 

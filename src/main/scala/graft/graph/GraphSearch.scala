@@ -27,16 +27,28 @@ object GraphSearch {
     val candidateIds = matches.select(col("sourceFrameId").as(idCol)).distinct()
     val hasGraphMatches = !candidateIds.limit(1).isEmpty
     if (hasGraphMatches) {
-      val matchedEntity = matches
+      // Reference hybrid_search propagates the match confidence into the
+      // hit score (graph_search.rs m.confidence) rather than a flat 1.0.
+      // Triple patterns here have no stored per-card confidence, so derive
+      // one: pattern specificity (how many of entity/slot/value were
+      // constrained) weighted by per-frame match multiplicity — frames
+      // matched by more cards outrank single-card matches, and ordering
+      // no longer degrades to frame id.
+      val specificity =
+        (entity.size + slot.size + valueContains.size).toDouble / 3.0
+      val matched = matches
         .groupBy(col("sourceFrameId").as(idCol))
-        .agg(min(col("entity")).as("matched_entity"))
+        .agg(min(col("entity")).as("matched_entity"),
+             count(lit(1)).as("__n_matches"))
       frames.join(candidateIds, Seq(idCol), "left_semi")
-        .join(matchedEntity, Seq(idCol), "left")
-        .select(col(idCol).as("id"), lit(1.0).as("score"),
-                lit(1.0).as("graph_score"), lit(0.0).as("vector_score"),
+        .join(matched, Seq(idCol), "left")
+        .withColumn("graph_score",
+          lit(specificity) * (lit(1.0) - lit(1.0) / (lit(1.0) + col("__n_matches"))))
+        .select(col(idCol).as("id"), col("graph_score").as("score"),
+                col("graph_score"), lit(0.0).as("vector_score"),
                 col("matched_entity"),
                 substring(f.text, 1, 200).as("preview"))
-        .orderBy(col("id"))
+        .orderBy(col("score").desc, col("id"))
         .limit(topK)
     } else {
       Search.search(frames, idCol, f, queryText,

@@ -29,11 +29,17 @@ object Ooxml {
       if (!e.isDirectory) {
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](8192)
+        // exact bound: accept parts up to MaxEntryBytes inclusive, reject
+        // anything larger before buffering it (explicit failure beats
+        // silently truncating into invalid XML)
         var n = zin.read(chunk)
-        while (n > 0 && buf.size < MaxEntryBytes) { buf.write(chunk, 0, n); n = zin.read(chunk) }
-        if (n > 0) // explicit failure beats silently truncating into invalid XML
-          throw new IllegalArgumentException(
-            s"ooxml part ${e.getName} exceeds $MaxEntryBytes bytes")
+        while (n > 0) {
+          if (buf.size.toLong + n > MaxEntryBytes)
+            throw new IllegalArgumentException(
+              s"ooxml part ${e.getName} exceeds $MaxEntryBytes bytes")
+          buf.write(chunk, 0, n)
+          n = zin.read(chunk)
+        }
         out(e.getName) = buf.toByteArray
       }
       e = zin.getNextEntry

@@ -89,11 +89,11 @@ object MiscQueries {
         ExtractedTables.cells(tables)
           .orderBy(col("tableId"), col("rowIdx"), col("colIdx"))
       },
-      """SELECT r_regionkey * 1000 AS tableId, 0 AS rowIdx, 0 AS colIdx,
+      """SELECT r_regionkey * 1048576 AS tableId, 0 AS rowIdx, 0 AS colIdx,
         |       CAST(r_regionkey AS VARCHAR) AS text
         |FROM region
         |UNION ALL
-        |SELECT r_regionkey * 1000, 0, 1, r_name FROM region
+        |SELECT r_regionkey * 1048576, 0, 1, r_name FROM region
         |ORDER BY tableId, rowIdx, colIdx""".stripMargin),
 
     // ---- F9 ACL: audit-mode annotation with longest-prefix rules ----

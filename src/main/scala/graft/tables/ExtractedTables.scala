@@ -25,7 +25,9 @@ object ExtractedTables {
     Structure.detect(text).collect { case t: Structure.TableBlock => t }
       .zipWithIndex.map { case (t, i) =>
         val headers = if (t.header.nonEmpty) parseRow(t.header) else Seq.empty
-        ExtractedTable(sourceId * 1000 + i, sourceId, i, headers,
+        // 20-bit stride: ids stay unique up to 2^20 tables per source
+        // (the old *1000 stride collided silently past 1000)
+        ExtractedTable((sourceId << 20) + i, sourceId, i, headers,
                        t.rows.map(parseRow))
       }
 
@@ -37,7 +39,7 @@ object ExtractedTables {
       case ((_, rows), i) if rows.exists(_.exists(_.nonEmpty)) =>
         val trimmed = rows.dropWhile(!_.exists(_.nonEmpty))
           .reverse.dropWhile(!_.exists(_.nonEmpty)).reverse
-        ExtractedTable(sourceId * 1000 + i, sourceId, i,
+        ExtractedTable((sourceId << 20) + i, sourceId, i,
                        trimmed.head, trimmed.tail)
     }
 

@@ -156,7 +156,10 @@ class MemoryGraphSpec extends SparkSpec {
       entity = None, slot = Some("location"), valueContains = None,
       queryText = "berlin").collect()
     assert(matched.map(_.getLong(0)).toSeq == Seq(10L))
-    assert(matched.head.getDouble(2) == 1.0) // graph_score
+    // graph_score = specificity (1 of 3 dims constrained) x multiplicity
+    // weight (1 matching card -> 1 - 1/2), mirroring the reference's
+    // confidence propagation instead of a flat 1.0
+    assert(matched.head.getDouble(2) === (1.0 / 3.0) * 0.5) // graph_score
     assert(matched.head.getString(4) == "user")
     assert(matched.head.getString(5).contains("Paris")) // preview
 

@@ -30,7 +30,7 @@ class TablesAskSpec extends SparkSpec {
     assert(collected(1).getSeq[String](3).isEmpty)
 
     val cells = ExtractedTables.cells(tables)
-    assert(cells.filter(col("tableId") === 7000L).count() == 4)
+    assert(cells.filter(col("tableId") === (7L << 20)).count() == 4)
     val maps = ExtractedTables.rowsAsMaps(tables).collect()
     assert(maps.length == 2)
     val m = maps.map(_.getMap[String, String](2)).find(_.get("name").contains("alice"))
@@ -43,10 +43,10 @@ class TablesAskSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-tables").toString
     val docs = Seq((7L, md)).toDF("id", "text")
     val tables = ExtractedTables.extract(docs, "id", "text")
-    ExtractedTables.exportCsv(tables, 7000L, s"$dir/csv")
+    ExtractedTables.exportCsv(tables, (7L << 20), s"$dir/csv")
     val csv = spark.read.option("header", true).csv(s"$dir/csv").collect()
     assert(csv.length == 2 && csv.head.getAs[String]("name") == "alice")
-    ExtractedTables.exportJson(tables, 7000L, s"$dir/json")
+    ExtractedTables.exportJson(tables, (7L << 20), s"$dir/json")
     val json = spark.read.json(s"$dir/json").collect()
     assert(json.length == 2)
   }
