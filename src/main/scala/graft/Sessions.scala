@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions())
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

@@ -173,6 +173,42 @@ object MemoryGraphQueries {
         |  AND epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
         |ORDER BY event_id""".stripMargin),
 
+    // ---- F6 interval-overlap JOIN: event windows x event windows. The
+    // join condition has no equi key, so stock Spark plans a nested-loop
+    // join; graft.plans.RangeJoinBinning (registered through
+    // SparkSessionExtensions) rewrites it to a binned equi-join — the
+    // oracle replays the naive theta join, so the hash-exact gate IS the
+    // proof that the rewrite preserves semantics. 10-min bins ≈ 1-2 bins
+    // per interval (value <= ~490 s). ----
+    "temporal_interval_join" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        s.conf.set(graft.plans.RangeJoinBinning.BinSizeKey, (600L * 1000000L).toString)
+        val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+        val iv = Tables.events(s, d)
+          .withColumn("s_us", unix_micros($"ts"))
+          .withColumn("e_us", $"s_us" + floor($"value" * 1000000L).cast("long"))
+          .filter($"s_us" >= unix_micros(lo) && $"s_us" < unix_micros(hi))
+        val a = iv.select($"event_id".as("a_id"), $"s_us".as("a_s"), $"e_us".as("a_e"))
+        val b = iv.select($"event_id".as("b_id"), $"s_us".as("b_s"), $"e_us".as("b_e"))
+        a.join(b, $"a_s" <= $"b_e" && $"b_s" <= $"a_e" && $"a_id" < $"b_id")
+          .select($"a_id", $"b_id",
+            (least($"a_e", $"b_e") - greatest($"a_s", $"b_s")).as("overlap_us"))
+          .orderBy($"a_id", $"b_id")
+      },
+      """WITH iv AS (
+        |  SELECT event_id, epoch_us(ts) AS s_us,
+        |         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e_us
+        |  FROM events
+        |  WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+        |    AND epoch_us(ts) <  epoch_us(TIMESTAMP '2024-01-12 00:00:00'))
+        |SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.s_us <= b.e_us AND b.s_us <= a.e_us AND a.event_id < b.event_id
+        |ORDER BY a_id, b_id""".stripMargin),
+
     // ---- ST4 tumbling-window aggregation (batch form of the streaming
     // window; the streaming variant is StreamingIngest.windowedEventCounts)
     "events_windowed" -> QueryDef.sql(
