@@ -186,6 +186,28 @@ object Relational {
         |  FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-30 00:00:00') t
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
 
+    // ---- J9 generic as-of JOIN between two tables (ops.AsOfJoin): each
+    // click event picks up the user's latest error event at-or-before it.
+    // Oracle: DuckDB's native ASOF LEFT JOIN — the hash-exact gate proves
+    // the union+window formulation implements true as-of semantics. ----
+    "rel_asof_event_join" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_us"))
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("err_id"), $"ts_us".as("err_us"))
+        graft.ops.AsOfJoin.latestPriorTo(clicks, errors, "user_id", "click_us", "err_us")
+          .orderBy($"click_id")
+      },
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us FROM ev WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS err_id, ts_us AS err_us FROM ev WHERE event_type = 'error')
+        |SELECT c.user_id, click_id, click_us, err_id, err_us
+        |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.click_us >= e.err_us
+        |ORDER BY click_id""".stripMargin),
+
     // ---- W4 lag window (score-cliff detection, types/adaptive.rs:141-203) ----
     "rel_window_lag_delta" -> QueryDef.sql(
       (s, d) => {
