@@ -263,6 +263,64 @@ object Relational {
         |FROM unioned GROUP BY c_custkey
         |ORDER BY rrf_score DESC, c_custkey LIMIT 20""".stripMargin),
 
+    // ---- A17 multi-level aggregation: ROLLUP + grouping_id. NULLS FIRST
+    // ordering is pinned on both sides (Spark defaults nulls-first asc,
+    // DuckDB nulls-last). ----
+    "rel_rollup_status_priority" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .rollup($"o_orderstatus", $"o_orderpriority")
+          .agg(grouping_id().cast("long").as("gid"), // must live inside the agg
+               sum(e4(dec($"o_totalprice"))).as("revenue_e4"),
+               count(lit(1)).as("n_orders"))
+          .select($"gid", $"o_orderstatus", $"o_orderpriority", $"revenue_e4", $"n_orders")
+          .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // ---- A17 pivot: per-user event-type matrix through the real pivot
+    // operator (missing cells 0, like the oracle's FILTER aggregates) ----
+    "rel_pivot_event_counts" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy($"user_id")
+      },
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- A17 exact interpolated quantiles (percentile <-> quantile_cont;
+    // quartile positions on integer-valued quantities interpolate to exact
+    // halves, so the doubles are bit-identical across engines) ----
+    "rel_quantiles" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+               count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- countDistinct aggregation ----
     "rel_count_distinct" -> QueryDef.sql(
       (s, d) => {
