@@ -56,10 +56,43 @@ object Ask {
       } catch { case _: graft.search.QueryParseException => None }
 
     val primaryQ = terms.mkString(" ")
-    val primary = lexList(primaryQ).filter(_.nonEmpty)
+    // the four unconditional candidate queries (primary, OR, vector,
+    // corrections) are independent bounded top-k' plans — launch them
+    // concurrently so their Catalyst+codegen compile times overlap
+    // instead of summing (each is small; wall clock was compile-bound)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val primaryF = Future(lexList(primaryQ).filter(_.nonEmpty))
+    val orListF = Future(lexList(Classify.disjunctive(question)))
+
+    val vectorListF = Future(for {
+      emb <- corpus.embeddings
+      e <- embedder
+    } yield {
+      F.ensureRegistered(spark)
+      val qv = typedlit(e.embed(question))
+      collectRanked(
+        emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(effectiveK * 2))
+    })
+
+    val correctionsF = Future {
+      val pred = f.uri.startsWith(corpus.correctionUriPrefix) &&
+        terms.map(t => lower(f.text).contains(t)).reduceOption(_ || _).getOrElse(lit(false))
+      // bounded like the reference's correction search (ask.rs:278-297 runs
+      // a normal top-k search under the correction uri prefix)
+      Some(collectRanked(docs.filter(pred)
+        .select(col(id).as("id"), lit(1.0).as("score"))
+        .orderBy(col("id")).limit(effectiveK * 2)))
+    }
+
+    val primary = Await.result(primaryF, Duration.Inf)
+    val orList = Await.result(orListF, Duration.Inf)
     // fallback ladder (ask.rs:131-210): disjunctive OR → proper-noun pick
-    // → singular/plural expansion → timeline sampling last resort
-    val orList = lexList(Classify.disjunctive(question))
+    // → singular/plural expansion → timeline sampling last resort — the
+    // rungs stay sequential, each gated on the previous being dry
     val expanded = if (primary.isEmpty) lexList(Classify.expandedQuery(question)) else None
     val lexDry = primary.isEmpty && orList.forall(_.isEmpty) && expanded.forall(_.isEmpty)
     val properNoun =
@@ -75,28 +108,8 @@ object Ask {
           .orderBy(col("score").desc, col("id"))
           .limit(effectiveK)))
       else None
-
-    val vectorList = for {
-      emb <- corpus.embeddings
-      e <- embedder
-    } yield {
-      F.ensureRegistered(spark)
-      val qv = typedlit(e.embed(question))
-      collectRanked(
-        emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
-          .orderBy(col("score").desc, col("id"))
-          .limit(effectiveK * 2))
-    }
-
-    val corrections = {
-      val pred = f.uri.startsWith(corpus.correctionUriPrefix) &&
-        terms.map(t => lower(f.text).contains(t)).reduceOption(_ || _).getOrElse(lit(false))
-      // bounded like the reference's correction search (ask.rs:278-297 runs
-      // a normal top-k search under the correction uri prefix)
-      Some(collectRanked(docs.filter(pred)
-        .select(col(id).as("id"), lit(1.0).as("score"))
-        .orderBy(col("id")).limit(effectiveK * 2)))
-    }
+    val vectorList = Await.result(vectorListF, Duration.Inf)
+    val correctionsList = Await.result(correctionsF, Duration.Inf)
 
     val collected: Seq[(String, Array[(Long, Double)])] = Seq(
       primary.map("lex" -> _),
@@ -105,7 +118,7 @@ object Ask {
       properNoun.map("proper_noun" -> _),
       timelineList.map("timeline" -> _),
       vectorList.map("vector" -> _),
-      corrections.map("correction" -> _)
+      correctionsList.map("correction" -> _)
     ).flatten
 
     if (collected.isEmpty)
