@@ -59,4 +59,26 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Generate explode"))
     assert(!p.contains("Exchange hashpartitioning"))
   }
+
+  test("registered interval join runs binned, not nested-loop") {
+    // the query sets the bin conf itself; the rewrite must hold in the
+    // registered plan, not just the RangeJoinSpec micro-cases
+    val p = plan("temporal_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("__graft_bin"), "binning rule did not fire")
+  }
+
+  test("as-of join plans one shuffle and no join node") {
+    val p = plan("rel_asof_event_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"), p)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles")
+  }
+
+  test("rollup expands in one pass: a single Expand node, one agg shuffle") {
+    val p = plan("rel_rollup_status_priority")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1, p)
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggShuffles == 1, s"expected 1 grouping shuffle, got $aggShuffles")
+  }
 }
