@@ -51,6 +51,20 @@ final class Graft(val spark: SparkSession, basePath: String,
     ids.headOption
   }
 
+  /** reference update_frame (mutation.rs:3150): append a superseding
+    * version; enrichment cards for the old version are re-derivable via
+    * repairCards (the frames log stays the source of truth) */
+  def update(id: Long, newText: String, uri: String): Long =
+    frames.update(id, newText, uri)
+
+  /** reference delete_frame (mutation.rs:3230): tombstone, visible to
+    * as-of reads before the tombstone's commit */
+  def delete(id: Long): Unit = frames.delete(id)
+
+  /** reference vacuum (mutation.rs:2999): compact superseded/tombstoned
+    * versions out of the log */
+  def vacuum(): Unit = frames.vacuum()
+
   // ---- query ----
   def search(query: String, topK: Int = 10): DataFrame =
     Search.search(frames.latestActive, "id", frameCols, query,

@@ -59,6 +59,18 @@ class StoreSpec extends SparkSpec {
     assert(store.log.count() == 1) // dead versions physically gone
   }
 
+  test("graft facade: update/delete/vacuum mirror the store mutations") {
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    val id = g.put("mv2://note/1", "the sky is blue today").get
+    val id2 = g.update(id, "the sky is grey now", "mv2://note/1")
+    assert(g.search("grey").count() == 1 && g.search("blue").count() == 0)
+    g.delete(id2)
+    assert(g.search("grey").count() == 0)
+    g.vacuum()
+    assert(g.frames.log.count() == 0) // all versions dead -> compacted away
+  }
+
   test("dedup-by-content skips duplicate payloads (mutation.rs:3300)") {
     val dir = tmpDir
     val store = new FrameStore(spark, s"$dir/frames")
