@@ -263,6 +263,27 @@ object Relational {
         |FROM unioned GROUP BY c_custkey
         |ORDER BY rrf_score DESC, c_custkey LIMIT 20""".stripMargin),
 
+    // ---- SURVEY §4 skew toolkit, end-to-end: a salted fact⨝dim join must
+    // be bit-identical to the plain join (the salt must only move rows
+    // between reducers, never duplicate or drop them — dim replicated once
+    // per salt, fact spread by row hash + ordinal). The oracle is the
+    // UNSALTED join, so any salt-induced dup/loss breaks the hash gate. ----
+    "ops_salted_join" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+        val dim = ev.select($"user_id").distinct()
+          .withColumn("tier", pmod($"user_id", lit(5)))
+        graft.ops.Salt.saltedJoin(ev, dim, "user_id", salts = 8)
+          .groupBy($"tier")
+          .agg(count(lit(1)).as("n_events"),
+               sum(e4(dec($"value"))).as("value_e4"))
+          .orderBy($"tier")
+      },
+      """SELECT user_id % 5 AS tier, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
+        |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
+
     // ---- A17 multi-level aggregation: ROLLUP + grouping_id. NULLS FIRST
     // ordering is pinned on both sides (Spark defaults nulls-first asc,
     // DuckDB nulls-last). ----
