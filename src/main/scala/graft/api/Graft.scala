@@ -37,29 +37,66 @@ final class Graft(val spark: SparkSession, basePath: String,
           ts: Timestamp = new Timestamp(1700000000000L)): Option[Long] = {
     val ids = frames.put(Seq((uri, text)), track = track, tags = tags, ts = ts)
     // rules-engine enrichment mints memory cards (enrichment stage ST2)
+    ids.foreach(mintCards(_, text, ts))
+    ids.headOption
+  }
+
+  /** mint fact cards for a frame's text; returns the asserted (entity,
+    * slot) pairs. 20-bit stride keeps card ids unique for up to 2^19
+    * facts per frame (retracts use the upper half) and must stay
+    * identical to repairCards' derivation so a rebuild is id-stable. */
+  private def mintCards(frameId: Long, text: String, ts: Timestamp): Set[(String, String)] = {
     val facts = graft.ingest.Enrich.extractCards(text)
-    if (facts.nonEmpty && ids.nonEmpty) {
-      // 20-bit stride keeps card ids unique for up to 2^20 facts per
-      // frame (the old *1000 stride collided past 1000) and must stay
-      // identical to repairCards' derivation so a rebuild is id-stable
+    if (facts.nonEmpty) {
       val rows = facts.zipWithIndex.map { case (f, i) =>
-        ((ids.head << 20) + i, f.entity, f.slot, f.value, "fact", "sets", ts, ids.head)
+        ((frameId << 20) + i, f.entity, f.slot, f.value, "fact", "sets", ts, frameId)
       }
       rows.toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
         .write.mode(SaveMode.Append).parquet(cardsPath)
     }
-    ids.headOption
+    facts.map(f => (f.entity, f.slot)).toSet
+  }
+
+  /** append 'retracts' cards for every (entity, slot) the frame asserted,
+    * minus `except` — the memory view's counterpart of superseding or
+    * tombstoning the frame (getCurrent hides a slot whose latest card
+    * retracts; A10). Retract ids live in the upper half of the frame's
+    * 20-bit card-id range so they never collide with its fact ids. */
+  private def retractCards(sourceId: Long, except: Set[(String, String)],
+                           ts: Timestamp): Unit = {
+    val pairs = cards
+      .filter(col("sourceFrameId") === sourceId && col("relation") =!= "retracts")
+      .select("entity", "slot").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filterNot(except.contains).sortBy(identity)
+    if (pairs.nonEmpty) {
+      val rows = pairs.toSeq.zipWithIndex.map { case ((e, sl), i) =>
+        ((sourceId << 20) + (1L << 19) + i, e, sl, "", "retract", "retracts", ts, sourceId)
+      }
+      rows.toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+        .write.mode(SaveMode.Append).parquet(cardsPath)
+    }
   }
 
   /** reference update_frame (mutation.rs:3150): append a superseding
-    * version; enrichment cards for the old version are re-derivable via
-    * repairCards (the frames log stays the source of truth) */
-  def update(id: Long, newText: String, uri: String): Long =
-    frames.update(id, newText, uri)
+    * version, mint cards for the new text, and retract slots the old
+    * version asserted that the new one no longer does — getCurrent then
+    * serves the new facts, not the superseded frame's. */
+  def update(id: Long, newText: String, uri: String,
+             ts: Timestamp = new Timestamp(1700000001000L)): Long = {
+    val newId = frames.update(id, newText, uri, ts)
+    val asserted = mintCards(newId, newText, ts)
+    retractCards(id, asserted, ts)
+    newId
+  }
 
   /** reference delete_frame (mutation.rs:3230): tombstone, visible to
-    * as-of reads before the tombstone's commit */
-  def delete(id: Long): Unit = frames.delete(id)
+    * as-of reads before the tombstone's commit; the frame's asserted
+    * slots are retracted from the memory view */
+  def delete(id: Long, ts: Timestamp = new Timestamp(1700000002000L)): Unit = {
+    frames.delete(id, ts)
+    retractCards(id, Set.empty, ts)
+  }
 
   /** reference vacuum (mutation.rs:2999): compact superseded/tombstoned
     * versions out of the log */

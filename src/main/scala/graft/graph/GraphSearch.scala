@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** J4 — hybrid graph-filtered search (reference hybrid_search,
   * src/graph_search.rs:311-440): a triple pattern over memory cards
-  * produces candidate frames; when the graph matches, those frames ARE
-  * the result (graph_score 1.0); when it matches nothing, fall back to
-  * plain lexical search (vector_score = lexical score).
+  * produces candidate frames; when the graph matches, those frames are
+  * the result, scored by match confidence (pattern specificity ×
+  * per-frame match multiplicity, mirroring the reference's m.confidence
+  * propagation — always < 1.0); when the pattern matches nothing, fall
+  * back to plain lexical search (vector_score = lexical score).
   *
   * Plan shape: the card match is a filtered scan; candidates reach the
   * frame table through a left-semi join on sourceFrameId (no payload

@@ -27,12 +27,23 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** left ⟕ASOF right: output = all left columns + right's non-key columns
-    * (null when no prior right row exists). `keyCol` must exist in both. */
-  def latestPriorTo(left: DataFrame, right: DataFrame, keyCol: String,
+    * (null when no prior right row exists). `keyCol` must exist in both;
+    * right's non-key columns must not collide with left's (rename first,
+    * as with DuckDB/pandas suffixes — failing fast beats an ambiguous
+    * duplicate column downstream). Right rows with a NULL timestamp can
+    * never satisfy ts <= left ts and are dropped up front (a NULL would
+    * otherwise sort before every real timestamp and be carried as a
+    * bogus earlier-than-everything match); left rows with a NULL
+    * timestamp get no match, as in DuckDB's ASOF. */
+  def latestPriorTo(left: DataFrame, right0: DataFrame, keyCol: String,
                     leftTs: String, rightTs: String,
                     strict: Boolean = false): DataFrame = {
+    val right = right0.filter(col(rightTs).isNotNull)
     val rPayload = right.columns.filterNot(_ == keyCol).toSeq
     val lCols = left.columns.toSeq
+    val clash = rPayload.toSet intersect lCols.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left columns: ${clash.mkString(", ")}")
     val rightSideTag = if (strict) 2 else 0 // vs left's 1: order encodes <= vs <
 
     val lTagged = left

@@ -183,6 +183,12 @@ object MemoryGraphQueries {
     "temporal_interval_join" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
+        // session-scoped knob, like shuffle.partitions: it must still be
+        // set when the caller's ACTION plans the query (resetting before
+        // returning the lazy DataFrame would disable the rule), so it
+        // stays on. That is safe for every other registered query: the
+        // rule only fires on no-equi-key joins with an opposite pair of
+        // long <= conjuncts, and its rewrite is semantics-preserving.
         s.conf.set(graft.plans.RangeJoinBinning.BinSizeKey, (600L * 1000000L).toString)
         val lo = lit("2024-01-10 00:00:00").cast("timestamp")
         val hi = lit("2024-01-12 00:00:00").cast("timestamp")

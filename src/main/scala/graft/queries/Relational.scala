@@ -314,7 +314,9 @@ object Relational {
           .groupBy($"user_id")
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
           .count()
-          .na.fill(0L)
+          // fill ONLY the pivoted cells: an unscoped fill would also
+          // rewrite a NULL group key to 0, diverging from the oracle
+          .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
           .orderBy($"user_id")
       },
       """SELECT user_id,

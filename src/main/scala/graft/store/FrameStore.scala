@@ -125,12 +125,18 @@ final class FrameStore(spark: SparkSession, path: String) {
   /** compaction: rewrite only the live view, dropping dead versions
     * (reference vacuum, mutation.rs:2999) */
   def vacuum(): Unit = {
-    val live = latestActive.as[Frame].collect()
+    // distributed: the live view streams straight to the tmp dir (no
+    // driver collect — the live set is the whole store), then the swap
+    // goes through Hadoop FileSystem so non-local stores (hdfs/s3a)
+    // work the same as file://
     val tmp = path + "_vacuum"
-    live.toSeq.toDS().write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path)
-    dir.listFiles().foreach(_.delete()); dir.delete()
-    new java.io.File(tmp).renameTo(dir)
+    latestActive.as[Frame].write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fsTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    if (!fs.rename(fsTmp, fsPath))
+      throw new java.io.IOException(s"vacuum: rename $tmp -> $path failed")
     counters = None
   }
 

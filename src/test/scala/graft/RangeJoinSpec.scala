@@ -36,7 +36,9 @@ class RangeJoinSpec extends SparkSpec {
       .select($"a_id", $"b_id")
 
   test("binned rewrite returns exactly the naive join's rows") {
-    val naive = overlapJoin().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // explicit bin=0 for the naive run: another suite (or the registered
+    // temporal_interval_join query) may have left the session conf set
+    val naive = withBin(0L)(overlapJoin().collect()).map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(naive.nonEmpty)
     for (bin <- Seq(7L, 100L, 1000L, 1000000L)) { // incl. bins smaller/larger than every interval
       val binned = withBin(bin)(overlapJoin().collect())
@@ -46,7 +48,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("rule turns the nested-loop join into an equi-join on the bin") {
-    val naivePlan = overlapJoin().queryExecution.executedPlan.toString
+    val naivePlan = withBin(0L)(overlapJoin().queryExecution.executedPlan.toString)
     assert(naivePlan.contains("NestedLoop") || naivePlan.contains("Cartesian"))
     withBin(100L) {
       val df = overlapJoin()
@@ -68,9 +70,11 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("extra non-range conjuncts survive the rewrite") {
-    val naive = sideA.crossJoin(sideB)
-      .filter($"a_s" <= $"b_e" && $"b_s" <= $"a_e" && $"a_id" < $"b_id" - 8)
-      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = withBin(0L) {
+      sideA.crossJoin(sideB)
+        .filter($"a_s" <= $"b_e" && $"b_s" <= $"a_e" && $"a_id" < $"b_id" - 8)
+        .select($"a_id", $"b_id").collect()
+    }.map(r => (r.getLong(0), r.getLong(1))).sorted
     val binned = withBin(50L) {
       sideA.join(sideB, $"a_s" <= $"b_e" && $"b_s" <= $"a_e" && $"a_id" < $"b_id" - 8)
         .select($"a_id", $"b_id").collect()

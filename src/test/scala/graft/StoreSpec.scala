@@ -71,6 +71,21 @@ class StoreSpec extends SparkSpec {
     assert(g.frames.log.count() == 0) // all versions dead -> compacted away
   }
 
+  test("graft facade: update re-mints cards, delete retracts them (memory view stays fresh)") {
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    val id = g.put("mv2://me", "I live in Paris. I have a dog.",
+      ts = ts(1000)).get
+    assert(g.getCurrent("user", "location").contains("Paris"))
+    // update re-asserts location with a new value and drops the pet fact
+    val id2 = g.update(id, "I live in Berlin.", "mv2://me", ts = ts(2000))
+    assert(g.getCurrent("user", "location").contains("Berlin"))
+    assert(g.getCurrent("user", "pet").isEmpty, "dropped slot must be retracted")
+    // delete retracts everything the live version asserted
+    g.delete(id2, ts = ts(3000))
+    assert(g.getCurrent("user", "location").isEmpty)
+  }
+
   test("dedup-by-content skips duplicate payloads (mutation.rs:3300)") {
     val dir = tmpDir
     val store = new FrameStore(spark, s"$dir/frames")
