@@ -12,9 +12,8 @@ import scala.collection.mutable
   * src/reader/mod.rs dispatch) at the fidelity its tests exercise: text
   * runs, sheet cell grids with shared strings, slide text.
   *
-  * PDF stays an explicit `unsupported` (a real PDF tokenizer is out of
-  * scope without libraries); OOXML is just zipped XML, so these readers
-  * are real, not stubs.
+  * OOXML is just zipped XML, so these readers are real, not stubs (the
+  * binary PDF counterpart lives in `Pdf`).
   */
 object Ooxml {
 

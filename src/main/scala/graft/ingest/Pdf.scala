@@ -1,0 +1,456 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/** Minimal PDF text extraction on the JDK only — covers the reference's
+  * PDF reader surface (src/reader/pdf.rs dispatch via ReaderRegistry,
+  * src/reader/mod.rs:43-205; budgeted variant src/extract_budgeted.rs:21)
+  * at "simple document" fidelity:
+  *
+  *   - indirect objects scanned from the raw bytes (no xref dependence, so
+  *     incremental updates and truncated tails degrade gracefully),
+  *   - object streams (/Type /ObjStm) unpacked so xref-stream-era PDFs
+  *     (PDF 1.5+) still expose their page dictionaries,
+  *   - FlateDecode content streams inflated with a zip-bomb bound,
+  *   - page order from the catalog's page tree (file order as fallback),
+  *   - text from BT/ET operators: Tj, TJ (with kern→space heuristic),
+  *     ' and " shows, Td/TD/T* line breaks, literal-string escapes and
+  *     hex strings, UTF-16BE or PDFDocEncoding(≈Latin-1) decoding.
+  *
+  * Out of scope, degrading explicitly to skipped streams rather than
+  * garbage: encryption, non-Flate filters (DCT/LZW/...), predictor
+  * DecodeParms, CID/ToUnicode font maps (bytes then decode as Latin-1).
+  */
+object Pdf {
+
+  private val MaxStreamBytes = 64 * 1024 * 1024
+  private val MaxPages = 50000
+
+  // ---------- object model ----------
+  sealed trait PObj
+  final case class PNum(v: Double) extends PObj { def int: Int = v.toInt }
+  final case class PName(v: String) extends PObj
+  final case class PStr(bytes: Array[Byte]) extends PObj
+  final case class PArr(items: Vector[PObj]) extends PObj
+  final case class PDict(m: Map[String, PObj]) extends PObj
+  final case class PRef(num: Int) extends PObj
+  final case class PBool(v: Boolean) extends PObj
+  case object PNull extends PObj
+  /** bare keyword — an operator in content streams */
+  final case class POp(op: String) extends PObj
+
+  private def isWs(c: Int) =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int) =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+    c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** byte-level PDF token reader, shared by object and content-stream
+    * parsing. All methods are total: at end-of-input they return PNull. */
+  final class Lexer(val b: Array[Byte], var pos: Int) {
+    def this(b: Array[Byte]) = this(b, 0)
+    val end: Int = b.length
+    private def peek: Int = if (pos < end) b(pos) & 0xff else -1
+
+    def skipWs(): Unit = {
+      var more = true
+      while (more) {
+        while (pos < end && isWs(peek)) pos += 1
+        if (peek == '%') { while (pos < end && peek != '\n' && peek != '\r') pos += 1 }
+        else more = false
+      }
+    }
+
+    private def readLiteralString(): PStr = { // pos at '('
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (pos < end && depth > 0) {
+        val c = peek; pos += 1
+        c match {
+          case '\\' if pos < end =>
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n'); case 'r' => out.write('\r')
+              case 't' => out.write('\t'); case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('('); case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (peek == '\n') pos += 1 // line continuation
+              case '\n' => ()
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'; var k = 0
+                while (k < 2 && pos < end && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case c2 => out.write(c2)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def readHexString(): PStr = { // pos at '<' (single)
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      while (pos < end && peek != '>') {
+        val c = peek; pos += 1
+        val d = Character.digit(c, 16)
+        if (d >= 0) { if (hi < 0) hi = d else { out.write(hi * 16 + d); hi = -1 } }
+      }
+      if (hi >= 0) out.write(hi * 16) // odd count: trailing 0 per spec
+      if (pos < end) pos += 1 // '>'
+      PStr(out.toByteArray)
+    }
+
+    private def readName(): PName = { // pos at '/'
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < end && !isWs(peek) && !isDelim(peek)) {
+        if (peek == '#' && pos + 2 < end) {
+          val h = Character.digit(b(pos + 1) & 0xff, 16)
+          val l = Character.digit(b(pos + 2) & 0xff, 16)
+          if (h >= 0 && l >= 0) { sb.append((h * 16 + l).toChar); pos += 3 }
+          else { sb.append(peek.toChar); pos += 1 }
+        } else { sb.append(peek.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def readKeywordOrNumber(): PObj = {
+      val start = pos
+      while (pos < end && !isWs(peek) && !isDelim(peek)) pos += 1
+      val w = new String(b, start, pos - start, ISO_8859_1)
+      w match {
+        case "true" => PBool(true)
+        case "false" => PBool(false)
+        case "null" => PNull
+        case _ =>
+          try PNum(java.lang.Double.parseDouble(w))
+          catch { case _: NumberFormatException => POp(w) }
+      }
+    }
+
+    /** next structural value; integers followed by `gen R` collapse to PRef */
+    def next(): PObj = {
+      skipWs()
+      if (pos >= end) return PNull
+      peek match {
+        case '(' => readLiteralString()
+        case '/' => readName()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          var t = next()
+          while (t != POp("]") && !(pos >= end && t == PNull)) { items += t; t = next() }
+          PArr(items.result())
+        case ']' => pos += 1; POp("]")
+        case '<' =>
+          if (pos + 1 < end && (b(pos + 1) & 0xff) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PObj]
+            var done = false
+            while (!done) {
+              skipWs()
+              if (pos + 1 < end && peek == '>' && (b(pos + 1) & 0xff) == '>') { pos += 2; done = true }
+              else if (pos >= end) done = true
+              else next() match {
+                case PName(k) => m += k -> next()
+                case _ => () // junk key: skip
+              }
+            }
+            PDict(m.result())
+          } else readHexString()
+        case '>' => // stray '>>' (junk recovery)
+          pos += 1; if (peek == '>') pos += 1; next()
+        case ')' | '{' | '}' => pos += 1; next()
+        case _ =>
+          val v = readKeywordOrNumber()
+          v match {
+            case PNum(n) if n >= 0 && n == math.floor(n) =>
+              // lookahead for "<gen> R"
+              val save = pos
+              skipWs()
+              val t2 = if (pos < end && Character.isDigit(peek)) readKeywordOrNumber() else PNull
+              t2 match {
+                case PNum(_) =>
+                  val save2 = pos
+                  skipWs()
+                  readKeywordOrNumber() match {
+                    case POp("R") => PRef(n.toInt)
+                    case _ => pos = save2; pos = save; v
+                  }
+                case _ => pos = save; v
+              }
+            case other => other
+          }
+      }
+    }
+  }
+
+  // ---------- document parsing ----------
+
+  final case class Doc(objects: Map[Int, PObj], streams: Map[Int, Array[Byte]],
+                       trailers: Seq[PDict]) {
+    def resolve(o: PObj, depth: Int = 0): PObj = o match {
+      case PRef(n) if depth < 32 => resolve(objects.getOrElse(n, PNull), depth + 1)
+      case other => other
+    }
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
+      val buf = new Array[Byte](16384)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return Some(out.toByteArray) // truncated input
+        if (out.size.toLong + n > MaxStreamBytes)
+          throw new IllegalArgumentException(s"pdf stream exceeds $MaxStreamBytes bytes")
+        out.write(buf, 0, n)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case _: Exception => None // corrupt deflate data: skip this stream
+    } finally inf.end()
+  }
+
+  /** decode a stream through its /Filter chain; None = unsupported filter */
+  private def decodeStream(dict: PDict, raw: Array[Byte], doc: Doc): Option[Array[Byte]] = {
+    val filters = doc.resolve(dict.m.getOrElse("Filter", PNull)) match {
+      case PName(f) => Seq(f)
+      case PArr(fs) => fs.map { case PName(f) => f; case _ => "?" }
+      case _ => Seq.empty
+    }
+    val parms = doc.resolve(dict.m.getOrElse("DecodeParms", PNull))
+    val hasPredictor = parms match {
+      case PDict(p) => p.get("Predictor").exists { case PNum(v) => v > 1; case _ => false }
+      case PArr(ps) => ps.exists { case PDict(p) =>
+        p.get("Predictor").exists { case PNum(v) => v > 1; case _ => false }; case _ => false }
+      case _ => false
+    }
+    if (filters.isEmpty) Some(raw)
+    else if (filters == Seq("FlateDecode") && !hasPredictor) inflate(raw)
+    else None
+  }
+
+  /** scan `N G obj ... endobj` without trusting the xref; last definition
+    * of an object number wins (incremental-update semantics). */
+  def parse(bytes: Array[Byte]): Doc = {
+    val s = new String(bytes, ISO_8859_1)
+    if (!s.startsWith("%PDF"))
+      throw new IllegalArgumentException("not a pdf: missing %PDF header")
+    val objects = mutable.Map.empty[Int, PObj]
+    val rawStreams = mutable.Map.empty[Int, (PDict, Array[Byte])]
+    val objRe = "(?<![0-9])([0-9]+)\\s+([0-9]+)\\s+obj\\b".r
+    for (m <- objRe.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      val lex = new Lexer(bytes, m.end)
+      val value = lex.next()
+      objects(num) = value
+      lex.skipWs()
+      if (s.startsWith("stream", lex.pos)) {
+        var p = lex.pos + "stream".length
+        if (p < bytes.length && bytes(p) == '\r') p += 1
+        if (p < bytes.length && bytes(p) == '\n') p += 1
+        val dict = value match { case d: PDict => d; case _ => PDict(Map.empty) }
+        val declared = dict.m.get("Length") match {
+          case Some(PNum(n)) if n >= 0 && p + n.toInt <= bytes.length => Some(n.toInt)
+          case _ => None // indirect or bogus /Length: search for endstream
+        }
+        val dataEnd = declared.map(p + _).getOrElse {
+          val e = s.indexOf("endstream", p)
+          if (e < 0) bytes.length
+          else { // strip the EOL that precedes the keyword
+            var q = e
+            if (q > p && bytes(q - 1) == '\n') q -= 1
+            if (q > p && bytes(q - 1) == '\r') q -= 1
+            q
+          }
+        }
+        if (dataEnd > p) rawStreams(num) = (dict, java.util.Arrays.copyOfRange(bytes, p, dataEnd))
+      }
+    }
+    val trailers = "trailer\\b".r.findAllMatchIn(s).flatMap { t =>
+      new Lexer(bytes, t.end).next() match { case d: PDict => Some(d); case _ => None }
+    }.toSeq
+
+    var doc = Doc(objects.toMap, Map.empty, trailers)
+    val decoded = rawStreams.flatMap { case (num, (dict, raw)) =>
+      decodeStream(dict, raw, doc).map(num -> _)
+    }
+    doc = doc.copy(streams = decoded.toMap)
+
+    // unpack object streams so xref-stream PDFs expose their dictionaries
+    val fromObjStm = mutable.Map.empty[Int, PObj]
+    rawStreams.foreach { case (num, (dict, _)) =>
+      if (dict.m.get("Type").contains(PName("ObjStm"))) {
+        for (data <- doc.streams.get(num)) {
+          val n = doc.resolve(dict.m.getOrElse("N", PNull)) match {
+            case PNum(v) => v.toInt; case _ => 0 }
+          val first = doc.resolve(dict.m.getOrElse("First", PNull)) match {
+            case PNum(v) => v.toInt; case _ => 0 }
+          val head = new Lexer(data)
+          val pairs = (0 until n).flatMap { _ =>
+            (head.next(), head.next()) match {
+              case (PNum(on), PNum(off)) => Some(on.toInt -> off.toInt)
+              case _ => None
+            }
+          }
+          pairs.foreach { case (objNum, off) =>
+            if (first + off < data.length && !objects.contains(objNum))
+              fromObjStm(objNum) = new Lexer(data, first + off).next()
+          }
+        }
+      }
+    }
+    if (fromObjStm.nonEmpty)
+      doc = doc.copy(objects = fromObjStm.toMap ++ doc.objects) // direct objs win
+    doc
+  }
+
+  // ---------- page tree ----------
+
+  /** content-stream bytes per page, in page-tree order */
+  def pageStreams(doc: Doc): Seq[Array[Byte]] = {
+    val catalog = doc.objects.values.collectFirst {
+      case d @ PDict(m) if m.get("Type").contains(PName("Catalog")) => d
+    }
+    val out = mutable.ArrayBuffer.empty[Array[Byte]]
+    val visited = mutable.Set.empty[PObj]
+    def contentsOf(page: PDict): Array[Byte] = {
+      // /Contents: one ref, or an array of refs (possibly itself behind a ref)
+      val refs = page.m.get("Contents") match {
+        case Some(PArr(items)) => items
+        case Some(r @ PRef(_)) => doc.resolve(r) match {
+          case PArr(items) => items
+          case _ => Vector(r)
+        }
+        case Some(other) => Vector(other)
+        case None => Vector.empty
+      }
+      val datas = refs.flatMap {
+        case PRef(n) => doc.streams.get(n)
+        case _ => None
+      }
+      if (datas.isEmpty) Array.emptyByteArray
+      else datas.reduce((a, b) => a ++ "\n".getBytes(ISO_8859_1) ++ b)
+    }
+    def walk(node: PObj): Unit = doc.resolve(node) match {
+      case d @ PDict(m) if !visited.contains(d) && out.size < MaxPages =>
+        visited += d
+        m.get("Type") match {
+          case Some(PName("Pages")) =>
+            doc.resolve(m.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach(walk)
+              case _ => ()
+            }
+          case Some(PName("Page")) => out += contentsOf(d)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    catalog.foreach(c => walk(doc.resolve(c.m.getOrElse("Pages", PNull))))
+    if (out.nonEmpty && out.exists(_.nonEmpty)) out.toSeq
+    else { // fallback: any decoded stream that looks like a content stream
+      doc.streams.toSeq.sortBy(_._1).map(_._2)
+        .filter(d => new String(d, ISO_8859_1).contains("BT"))
+    }
+  }
+
+  // ---------- content-stream text ----------
+
+  private[ingest] def decodeString(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bytes, ISO_8859_1)
+
+  /** TJ kern threshold (thousandths of text-space em): gaps wider than this
+    * render as word breaks. Common extractor heuristic (~¼ em). */
+  private val KernSpace = -180.0
+
+  def extractText(content: Array[Byte]): String = {
+    val s = new String(content, ISO_8859_1)
+    val lex = new Lexer(content)
+    val sb = new StringBuilder
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
+    val stack = mutable.ArrayBuffer.empty[PObj]
+    var tok = lex.next()
+    while (!(tok == PNull && lex.pos >= lex.end)) {
+      tok match {
+        case POp("BI") => // inline image: skip to EI
+          val e = s.indexOf("EI", lex.pos)
+          lex.pos = if (e < 0) lex.end else e + 2
+          stack.clear()
+        case POp(op) =>
+          op match {
+            case "Tj" =>
+              stack.lastOption.collect { case PStr(b) => sb.append(decodeString(b)) }
+            case "'" =>
+              newline()
+              stack.lastOption.collect { case PStr(b) => sb.append(decodeString(b)) }
+            case "\"" =>
+              newline()
+              stack.lastOption.collect { case PStr(b) => sb.append(decodeString(b)) }
+            case "TJ" =>
+              stack.lastOption.collect { case PArr(items) =>
+                items.foreach {
+                  case PStr(b) => sb.append(decodeString(b))
+                  case PNum(v) if v < KernSpace =>
+                    if (sb.nonEmpty && sb.last != ' ' && sb.last != '\n') sb.append(' ')
+                  case _ => ()
+                }
+              }
+            case "Td" | "TD" =>
+              // same-baseline positive x move = column gap (stream-mode
+              // table layout, reference table/pdf_extractor.rs); anything
+              // else is a line move
+              (stack.takeRight(2).toList match {
+                case PNum(tx) :: PNum(ty) :: Nil if ty == 0 && tx > 0 =>
+                  if (sb.nonEmpty && sb.last != '\n') sb.append("  ")
+                case _ => newline()
+              })
+            case "T*" | "ET" => newline()
+            case _ => ()
+          }
+          stack.clear()
+        case v => stack += v
+      }
+      tok = lex.next()
+    }
+    sb.toString
+  }
+
+  /** /Info → /Title from the newest trailer; direct dict or resolved ref */
+  def title(doc: Doc): Option[String] =
+    doc.trailers.reverseIterator.flatMap { t =>
+      doc.resolve(t.m.getOrElse("Info", PNull)) match {
+        case PDict(info) => doc.resolve(info.getOrElse("Title", PNull)) match {
+          case PStr(b) => Some(decodeString(b)).filter(_.nonEmpty)
+          case _ => None
+        }
+        case _ => None
+      }
+    }.nextOption()
+
+  /** S5 PDF reader: page-ordered text of all supported content streams */
+  def pdfText(bytes: Array[Byte]): Readers.ExtractedDoc = {
+    val doc = parse(bytes)
+    val text = pageStreams(doc).map(extractText)
+      .map(_.trim).filter(_.nonEmpty)
+      .mkString("\n\n")
+      .replaceAll("\n{3,}", "\n\n")
+    Readers.ExtractedDoc(text, title(doc), "pdf")
+  }
+}

@@ -7,9 +7,9 @@ package graft.ingest
   *
   * Text-family readers are real (plain/markdown/html/jsonl/csv), and so
   * are the OOXML family (docx/xlsx/pptx — zipped XML parsed with the JDK
-  * only, see `Ooxml`). PDF needs a binary tokenizer not bundled in this
-  * build (SURVEY §7.3) and surfaces as `unsupported` so ingest degrades
-  * explicitly, never silently.
+  * only, see `Ooxml`) and PDF (JDK-only object/stream/page-tree parser,
+  * see `Pdf`; encrypted or exotically-filtered streams degrade to skipped
+  * streams, never silent garbage).
   */
 object Readers {
 
@@ -97,7 +97,7 @@ object Readers {
     "html" -> html, "htm" -> html,
     "jsonl" -> jsonl, "ndjson" -> jsonl,
     "csv" -> csv,
-    "pdf" -> unsupported("pdf"),
+    "pdf" -> (Pdf.pdfText _),
     "docx" -> (Ooxml.docxText _), "xlsx" -> (Ooxml.xlsxText _),
     "pptx" -> (Ooxml.pptxText _))
 
@@ -109,7 +109,7 @@ object Readers {
   /** sniff by magic bytes, fall back to plaintext (reader/mod.rs magic) */
   def sniff(bytes: Array[Byte]): Reader = {
     if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
-        bytes(2) == 'D' && bytes(3) == 'F') unsupported("pdf")
+        bytes(2) == 'D' && bytes(3) == 'F') Pdf.pdfText _
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K')
       Ooxml.sniffOoxml(bytes).getOrElse(unsupported("ooxml"))
     else if (utf8(bytes.take(256)).toLowerCase.contains("<html")) html

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Table extraction + storage + export over text corpora (reference:
   * extracted-table model src/table/types.rs:75-250, store/list/get
   * src/table/storage.rs:44-348, CSV/JSON export storage.rs:498,543).
-  * The detector here handles markdown/ASCII tables (detector.rs:417);
-  * PDF-lattice extraction is an ingest-UDF slot (SURVEY §2.1 S7) whose
-  * binary parsing is out of scope in this container.
+  * Detectors: markdown pipe tables (detector.rs:417), XLSX sheet grids
+  * (xlsx_table_detect.rs), and stream-mode column clustering over
+  * PDF-extracted text (pdf_extractor.rs stream mode, SURVEY §2.1 S7) —
+  * lattice mode (line-segment geometry) has no text-level analog and
+  * stays out of scope.
   */
 object ExtractedTables {
 
@@ -29,6 +31,34 @@ object ExtractedTables {
         // (the old *1000 stride collided silently past 1000)
         ExtractedTable((sourceId << 20) + i, sourceId, i, headers,
                        t.rows.map(parseRow))
+      }
+
+  /** S7 stream-mode table detection (reference: pdf_extractor.rs stream
+    * mode — column clustering over extracted text): runs of ≥2 consecutive
+    * lines that split on 2+-space gaps into the same column count (≥2)
+    * form a table; first row is the header. `Pdf.extractText` renders
+    * same-baseline Td column moves as 2-space gaps, so tabular PDFs
+    * surface here without coordinate geometry. */
+  private[graft] def whitespaceTableBlocks(text: String): Seq[Seq[Seq[String]]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Seq[Seq[String]]]
+    val run = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    def flush(): Unit = { if (run.length >= 2) out += run.toList; run.clear() }
+    text.split("\n", -1).foreach { line =>
+      val cells = line.trim.split("\\s{2,}").toSeq.filter(_.nonEmpty)
+      if (cells.length >= 2 && (run.isEmpty || run.head.length == cells.length))
+        run += cells
+      else { flush(); if (cells.length >= 2) run += cells }
+    }
+    flush()
+    out.toList
+  }
+
+  /** S7 PDF table extraction: text via the JDK-only `Pdf` reader, tables
+    * via stream-mode column detection. */
+  def fromPdf(sourceId: Long, bytes: Array[Byte]): Seq[ExtractedTable] =
+    whitespaceTableBlocks(graft.ingest.Pdf.pdfText(bytes).text)
+      .zipWithIndex.map { case (rows, i) =>
+        ExtractedTable((sourceId << 20) + i, sourceId, i, rows.head, rows.tail)
       }
 
   /** S8 XLSX-native table detection: each sheet's rectangular grid becomes

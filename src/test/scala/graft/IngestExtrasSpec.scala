@@ -21,9 +21,10 @@ class IngestExtrasSpec extends SparkSpec {
     assert(jl.text == "line one\nline two")
     val md = Readers.markdown("# Title\nbody".getBytes("UTF-8"))
     assert(md.title == Some("Title"))
-    intercept[UnsupportedOperationException] {
-      Readers.sniff("%PDF-1.7 garbage".getBytes("UTF-8"))(Array.emptyByteArray)
-    }
+    // %PDF magic dispatches to the pdf reader (header present, no objects
+    // -> empty text rather than a failure: truncation degrades gracefully)
+    assert(Readers.sniff("%PDF-1.7 garbage".getBytes("UTF-8"))(
+      "%PDF-1.7 garbage".getBytes("UTF-8")).format == "pdf")
     assert(Readers.sniff("plain old text".getBytes("UTF-8"))("x".getBytes("UTF-8")).format == "text")
   }
 
@@ -132,10 +133,8 @@ class IngestExtrasSpec extends SparkSpec {
     assert(Readers.findReader("report.xlsx").isDefined)
     assert(Readers.sniff(docx)(docx).format == "docx")
     assert(Readers.sniff(xlsx)(xlsx).format == "xlsx")
-    // PDF remains explicitly unsupported
-    intercept[UnsupportedOperationException] {
-      Readers.sniff("%PDF-1.7".getBytes)("%PDF-1.7".getBytes)
-    }
+    // PDF magic dispatches to the real pdf reader (full coverage in PdfSpec)
+    assert(Readers.sniff("%PDF-1.7".getBytes)("%PDF-1.7".getBytes).format == "pdf")
   }
 
   test("csv reader handles quoted fields, embedded commas/newlines, doubled quotes") {

@@ -1,0 +1,149 @@
+package graft
+
+import graft.ingest.{Pdf, Readers}
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Deflater
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S5 PDF reader: synthetic PDFs assembled byte-for-byte in the test (no
+  * fixtures, no libraries) — objects are scanned, not xref'd, so no xref
+  * table is required by the parser; one test still includes a trailer for
+  * the /Info → title path. */
+class PdfSpec extends AnyFunSuite {
+
+  private def deflate(s: String): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(s.getBytes(ISO_8859_1)); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** assemble a PDF from (objNum, body) parts; bodies may be byte arrays
+    * (streams) or strings */
+  private def pdf(parts: (Int, Either[String, Array[Byte]])*)(trailer: String = ""): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n".getBytes(ISO_8859_1))
+    parts.foreach { case (num, body) =>
+      out.write(s"$num 0 obj\n".getBytes(ISO_8859_1))
+      body match {
+        case Left(s) => out.write(s.getBytes(ISO_8859_1))
+        case Right(b) => out.write(b)
+      }
+      out.write("\nendobj\n".getBytes(ISO_8859_1))
+    }
+    if (trailer.nonEmpty) out.write(s"trailer\n$trailer\n".getBytes(ISO_8859_1))
+    out.write("%%EOF".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  private def stream(dict: String, data: Array[Byte]): Either[String, Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    out.write(s"<< $dict /Length ${data.length} >>\nstream\n".getBytes(ISO_8859_1))
+    out.write(data)
+    out.write("\nendstream".getBytes(ISO_8859_1))
+    Right(out.toByteArray)
+  }
+
+  private def onePagePdf(content: Either[String, Array[Byte]]): Array[Byte] = pdf(
+    1 -> Left("<< /Type /Catalog /Pages 2 0 R >>"),
+    2 -> Left("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+    3 -> Left("<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    4 -> content)()
+
+  test("uncompressed content: Tj, TJ kerns, quote ops, escapes, hex strings") {
+    val content =
+      """BT /F1 12 Tf 72 720 Td
+        |(Hello \(quoted\) world) Tj
+        |0 -14 Td
+        |[(spark) -250 (join) 20 (ed)] TJ
+        |(next line) '
+        |<68657821> Tj
+        |ET""".stripMargin
+    val doc = Pdf.pdfText(onePagePdf(stream("", content.getBytes(ISO_8859_1))))
+    val lines = doc.text.linesIterator.toSeq
+    assert(lines(0) == "Hello (quoted) world")
+    // -250 kern -> space; -20 kern (below threshold) -> joined
+    assert(lines(1) == "spark joined")
+    assert(lines(2) == "next linehex!")
+    assert(doc.format == "pdf")
+  }
+
+  test("flate streams, page-tree order beats file order, utf-16 title") {
+    val p1 = stream("/Filter /FlateDecode", deflate("BT (page one) Tj ET"))
+    val p2 = stream("/Filter /FlateDecode", deflate("BT (page two) Tj ET"))
+    // UTF-16BE "Titled" with BOM, as a hex string
+    val hexTitle = "FEFF" + "Titled".flatMap(c => f"00${c.toInt}%02X")
+    val bytes = pdf(
+      // file order: page 2's stream first; Kids order must win
+      6 -> p2,
+      5 -> p1,
+      1 -> Left("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> Left("<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"),
+      3 -> Left("<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+      4 -> Left("<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+      7 -> Left(s"<< /Title <$hexTitle> /Producer (t) >>"))(
+      trailer = "<< /Size 8 /Root 1 0 R /Info 7 0 R >>")
+    val doc = Pdf.pdfText(bytes)
+    assert(doc.text == "page one\n\npage two")
+    assert(doc.title.contains("Titled"))
+  }
+
+  test("object streams (/ObjStm) expose page dicts; multi-part /Contents") {
+    // catalog+pages+page dicts packed inside a flate object stream
+    val inner = "<< /Type /Catalog /Pages 2 0 R >> " +
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >> " +
+      "<< /Type /Page /Parent 2 0 R /Contents [5 0 R 6 0 R] >>"
+    val off2 = inner.indexOf("<< /Type /Pages")
+    val off3 = inner.indexOf("<< /Type /Page /")
+    val header = s"1 0 2 $off2 3 $off3 " // (objnum, offset-from-First) pairs
+    val bytes = pdf(
+      9 -> stream(s"/Type /ObjStm /N 3 /First ${header.length} /Filter /FlateDecode",
+        deflate(header + inner)),
+      5 -> stream("", "BT (part A ) Tj".getBytes(ISO_8859_1)),
+      6 -> stream("", "(and part B) Tj ET".getBytes(ISO_8859_1)))()
+    val doc = Pdf.pdfText(bytes)
+    assert(doc.text == "part A and part B")
+  }
+
+  test("degradation: truncation, unsupported filters, non-pdf") {
+    val whole = onePagePdf(stream("", "BT (visible) Tj ET".getBytes(ISO_8859_1)))
+    // cut mid-way: parser keeps whatever objects are complete, never throws
+    val cut = java.util.Arrays.copyOf(whole, whole.length / 3)
+    assert(Pdf.pdfText(cut).text.isEmpty || Pdf.pdfText(cut).text.nonEmpty)
+    // unsupported filter: stream skipped, not garbled
+    val dct = onePagePdf(stream("/Filter /DCTDecode", Array[Byte](1, 2, 3)))
+    assert(Pdf.pdfText(dct).text.isEmpty)
+    intercept[IllegalArgumentException] { Pdf.pdfText("not a pdf".getBytes(ISO_8859_1)) }
+    // registry + magic dispatch
+    assert(Readers.findReader("report.pdf").isDefined)
+    assert(Readers.sniff(whole)(whole).text == "visible")
+  }
+
+  test("stream-mode tables: Td column moves become cells, rows become a table") {
+    val content = // two Td columns per line, three lines; then a paragraph
+      """BT 72 720 Td (name) Tj 100 0 Td (qty) Tj
+        |0 -14 Td (apples) Tj 100 0 Td (12) Tj
+        |0 -14 Td (pears) Tj 100 0 Td (7) Tj
+        |0 -28 Td (Not a table line.) Tj
+        |ET""".stripMargin
+    val bytes = onePagePdf(stream("", content.getBytes(ISO_8859_1)))
+    assert(Pdf.pdfText(bytes).text ==
+      "name  qty\napples  12\npears  7\nNot a table line.")
+    val tables = graft.tables.ExtractedTables.fromPdf(7L, bytes)
+    assert(tables.size == 1)
+    assert(tables.head.headers == Seq("name", "qty"))
+    assert(tables.head.rows == Seq(Seq("apples", "12"), Seq("pears", "7")))
+    assert(tables.head.tableId == (7L << 20))
+  }
+
+  test("no catalog: falls back to any BT-bearing stream in object order") {
+    val bytes = pdf(
+      2 -> stream("", "BT (second) Tj ET".getBytes(ISO_8859_1)),
+      1 -> stream("", "BT (first) Tj ET".getBytes(ISO_8859_1)))()
+    assert(Pdf.pdfText(bytes).text == "first\n\nsecond")
+  }
+}
