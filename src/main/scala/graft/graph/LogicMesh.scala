@@ -35,23 +35,47 @@ object LogicMesh {
     val lazyMode = hops <= materializeAboveHops
     val typed0 = linkType.map(t => edges.filter(col("linkType") === t)).getOrElse(edges)
       .select(col("src"), col("dst"))
-    val typed = if (lazyMode) typed0
-      else typed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def ck(df: DataFrame): DataFrame = if (lazyMode) df else df.localCheckpoint(true)
-    var frontier = ck(start.select(col("id")).distinct())
-    var visited = frontier
-    var h = 0
-    while (h < hops) {
-      frontier = ck(typed.join(frontier.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id")).distinct()
-        .join(visited.withColumnRenamed("id", "seen"),
-              col("id") === col("seen"), "left_anti"))
-      visited = ck(visited.unionByName(frontier).distinct())
-      h += 1
+    if (lazyMode) {
+      // Shallow path: per-hop anti-joins against `visited` only prune BFS
+      // re-expansion, they don't change the reachable set — frontier k is
+      // expanded from ALL hop-(k-1) nodes either way. Dropping them keeps
+      // each hop's subtree IDENTICAL to its occurrence under the next hop,
+      // so Catalyst's ReuseExchange shares the per-hop distinct shuffles
+      // (the anti-join form pushed differing filters into each copy and
+      // forced 2^hops redundant edge builds).
+      var frontier = start.select(col("id")).distinct()
+      val layers = Seq.newBuilder[DataFrame]
+      var h = 0
+      while (h < hops) {
+        frontier = typed0.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+        layers += frontier
+        h += 1
+      }
+      layers.result().reduce(_ unionByName _).distinct()
+        .join(start.withColumnRenamed("id", "s0"),
+              col("id") === col("s0"), "left_anti") // reached, excluding start
+    } else {
+      // Deep path: true BFS — persist the edge index once, eagerly
+      // localCheckpoint the (small) frontiers so the plan stays linear in
+      // hops, and anti-join visited so converged components stop expanding.
+      val typed = typed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def ck(df: DataFrame): DataFrame = df.localCheckpoint(true)
+      var frontier = ck(start.select(col("id")).distinct())
+      var visited = frontier
+      var h = 0
+      while (h < hops) {
+        frontier = ck(typed.join(frontier.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.withColumnRenamed("id", "seen"),
+                col("id") === col("seen"), "left_anti"))
+        visited = ck(visited.unionByName(frontier).distinct())
+        h += 1
+      }
+      typed.unpersist(false) // visited checkpointed; typed no longer read
+      visited.join(start.withColumnRenamed("id", "s0"),
+                   col("id") === col("s0"), "left_anti") // reached, excluding start
     }
-    if (!lazyMode) typed.unpersist(false) // visited checkpointed; typed no longer read
-    visited.join(start.withColumnRenamed("id", "s0"),
-                 col("id") === col("s0"), "left_anti") // reached, excluding start
   }
 
   /** triple-pattern match over cards: any of entity/slot/value may be a
