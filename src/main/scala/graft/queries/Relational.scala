@@ -236,15 +236,27 @@ object Relational {
       (s, d) => {
         import s.implicits._
         val cust = Tables.customer(s, d)
-        val byBal = cust.select($"c_custkey",
-            row_number().over(Window.orderBy($"c_acctbal".desc, $"c_custkey")).as("rank"))
-          .limit(100).withColumn("list_id", lit("acctbal"))
+        // Scale shape: TakeOrderedAndProject bounds each list to 100 rows
+        // FIRST; the rank window then runs over the bounded union,
+        // PARTITIONED by list_id (a real column, so no single-partition
+        // "No Partition Defined" WindowExec anywhere in the plan). Both
+        // lists rank by (score desc, c_custkey) so one window serves both;
+        // decimal→double keeps order (decimal(12,2) is injective+monotone
+        // into double).
+        val byBal = cust
+          .select($"c_custkey", $"c_acctbal".cast("double").as("score"))
+          .orderBy($"score".desc, $"c_custkey").limit(100)
+          .withColumn("list_id", lit("acctbal"))
         val byOrders = Tables.orders(s, d)
           .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
-          .select($"o_custkey".as("c_custkey"),
-            row_number().over(Window.orderBy($"n".desc, $"o_custkey")).as("rank"))
-          .limit(100).withColumn("list_id", lit("orders"))
+          .select($"o_custkey".as("c_custkey"), $"n".cast("double").as("score"))
+          .orderBy($"score".desc, $"c_custkey").limit(100)
+          .withColumn("list_id", lit("orders"))
         byBal.unionByName(byOrders)
+          .select($"c_custkey", $"list_id",
+            row_number().over(
+              Window.partitionBy($"list_id").orderBy($"score".desc, $"c_custkey"))
+              .as("rank"))
           .groupBy($"c_custkey")
           .agg(round(sum(lit(1.0) / (lit(60) + $"rank")), 9).as("rrf_score"),
                count(lit(1)).as("n_lists"))
@@ -329,18 +341,24 @@ object Relational {
 
     // ---- A17 exact interpolated quantiles (percentile <-> quantile_cont;
     // quartile positions on integer-valued quantities interpolate to exact
-    // halves, so the doubles are bit-identical across engines) ----
+    // halves, so the doubles are bit-identical across engines). Scalar
+    // columns, not array<double>: the driver's pandas hasher cannot hash
+    // ndarray cells (CORRECTNESS_r04 rel_quantiles err). ----
     "rel_quantiles" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
         Tables.lineitem(s, d)
           .groupBy($"l_returnflag")
-          .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+          .agg(expr("percentile(l_quantity, 0.25D)").as("q25"),
+               expr("percentile(l_quantity, 0.5D)").as("q50"),
+               expr("percentile(l_quantity, 0.75D)").as("q75"),
                count(lit(1)).as("n_rows"))
           .orderBy($"l_returnflag")
       },
       """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
@@ -359,18 +377,19 @@ object Relational {
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
-    // ---- W6 cursor pagination (fallback.rs:88-196) ----
+    // ---- W6 cursor pagination (fallback.rs:88-196). Scale shape: rows
+    // 101-150 are the BOTTOM 50 of the top 150, so two stacked
+    // TakeOrderedAndProject passes (asc limit 150, then desc limit 50)
+    // page without any window at all — no single-partition WindowExec,
+    // no full-table row_number. ----
     "rel_cursor_page" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"o_orderdate", $"o_orderkey")
         Tables.orders(s, d)
           .select($"o_orderkey", unix_micros($"o_orderdate".cast("timestamp")).as("orderdate_us"),
                   $"o_orderpriority")
-          .withColumn("rn", row_number().over(
-            Window.orderBy($"orderdate_us", $"o_orderkey")))
-          .filter($"rn" > 100 && $"rn" <= 150)
-          .drop("rn")
+          .orderBy($"orderdate_us", $"o_orderkey").limit(150)
+          .orderBy($"orderdate_us".desc, $"o_orderkey".desc).limit(50)
           .orderBy($"orderdate_us", $"o_orderkey")
       },
       """SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority

@@ -43,6 +43,17 @@ final class FrameStore(spark: SparkSession, path: String) {
   private def appendFrames(fs: Seq[Frame]): Unit =
     fs.toDS().write.mode(SaveMode.Append).parquet(path)
 
+  /** J8 dedup plan: stage the incoming batch's hashes and left-anti join
+    * them against the live log on sourceSha256 (reference BLAKE3 dedup
+    * short-circuit, mutation.rs:3300-3316). The log side is never collected
+    * to the driver — only the SURVIVING hashes of the (small) incoming
+    * batch come back, so the live set can be billions of rows. */
+  private[graft] def freshHashes(hashes: Seq[String]): DataFrame =
+    hashes.distinct.toDF("sourceSha256").join(
+      log.filter($"status" === Frame.Active && $"sourceSha256".isNotNull)
+        .select($"sourceSha256"),
+      Seq("sourceSha256"), "left_anti")
+
   /** ingest texts; content-hash dedup skips payloads already in the log
     * (reference BLAKE3 dedup short-circuit, mutation.rs:3300-3316). */
   def put(texts: Seq[(String, String)], // (uri, text)
@@ -50,12 +61,12 @@ final class FrameStore(spark: SparkSession, path: String) {
           ts: Timestamp = new Timestamp(1700000000000L),
           tags: Seq[String] = Nil, dedup: Boolean = true,
           enrich: Boolean = true, chunkLargeDocs: Boolean = true): Seq[Long] = {
-    val existing: Set[String] =
-      if (dedup && logExists)
-        log.filter($"status" === Frame.Active)
-          .select("sourceSha256").as[Option[String]].collect().flatten.toSet
-      else Set.empty
-    val fresh = texts.filter { case (_, t) => !existing.contains(sha(t)) }
+    val hashed = texts.map { case (u, t) => (u, t, sha(t)) }
+    val fresh: Seq[(String, String)] =
+      if (dedup && logExists) {
+        val keep = freshHashes(hashed.map(_._3)).as[String].collect().toSet
+        hashed.collect { case (u, t, h) if keep.contains(h) => (u, t) }
+      } else texts
     if (fresh.isEmpty) return Seq.empty
     val (idBase, seqBase) = nextIds(fresh.size * 8)
     var id = idBase

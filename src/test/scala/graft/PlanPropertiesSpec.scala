@@ -75,6 +75,29 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles")
   }
 
+  test("store put dedup is a left-anti join, not a driver hash set") {
+    val store = new graft.store.FrameStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-put-anti").toString + "/frames")
+    store.put(Seq(("u://a", "seed text for the anti-join dedup plan")))
+    val p = store.freshHashes(Seq("deadbeef")).queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"put dedup must plan an anti-join:\n$p")
+  }
+
+  test("no empty-partition windows in rrf fusion or cursor paging") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def emptyPartWindows(name: String): Int =
+      Registry.all(name).fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+    assert(emptyPartWindows("rel_rrf_fusion") == 0,
+      "rrf fusion must rank partitioned by list_id")
+    val cursor = Registry.all("rel_cursor_page").fn(spark, sfDir)
+    assert(cursor.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "cursor paging must be window-free (double TakeOrdered)")
+    val p = cursor.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("rollup expands in one pass: a single Expand node, one agg shuffle") {
     val p = plan("rel_rollup_status_priority")
     assert(p.linesIterator.count(_.contains("Expand [")) == 1, p)
