@@ -21,6 +21,50 @@ object MiscQueries {
     s"${dot(a, b)} / (sqrt(${nsq(a)}) * sqrt(${nsq(b)}))"
   }
 
+  /** oracle-side tokenizer fragment (must mirror F.tokens) */
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
+
+  /** the ask() gate's fixed question; its HashEmbedder query vector is
+    * computed here (pure JVM, deterministic) and inlined into the oracle
+    * SQL as an exact double-literal list — same floats the engine uses. */
+  private val AskQuestion = "how do spark joins merge batches"
+  private val AskTerms = Seq("spark", "joins", "merge", "batches")
+
+  private def askCitationsOracle: String = {
+    val qv = new HashEmbedder(64).embed(AskQuestion)
+      .map(f => f.toDouble.toString).mkString("[", ", ", "]")
+    val anyTerm = AskTerms.map(t => s"contains(tl, '$t')").mkString(" OR ")
+    val allTerms = AskTerms.map(t => s"contains(tl, '$t')").mkString(" AND ")
+    val occSum = AskTerms.map(t =>
+      s"(length(tl) - length(replace(tl, '$t', ''))) // length('$t')").mkString(" + ")
+    val cos = duckCos("CAST(embedding AS DOUBLE[])", qv)
+    s"""WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents),
+       |orl AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN $allTerms THEN CAST($occSum AS DOUBLE) ELSE 0.0 END AS score
+       |    FROM d WHERE $anyTerm
+       |    ORDER BY score DESC, doc_id LIMIT 10)),
+       |vec AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r
+       |  FROM (
+       |    SELECT vec_id AS doc_id, $cos AS score
+       |    FROM embeddings ORDER BY score DESC, doc_id LIMIT 10)),
+       |rrf AS (
+       |  SELECT doc_id, SUM(1.0 / (61 + r)) AS rrf
+       |  FROM (SELECT * FROM orl UNION ALL SELECT * FROM vec) GROUP BY doc_id),
+       |sem AS (SELECT vec_id AS doc_id, $cos AS cos FROM embeddings),
+       |fin AS (
+       |  SELECT r.doc_id, r.rrf * (1.0 + COALESCE(s.cos, 0.0)) AS score
+       |  FROM rrf r JOIN documents dd ON dd.doc_id = r.doc_id
+       |  LEFT JOIN sem s ON s.doc_id = r.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS citation_idx,
+       |       doc_id, ROUND(score, 9) AS score
+       |FROM fin ORDER BY score DESC, doc_id LIMIT 5""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- A13 embedding quality: sampled pairwise-similarity stats ----
@@ -58,8 +102,16 @@ object MiscQueries {
          |       THEN 'well_spread' ELSE 'collapsed' END AS quality
          |FROM pairs""".stripMargin),
 
-    // ---- ask() end-to-end (rows-only: driver checks shape/rows) ----
-    "ask_citations" -> QueryDef.rowsOnly(
+    // ---- ask() end-to-end, hash-gated: the full facade runs (classify →
+    // lexical/OR/vector/correction candidate lists → RRF → semantic
+    // rerank → citations) and the oracle replays the SAME deterministic
+    // arithmetic in SQL. For this question+corpus the 4-term AND rungs
+    // (primary, expanded) match nothing at every SF (asserted in AskSpec),
+    // so the contributing lists are the OR list (AND-score 0 → ranked by
+    // id) and the HashEmbedder cosine top-10; each doc gets ≤2 RRF terms
+    // so the sum is order-exact. Snippet text stays covered by AskSpec —
+    // the gate hashes the ranking/score pipeline. ----
+    "ask_citations" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d)
@@ -71,10 +123,12 @@ object MiscQueries {
           .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
         val corpus = Ask.Corpus(docs, "doc_id", f, embeddings = Some(vectors),
                                 correctionUriPrefix = "doc://correction/")
-        val resp = Ask.ask(s, corpus, "how do spark joins merge batches", Some(emb))
-        resp.citations.map(c => (c.index, c.id, c.score, c.snippet))
-          .toDF("citation_idx", "doc_id", "score", "snippet")
-      }),
+        val resp = Ask.ask(s, corpus, AskQuestion, Some(emb))
+        resp.citations.map(c => (c.index.toLong, c.id, c.score))
+          .toDF("citation_idx", "doc_id", "score")
+          .withColumn("score", round(col("score"), 9))
+      },
+      askCitationsOracle),
 
     // ---- S7-S9: table extraction + cell model over synthetic markdown ----
     "table_extract_cells" -> QueryDef.sql(
@@ -119,8 +173,15 @@ object MiscQueries {
         |    ORDER BY length(r.pfx) DESC LIMIT 1), FALSE) AS acl_allowed
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ---- BM25-engine search through the full facade ----
-    "search_bm25_engine" -> QueryDef.rowsOnly(
+    // ---- BM25-engine search through the full facade, hash-gated: the
+    // oracle replays the Okapi formula (like text_bm25) PLUS the facade's
+    // steps — stemmed tokenization, ×4 over-fetch to top-80 on the
+    // 6dp-rounded score, AND-membership (all 3 query terms present), then
+    // the final top-20 page. Stemming note: the corpus vocabulary is
+    // stem-invariant for these query terms (no token stems into
+    // spark/join/window except themselves — asserted in TextCoreSpec), so
+    // the unstemmed SQL replay is exact. ----
+    "search_bm25_engine" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
         graft.search.Search.search(docs, "doc_id",
@@ -128,8 +189,33 @@ object MiscQueries {
           graft.search.Search.Options(topK = 20, withSnippets = false,
             engine = graft.search.Search.BM25Engine, stemmed = true))
           .drop("snippets")
-      })
-,
+      },
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS c
+         |  FROM tf JOIN df ON tf.term = df.term
+         |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |agg AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN term = 'spark' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0) AS score,
+         |    COUNT(DISTINCT term) AS n_terms
+         |  FROM contrib GROUP BY doc_id),
+         |top80 AS (
+         |  SELECT doc_id, ROUND(score, 6) AS score, n_terms FROM agg
+         |  ORDER BY score DESC, doc_id LIMIT 80)
+         |SELECT doc_id AS id, score FROM top80 WHERE n_terms = 3
+         |ORDER BY score DESC, id LIMIT 20""".stripMargin),
 
     // ---- A15 build_context: base-uri grouping for the LLM context block.
     // Hits input is a deterministic <=24-row set so the cap is a no-op

@@ -113,6 +113,23 @@ class AskSpec extends SparkSpec {
     assert(txt.startsWith("AUDIT:") && txt.contains("frame=6"))
   }
 
+  test("ask_citations oracle precondition: 4-term AND rungs are dry on testdata") {
+    // the ask_citations DuckDB oracle replays only the OR + vector lists;
+    // that is exact only while the primary (all-terms) and expanded
+    // (plural-variant) rungs match nothing on the documents corpus
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val tl = lower(col("text"))
+    val terms = Seq("spark", "joins", "merge", "batches")
+    assert(docs.filter(terms.map(tl.contains(_)).reduce(_ && _)).count() == 0,
+      "primary AND rung matched — ask_citations oracle must add it")
+    val expanded = Seq(Seq("spark", "sparks"), Seq("joins", "join"),
+      Seq("merge", "merges"), Seq("batches", "batche"))
+    assert(docs.filter(expanded.map(g => g.map(tl.contains(_)).reduce(_ || _))
+        .reduce(_ && _)).count() == 0,
+      "expanded rung matched — ask_citations oracle must add it")
+  }
+
   test("hash embedder is deterministic and normalized") {
     val e = new HashEmbedder(32)
     val a = e.embed("hello world")

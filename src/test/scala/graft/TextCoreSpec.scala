@@ -162,4 +162,17 @@ class TextCoreSpec extends SparkSpec {
     assert(joined.count() == 200)
     assert(joined.filter(col("simhash") =!= col("sim_old")).count() == 0)
   }
+
+  test("search_bm25_engine oracle precondition: corpus is stem-invariant for query terms") {
+    // the gate's DuckDB oracle replays BM25 unstemmed; exact only while
+    // (a) the query terms are Porter fixed points and (b) no corpus token
+    // stems INTO them except itself
+    val qTerms = Set("spark", "join", "window")
+    assert(qTerms.forall(t => graft.text.Porter.stem(t) == t))
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(F.tokens(col("text"))).as("t")).distinct()
+      .collect().map(_.getString(0))
+    val intruders = vocab.filter(t => !qTerms.contains(t) && qTerms.contains(graft.text.Porter.stem(t)))
+    assert(intruders.isEmpty, s"tokens stem into query terms: ${intruders.mkString(",")}")
+  }
 }
