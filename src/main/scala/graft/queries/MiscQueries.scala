@@ -67,14 +67,17 @@ object MiscQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
-    // ---- A13 embedding quality: sampled pairwise-similarity stats ----
+    // ---- A13 embedding quality: sampled pairwise-similarity stats.
+    // The vec_id < 1000 bound caps each side at ≤100 rows, so the pair
+    // count is O(1) in corpus size (≤10k pairs at ANY scale) — a pure
+    // scan predicate, pushed to parquet, no sort or shuffle to sample. ----
     "vec_embedding_quality" -> QueryDef.sql(
       (s, d) => {
         F.ensureRegistered(s)
         val emb = Tables.embeddings(s, d)
-        val a = emb.filter(col("vec_id") % 10 === 0)
+        val a = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
           .select(col("vec_id").as("ia"), col("embedding").as("ea"))
-        val b = emb.filter(col("vec_id") % 10 === 5)
+        val b = emb.filter(col("vec_id") % 10 === 5 && col("vec_id") < 1000)
           .select(col("vec_id").as("ib"), col("embedding").as("eb"))
         a.crossJoin(b).filter(col("ia") < col("ib"))
           .withColumn("cos", F.cosineSim(col("ea"), col("eb")))
@@ -88,9 +91,9 @@ object MiscQueries {
               .otherwise(lit("collapsed")))
       },
       s"""WITH a AS (SELECT vec_id AS ia, CAST(embedding AS DOUBLE[]) AS ea
-         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |           FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 1000),
          |b AS (SELECT vec_id AS ib, CAST(embedding AS DOUBLE[]) AS eb
-         |      FROM embeddings WHERE vec_id % 10 = 5),
+         |      FROM embeddings WHERE vec_id % 10 = 5 AND vec_id < 1000),
          |pairs AS (SELECT ia, ib, ${duckCos("ea", "eb")} AS cos
          |          FROM a, b WHERE ia < ib)
          |SELECT COUNT(*) AS n_pairs,

@@ -29,6 +29,42 @@ object VectorQueries {
   private val qVec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
   private val e = "CAST(embedding AS DOUBLE[])"
 
+  // -- PQ gate fixtures: deterministic, data-independent training sample +
+  // query so the trained model is a pure function of code (inlinable) --
+  private lazy val Pq = new graft.vector.ProductQuantizer(numSubspaces = 8, numCentroids = 16)
+  private lazy val PqModel = {
+    val emb = new graft.ask.HashEmbedder(64)
+    Pq.train(Array.tabulate(256)(i => emb.embed(s"pq train vector $i")))
+  }
+  private lazy val PqQuery = new graft.ask.HashEmbedder(64).embed("pq probe query")
+
+  // NOTE the explicit DOUBLE cast: DuckDB types a bare 17-digit numeric
+  // literal as DECIMAL, and decimal accumulation rounds differently than
+  // IEEE double — 1-ULP drift vs the engine without the cast
+  private def dlist(xs: Iterable[Double]): String =
+    xs.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  private def pqOracle: String = {
+    val sub = PqModel.subDim // 8
+    val l2sq = (c: String, v: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($c, $v), p -> (p[1]-p[2])*(p[1]-p[2]))), (x,y)->x+y)"
+    // per-subspace: centroid literal list, distance list, 1-based argmin code
+    val codeExprs = (0 until Pq.numSubspaces).map { s =>
+      val cb = PqModel.codebooks(s).map(c => dlist(c.map(_.toDouble))).mkString("[", ", ", "]")
+      val slice = s"v[${s * sub + 1}:${(s + 1) * sub}]"
+      s"array_position(list_transform($cb, c -> ${l2sq("c", slice)}), " +
+        s"list_min(list_transform($cb, c -> ${l2sq("c", slice)})))"
+    }
+    val table = Pq.distanceTable(PqQuery, PqModel)
+    val distSum = table.indices.map(s => s"${dlist(table(s))}[c$s]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, ${codeExprs.zipWithIndex.map { case (x, s) => s"$x AS c$s" }.mkString(", ")}
+       |  FROM e)
+       |SELECT vec_id, sqrt($distSum) AS pq_dist
+       |FROM codes ORDER BY pq_dist, vec_id LIMIT 15""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- A4 brute-force cosine top-k ----
@@ -161,6 +197,20 @@ object VectorQueries {
          |             JOIN emb eb ON p.vec_b = eb.vec_id
          |WHERE ROUND(${duckCos("ea.v", "eb.v")}, 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // ---- A5 product quantization end-to-end: train on a DETERMINISTIC
+    // synthetic sample (HashEmbedder strings — data-independent, so the
+    // seeded codebooks + query distance table inline into static oracle
+    // SQL), then distributed encode + asymmetric-distance top-k over the
+    // real embeddings. The oracle replays subspace argmin encode and the
+    // table-lookup distance sum in double precision (kernels accumulate
+    // float→double per element to bit-match). ----
+    "vec_pq_search" -> QueryDef.sql(
+      (s, d) => {
+        val enc = Pq.encode(Tables.embeddings(s, d), "embedding", PqModel)
+        Pq.search(enc, "vec_id", PqQuery, PqModel, k = 15)
+      },
+      pqOracle),
 
     // ---- A13 embedding quality stats per label ----
     "vec_norm_stats" -> QueryDef.sql(

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * vectors, which is the point.
   */
 final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 16,
-                             iters: Int = 10, seed: Long = 42L) {
+                             iters: Int = 10, seed: Long = 42L) extends Serializable {
 
   final case class Model(dim: Int, codebooks: Array[Array[Array[Float]]]) {
     def subDim: Int = dim / numSubspaces
@@ -56,11 +56,16 @@ final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 
     Model(dim, codebooks)
   }
 
+  // distances accumulate in DOUBLE (floats widened per element, not
+  // float-multiplied first) so a DuckDB double replay bit-matches the
+  // encode argmin and the asymmetric table
   private def nearest(cents: Array[Array[Float]], p: Array[Float]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cents.length) {
       var d = 0.0; var j = 0
-      while (j < p.length) { val t = cents(c)(j) - p(j); d += t * t; j += 1 }
+      while (j < p.length) {
+        val t = cents(c)(j).toDouble - p(j).toDouble; d += t * t; j += 1
+      }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -80,16 +85,23 @@ final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 
     df.withColumn("pq_codes", enc(col(vecCol)))
   }
 
-  /** asymmetric distance: exact query vs quantized base (vec_pq.rs:201) */
-  def asymmetricDistance(query: Array[Float], model: Model): Column => Column = {
-    val table: Array[Array[Double]] = Array.tabulate(numSubspaces) { s =>
+  /** the (M × K) query-to-centroid distance table — public so the DuckDB
+    * oracle replay can inline the exact same doubles */
+  def distanceTable(query: Array[Float], model: Model): Array[Array[Double]] =
+    Array.tabulate(numSubspaces) { s =>
       val q = query.slice(s * model.subDim, (s + 1) * model.subDim)
       model.codebooks(s).map { c =>
         var d = 0.0; var j = 0
-        while (j < q.length) { val t = c(j) - q(j); d += t * t; j += 1 }
+        while (j < q.length) {
+          val t = c(j).toDouble - q(j).toDouble; d += t * t; j += 1
+        }
         d
       }
     }
+
+  /** asymmetric distance: exact query vs quantized base (vec_pq.rs:201) */
+  def asymmetricDistance(query: Array[Float], model: Model): Column => Column = {
+    val table = distanceTable(query, model)
     val scoreUdf = udf { (codes: Seq[Int]) =>
       var s = 0; var d = 0.0
       while (s < codes.length) { d += table(s)(codes(s)); s += 1 }
