@@ -432,6 +432,127 @@ object Pdf {
     sb.toString
   }
 
+  // ---------- content-stream geometry (lattice-mode table inputs) ----------
+
+  /** positioned text run: (x, y) is the device-space origin of the show op
+    * (reference TextBox, table/layout.rs:10) */
+  final case class TextBox(x: Double, y: Double, text: String)
+  /** straight path segment in device space (table/layout.rs:64) */
+  final case class Seg(x0: Double, y0: Double, x1: Double, y1: Double) {
+    def length: Double = math.hypot(x1 - x0, y1 - y0)
+    def isHorizontal(tol: Double): Boolean = math.abs(y1 - y0) <= tol
+    def isVertical(tol: Double): Boolean = math.abs(x1 - x0) <= tol
+    def y: Double = (y0 + y1) / 2
+    def x: Double = (x0 + x1) / 2
+  }
+  final case class PageLayout(boxes: Seq[TextBox], segs: Seq[Seg])
+
+  /** Geometry-aware pass over one page's content stream: painted path
+    * segments (m/l/re/h + S/f/B families, through q/Q and cm) and text-run
+    * origins (BT/Tm/Td/TD/T* line matrix, through the CTM). Curves keep
+    * only their endpoints — grid rules are straight. This feeds lattice
+    * table detection (reference table/layout.rs:111 PageLayout build). */
+  def layout(content: Array[Byte]): PageLayout = {
+    val s = new String(content, ISO_8859_1)
+    val lex = new Lexer(content)
+    val boxes = mutable.ArrayBuffer.empty[TextBox]
+    val pending = mutable.ArrayBuffer.empty[Seg]
+    val segs = mutable.ArrayBuffer.empty[Seg]
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val ctmStack = mutable.ArrayBuffer.empty[Array[Double]]
+    // text state: line matrix (a b c d e f), leading
+    var tlm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    var leading = 0.0
+    def mul(m2: Array[Double], m1: Array[Double]): Array[Double] = Array(
+      m2(0) * m1(0) + m2(1) * m1(2), m2(0) * m1(1) + m2(1) * m1(3),
+      m2(2) * m1(0) + m2(3) * m1(2), m2(2) * m1(1) + m2(3) * m1(3),
+      m2(4) * m1(0) + m2(5) * m1(2) + m1(4), m2(4) * m1(1) + m2(5) * m1(3) + m1(5))
+    def dev(x: Double, y: Double): (Double, Double) =
+      (x * ctm(0) + y * ctm(2) + ctm(4), x * ctm(1) + y * ctm(3) + ctm(5))
+    var cur = (0.0, 0.0)
+    var subStart = (0.0, 0.0)
+    def lineTo(p: (Double, Double)): Unit = { pending += Seg(cur._1, cur._2, p._1, p._2); cur = p }
+    def commit(close: Boolean): Unit = {
+      if (close && cur != subStart) lineTo(subStart)
+      segs ++= pending; pending.clear()
+    }
+    def nums(st: Seq[PObj], n: Int): Option[Seq[Double]] = {
+      val t = st.takeRight(n).collect { case PNum(v) => v }
+      if (t.length == n) Some(t) else None
+    }
+    def textOrigin(): (Double, Double) =
+      (tlm(4) * ctm(0) + tlm(5) * ctm(2) + ctm(4),
+       tlm(4) * ctm(1) + tlm(5) * ctm(3) + ctm(5))
+    def show(str: String): Unit =
+      if (str.nonEmpty) { val (x, y) = textOrigin(); boxes += TextBox(x, y, str) }
+    def td(tx: Double, ty: Double): Unit =
+      tlm = mul(Array(1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
+    val stack = mutable.ArrayBuffer.empty[PObj]
+    var tok = lex.next()
+    while (!(tok == PNull && lex.pos >= lex.end)) {
+      tok match {
+        case POp("BI") =>
+          val e = s.indexOf("EI", lex.pos)
+          lex.pos = if (e < 0) lex.end else e + 2
+          stack.clear()
+        case POp(op) =>
+          op match {
+            case "q" => ctmStack += ctm.clone()
+            case "Q" => if (ctmStack.nonEmpty) { ctm = ctmStack.last; ctmStack.remove(ctmStack.length - 1) }
+            case "cm" => nums(stack.toSeq, 6).foreach(a => ctm = mul(a.toArray, ctm))
+            case "m" => nums(stack.toSeq, 2).foreach { a =>
+              cur = dev(a(0), a(1)); subStart = cur }
+            case "l" => nums(stack.toSeq, 2).foreach(a => lineTo(dev(a(0), a(1))))
+            case "re" => nums(stack.toSeq, 4).foreach { a =>
+              val Seq(x, y, w, h) = a
+              val p0 = dev(x, y); val p1 = dev(x + w, y)
+              val p2 = dev(x + w, y + h); val p3 = dev(x, y + h)
+              pending += Seg(p0._1, p0._2, p1._1, p1._2)
+              pending += Seg(p1._1, p1._2, p2._1, p2._2)
+              pending += Seg(p2._1, p2._2, p3._1, p3._2)
+              pending += Seg(p3._1, p3._2, p0._1, p0._2)
+              cur = p0; subStart = p0
+            }
+            case "c" => nums(stack.toSeq, 6).foreach(a => lineTo(dev(a(4), a(5))))
+            case "v" | "y" => nums(stack.toSeq, 4).foreach(a => lineTo(dev(a(2), a(3))))
+            case "h" => if (cur != subStart) lineTo(subStart)
+            case "S" | "f" | "F" | "f*" | "B" | "B*" => commit(close = false)
+            case "s" | "b" | "b*" => commit(close = true)
+            case "n" => pending.clear()
+            case "BT" => tlm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0); leading = 0.0
+            case "TL" => nums(stack.toSeq, 1).foreach(a => leading = a(0))
+            case "Td" => nums(stack.toSeq, 2).foreach(a => td(a(0), a(1)))
+            case "TD" => nums(stack.toSeq, 2).foreach { a => leading = -a(1); td(a(0), a(1)) }
+            case "Tm" => nums(stack.toSeq, 6).foreach(a => tlm = a.toArray)
+            case "T*" => td(0, -leading)
+            case "Tj" => stack.lastOption.collect { case PStr(b) => show(decodeString(b)) }
+            case "'" => td(0, -leading)
+              stack.lastOption.collect { case PStr(b) => show(decodeString(b)) }
+            case "\"" => td(0, -leading)
+              stack.lastOption.collect { case PStr(b) => show(decodeString(b)) }
+            case "TJ" => stack.lastOption.collect { case PArr(items) =>
+              val sb = new StringBuilder
+              items.foreach {
+                case PStr(b) => sb.append(decodeString(b))
+                case PNum(v) if v < KernSpace =>
+                  if (sb.nonEmpty && sb.last != ' ') sb.append(' ')
+                case _ => ()
+              }
+              show(sb.toString)
+            }
+            case _ => ()
+          }
+          stack.clear()
+        case v => stack += v
+      }
+      tok = lex.next()
+    }
+    PageLayout(boxes.toSeq, segs.toSeq)
+  }
+
+  /** per-page layouts, page-tree order (lattice extraction entry) */
+  def pageLayouts(doc: Doc): Seq[PageLayout] = pageStreams(doc).map(layout)
+
   /** /Info → /Title from the newest trailer; direct dict or resolved ref */
   def title(doc: Doc): Option[String] =
     doc.trailers.reverseIterator.flatMap { t =>

@@ -153,6 +153,36 @@ object MiscQueries {
         |SELECT r_regionkey * 1048576, 0, 1, r_name FROM region
         |ORDER BY tableId, rowIdx, colIdx""".stripMargin),
 
+    // ---- S7 lattice-mode PDF table extraction + multi-page merge: a
+    // deterministic two-page ruled-grid PDF is synthesized from the region
+    // dim (PdfGen), page 2 repeats the header; the extractor must detect
+    // the grids from painted line segments, merge the continuation, and
+    // yield ONE table whose cells replay from region. tableId encodes the
+    // lattice detector tag: 7<<20 | 2<<16 | 0 = 7471104. ----
+    "table_extract_lattice" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val regions = Tables.region(s, d)
+          .select(col("r_regionkey").cast("long"), col("r_name"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val header = Seq("key", "name")
+        val rows = regions.map { case (k, n) => Seq(k.toString, n) }.toSeq
+        val bytes = graft.tables.PdfGen.pdf(Seq(
+          graft.tables.PdfGen.gridPage(header, rows.take(3)),
+          graft.tables.PdfGen.gridPage(header, rows.drop(3))))
+        val tables = ExtractedTables.fromPdf(7L, bytes)
+        ExtractedTables.cells(tables.toDF())
+          .orderBy(col("tableId"), col("rowIdx"), col("colIdx"))
+      },
+      """SELECT CAST(7471104 AS BIGINT) AS tableId,
+        |       CAST(r_regionkey AS INTEGER) AS rowIdx, 0 AS colIdx,
+        |       CAST(r_regionkey AS VARCHAR) AS text
+        |FROM region
+        |UNION ALL
+        |SELECT CAST(7471104 AS BIGINT), CAST(r_regionkey AS INTEGER), 1, r_name
+        |FROM region
+        |ORDER BY tableId, rowIdx, colIdx""".stripMargin),
+
     // ---- F9 ACL: audit-mode annotation with longest-prefix rules ----
     "acl_audit" -> QueryDef.sql(
       (s, d) => {

@@ -137,7 +137,8 @@ class PdfSpec extends AnyFunSuite {
     assert(tables.size == 1)
     assert(tables.head.headers == Seq("name", "qty"))
     assert(tables.head.rows == Seq(Seq("apples", "12"), Seq("pears", "7")))
-    assert(tables.head.tableId == (7L << 20))
+    // stream-mode detector tag (1) lives in bits 16-19
+    assert(tables.head.tableId == ((7L << 20) | (1L << 16)))
   }
 
   test("no catalog: falls back to any BT-bearing stream in object order") {
@@ -145,5 +146,67 @@ class PdfSpec extends AnyFunSuite {
       2 -> stream("", "BT (second) Tj ET".getBytes(ISO_8859_1)),
       1 -> stream("", "BT (first) Tj ET".getBytes(ISO_8859_1)))()
     assert(Pdf.pdfText(bytes).text == "first\n\nsecond")
+  }
+
+  test("layout: painted m/l/re segments and positioned text through cm/q/Q") {
+    val content =
+      """0.5 w
+        |72 700 m 300 700 l S
+        |q 2 0 0 2 10 20 cm 10 10 40 30 re S Q
+        |50 50 m 60 60 l n
+        |BT 1 0 0 1 100 650 Tm (cell) Tj ET
+        |BT 1 0 0 1 0 0 Tm 20 640 Td (moved) Tj T* ET""".stripMargin
+    val l = graft.ingest.Pdf.layout(content.getBytes(ISO_8859_1))
+    // h-line at y=700; rectangle edges scaled by cm (x:30..110, y:40..100)
+    assert(l.segs.exists(s2 => s2.isHorizontal(1) && s2.y == 700.0 && s2.length == 228.0))
+    assert(l.segs.exists(s2 => s2.isVertical(1) && math.abs(s2.x - 30.0) < 1e-9))
+    assert(l.segs.exists(s2 => s2.isHorizontal(1) && math.abs(s2.y - 100.0) < 1e-9))
+    // the n-discarded path must not appear
+    assert(!l.segs.exists(s2 => s2.x0 == 50.0 && s2.y0 == 50.0))
+    assert(l.boxes.contains(graft.ingest.Pdf.TextBox(100.0, 650.0, "cell")))
+    assert(l.boxes.contains(graft.ingest.Pdf.TextBox(20.0, 640.0, "moved")))
+  }
+
+  test("lattice: ruled grid detected, cells assigned, header split off") {
+    val page = graft.tables.PdfGen.gridPage(Seq("h1", "h2"), Seq(Seq("a", "b"), Seq("c", "d")))
+    val bytes = graft.tables.PdfGen.pdf(Seq(page))
+    val tabs = graft.tables.ExtractedTables.fromPdf(9L, bytes)
+    assert(tabs.length == 1)
+    val t = tabs.head
+    assert(t.tableId == ((9L << 20) | (2L << 16)), "lattice detector tag expected")
+    assert(t.headers == Seq("h1", "h2"))
+    assert(t.rows == Seq(Seq("a", "b"), Seq("c", "d")))
+  }
+
+  test("lattice: continuation page with repeated header merges into one table") {
+    val bytes = graft.tables.PdfGen.pdf(Seq(
+      graft.tables.PdfGen.gridPage(Seq("k", "v"), Seq(Seq("1", "x"), Seq("2", "y"))),
+      graft.tables.PdfGen.gridPage(Seq("k", "v"), Seq(Seq("3", "z")))))
+    val tabs = graft.tables.ExtractedTables.fromPdf(9L, bytes)
+    assert(tabs.length == 1, s"expected one merged table, got ${tabs.map(_.rows)}")
+    assert(tabs.head.rows == Seq(Seq("1", "x"), Seq("2", "y"), Seq("3", "z")))
+  }
+
+  test("lattice: dissimilar headers do NOT merge; unruled page falls to stream mode") {
+    val bytes = graft.tables.PdfGen.pdf(Seq(
+      graft.tables.PdfGen.gridPage(Seq("name", "city"), Seq(Seq("ann", "rome"), Seq("bo", "oslo"))),
+      graft.tables.PdfGen.gridPage(Seq("sku", "qty"), Seq(Seq("p1", "4"), Seq("p2", "7")))))
+    val tabs = graft.tables.ExtractedTables.fromPdf(9L, bytes)
+    assert(tabs.length == 2)
+    assert(tabs.map(_.headers) == Seq(Seq("name", "city"), Seq("sku", "qty")))
+    // a page with no ruling still yields stream-mode tables (distinct tag)
+    val streamPage = "BT 1 0 0 1 72 700 Tm (alpha) Tj ET\n" +
+      "BT 1 0 0 1 72 700 Td (alpha) Tj 200 0 Td (beta) Tj ET"
+    val mixed = graft.tables.PdfGen.pdf(Seq(streamPage))
+    val streamTabs = graft.tables.ExtractedTables.fromPdf(9L, mixed)
+    assert(streamTabs.forall(t => ((t.tableId >> 16) & 0xf) == 1L))
+  }
+
+  test("header similarity: exact, partial containment, arity mismatch") {
+    import graft.tables.ExtractedTables.headerSimilarity
+    assert(headerSimilarity(Seq("Key", "Name"), Seq("key ", "name")) == 1.0)
+    assert(headerSimilarity(Seq("key", "name"), Seq("key", "first name")) == 0.75)
+    assert(headerSimilarity(Seq("key", "name"), Seq("key")) == 0.0)
+    assert(headerSimilarity(Seq("a", "b"), Seq("x", "y")) == 0.0)
   }
 }
