@@ -32,6 +32,10 @@ object LogicMesh {
     */
   def follow(edges: DataFrame, start: DataFrame, linkType: Option[String],
              hops: Int, materializeAboveHops: Int = 2): DataFrame = {
+    // 'up to hops' semantics: zero hops reaches nothing beyond the start
+    // set (which is always excluded), so the result is empty — guard here
+    // because the lazy path's layer reduce would otherwise throw on empty
+    if (hops <= 0) return start.select(col("id")).limit(0)
     val lazyMode = hops <= materializeAboveHops
     val typed0 = linkType.map(t => edges.filter(col("linkType") === t)).getOrElse(edges)
       .select(col("src"), col("dst"))

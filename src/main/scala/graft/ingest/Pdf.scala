@@ -215,12 +215,11 @@ object Pdf {
         val n = inf.inflate(buf)
         if (n == 0 && !inf.finished()) return Some(out.toByteArray) // truncated input
         if (out.size.toLong + n > MaxStreamBytes)
-          throw new IllegalArgumentException(s"pdf stream exceeds $MaxStreamBytes bytes")
+          return None // zip-bomb bound: skip this stream, keep the document
         out.write(buf, 0, n)
       }
       Some(out.toByteArray)
     } catch {
-      case e: IllegalArgumentException => throw e
       case _: Exception => None // corrupt deflate data: skip this stream
     } finally inf.end()
   }
@@ -253,7 +252,11 @@ object Pdf {
     val objects = mutable.Map.empty[Int, PObj]
     val rawStreams = mutable.Map.empty[Int, (PDict, Array[Byte])]
     val objRe = "(?<![0-9])([0-9]+)\\s+([0-9]+)\\s+obj\\b".r
-    for (m <- objRe.findAllMatchIn(s)) {
+    // matches whose start lies inside an already-captured stream payload
+    // are binary noise, not objects — with last-definition-wins they could
+    // overwrite a real object (e.g. a page dict), so skip past payloads
+    var coveredUntil = 0
+    for (m <- objRe.findAllMatchIn(s)) if (m.start >= coveredUntil) {
       val num = m.group(1).toInt
       val lex = new Lexer(bytes, m.end)
       val value = lex.next()
@@ -278,7 +281,10 @@ object Pdf {
             q
           }
         }
-        if (dataEnd > p) rawStreams(num) = (dict, java.util.Arrays.copyOfRange(bytes, p, dataEnd))
+        if (dataEnd > p) {
+          rawStreams(num) = (dict, java.util.Arrays.copyOfRange(bytes, p, dataEnd))
+          coveredUntil = dataEnd
+        }
       }
     }
     val trailers = "trailer\\b".r.findAllMatchIn(s).flatMap { t =>

@@ -100,9 +100,15 @@ object MemoryGraphQueries {
           .distinct()
           .select(concat(lit("c"), $"ck").as("src"),
                   concat(lit("s"), $"sk").as("dst"))
+        // persist the symmetric edge table: both hops (and both sides of
+        // the union) read it from cache instead of rebuilding the
+        // orders⨝lineitem+distinct subtree per occurrence — halves the
+        // slowest bench query; at scale this is the adjacency prebuild
+        // the reference does once per mesh (logic_mesh.rs:427-442)
         val edges = edgesCS.unionByName(
             edgesCS.select(col("dst").as("src"), col("src").as("dst")))
           .withColumn("linkType", lit("ordered_from"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val start = Seq("c1").toDF("id")
         LogicMesh.follow(edges, start, Some("ordered_from"), hops = 2)
           .filter($"id".startsWith("c"))
