@@ -99,7 +99,7 @@ object Readers {
     "csv" -> csv,
     "pdf" -> (Pdf.pdfText _),
     "docx" -> (Ooxml.docxText _), "xlsx" -> (Ooxml.xlsxText _),
-    "pptx" -> (Ooxml.pptxText _))
+    "pptx" -> (Ooxml.pptxText _), "xls" -> (Xls.xlsText _))
 
   def findReader(filenameOrExt: String): Option[Reader] = {
     val ext = filenameOrExt.split('.').last.toLowerCase
@@ -112,6 +112,9 @@ object Readers {
         bytes(2) == 'D' && bytes(3) == 'F') Pdf.pdfText _
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == 'K')
       Ooxml.sniffOoxml(bytes).getOrElse(unsupported("ooxml"))
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+             (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0)
+      Xls.xlsText _ // CFB container: legacy office, XLS is the one we read
     else if (utf8(bytes.take(256)).toLowerCase.contains("<html")) html
     else plaintext
   }
