@@ -59,4 +59,45 @@ object TextRepair {
   def dictionaryFromCorpus(tokenCounts: Map[String, Long],
                            minCount: Long = 2): Set[String] =
     tokenCounts.collect { case (t, c) if c >= minCount && t.length >= 4 => t }.toSet
+
+  /** SymSpell-backed fragment pre-join (symspell_cleanup.rs:112-210):
+    * merge adjacent fragments when the concatenation is a dictionary word
+    * (or within edit distance 1 of one) and the fragments are not words */
+  def prejoinFragments(text: String, sym: SymSpell, maxParts: Int = 3): String = {
+    val parts = text.split(" ", -1)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    def bare(w: String) = w.toLowerCase.filter(_.isLetter)
+    while (i < parts.length) {
+      var merged: Option[(String, Int)] = None
+      var n = maxParts
+      while (n >= 2 && merged.isEmpty) {
+        if (i + n <= parts.length) {
+          val frag = parts.slice(i, i + n)
+          val joined = frag.map(bare).mkString
+          val known = joined.nonEmpty &&
+            (sym.contains(joined) ||
+             sym.lookup(joined, 1).headOption.exists(_.distance <= 1))
+          if (known && frag.forall(f => bare(f).nonEmpty && !sym.contains(bare(f))))
+            merged = Some((sym.lookup(joined, 1).headOption
+              .map(_.term).getOrElse(joined), n))
+        }
+        n -= 1
+      }
+      merged match {
+        case Some((w, k)) => out += w; i += k
+        case None => out += parts(i); i += 1
+      }
+    }
+    out.mkString(" ")
+  }
+
+  /** the reference's full PDF cleanup ladder (fix_pdf_text_symspell,
+    * symspell_cleanup.rs:234-321): per line, pre-join split fragments,
+    * then per-token compound correction (typos + joined-word splits). */
+  def fixPdfText(text: String, sym: SymSpell = SymSpell.builtin(),
+                 maxEditDistance: Int = 2): String =
+    text.split("\n", -1)
+      .map(line => sym.lookupCompound(prejoinFragments(line, sym), maxEditDistance))
+      .mkString("\n")
 }
