@@ -31,8 +31,9 @@ object AdaptiveCutoff {
     strategy match {
       case Absolute(min) => ranked.filter(col(scoreCol) >= min)
       case Relative(ratio) =>
-        ranked.withColumn("__best", max(col(scoreCol)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        // 1-row max aggregate broadcast back — same rows as the windowed
+        // max, but no single-partition WindowExec in the plan
+        ranked.crossJoin(broadcast(ranked.agg(max(col(scoreCol)).as("__best"))))
           .filter(col(scoreCol) >= col("__best") * ratio)
           .drop("__best")
       case Cliff(maxDrop) =>
