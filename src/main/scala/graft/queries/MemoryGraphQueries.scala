@@ -138,6 +138,34 @@ object MemoryGraphQueries {
         |WHERE contains(o_orderpriority, 'URGENT')
         |GROUP BY entity ORDER BY entity""".stripMargin),
 
+    // ---- J7 entity enrichment: hits gain the entities whose frame lists
+    // contain the hit's frame id (mesh.rs:181). The entities array is
+    // exploded back to rows so every cell is oracle-hashable (the driver's
+    // pandas comparator cannot hash array cells). ----
+    "graph_enrich_hits" -> QueryDef.sql(
+      (s, d) => {
+        val nodes = Tables.events(s, d)
+          .groupBy(concat(lit("user:"), col("user_id")).as("canonicalName"))
+          .agg(collect_set(pmod(col("event_id"), lit(500))).as("frameIds"))
+          .withColumn("kind", lit("person"))
+        val hits = Tables.documents(s, d)
+          .select(col("doc_id").as("frameId"), col("source"))
+        LogicMesh.enrichHits(hits, nodes)
+          .select(col("frameId"), col("source"),
+            explode(col("entities")).as("ent"))
+          .select(col("frameId"), col("source"),
+            col("ent.canonicalName").as("canonicalName"),
+            col("ent.kind").as("kind"))
+          .orderBy(col("frameId"), col("canonicalName").asc_nulls_first)
+      },
+      """SELECT d.doc_id AS frameId, d.source,
+        |       'user:' || e.user_id AS canonicalName,
+        |       CASE WHEN e.user_id IS NULL THEN NULL ELSE 'person' END AS kind
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT user_id, event_id % 500 AS fid FROM events) e
+        |  ON e.fid = d.doc_id
+        |ORDER BY frameId, canonicalName NULLS FIRST""".stripMargin),
+
     // ---- X7/F6 NL temporal filter: the normalizer's resolved bounds
     // drive the scan predicate (plan-time resolution, like the reference's
     // TemporalFilter → UTC window at src/analysis/temporal.rs:92-793);

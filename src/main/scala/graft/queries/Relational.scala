@@ -296,6 +296,33 @@ object Relational {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
 
+    // ---- SURVEY §4 bucketing, end-to-end: both sides written bucketed
+    // on the join key, joined WITHOUT a shuffle (the 0-exchange SMJ plan
+    // is locked in BucketingSpec), and the result must hash-match the
+    // oracle's plain unbucketed join — bucketing may only move the
+    // shuffle to write time, never change a value. ----
+    "ops_bucketed_join" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select($"user_id", $"event_id", $"value")
+        val perUser = Tables.events(s, d)
+          .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+        graft.ops.Bucketing.writeBucketed(ev, "graft_ev_bucketed", 8, Seq("user_id"))
+        graft.ops.Bucketing.writeBucketed(perUser, "graft_users_bucketed", 8, Seq("user_id"))
+        graft.ops.Bucketing
+          .colocatedJoin(s, "graft_ev_bucketed", "graft_users_bucketed", Seq("user_id"))
+          .groupBy($"user_id", $"n_events")
+          .agg(sum(e4(dec($"value"))).as("value_e4"), count(lit(1)).as("n_rows"))
+          .orderBy($"user_id")
+      },
+      """WITH per_user AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT e.user_id, p.n_events,
+        |  CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4,
+        |  COUNT(*) AS n_rows
+        |FROM events e JOIN per_user p USING (user_id)
+        |GROUP BY e.user_id, p.n_events ORDER BY user_id""".stripMargin),
+
     // ---- A17 multi-level aggregation: ROLLUP + grouping_id. NULLS FIRST
     // ordering is pinned on both sides (Spark defaults nulls-first asc,
     // DuckDB nulls-last). ----
