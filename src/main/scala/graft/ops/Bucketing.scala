@@ -16,15 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** write `df` as a parquet bucketed+sorted managed table */
+  /** write `df` as a parquet bucketed+sorted managed table. A leftover
+    * warehouse directory from a PREVIOUS session's metastore (fresh derby,
+    * old spark-warehouse) fails CREATE with LOCATION_ALREADY_EXISTS even
+    * under overwrite — drop both the catalog entry and the stale location
+    * first so the write is idempotent across JVMs. */
   def writeBucketed(df: DataFrame, tableName: String, nBuckets: Int,
-                    keys: Seq[String]): Unit =
+                    keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** equi-join of two bucketed tables on their bucket keys — plans as a
     * shuffle-free sort-merge join when bucket specs match */
