@@ -11,5 +11,6 @@ object Registry {
     graft.queries.VectorQueries.defs ++
     graft.queries.DedupQueries.defs ++
     graft.queries.MemoryGraphQueries.defs ++
-    graft.queries.MiscQueries.defs
+    graft.queries.MiscQueries.defs ++
+    graft.queries.PipelineQueries.defs
 }

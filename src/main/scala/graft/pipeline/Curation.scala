@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: the dataset-assembly layer a large-scale
+  * pipeline runs *after* the reference's per-document analytics (quality,
+  * langid, dedup — SURVEY §2.8, `src/pii.rs`, `src/types/sketch_track.rs`)
+  * and *before* the data reaches a trainer. None of these exist in the
+  * reference (it is a single-store engine); they are the Spark-native
+  * extensions the 100 TB story needs:
+  *
+  *   - deterministic weighted mixture sampling across sources,
+  *   - balanced hash sharding for trainer fan-out,
+  *   - token-budget sequence packing (shard-local, no global sort),
+  *   - connected components over near-duplicate pairs (the union-find step
+  *     that turns pairwise LSH output into duplicate *clusters*),
+  *   - canonical-document election per cluster (keep-best semantics).
+  *
+  * Every operator is replayed hash-exactly by a DuckDB oracle
+  * (queries/PipelineQueries.scala): sampling uses a multiplicative integer
+  * hash both engines compute identically, packing is a window cumsum, and
+  * components are a fixed-point both sides can reach independently.
+  */
+object Curation {
+
+  /** Knuth multiplicative hash, kept inside BIGINT range so DuckDB replays
+    * it exactly: doc_id ≤ ~3.4e9 keeps id*2654435761 < 2^63. Uniform enough
+    * for sampling/sharding and — unlike xxhash/murmur — identical across
+    * engines, which is what makes the sample auditable. */
+  val KnuthMult = 2654435761L
+  val HashMod   = 1000000007L
+  def idHash(id: Column): Column = pmod(id * lit(KnuthMult), lit(HashMod))
+
+  /** Deterministic weighted mixture sampling: keep a row iff
+    * hash(id) mod 1e6 < round(weight(source) * 1e6). One narrow pass — the
+    * weights dim is broadcast, no shuffle, and the decision for a given id
+    * never changes across runs or cluster sizes (reproducible ablations).
+    * Thresholds are integerized on the driver: engines disagree on
+    * double→int cast semantics (truncate vs round), so no float ever
+    * reaches the per-row comparison.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+                    weights: Seq[(String, Double)],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.map { case (s, w) => (s, math.round(w * 1000000)) }
+      .toDF("__src", "__thr")
+    docs.join(broadcast(wdf), docs(sourceCol) === col("__src"), "left")
+      .withColumn("__thr",
+        coalesce(col("__thr"), lit(math.round(defaultWeight * 1000000))))
+      .filter(idHash(col(idCol)) % 1000000 < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
+  /** Balanced shard assignment for trainer fan-out: shard = hash(id) mod n.
+    * Narrow (no shuffle); writing `partitionBy("shard")` then gives each
+    * trainer worker a stable, additive slice of the corpus. */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame =
+    docs.withColumn("shard", (idHash(col(idCol)) % nShards).cast("int"))
+
+  /** Token-budget sequence packing, shard-local: within each shard (in id
+    * order) documents are laid head-to-tail and cut into bins of ~`budget`
+    * tokens; bin = floor(tokens-before-this-doc / budget). A document that
+    * straddles a boundary opens the next bin rather than splitting.
+    *
+    * The window is partitioned by shard — there is NO global sort: at 100 TB
+    * each shard packs independently (the whole point of sharding first).
+    */
+  def packGreedy(docs: DataFrame, idCol: String, tokCol: String,
+                 budget: Long, nShards: Int): DataFrame = {
+    val sharded = shardAssign(docs, idCol, nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    sharded
+      .withColumn("__cum", sum(col(tokCol)).over(w))
+      .withColumn("bin", floor((col("__cum") - col(tokCol)) / budget))
+      .drop("__cum")
+  }
+
+  /** Connected components by bounded min-label propagation over an
+    * undirected pair graph (`doc_a`, `doc_b` — e.g. LSH/SimHash near-dup
+    * pairs). Each iteration is one shuffle: labels flow along edges and
+    * every node takes the min label it can see; fixpoint = every node holds
+    * the min id of its component. Iteration count is the graph diameter —
+    * near-dup clusters are shallow (dozens of hops at worst), and the loop
+    * stops as soon as an iteration changes nothing (single scalar agg per
+    * round, no data collected to the driver).
+    *
+    * This is the step that turns pairwise dedup output into droppable
+    * clusters; the reference never needs it because its store dedups at
+    * ingest one document at a time (src/memvid/mutation.rs:3300).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    // localCheckpoint (not persist) each round: label propagation's plan
+    // doubles per iteration — lineage must be cut, not just cached, or the
+    // optimizer walks an exponentially growing tree. Old checkpoint blocks
+    // are dropped by the ContextCleaner once dereferenced.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = viaEdges.unionByName(labels)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Canonical-document election: given component labels and a quality
+    * ordering (longest content wins, ties to the smallest id), mark one
+    * keeper per duplicate cluster. Output: one row per clustered document
+    * with its component, the elected canonical id, and whether to drop it.
+    */
+  def electCanonical(labeled: DataFrame, idCol: String,
+                     qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    labeled
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("canonical_id", first(col(idCol)).over(
+        Window.partitionBy(col("component"))
+          .orderBy(col(qualityCol).desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("is_canonical", col("__rk") === 1)
+      .drop("__rk")
+  }
+}

@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val duckToks =
+  private[queries] val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
-  private def duckPoly(s: String) =
+  private[queries] def duckPoly(s: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex($s, ''), c -> CAST(unicode(c) AS BIGINT))), (h,c) -> (h*31+c) % 1000000007)"
   private val duckShingles =
     "list_distinct(list_transform(range(greatest(len(tk)-2, 0)), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"

@@ -1,0 +1,77 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixture sample is deterministic and respects per-source weights") {
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val weights = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val kept = Curation.mixtureSample(docs, "doc_id", "source", weights,
+      defaultWeight = 0.25)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 500)                  // weight 1.0 keeps all
+    assert(!bySrc.contains("src2"))               // weight 0.0 keeps none
+    assert(bySrc("src1") > 150 && bySrc("src1") < 350)   // ~0.5 of 500
+    assert(bySrc("src3") > 50 && bySrc("src3") < 200)    // default 0.25
+    // re-running yields the identical set (hash, not rand())
+    val again = Curation.mixtureSample(docs, "doc_id", "source", weights,
+      defaultWeight = 0.25).select("doc_id")
+    assert(kept.select("doc_id").except(again).isEmpty)
+  }
+
+  test("shard assignment is total, stable, and roughly balanced") {
+    val docs = (0L until 3200L).map(i => (i, i)).toDF("doc_id", "v")
+    val counts = Curation.shardAssign(docs, "doc_id", 32)
+      .groupBy("shard").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 32).toSet)
+    assert(counts.values.sum == 3200L)
+    assert(counts.values.max < 200L && counts.values.min > 40L)
+  }
+
+  test("greedy packing never exceeds budget by more than one document") {
+    val docs = (0L until 500L).map(i => (i, 50L + (i * 37) % 400)).toDF("doc_id", "tok")
+    val packed = Curation.packGreedy(docs, "doc_id", "tok", budget = 1000L, nShards = 4)
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("tok").as("tokens"), max("tok").as("max_tok"))
+      .collect()
+    bins.foreach { r =>
+      // a bin holds < budget before its last doc was added
+      assert(r.getAs[Long]("tokens") - r.getAs[Long]("max_tok") < 1000L)
+    }
+    // every document lands in exactly one (shard, bin)
+    assert(packed.count() == 500L)
+  }
+
+  test("connected components merges chains across pairs") {
+    // 1-2, 2-3 chain; 5-6 island; 9 untouched (not in any pair → absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comp = Curation.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+    assert(!comp.contains(9L))
+  }
+
+  test("connected components converges on a long chain (diameter > 2)") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Curation.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 13)
+    assert(comp.values.forall(_ == 0L))
+  }
+
+  test("canonical election keeps the longest doc, ties to smallest id") {
+    val labeled = Seq(
+      (1L, 1L, 100L), (2L, 1L, 300L), (3L, 1L, 300L), // 2 wins: longest, lower id
+      (5L, 5L, 10L), (6L, 5L, 5L)                     // 5 wins
+    ).toDF("doc_id", "component", "n_chars")
+    val elected = Curation.electCanonical(labeled, "doc_id", "n_chars").collect()
+    val canon = elected.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(canon.values.toSet == Set(2L, 5L))
+    assert(elected.count(_.getAs[Boolean]("is_canonical")) == 2)
+  }
+}
