@@ -105,6 +105,13 @@ object Curation {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Labels only ever decrease (min semilattice), so the label sum is a
+    // monotone potential: an unchanged sum proves a fixpoint. One cheap
+    // aggregate over the cached result per round — no convergence join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -114,11 +121,10 @@ object Curation {
       val next = viaEdges.unionByName(labels)
         .groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), "id")
-        .filter(col("component") =!= col("__old"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()

@@ -104,4 +104,27 @@ class PlanPropertiesSpec extends SparkSpec {
     val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(aggShuffles == 1, s"expected 1 grouping shuffle, got $aggShuffles")
   }
+
+  test("mixture sampling broadcasts the weights dim and filters pre-shuffle") {
+    val sampled = graft.pipeline.Curation.mixtureSample(
+      Tables.documents(spark, sfDir), "doc_id", "source",
+      Seq("src0" -> 0.5, "src1" -> 1.0))
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "weights dim must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the sampling decision must be narrow — no data-sized shuffle")
+  }
+
+  test("sequence packing windows are shard-partitioned, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tok", org.apache.spark.sql.functions.ceil(
+        org.apache.spark.sql.functions.col("n_chars") / 4.0).cast("long"))
+    val packed = graft.pipeline.Curation.packGreedy(
+      docs, "doc_id", "tok", budget = 2048L, nShards = 8)
+    val global = packed.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "packing cumsum must partition by shard")
+  }
 }
