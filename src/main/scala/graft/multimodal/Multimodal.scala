@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * the Spark-native counterpart of the reference's CLIP/Whisper sources
   * (src/clip.rs:895 encode_image, src/whisper.rs:700 transcribe_file).
   *
-  * The decode/model step is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries — SURVEY §7.3 non-goals); the
-  * Spark-side plumbing is real: schema, mapPartitions batch shape,
-  * per-partition model-load amortization, and partitioning are exactly
-  * what an ONNX runtime stage needs at 100 TB.
+  * This file keeps the simple deterministic stand-ins; MediaInference.scala
+  * carries the model-shaped stages: REAL WAV parsing + log-mel featurization
+  * (Wav.scala, MelSpectrogram.scala — pure JDK) feeding a reflection-guarded
+  * Whisper-style session, and a guarded CLIP-style vision session whose only
+  * stub boundary is the pixel decode (no imaging lib ships here). The
+  * Spark-side plumbing everywhere is real: schema, mapPartitions batch
+  * shape, per-partition model-load amortization.
   */
 object Multimodal {
 
