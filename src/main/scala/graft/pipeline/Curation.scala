@@ -93,17 +93,23 @@ object Curation {
     * ingest one document at a time (src/memvid/mutation.rs:3300).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // No distinct: duplicate edges cannot change a min-aggregate, so
+    // symmetrizing is a free union — deduplicating it would be a whole
+    // extra shuffle over the pair set for nothing.
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist()
     // localCheckpoint (not persist) each round: label propagation's plan
     // doubles per iteration — lineage must be cut, not just cached, or the
     // optimizer walks an exponentially growing tree. Old checkpoint blocks
     // are dropped by the ContextCleaner once dereferenced.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // init fused with round 1: grouping the edge list by src both builds
+    // the node set AND applies the first min-propagation step (label =
+    // min(self, neighbors)) in a single shuffle
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("component"))
+      .select(col("src").as("id"), col("component"))
       .localCheckpoint(true)
     // Labels only ever decrease (min semilattice), so the label sum is a
     // monotone potential: an unchanged sum proves a fixpoint. One cheap
