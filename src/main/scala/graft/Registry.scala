@@ -12,5 +12,6 @@ object Registry {
     graft.queries.DedupQueries.defs ++
     graft.queries.MemoryGraphQueries.defs ++
     graft.queries.MiscQueries.defs ++
-    graft.queries.PipelineQueries.defs
+    graft.queries.PipelineQueries.defs ++
+    graft.queries.AnalyticsQueries.defs
 }

@@ -1,0 +1,148 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over an edge DataFrame — the batch-graph layer that
+  * complements LogicMesh's per-query traversals (follow/triple-match,
+  * reference `src/memvid/logic_mesh.rs`). LogicMesh answers "what is near
+  * this node"; these answer corpus-level questions ("which nodes matter",
+  * "how clustered is the graph") that a 100 TB knowledge-mesh build needs
+  * for pruning and quality scoring.
+  *
+  * Both algorithms are engineered for cross-engine hash-exactness the same
+  * way pipeline/Curation is: every per-row decision is integer arithmetic
+  * (fixed-point ranks, integer division), so a DuckDB oracle replays the
+  * exact fixpoint and a re-run on a different cluster shape reproduces the
+  * same bytes — auditability first, floats never reach a decision.
+  */
+object GraphAlgos {
+
+  /** Fixed-point integer PageRank.
+    *
+    * Ranks are scaled longs (`scale` = 1e12 ≈ 12 decimal digits), so the
+    * per-iteration update
+    *
+    *   rank'(v) = teleport + 85% * Σ_{u→v} rank(u) DIV outdeg(u)
+    *
+    * is pure BIGINT arithmetic: sums of longs are order-independent
+    * (float sums are not — the round-3 lesson behind QueryDef's
+    * "no raw double aggregation" rule), so the result is bit-identical
+    * across partitionings, engines, and re-runs.
+    *
+    * Plan shape per iteration: one shuffle to join ranks into the
+    * (persisted, degree-annotated) edge table on `src`, one shuffle to
+    * re-aggregate contributions on `dst`. Lineage is truncated with
+    * `localCheckpoint` each round (the iterative-plan idiom
+    * `pipeline/Curation.nearDupComponents` also uses) so the plan does not
+    * grow with iteration count. Dangling nodes (no out-edges) keep
+    * teleport-only rank; pass a symmetrized edge set if mass conservation
+    * matters.
+    *
+    * Overflow: rank ≤ scale and Σ contrib ≤ total mass ≈ scale, so
+    * 85 * Σ ≤ 8.5e13 ≪ 2^63.
+    *
+    * @param edges directed edges with BIGINT columns `src`, `dst`
+    *              (deduplicated internally)
+    * @return (node BIGINT, rank_fp BIGINT) — rank scaled by `scale`
+    */
+  /** @param edges directed edges with BIGINT columns `src`, `dst`
+    * @param dedup  pass false when the caller guarantees the edge set is
+    *               already distinct — skips a full-edge shuffle
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scale: Long = 1000000000000L,
+               dedup: Boolean = true): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (dedup) raw.distinct() else raw
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // ONE persisted table carries everything the loop reads (edges +
+    // degree); nodes derive from it, so the upstream edge build (often a
+    // join) executes exactly once
+    val ed = e.join(deg, "src").persist()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    val init = scale / n
+    val teleport = (15L * scale) / (100L * n)
+
+    var ranks = nodes.withColumn("rank_fp", lit(init))
+    var i = 0
+    while (i < iterations) {
+      val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank_fp DIV outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
+            .as("rank_fp"))
+      // lineage must not grow unboundedly, but every checkpoint is an
+      // eager job — cut every 5th round, and always on the last so the
+      // caches can be dropped before the caller consumes the result
+      if (i % 5 == 4 || i == iterations - 1) ranks = ranks.localCheckpoint()
+      i += 1
+    }
+    ed.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /** Degree-oriented triangle counting (the MR/Cohen orientation trick).
+    *
+    * Undirected edges are canonicalized (a < b), then oriented from the
+    * endpoint that is smaller under the total order (degree, id) toward the
+    * larger. Every triangle then has exactly one "apex" with two out-edges,
+    * so counting wedges (apex→v, apex→w with (deg_v,v) < (deg_w,w)) closed
+    * by an oriented edge v→w counts each triangle exactly once AND bounds
+    * the wedge fan-out by the graph's degeneracy rather than its max
+    * degree — the hub node that would explode an id-oriented self-join at
+    * 100 TB ends up with in-edges only. The (deg, id) comparison is a
+    * struct comparison pushed into the join condition, so the whole thing
+    * is three equi-joins + one narrow filter; no windows, no global sort.
+    *
+    * @param edges undirected edges with BIGINT columns `src`, `dst`;
+    *              self-loops dropped, direction/duplicates ignored
+    * @param assumeCanonical pass true when the caller guarantees edges are
+    *              already (src < dst) and distinct — skips a full-edge shuffle
+    * @return one row per triangle-participating node:
+    *         (node BIGINT, n_triangles BIGINT)
+    */
+  def triangleCounts(edges: DataFrame,
+                     assumeCanonical: Boolean = false): DataFrame = {
+    val canon =
+      if (assumeCanonical)
+        edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      else edges.select(
+          least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge toward the (deg, id)-larger endpoint, carrying the
+    // destination's order key for the wedge comparison below
+    val da = deg.select(col("node").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("b"), col("deg").as("degb"))
+    val oriented = canon.join(da, "a").join(db, "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")), col("degb"))
+          .otherwise(col("dega")).as("ddst"))
+      .persist()
+    val w1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("ddst").as("dv"))
+    val w2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("ddst").as("dw"))
+    val tri = w1.join(w2, Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val out = tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    out
+  }
+}

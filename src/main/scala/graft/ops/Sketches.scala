@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pipeline.Curation
+
+/** Deterministic cardinality sketches.
+  *
+  * KMV (k-minimum-values, Bar-Yossef et al. 2002): keep the k smallest hash
+  * values of the key set; if fewer than k distinct hashes exist the count is
+  * exact, otherwise estimate |S| ≈ (k-1) * M / h_(k), where h_(k) is the
+  * k-th smallest hash and M the hash range. The reference's sketch layer
+  * (`src/types/sketch_track.rs`) answers membership; this answers
+  * cardinality — the "how many distinct users/URLs/shingles" question a
+  * 100 TB profiling pass asks per group without a count-distinct shuffle of
+  * the full key set.
+  *
+  * Unlike HLL (whose register layout differs per implementation, so no
+  * cross-engine oracle could replay it), KMV over the Knuth multiplicative
+  * hash (Curation.idHash) is pure integer arithmetic: DuckDB recomputes the
+  * same k minima and the same estimate bit-for-bit.
+  */
+object Sketches {
+
+  /** Per-group KMV distinct-count estimate, side by side with the exact
+    * count and the error in ppm (all BIGINT — auditable, order-independent).
+    *
+    * Scale shape: a naive window over all distinct (group, hash) rows would
+    * sort each group's full key set on one reducer. Instead the k smallest
+    * survive a two-stage prune: stage 1 ranks within (group, hash mod 64)
+    * — 64-way parallel, each keeps its local k smallest, which must contain
+    * the global k smallest — and only the ≤ 64k survivors per group meet
+    * the final per-group window. Both stages are deterministic, so the
+    * pruning is invisible to the oracle.
+    *
+    * @return (group, n_kept, kth_hash, est_distinct, exact_distinct,
+    *          err_ppm) ordered by group
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    // id*K mod P with P prime and gcd(K,P)=1 is a bijection on [0,P), so
+    // for keys below HashMod distinct hashes == distinct keys and
+    // exact_distinct below is truly exact, not collision-lossy
+    val hashed = df.select(col(groupCol).as("grp"),
+        Curation.idHash(col(keyCol).cast("long")).as("h"))
+      .distinct()
+    val pruned = hashed
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy(col("grp"), pmod(col("h"), lit(64)))
+          .orderBy(col("h"))))
+      .filter(col("rn1") <= k).drop("rn1")
+    val mins = pruned
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val sketch = mins.groupBy("grp").agg(
+        count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          // (k-1)*M premultiplied driver-side: as an INT*INT SQL literal it
+          // would overflow under ANSI before promotion
+          .otherwise(expr(s"(${(k - 1).toLong * Curation.HashMod} DIV kth_hash)")))
+    val exact = hashed.groupBy("grp")
+      .agg(count(lit(1)).as("exact_distinct"))
+    sketch.join(exact, "grp")
+      .withColumn("err_ppm",
+        expr("(abs(est_distinct - exact_distinct) * 1000000) DIV exact_distinct"))
+      .withColumnRenamed("grp", groupCol)
+      .orderBy(groupCol)
+  }
+}

@@ -61,6 +61,23 @@ object Curation {
   def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame =
     docs.withColumn("shard", (idHash(col(idCol)) % nShards).cast("int"))
 
+  /** Deterministic stratified sampling: exactly min(n, |stratum|) rows per
+    * stratum, chosen as the n smallest Knuth hashes — a seedless
+    * "random-without-replacement" draw that every engine and every re-run
+    * reproduces (the auditability contract of mixtureSample, but with an
+    * exact per-group quota instead of a rate). The window is partitioned by
+    * stratum, so each stratum ranks independently — no global sort; skewed
+    * strata cost one reducer sorting that stratum's ids only, and the rank
+    * key is (hash, id) so equal hashes can't make the draw ambiguous.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       nPerStratum: Int): DataFrame =
+    docs.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(idHash(col(idCol)), col(idCol))))
+      .filter(col("__rn") <= nPerStratum)
+      .drop("__rn")
+
   /** Token-budget sequence packing, shard-local: within each shard (in id
     * order) documents are laid head-to-tail and cut into bins of ~`budget`
     * tokens; bin = floor(tokens-before-this-doc / budget). A document that

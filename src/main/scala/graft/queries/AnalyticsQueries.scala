@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.graph.GraphAlgos
+import graft.ops.{Funnel, Sketches}
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-level analytics gates: whole-graph algorithms (PageRank, triangle
+  * counting), sketch cardinality (KMV), stratified sampling, funnel /
+  * retention product analytics, and CUBE multi-level aggregation.
+  *
+  * Hash-exactness follows the PipelineQueries discipline: ranks and
+  * estimates are fixed-point BIGINT (integer division replayed by DuckDB's
+  * `//`), sampling uses the Knuth multiplicative hash, and float never
+  * reaches a per-row decision or an aggregation.
+  */
+object AnalyticsQueries {
+
+  private val Scale = 1000000000000L // PageRank fixed-point scale (1e12)
+  private val KmvK = 64
+  private val K = Curation.KnuthMult
+  private val P = Curation.HashMod
+
+  /** PageRank oracle: 3 unrolled iterations of the identical integer
+    * update over the symmetrized customer↔supplier order graph
+    * (customer c → node 2c, supplier s → node 2s+1: disjoint id spaces). */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s, c FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |p AS (SELECT COUNT(*) AS n FROM nodes),
+         |r0 AS (SELECT node, (SELECT $Scale // n FROM p) AS rank_fp FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS sc
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |  (SELECT (15 * $Scale) // (100 * n) FROM p)
+         |    + (85 * COALESCE(c.sc, 0)) // 100 AS rank_fp
+         |  FROM nodes n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + iterCtes +
+      s"\nSELECT node, rank_fp FROM r$iters ORDER BY rank_fp DESC, node LIMIT 20"
+  }
+
+  /** Deterministic 12.5 % edge sample of the (complete, in this synthetic
+    * data) supplier co-supply graph: keep a pair iff the Knuth hash of its
+    * collision-free pair key is ≡ 0 (mod 8). Gives the triangle gate a
+    * graph with non-trivial structure at the gated SFs (~260 triangles at
+    * sf0.01, ~320k at sf0.1; sf0.001's 10-supplier graph keeps 5 edges —
+    * legitimately triangle-free). */
+  private val pairKeep =
+    s"((a * 1000003 + b) * $K) % $P % 8 = 0"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- fixed-point integer PageRank over the order graph ----
+    "graph_pagerank" -> QueryDef.sql(
+      (s, d) => {
+        // distinct the directed pairs BEFORE symmetrizing (half the rows
+        // through the dedup shuffle); the two directions live in disjoint
+        // id spaces, so the union needs no second distinct (dedup=false)
+        val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+                  (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        GraphAlgos.pageRank(sym, iterations = 3, scale = Scale, dedup = false)
+          .orderBy(col("rank_fp").desc, col("node")).limit(20)
+      },
+      pagerankOracle(3)),
+
+    // ---- degree-oriented triangle counting on a hash-sampled graph ----
+    "graph_triangles" -> QueryDef.sql(
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        // hash-filter BEFORE the dedup shuffle (the keep decision is
+        // per-pair, so order is free — only the shuffled volume changes)
+        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .filter(Curation.idHash(col("a") * 1000003L + col("b")) % 8 === 0)
+          .distinct()
+        GraphAlgos.triangleCounts(
+            pairs.select(col("a").as("src"), col("b").as("dst")),
+            assumeCanonical = true)
+          .orderBy(col("n_triangles").desc, col("node")).limit(50)
+      },
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |raw AS (SELECT x.sk AS a, y.sk AS b
+         |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+         |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM
+         |          (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon) e
+         |        GROUP BY node),
+         |flg AS (SELECT c.a, c.b, da.deg AS dega, db.deg AS degb,
+         |          (da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)) AS afirst
+         |        FROM canon c JOIN deg da ON da.node = c.a
+         |                     JOIN deg db ON db.node = c.b),
+         |o AS (SELECT CASE WHEN afirst THEN a ELSE b END AS src,
+         |             CASE WHEN afirst THEN b ELSE a END AS dst,
+         |             CASE WHEN afirst THEN degb ELSE dega END AS ddst
+         |      FROM flg),
+         |tri AS (SELECT w1.u AS u, w1.v AS v, w2.w AS w
+         |        FROM (SELECT src AS u, dst AS v, ddst AS dv FROM o) w1
+         |        JOIN (SELECT src AS u, dst AS w, ddst AS dw FROM o) w2 ON w1.u = w2.u
+         |        JOIN o e ON e.src = w1.v AND e.dst = w2.w
+         |        WHERE (w1.dv < w2.dw OR (w1.dv = w2.dw AND w1.v < w2.w))),
+         |cnt AS (SELECT node, COUNT(*) AS n_triangles FROM
+         |          (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+         |           UNION ALL SELECT w FROM tri) t
+         |        GROUP BY node)
+         |SELECT node, n_triangles FROM cnt
+         |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin),
+
+    // ---- KMV distinct-count sketch vs exact, per event type ----
+    "sketch_kmv_distinct" -> QueryDef.sql(
+      (s, d) => Sketches.kmvDistinct(Tables.events(s, d),
+        "event_type", "user_id", k = KmvK),
+      s"""WITH hashed AS (SELECT DISTINCT event_type,
+         |    (user_id * $K) % $P AS h FROM events),
+         |mins AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hashed),
+         |sk AS (SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_hash
+         |       FROM mins WHERE rn <= $KmvK GROUP BY event_type),
+         |ex AS (SELECT event_type, COUNT(*) AS exact_distinct
+         |       FROM hashed GROUP BY event_type),
+         |est AS (SELECT event_type, n_kept, kth_hash,
+         |    CASE WHEN n_kept < $KmvK THEN n_kept
+         |         ELSE ${(KmvK - 1).toLong * P} // kth_hash END AS est_distinct,
+         |    exact_distinct
+         |  FROM sk JOIN ex USING (event_type))
+         |SELECT event_type, n_kept, kth_hash, est_distinct, exact_distinct,
+         |  (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
+         |FROM est ORDER BY event_type""".stripMargin),
+
+    // ---- deterministic stratified sample: 40 docs per language ----
+    "pipe_stratified_sample" -> QueryDef.sql(
+      (s, d) => Curation.stratifiedSample(Tables.documents(s, d),
+          "doc_id", "lang", nPerStratum = 40)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id"),
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (
+         |      PARTITION BY lang ORDER BY (doc_id * $K) % $P, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 40 ORDER BY lang, doc_id""".stripMargin),
+
+    // ---- strict-order funnel: signup → view → click → purchase ----
+    "events_funnel" -> QueryDef.sql(
+      (s, d) => Funnel.conversion(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("signup", "view", "click", "purchase")),
+      """WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s1.t
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s2.t
+        |       GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+        |       FROM events e JOIN s3 ON s3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s3.t
+        |       GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4) u
+        |ORDER BY step""".stripMargin),
+
+    // ---- day-grain cohort retention matrix ----
+    "events_retention" -> QueryDef.sql(
+      (s, d) => Funnel.retention(Tables.events(s, d), "user_id", "ts"),
+      """WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |                  FROM events),
+        |firstday AS (SELECT user_id, MIN(d) AS d0 FROM activity GROUP BY user_id)
+        |SELECT epoch_us(CAST(f.d0 AS TIMESTAMP)) AS cohort_us,
+        |  CAST(a.d - f.d0 AS BIGINT) AS day_offset, COUNT(*) AS n_active
+        |FROM activity a JOIN firstday f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_us, day_offset""".stripMargin),
+
+    // ---- A17 CUBE: all four grouping combinations in one pass ----
+    "rel_cube_returns" -> QueryDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+             count(lit(1)).as("n"),
+             sum((col("l_quantity").cast(DecimalType(18, 4)) * 10000)
+               .cast("long")).as("qty_e4"))
+        .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+                col("n"), col("qty_e4"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS qty_e4
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  )
+}

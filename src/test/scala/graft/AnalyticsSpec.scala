@@ -1,0 +1,167 @@
+package graft
+
+import graft.graph.GraphAlgos
+import graft.ops.{Funnel, Sketches}
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- PageRank ----
+
+  test("pageRank: uniform ranks on a symmetric cycle, mass conserved") {
+    // 4-cycle (symmetrized): perfectly regular, so every node keeps the
+    // same rank at every iteration
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val sym = dir.union(dir.select($"dst".as("src"), $"src".as("dst")))
+    val r = GraphAlgos.pageRank(sym, iterations = 3).collect()
+    assert(r.length == 4)
+    val ranks = r.map(_.getLong(1)).toSet
+    assert(ranks.size == 1, s"regular graph must stay uniform, got $ranks")
+    // teleport + 85% of uniform contribution ≈ scale/n (integer-rounded)
+    assert(math.abs(ranks.head - 250000000000L) < 10)
+  }
+
+  test("pageRank: hub outranks spokes on a star") {
+    // star: spokes 2..6 ↔ hub 1 (symmetric)
+    val dir = (2L to 6L).map(v => (v, 1L)).toDF("src", "dst")
+    val sym = dir.union(dir.select($"dst".as("src"), $"src".as("dst")))
+    val r = GraphAlgos.pageRank(sym, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) * 3, s"hub must dominate: $r")
+    assert((2L to 6L).map(r).toSet.size == 1, "spokes are symmetric")
+  }
+
+  test("pageRank is deterministic across partitionings") {
+    val dir = (1 to 60).map(i => (i.toLong, (i * 7 % 60 + 1).toLong))
+      .toDF("src", "dst")
+    val sym = dir.union(dir.select($"dst".as("src"), $"src".as("dst")))
+    val a = GraphAlgos.pageRank(sym.repartition(1), 3)
+      .orderBy("node").collect().toSeq
+    val b = GraphAlgos.pageRank(sym.repartition(13), 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- triangle counting ----
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node") {
+    val nodes = 1L to 4L
+    val edges = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val r = GraphAlgos.triangleCounts(edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == nodes.map(_ -> 3L).toMap)
+  }
+
+  test("triangleCounts: square has none; direction and dupes ignored") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (2L, 1L), (1L, 2L), (3L, 3L)).toDF("src", "dst")
+    assert(GraphAlgos.triangleCounts(square).count() == 0)
+    // closing one diagonal makes two triangles sharing that diagonal
+    val closed = square.union(Seq((1L, 3L)).toDF("src", "dst"))
+    val r = GraphAlgos.triangleCounts(closed)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  // ---- KMV sketch ----
+
+  test("kmvDistinct: exact below k, estimate within 25% above k") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "big" else "small",
+      if (i % 2 == 0) i.toLong else (i % 60).toLong)).toDF("g", "id")
+    val r = Sketches.kmvDistinct(df, "g", "id", k = 64)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getLong(4))).toList
+    val small = r.find(_._1 == "small").get
+    assert(small._2 == small._3, "below k the sketch is exact")
+    val big = r.find(_._1 == "big").get
+    assert(big._3 == 1000L)
+    assert(math.abs(big._2 - 1000L) < 250, s"estimate off: $big")
+  }
+
+  test("kmvDistinct: two-stage prune returns the true k minima") {
+    val df = (1L to 500L).map(("g", _)).toDF("g", "id").repartition(7)
+    val kth = Sketches.kmvDistinct(df, "g", "id", k = 16)
+      .collect().head.getLong(2)
+    val expected = (1L to 500L)
+      .map(i => (i * Curation.KnuthMult) % Curation.HashMod)
+      .sorted.apply(15)
+    assert(kth == expected)
+  }
+
+  // ---- stratified sampling ----
+
+  test("stratifiedSample: exact quota per stratum, deterministic") {
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "str")
+    val r = Curation.stratifiedSample(df, "id", "str", 20)
+    val counts = r.groupBy("str").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts.values.toSet == Set(20L))
+    // small stratum: takes everything
+    val tiny = Curation.stratifiedSample(df.filter($"id" <= 5), "id", "str", 20)
+    assert(tiny.count() == 5)
+    // same draw regardless of partitioning
+    val again = Curation.stratifiedSample(df.repartition(11), "id", "str", 20)
+    assert(r.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  // ---- funnel / retention ----
+
+  test("funnel: strict ordering — early events don't count") {
+    val us = (t: Long) => new java.sql.Timestamp(t * 1000)
+    val ev = Seq(
+      // u1 completes in order
+      (1L, us(10), "signup"), (1L, us(20), "view"), (1L, us(30), "click"),
+      // u2's view precedes signup → stops at signup
+      (2L, us(50), "view"), (2L, us(60), "signup"),
+      // u3 never signs up
+      (3L, us(5), "view"), (3L, us(6), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Funnel.conversion(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click"))
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r == Map("signup" -> 2L, "view" -> 1L, "click" -> 1L))
+  }
+
+  test("funnel: same-timestamp event counts (at-or-after)") {
+    val us = (t: Long) => new java.sql.Timestamp(t * 1000)
+    val ev = Seq((1L, us(10), "signup"), (1L, us(10), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val r = Funnel.conversion(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view"))
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r("view") == 1L)
+  }
+
+  test("retention: cohort day-offsets count distinct users") {
+    val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val ev = Seq(
+      (1L, day(1)), (1L, day(2)), (1L, day(2)), (1L, day(4)),
+      (2L, day(1)), (2L, day(4)),
+      (3L, day(2))
+    ).toDF("user_id", "ts")
+    val r = Funnel.retention(ev, "user_id", "ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val d1 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000
+    val d2 = java.time.Instant.parse("2024-01-02T00:00:00Z").toEpochMilli * 1000
+    assert(r == Map((d1, 0L) -> 2L, (d1, 1L) -> 1L, (d1, 3L) -> 2L,
+      (d2, 0L) -> 1L))
+  }
+
+  // ---- the new gates run end-to-end on real testdata ----
+
+  test("analytics gates produce rows at sf0.001") {
+    for (name <- Seq("graph_pagerank", "sketch_kmv_distinct",
+        "pipe_stratified_sample", "events_funnel", "events_retention",
+        "rel_cube_returns")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+    // sf0.001's 5-edge sampled graph is legitimately triangle-free; the
+    // structure check needs the gated SF
+    val tri = SparkEntry.queries("graph_triangles")(spark, "/root/testdata/sf0.01")
+    assert(tri.count() > 0, "graph_triangles returned no rows at sf0.01")
+  }
+}

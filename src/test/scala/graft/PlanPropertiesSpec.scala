@@ -127,4 +127,33 @@ class PlanPropertiesSpec extends SparkSpec {
     }
     assert(global.isEmpty, "packing cumsum must partition by shard")
   }
+
+  test("stratified sample and KMV windows are partitioned, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalWindows(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+    val strat = graft.pipeline.Curation.stratifiedSample(
+      Tables.documents(spark, sfDir), "doc_id", "lang", 40)
+    assert(globalWindows(strat) == 0, "stratum draw must rank per stratum")
+    val kmv = graft.ops.Sketches.kmvDistinct(
+      Tables.events(spark, sfDir), "event_type", "user_id", 64)
+    assert(globalWindows(kmv) == 0, "KMV minima must rank per group")
+  }
+
+  test("triangle wedge join never joins on the raw hub-keyed edge id") {
+    // degree orientation: the join keys must be the oriented src/dst pair,
+    // and the closing edge must come in as an equi-join (no nested loop)
+    val p = plan("graph_triangles")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      "wedge closing must stay an equi-join")
+  }
+
+  test("cube expands in one pass: a single Expand node, one agg shuffle") {
+    val p = plan("rel_cube_returns")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1, p)
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggShuffles == 1, s"expected 1 grouping shuffle, got $aggShuffles")
+  }
 }
