@@ -223,7 +223,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+      // hamming cutoff BEFORE the dedup shuffle: the verdict is per-pair,
+      // so order is free and only surviving candidates pay the distinct
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -389,6 +389,23 @@ object Relational {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- A17 histogram: fixed-width price buckets in one agg pass ----
+    "rel_histogram" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy(floor($"o_totalprice" / lit(25000.0)).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+               e4(dec(min($"o_totalprice"))).as("lo_e4"),
+               e4(dec(max($"o_totalprice"))).as("hi_e4"))
+          .orderBy($"bucket")
+      },
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS lo_e4,
+        |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS hi_e4
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // ---- countDistinct aggregation ----
     "rel_count_distinct" -> QueryDef.sql(
       (s, d) => {

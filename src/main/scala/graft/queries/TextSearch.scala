@@ -274,6 +274,30 @@ object TextSearch {
         |    list_transform(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ''),
         |                   c -> CAST(unicode(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fp64
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- corpus-trained bigram LM fluency score (text/BigramLM) ----
+    // add-one-smoothed bigram MLE in fixed point: p = (c12+1)*1e9 DIV
+    // (c1+V); lm_score = integer mean over the doc's adjacent pairs. The
+    // oracle retrains the same model from the same tokens — full-pipeline
+    // replay, not a spot check.
+    "text_lm_bigram" -> QueryDef.sql(
+      (s, d) => graft.text.BigramLM.score(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, ${DedupQueries.duckToks} AS tk FROM documents),
+         |adjl AS (SELECT doc_id, list_transform(range(len(tk) - 1),
+         |           i -> struct_pack(w := tk[i+1], w2 := tk[i+2])) AS ps
+         |         FROM toks),
+         |adj AS (SELECT doc_id, unnest(ps, recursive := true) FROM adjl),
+         |big AS (SELECT w, w2, COUNT(*) AS c12 FROM adj GROUP BY w, w2),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM adj GROUP BY w),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM adj),
+         |scored AS (SELECT a.doc_id,
+         |    ((b.c12 + 1) * 1000000000) // (u.c1 + (SELECT v FROM vocab)) AS p
+         |  FROM adj a JOIN big b USING (w, w2) JOIN uni u USING (w))
+         |SELECT doc_id, COUNT(*) AS n_pairs,
+         |  CAST(SUM(p) AS BIGINT) // COUNT(*) AS lm_score
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

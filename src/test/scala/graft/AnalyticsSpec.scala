@@ -150,12 +150,39 @@ class AnalyticsSpec extends SparkSpec {
       (d2, 0L) -> 1L))
   }
 
+  // ---- bigram LM scoring ----
+
+  test("bigram LM: repeated fluent bigrams outscore unseen ones") {
+    val docs = Seq(
+      (1L, "the quick fox jumps the quick fox jumps the quick fox"),
+      (2L, "the quick fox jumps again and again"),
+      (3L, "zebra quantum paperclip volcano")  // all unique bigrams
+    ).toDF("doc_id", "text")
+    val r = graft.text.BigramLM.score(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(1L) > r(2L), s"repetition of corpus bigrams must score higher: $r")
+    assert(r(2L) > r(3L), s"shared bigrams must beat singletons: $r")
+  }
+
+  test("bigram LM is deterministic across partitionings, drops <2-token docs") {
+    val docs = (1 to 50).map(i => (i.toLong,
+      s"token${i % 7} token${i % 5} token${i % 3} token${i % 7}"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "solo")).toDF("doc_id", "text"))
+    val a = graft.text.BigramLM.score(docs.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.text.BigramLM.score(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(!a.exists(_.getLong(0) == 99L), "a 1-token doc has no pairs")
+  }
+
   // ---- the new gates run end-to-end on real testdata ----
 
   test("analytics gates produce rows at sf0.001") {
     for (name <- Seq("graph_pagerank", "sketch_kmv_distinct",
         "pipe_stratified_sample", "events_funnel", "events_retention",
-        "rel_cube_returns")) {
+        "rel_cube_returns", "text_lm_bigram", "rel_histogram")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
