@@ -192,6 +192,32 @@ object AnalyticsQueries {
         |FROM activity a JOIN firstday f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_us, day_offset""".stripMargin),
 
+    // ---- sliding event-time window: per-user 1-hour moving totals.
+    // RANGE frame over epoch-micros (order-independent decimal sums →
+    // replayable); partitioned by user, so the window state is one user's
+    // hour, never the corpus ----
+    "events_moving_window" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("value").cast(DecimalType(18, 4)).as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0L)
+        ev.select(col("user_id"), col("event_id"), col("ts_us"),
+            count(lit(1)).over(w).as("n_1h"),
+            (sum(col("v")).over(w) * 10000).cast("long").as("sum_1h_e4"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      },
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w * 10000 AS BIGINT) AS sum_1h_e4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin),
+
     // ---- A17 CUBE: all four grouping combinations in one pass ----
     "rel_cube_returns" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)

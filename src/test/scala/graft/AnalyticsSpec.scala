@@ -182,7 +182,8 @@ class AnalyticsSpec extends SparkSpec {
   test("analytics gates produce rows at sf0.001") {
     for (name <- Seq("graph_pagerank", "sketch_kmv_distinct",
         "pipe_stratified_sample", "events_funnel", "events_retention",
-        "rel_cube_returns", "text_lm_bigram", "rel_histogram")) {
+        "rel_cube_returns", "text_lm_bigram", "rel_histogram",
+        "events_moving_window")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
