@@ -389,6 +389,75 @@ object Relational {
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- W-family grouped top-k: 3 priciest orders per market segment.
+    // Two-stage prune (the Curation.stratifiedSample shape): stage 1
+    // ranks within (segment, orderkey mod 64) — each sub-bucket's local
+    // top-3 provably contains the segment's top-3 — so no reducer ever
+    // sorts a whole segment; the rank key is (price desc, orderkey) so
+    // ties can't flake the hash ----
+    "rel_topk_per_group" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val joined = Tables.orders(s, d).join(
+          Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        val w1 = Window.partitionBy($"c_mktsegment", pmod($"o_orderkey", lit(64)))
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        joined.withColumn("rk1", row_number().over(w1)).filter($"rk1" <= 3)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"c_mktsegment", $"rk", $"o_orderkey",
+            e4(dec($"o_totalprice")).as("price_e4"))
+          .orderBy($"c_mktsegment", $"rk")
+      },
+      """SELECT c_mktsegment, rk, o_orderkey, price_e4 FROM (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin),
+
+    // ---- U-family full outer join: segment×priority coverage matrix.
+    // Both sides aggregated BEFORE the join (dim-sized inputs), then a
+    // full outer merge categorizes matched / left-only / right-only ----
+    "rel_full_outer" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val bigCust = Tables.customer(s, d)
+          .filter($"c_acctbal" > 9000).groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"))
+        val urgent = Tables.orders(s, d)
+          .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_urgent"))
+        bigCust.withColumnRenamed("c_mktsegment", "seg_a")
+          .join(urgent.withColumnRenamed("c_mktsegment", "seg_b"),
+            $"seg_a" === $"seg_b", "full_outer")
+          .select(coalesce($"seg_a", $"seg_b").as("segment"),
+            coalesce($"n_cust", lit(0L)).as("n_cust"),
+            coalesce($"n_urgent", lit(0L)).as("n_urgent"),
+            when($"seg_a".isNull, lit("right_only"))
+              .when($"seg_b".isNull, lit("left_only"))
+              .otherwise(lit("both")).as("side"))
+          .orderBy($"segment")
+      },
+      """WITH a AS (SELECT c_mktsegment AS seg_a, COUNT(*) AS n_cust
+        |           FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+        |b AS (SELECT c_mktsegment AS seg_b, COUNT(*) AS n_urgent
+        |      FROM orders JOIN customer ON o_custkey = c_custkey
+        |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT COALESCE(seg_a, seg_b) AS segment,
+        |  COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(n_urgent, 0) AS n_urgent,
+        |  CASE WHEN seg_a IS NULL THEN 'right_only'
+        |       WHEN seg_b IS NULL THEN 'left_only'
+        |       ELSE 'both' END AS side
+        |FROM a FULL OUTER JOIN b ON seg_a = seg_b
+        |ORDER BY segment""".stripMargin),
+
     // ---- A17 histogram: fixed-width price buckets in one agg pass ----
     "rel_histogram" -> QueryDef.sql(
       (s, d) => {

@@ -183,7 +183,7 @@ class AnalyticsSpec extends SparkSpec {
     for (name <- Seq("graph_pagerank", "sketch_kmv_distinct",
         "pipe_stratified_sample", "events_funnel", "events_retention",
         "rel_cube_returns", "text_lm_bigram", "rel_histogram",
-        "events_moving_window")) {
+        "events_moving_window", "rel_topk_per_group", "rel_full_outer")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
