@@ -70,4 +70,45 @@ object Sketches {
       .withColumnRenamed("grp", groupCol)
       .orderBy(groupCol)
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    * for the k most frequent terms, side by side with exact counts.
+    *
+    * The counter matrix is depth×width BIGINT cells built in ONE group-by
+    * over (row, bucket) — at 100 TB the sketch is a fixed ≤ depth·width-row
+    * table however large the stream, which is the entire point: it then
+    * broadcasts to wherever frequencies are probed. Row hashes are the
+    * polynomial term hash pushed through depth affine maps mod P — pure
+    * integer arithmetic both engines compute identically (same reason
+    * kmvDistinct uses the Knuth hash: an auditable sketch must replay).
+    * CMS guarantees est ≥ exact; `overcount` surfaces the collision error.
+    *
+    * @param occurrences one row per term occurrence
+    * @return (term, n_exact, est, overcount) — top k by exact count
+    */
+  def countMinTopK(occurrences: DataFrame, termCol: String, k: Int = 20,
+                   depth: Int = 4, width: Int = 8192): DataFrame = {
+    val P = Curation.HashMod
+    def bucket(h: String, i: String) =
+      s"(($h * (${Curation.KnuthMult} + $i * 1000003) + 11 + 7 * $i) % $P) % $width"
+    val hashed = occurrences
+      .select(col(termCol).as("term"),
+        graft.functions.F.polyHash(col(termCol)).as("h64"))
+      .persist()
+    val rows = explode(array((0 until depth).map(lit): _*)).as("i")
+    val counters = hashed.select(col("h64"), rows)
+      .select(col("i"), expr(bucket("h64", "i")).as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+    val top = hashed.groupBy("term", "h64")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(k)
+    val est = top.select(col("term"), col("n_exact"), col("h64"), rows)
+      .select(col("term"), col("n_exact"), col("i"),
+        expr(bucket("h64", "i")).as("bucket"))
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("term", "n_exact").agg(min(col("c")).as("est"))
+    est.select(col("term"), col("n_exact"), col("est"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
 }

@@ -144,6 +144,31 @@ object AnalyticsQueries {
          |  (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct AS err_ppm
          |FROM est ORDER BY event_type""".stripMargin),
 
+    // ---- Count-Min frequency sketch vs exact, top-20 corpus terms ----
+    "sketch_countmin_freq" -> QueryDef.sql(
+      (s, d) => {
+        graft.functions.F.ensureRegistered(s)
+        val occ = Tables.documents(s, d)
+          .select(explode(graft.functions.F.tokens(col("text"))).as("term"))
+        Sketches.countMinTopK(occ, "term", k = 20)
+      },
+      s"""WITH toks AS (SELECT doc_id, ${DedupQueries.duckToks} AS tk FROM documents),
+         |occ AS (SELECT unnest(tk) AS term FROM toks),
+         |h AS (SELECT term, ${DedupQueries.duckPoly("term")} AS h64 FROM occ),
+         |cnt AS (SELECT i, ((h64 * ($K + i * 1000003) + 11 + 7 * i) % $P) % 8192 AS bucket,
+         |          COUNT(*) AS c
+         |        FROM h, (SELECT unnest(range(4)) AS i) ii GROUP BY 1, 2),
+         |top AS (SELECT term, h64, COUNT(*) AS n_exact FROM h GROUP BY term, h64
+         |        ORDER BY n_exact DESC, term LIMIT 20),
+         |probe AS (SELECT t.term, t.n_exact, ii.i,
+         |            ((t.h64 * ($K + ii.i * 1000003) + 11 + 7 * ii.i) % $P) % 8192 AS bucket
+         |          FROM top t, (SELECT unnest(range(4)) AS i) ii),
+         |est AS (SELECT p.term, p.n_exact, MIN(c.c) AS est
+         |        FROM probe p JOIN cnt c ON c.i = p.i AND c.bucket = p.bucket
+         |        GROUP BY 1, 2)
+         |SELECT term, n_exact, est, est - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, term""".stripMargin),
+
     // ---- deterministic stratified sample: 40 docs per language ----
     "pipe_stratified_sample" -> QueryDef.sql(
       (s, d) => Curation.stratifiedSample(Tables.documents(s, d),

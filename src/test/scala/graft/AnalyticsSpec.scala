@@ -90,6 +90,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(kth == expected)
   }
 
+  // ---- Count-Min sketch ----
+
+  test("countMin: est >= exact always; heavy hitter exact at ample width") {
+    val occ = ((1 to 500).map(_ => "hot") ++
+      (1 to 3000).map(i => s"t${i % 700}")).toDF("term")
+    val r = graft.ops.Sketches.countMinTopK(occ, "term", k = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.head._1 == "hot" && r.head._2 == 500L)
+    assert(r.forall { case (_, exact, est) => est >= exact },
+      "CMS can only overcount")
+    // 704 distinct terms vs 4*8192 counters → the top term is collision-free
+    assert(r.head._3 == 500L, s"heavy hitter should estimate exactly: ${r.head}")
+  }
+
+  test("countMin overcounts under a tiny sketch, deterministically") {
+    val occ = (1 to 4000).map(i => s"t${i % 900}").toDF("term")
+    val a = graft.ops.Sketches.countMinTopK(occ, "term", k = 5, width = 16)
+      .collect().toSeq
+    val b = graft.ops.Sketches.countMinTopK(occ.repartition(9), "term", k = 5, width = 16)
+      .collect().toSeq
+    assert(a == b, "sketch must be partition-independent")
+    assert(a.exists(_.getLong(3) > 0), "900 terms into 4x16 cells must collide")
+  }
+
   // ---- stratified sampling ----
 
   test("stratifiedSample: exact quota per stratum, deterministic") {
@@ -183,7 +207,8 @@ class AnalyticsSpec extends SparkSpec {
     for (name <- Seq("graph_pagerank", "sketch_kmv_distinct",
         "pipe_stratified_sample", "events_funnel", "events_retention",
         "rel_cube_returns", "text_lm_bigram", "rel_histogram",
-        "events_moving_window", "rel_topk_per_group", "rel_full_outer")) {
+        "events_moving_window", "rel_topk_per_group", "rel_full_outer",
+        "sketch_countmin_freq")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
