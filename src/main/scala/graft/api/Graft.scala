@@ -272,6 +272,48 @@ final class Graft(val spark: SparkSession, basePath: String,
       liveDocs, probe.select(col(probeIdCol).as("id"), col(probeTextCol).as("text")),
       "id", "text", minShared = minShared)
 
+  /** Duplicate CLUSTERS (not just pairs) among live documents, with one
+    * elected keeper per cluster: verified MinHash near-dup pairs →
+    * connected components → longest-content canonical election. The
+    * end-to-end "which documents do I drop" answer a curation run wants
+    * (pipeline/Curation over this store's own corpus).
+    * @return (doc_id, component, canonical_id, is_canonical) */
+  def duplicateClusters(threshold: Double = 0.7): DataFrame = {
+    val pairs = nearDuplicates(threshold).select("doc_a", "doc_b")
+    val labeled = graft.pipeline.Curation.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .join(liveDocs.select(col("id").as("doc_id"),
+        length(col("text")).as("__len")), "doc_id")
+    graft.pipeline.Curation.electCanonical(labeled, "doc_id", "__len")
+      .select("doc_id", "component", "canonical_id", "is_canonical")
+  }
+
+  /** PageRank over the entity mesh: which entities does this memory orbit?
+    * Edges are entity→value card triples (symmetrized); string nodes ride
+    * through the fixed-point integer ranks on their polynomial hash (a
+    * bijection-grade 1e9+7 key space — the same id the mesh sketches use).
+    * @return (node, rank_fp) — top entities by fixed-point rank */
+  def entityRank(iterations: Int = 3, topK: Int = 20): DataFrame = {
+    graft.Sessions.ensureFunctions(spark)
+    import graft.functions.F
+    val tri = cards.filter(col("entity").isNotNull && col("value").isNotNull)
+      .select(col("entity").as("sname"), col("value").as("dname"))
+    val ids = tri.select(col("sname").as("name"))
+      .union(tri.select(col("dname").as("name")))
+      .distinct()
+      .select(col("name"), F.polyHash(col("name")).as("nid"))
+      .persist()
+    val dir = tri
+      .join(ids.select(col("name").as("sname"), col("nid").as("src")), "sname")
+      .join(ids.select(col("name").as("dname"), col("nid").as("dst")), "dname")
+      .select("src", "dst")
+    val sym = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.GraphAlgos.pageRank(sym, iterations)
+      .join(ids.select(col("nid").as("node"), col("name")), "node")
+      .select(col("name"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("name")).limit(topK)
+  }
+
   /** per-document quality signals: token counts + duplicate-ngram fraction */
   def qualityReport(): DataFrame = {
     graft.Sessions.ensureFunctions(spark)

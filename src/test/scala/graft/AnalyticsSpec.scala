@@ -201,6 +201,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(!a.exists(_.getLong(0) == 99L), "a 1-token doc has no pairs")
   }
 
+  // ---- facade integration: entityRank + duplicateClusters ----
+
+  test("graft facade: entityRank orbits the hub entity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rank").toString
+    val g = new api.Graft(spark, dir)
+    // star: alice links to four values; bob links to one
+    g.remember("alice", "pet", "rex")
+    g.remember("alice", "city", "paris")
+    g.remember("alice", "job", "pilot")
+    g.remember("alice", "food", "ramen")
+    g.remember("bob", "city", "paris")
+    val r = g.entityRank().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("alice") > r("bob"), s"hub entity must outrank: $r")
+    assert(r("paris") > r("rex"), s"shared value must outrank private one: $r")
+  }
+
+  test("graft facade: duplicateClusters elects one keeper per cluster") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val g = new api.Graft(spark, dir)
+    val body = "the quick brown fox jumps over the lazy dog again and again " * 8
+    g.put("mem://a", body + "tail one")
+    g.put("mem://b", body + "tail two longer")
+    g.put("mem://c", "completely different content about spark query planning")
+    val r = g.duplicateClusters(threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getBoolean(3)))
+    assert(r.length == 2, s"only the near-dup pair clusters: ${r.toSeq}")
+    assert(r.count(_._2) == 1, "exactly one canonical per cluster")
+  }
+
   // ---- the new gates run end-to-end on real testdata ----
 
   test("analytics gates produce rows at sf0.001") {
