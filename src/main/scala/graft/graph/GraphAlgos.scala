@@ -49,20 +49,29 @@ object GraphAlgos {
   /** @param edges directed edges with BIGINT columns `src`, `dst`
     * @param dedup  pass false when the caller guarantees the edge set is
     *               already distinct — skips a full-edge shuffle
+    * @param assumeSymmetric pass true when every edge has its reverse in
+    *               the set (e.g. a symmetrized undirected graph) — then
+    *               every node appears as a src, so the node set IS the
+    *               degree table's key column and the union-distinct
+    *               shuffle over 2|E| ids is skipped entirely
     */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
-               dedup: Boolean = true): DataFrame = {
+               dedup: Boolean = true,
+               assumeSymmetric: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val e = if (dedup) raw.distinct() else raw
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // ONE persisted table carries everything the loop reads (edges +
-    // degree); nodes derive from it, so the upstream edge build (often a
-    // join) executes exactly once
+    // the (node-sized) degree table is persisted so the symmetric-graph
+    // node set is a narrow scan of its keys — zero extra shuffles
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // ONE persisted edge table carries everything the loop reads (edges +
+    // degree), so the upstream edge build (often a join) executes once
     val ed = e.join(deg, "src").persist()
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct().persist()
+    val nodes =
+      (if (assumeSymmetric) deg.select(col("src").as("node"))
+       else ed.select(col("src").as("node"))
+         .union(ed.select(col("dst").as("node"))).distinct().persist())
     val n = nodes.count()
     val init = scale / n
     val teleport = (15L * scale) / (100L * n)
@@ -83,7 +92,8 @@ object GraphAlgos {
       if (i % 5 == 4 || i == iterations - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
-    ed.unpersist(); nodes.unpersist()
+    ed.unpersist(); deg.unpersist()
+    if (!assumeSymmetric) nodes.unpersist()
     ranks
   }
 

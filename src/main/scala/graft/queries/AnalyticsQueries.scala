@@ -73,7 +73,8 @@ object AnalyticsQueries {
                   (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        GraphAlgos.pageRank(sym, iterations = 3, scale = Scale, dedup = false)
+        GraphAlgos.pageRank(sym, iterations = 3, scale = Scale,
+            dedup = false, assumeSymmetric = true)
           .orderBy(col("rank_fp").desc, col("node")).limit(20)
       },
       pagerankOracle(3)),
