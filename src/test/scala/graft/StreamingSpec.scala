@@ -59,6 +59,41 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.isDefined && clicks.get.getAs[Long]("n") == 2)
   }
 
+  test("stream/batch parity: incremental windowed counts equal the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    // feed the REAL sf0.001 events through the streaming aggregation in
+    // two time-ordered micro-batches, close every window with a far-future
+    // sentinel, and require the emitted result to EQUAL the one-shot batch
+    // aggregation — the exactly-once contract ST4 claims
+    val ev = Tables.events(spark, sfDir)
+      .select($"ts", $"event_type", $"value")
+      .orderBy($"ts").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingIngest.windowedEventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "6 hours", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("parity_win")
+      .outputMode("append").start()
+    val (h1, h2) = ev.splitAt(ev.length / 2)
+    mem.addData(h1.toSeq); q.processAllAvailable()
+    mem.addData(h2.toSeq); q.processAllAvailable()
+    mem.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "sentinel", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("parity_win")
+      .filter($"event_type" =!= "sentinel")
+      .select($"window_start", $"event_type", $"n", round($"total_value", 6).as("tv"))
+      .collect().toSet
+    q.stop()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("tv"))
+      .select($"window.start".as("window_start"), $"event_type", $"n",
+        round($"tv", 6).as("tv"))
+      .collect().toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
