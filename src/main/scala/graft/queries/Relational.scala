@@ -458,6 +458,37 @@ object Relational {
         |FROM a FULL OUTER JOIN b ON seg_a = seg_b
         |ORDER BY segment""".stripMargin),
 
+    // ---- W-family ranking zoo: percent_rank / dense_rank / cume_dist /
+    // ntile in one partitioned window pass. All four are position
+    // functions over a TOTAL order (tiebreak on the unique line id), so
+    // every value is a rational of row positions — engine-identical
+    // doubles. Partitioned per supplier: no global sort ----
+    "rel_rank_zoo" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_quantity".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        Tables.lineitem(s, d)
+          .filter($"l_suppkey" <= 5)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            $"l_quantity".cast("long").as("qty"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
+        |  PERCENT_RANK() OVER w AS prk,
+        |  CUME_DIST() OVER w AS cd,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+
     // ---- A17 histogram: fixed-width price buckets in one agg pass ----
     "rel_histogram" -> QueryDef.sql(
       (s, d) => {
