@@ -27,6 +27,12 @@ object Bench {
     }
     val results = first ++ rerun
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // ambient host load (1-min average) — this box shows outside
+    // contention that has inflated recorded totals up to 3x (r4's verdict
+    // called the recorded file an environmental outlier); stamping the
+    // load makes a contended run self-documenting
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // The driver keeps only the LAST ~2000 chars of sbt output and parses
     // the JSON line from that tail; sbt's own "[success] Total time" line
     // (~75 chars) follows us. Rounds 1-3 printed full-precision doubles
@@ -35,7 +41,7 @@ object Bench {
     // 3-decimal values, slowest queries first, stop before ~1500 chars.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":"""
-    val tail = s""","n_queries":${results.size},"sf":"$sfDir"}"""
+    val tail = s""","n_queries":${results.size},"load_avg":${r3(math.max(load, 0.0))},"sf":"$sfDir"}"""
     val budget = 1500 - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val sb = new StringBuilder("{")
