@@ -156,4 +156,21 @@ class PlanPropertiesSpec extends SparkSpec {
     val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(aggShuffles == 1, s"expected 1 grouping shuffle, got $aggShuffles")
   }
+
+  test("count-min probe joins the broadcast counter matrix, never sort-merges") {
+    val occ = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.F.tokens(org.apache.spark.sql.functions.col("text"))).as("term"))
+    val p = graft.ops.Sketches.countMinTopK(occ, "term", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "counter matrix must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a fixed-size sketch must never be the big side of a shuffle join")
+  }
+
+  test("pagerank gate ends in a bounded top-k, not a global sort") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
+  }
 }
