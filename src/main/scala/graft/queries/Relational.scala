@@ -489,6 +489,24 @@ object Relational {
         |             ORDER BY l_quantity ASC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
 
+    // ---- T-family sorted export: the one legitimate global sort. A
+    // total-order dataset export MUST range-partition (sampled split
+    // points keep reducers balanced) — unlike top-k, which must not.
+    // The order key ends in the unique orderkey so the layout is
+    // deterministic ----
+    "rel_sorted_export" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .filter($"o_orderstatus" === "F")
+          .select($"o_custkey", $"o_orderkey", e4(dec($"o_totalprice")).as("price_e4"))
+          .orderBy($"o_custkey", $"o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // ---- A17 histogram: fixed-width price buckets in one agg pass ----
     "rel_histogram" -> QueryDef.sql(
       (s, d) => {

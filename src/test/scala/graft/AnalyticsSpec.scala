@@ -237,7 +237,7 @@ class AnalyticsSpec extends SparkSpec {
         "pipe_stratified_sample", "events_funnel", "events_retention",
         "rel_cube_returns", "text_lm_bigram", "rel_histogram",
         "events_moving_window", "rel_topk_per_group", "rel_full_outer",
-        "sketch_countmin_freq", "rel_rank_zoo")) {
+        "sketch_countmin_freq", "rel_rank_zoo", "rel_sorted_export")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }

@@ -168,6 +168,13 @@ class PlanPropertiesSpec extends SparkSpec {
       "a fixed-size sketch must never be the big side of a shuffle join")
   }
 
+  test("sorted export range-partitions (the one place a global sort belongs)") {
+    val p = plan("rel_sorted_export")
+    assert(p.contains("Exchange rangepartitioning"),
+      "a total-order export must sample split points and range-partition")
+    assert(!p.contains("TakeOrderedAndProject"), "export must not truncate")
+  }
+
   test("pagerank gate ends in a bounded top-k, not a global sort") {
     val p = plan("graph_pagerank")
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
