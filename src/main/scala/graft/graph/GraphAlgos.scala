@@ -73,6 +73,10 @@ object GraphAlgos {
        else ed.select(col("src").as("node"))
          .union(ed.select(col("dst").as("node"))).distinct().persist())
     val n = nodes.count()
+    if (n == 0) {                      // empty graph: no ranks, no 1/n
+      ed.unpersist(); deg.unpersist()
+      return nodes.withColumn("rank_fp", lit(0L)).limit(0)
+    }
     val init = scale / n
     val teleport = (15L * scale) / (100L * n)
 

@@ -33,6 +33,11 @@ class AnalyticsSpec extends SparkSpec {
     assert((2L to 6L).map(r).toSet.size == 1, "spokes are symmetric")
   }
 
+  test("pageRank: empty edge set yields an empty result, not a crash") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphAlgos.pageRank(none, 3).count() == 0)
+  }
+
   test("pageRank is deterministic across partitionings") {
     val dir = (1 to 60).map(i => (i.toLong, (i * 7 % 60 + 1).toLong))
       .toDF("src", "dst")
