@@ -6,6 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ambient host load, sampled BEFORE we saturate the cores — after the
+    // run it would mostly measure ourselves. This box shows outside
+    // contention that has inflated recorded totals up to 3x (r4's verdict
+    // called the recorded file an environmental outlier); stamping the
+    // pre-run load makes a contended run self-documenting
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // untimed warmup: initialize parquet reader, codegen, and shuffle paths
     // so the first measured query doesn't absorb session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -27,12 +34,6 @@ object Bench {
     }
     val results = first ++ rerun
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // ambient host load (1-min average) — this box shows outside
-    // contention that has inflated recorded totals up to 3x (r4's verdict
-    // called the recorded file an environmental outlier); stamping the
-    // load makes a contended run self-documenting
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     // The driver keeps only the LAST ~2000 chars of sbt output and parses
     // the JSON line from that tail; sbt's own "[success] Total time" line
     // (~75 chars) follows us. Rounds 1-3 printed full-precision doubles
