@@ -241,4 +241,26 @@ class StoreSpec extends SparkSpec {
     assert(entities.contains("name") || entities.contains("employer"))
     assert(g.cards.filter(col("sourceFrameId") === id1).isEmpty) // doc/1 cards gone
   }
+
+  test("repair after a destroyed card index restores memory answers " +
+      "(mirrors doctor_rebuild_produces_searchable_index)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
+    val g = new Graft(spark, dir)
+    g.put("mv2://doc/1", "My name is Alice. I work at Initech.")
+    assert(g.getCurrent("user", "name").contains("Alice"))
+
+    // destroy the derived card index entirely (the reference's corrupted-
+    // index scenario: frames survive, the searchable index does not)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf); f.delete()
+    }
+    rmrf(new java.io.File(s"$dir/cards"))
+    assert(g.getCurrent("user", "name").isEmpty, "index is gone")
+
+    // doctor-style rebuild re-derives every card from the live frames —
+    // the memory answers again without re-ingesting anything
+    assert(g.repairCards() > 0L)
+    assert(g.getCurrent("user", "name").contains("Alice"))
+    assert(g.getCurrent("user", "employer").contains("Initech"))
+  }
 }
