@@ -54,17 +54,29 @@ object GraphAlgos {
     *               every node appears as a src, so the node set IS the
     *               degree table's key column and the union-distinct
     *               shuffle over 2|E| ids is skipped entirely
+    * @param weightCol optional BIGINT edge-weight column: contributions
+    *               become rank * w DIV Σw(src) — the weighted random
+    *               surfer. Weighted inputs must be pre-aggregated (one
+    *               row per edge); keep w * scale < 2^63. Unweighted is
+    *               the w = 1 special case of the same arithmetic.
     */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
                dedup: Boolean = true,
-               assumeSymmetric: Boolean = false): DataFrame = {
+               assumeSymmetric: Boolean = false,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val raw = weightCol match {
+      case Some(wc) => edges.select(col("src").cast("long"),
+        col("dst").cast("long"), col(wc).cast("long").as("w"))
+      case None => edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .withColumn("w", lit(1L))
+    }
     val e = if (dedup) raw.distinct() else raw
-    // the (node-sized) degree table is persisted so the symmetric-graph
-    // node set is a narrow scan of its keys — zero extra shuffles
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // the (node-sized) out-weight table is persisted so the
+    // symmetric-graph node set is a narrow scan of its keys — zero extra
+    // shuffles. For w = 1 this is exactly the out-degree.
+    val deg = e.groupBy("src").agg(sum(col("w")).as("wsum")).persist()
     // ONE persisted edge table carries everything the loop reads (edges +
     // degree), so the upstream edge build (often a join) executes once
     val ed = e.join(deg, "src").persist()
@@ -84,7 +96,7 @@ object GraphAlgos {
     var i = 0
     while (i < iterations) {
       val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank_fp DIV outdeg").as("c"))
+        .select(col("dst").as("node"), expr("(rank_fp * w) DIV wsum").as("c"))
         .groupBy("node").agg(sum(col("c")).as("sc"))
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),

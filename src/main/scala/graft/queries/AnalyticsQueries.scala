@@ -23,22 +23,36 @@ object AnalyticsQueries {
   private val K = Curation.KnuthMult
   private val P = Curation.HashMod
 
-  /** PageRank oracle: 3 unrolled iterations of the identical integer
-    * update over the symmetrized customer↔supplier order graph
-    * (customer c → node 2c, supplier s → node 2s+1: disjoint id spaces). */
-  private def pagerankOracle(iters: Int): String = {
-    val head =
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
-         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         |edges AS (SELECT c AS src, s AS dst FROM pairs
-         |          UNION ALL SELECT s, c FROM pairs),
+  /** PageRank oracle: unrolled iterations of the identical integer update
+    * over the symmetrized customer↔supplier order graph (customer c →
+    * node 2c, supplier s → node 2s+1: disjoint id spaces). `weighted`
+    * switches the contribution to rank * w DIV Σw with w = lineitem count
+    * per pair; unweighted contributes rank DIV outdeg. */
+  private def pagerankOracle(iters: Int, weighted: Boolean): String = {
+    val pairsCte =
+      if (weighted)
+        s"""WITH pairs AS (
+           |  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s, COUNT(*) AS w
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |  GROUP BY 1, 2),
+           |edges AS (SELECT c AS src, s AS dst, w FROM pairs
+           |          UNION ALL SELECT s, c, w FROM pairs),
+           |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src),""".stripMargin
+      else
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |edges AS (SELECT c AS src, s AS dst FROM pairs
+           |          UNION ALL SELECT s, c FROM pairs),
+           |deg AS (SELECT src, COUNT(*) AS wsum FROM edges GROUP BY src),""".stripMargin
+    val contrib = if (weighted) "(r.rank_fp * e.w) // d.wsum" else "r.rank_fp // d.wsum"
+    val head = pairsCte +
+      s"""
          |nodes AS (SELECT DISTINCT src AS node FROM edges),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
          |p AS (SELECT COUNT(*) AS n FROM nodes),
          |r0 AS (SELECT node, (SELECT $Scale // n FROM p) AS rank_fp FROM nodes)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS sc
+      s"""c$i AS (SELECT e.dst AS node, CAST(SUM($contrib) AS BIGINT) AS sc
          |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
          |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
          |r$i AS (SELECT n.node,
@@ -77,7 +91,25 @@ object AnalyticsQueries {
             dedup = false, assumeSymmetric = true)
           .orderBy(col("rank_fp").desc, col("node")).limit(20)
       },
-      pagerankOracle(3)),
+      pagerankOracle(3, weighted = false)),
+
+    // ---- weighted PageRank: the random surfer follows order VOLUME.
+    // Same fixed-point arithmetic with contribution rank*w DIV Σw; the
+    // pre-aggregated (pair, count) edge list IS the dedup ----
+    "graph_pagerank_weighted" -> QueryDef.sql(
+      (s, d) => {
+        val pairs = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("src"),
+                   (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val sym = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        GraphAlgos.pageRank(sym, iterations = 3, scale = Scale,
+            dedup = false, assumeSymmetric = true, weightCol = Some("w"))
+          .orderBy(col("rank_fp").desc, col("node")).limit(20)
+      },
+      pagerankOracle(3, weighted = true)),
 
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(

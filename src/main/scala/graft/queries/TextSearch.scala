@@ -276,7 +276,42 @@ object TextSearch {
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fp64
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ---- corpus-trained bigram LM fluency score (text/BigramLM) ----
+    // ---- Flesch reading-ease scoring: words / sentences / syllables
+    // per document. Syllables ≈ vowel groups per token (the standard
+    // heuristic), sentences = [.!?]+ runs — both pure regex, so DuckDB
+    // recomputes the identical integer inputs; the final float formula
+    // over those integers is IEEE-identical, rounded 4dp for the hash ----
+    "text_readability" -> QueryDef.sql(
+      (s, d) => {
+        graft.functions.F.ensureRegistered(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(size(tokenize(text)) AS BIGINT)").as("n_words"),
+            greatest(size(split(col("text"), "[.!?]+"))
+              .cast("long") - 1L, lit(1L)).as("n_sentences"),
+            expr("""aggregate(
+                transform(tokenize(text),
+                  w -> CAST(greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1) AS BIGINT)),
+                CAST(0 AS BIGINT), (a, x) -> a + x)""").as("n_syllables"))
+          .filter(col("n_words") > 0)
+          .withColumn("flesch",
+            round(lit(206.835)
+              - lit(1.015) * col("n_words") / col("n_sentences")
+              - lit(84.6) * col("n_syllables") / col("n_words"), 4))
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id, text, ${DedupQueries.duckToks} AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    GREATEST(CAST(len(string_split_regex(text, '[.!?]+')) AS BIGINT) - 1, 1) AS n_sentences,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(tk, w -> GREATEST(CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT), 1))),
+         |      (a, x) -> a + x) AS BIGINT) AS n_syllables
+         |  FROM toks)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  ROUND(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * n_words / n_sentences
+         |        - CAST(84.6 AS DOUBLE) * n_syllables / n_words, 4) AS flesch
+         |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin),
     // add-one-smoothed bigram MLE in fixed point: p = (c12+1)*1e9 DIV
     // (c1+V); lm_score = integer mean over the doc's adjacent pairs. The
     // oracle retrains the same model from the same tokens — full-pipeline

@@ -33,6 +33,21 @@ class AnalyticsSpec extends SparkSpec {
     assert((2L to 6L).map(r).toSet.size == 1, "spokes are symmetric")
   }
 
+  test("weighted pageRank shifts rank toward the heavy edge") {
+    // triangle a-b-c, symmetric; edge a-b carries 10x the weight of the
+    // others, so b (a's dominant neighbor) must outrank c
+    val dir = Seq((1L, 2L, 10L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val sym = dir.union(dir.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val r = GraphAlgos.pageRank(sym, 3, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L), s"heavy-edge endpoint must outrank: $r")
+    // unweighted on the same shape is symmetric between b and c
+    val u = GraphAlgos.pageRank(sym.drop("w"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(u(2L) == u(3L), s"unweighted b and c are symmetric: $u")
+  }
+
   test("pageRank: empty edge set yields an empty result, not a crash") {
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphAlgos.pageRank(none, 3).count() == 0)
@@ -242,7 +257,8 @@ class AnalyticsSpec extends SparkSpec {
         "pipe_stratified_sample", "events_funnel", "events_retention",
         "rel_cube_returns", "text_lm_bigram", "rel_histogram",
         "events_moving_window", "rel_topk_per_group", "rel_full_outer",
-        "sketch_countmin_freq", "rel_rank_zoo", "rel_sorted_export")) {
+        "sketch_countmin_freq", "rel_rank_zoo", "rel_sorted_export",
+        "text_readability", "graph_pagerank_weighted")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
