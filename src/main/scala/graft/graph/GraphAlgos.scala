@@ -133,6 +133,42 @@ object GraphAlgos {
     * @return one row per triangle-participating node:
     *         (node BIGINT, n_triangles BIGINT)
     */
+  /** Neighbor-set Jaccard similarity for 2-hop node pairs — the classic
+    * link-prediction primitive ("how alike are these nodes' contexts").
+    * Candidate pairs are exactly the wedges (pairs sharing ≥ 1 neighbor):
+    * common-neighbor counts fall out of one wedge-join aggregation, and
+    * |N(a) ∪ N(b)| = deg(a) + deg(b) − common, so no set materialization.
+    * Scores are fixed-point (common * 1e6 DIV union) — integer-replayable
+    * like everything else here. One aggregation over wedges keyed by the
+    * pair; degree table broadcasts.
+    *
+    * @param edges undirected edges (src, dst); canonicalized internally
+    * @return (a, b, common, jaccard_e6) for a < b with ≥ 1 common neighbor
+    */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("u"), col("b").as("v"))
+      .union(canon.select(col("b").as("u"), col("a").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    // wedges centered on u connect neighbor pairs (v, w): each common
+    // neighbor of (v, w) contributes exactly one wedge
+    val w1 = adj.select(col("u"), col("v"))
+    val w2 = adj.select(col("u"), col("v").as("w"))
+    val common = w1.join(w2, Seq("u"))
+      .filter(col("v") < col("w"))
+      .groupBy(col("v").as("a"), col("w").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("u").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("degb")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("(common * 1000000) DIV (dega + degb - common)").as("jaccard_e6"))
+  }
+
   def triangleCounts(edges: DataFrame,
                      assumeCanonical: Boolean = false): DataFrame = {
     val canon =

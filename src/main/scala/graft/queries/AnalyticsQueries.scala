@@ -155,6 +155,35 @@ object AnalyticsQueries {
          |SELECT node, n_triangles FROM cnt
          |ORDER BY n_triangles DESC, node LIMIT 50""".stripMargin),
 
+    // ---- neighbor-set Jaccard (link prediction) on the sampled graph ----
+    "graph_neighbor_jaccard" -> QueryDef.sql(
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .filter(Curation.idHash(col("a") * 1000003L + col("b")) % 8 === 0)
+          .distinct()
+        GraphAlgos.neighborJaccard(
+            pairs.select(col("a").as("src"), col("b").as("dst")))
+          .orderBy(col("jaccard_e6").desc, col("a"), col("b")).limit(100)
+      },
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |raw AS (SELECT x.sk AS a, y.sk AS b
+         |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+         |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+         |adj AS (SELECT a AS u, b AS v FROM canon
+         |        UNION ALL SELECT b, a FROM canon),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+         |cm AS (SELECT w1.v AS a, w2.v AS b, COUNT(*) AS common
+         |       FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v
+         |       GROUP BY 1, 2)
+         |SELECT c.a, c.b, c.common,
+         |  (c.common * 1000000) // (da.deg + db.deg - c.common) AS jaccard_e6
+         |FROM cm c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+         |ORDER BY jaccard_e6 DESC, a, b LIMIT 100""".stripMargin),
+
     // ---- KMV distinct-count sketch vs exact, per event type ----
     "sketch_kmv_distinct" -> QueryDef.sql(
       (s, d) => Sketches.kmvDistinct(Tables.events(s, d),

@@ -110,6 +110,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(kth == expected)
   }
 
+  // ---- neighbor Jaccard ----
+
+  test("neighborJaccard: path endpoints share their middle; K3 pairs share one") {
+    // path 1-2-3: N(1)={2}, N(3)={2} → jaccard(1,3) = 1/1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphAlgos.neighborJaccard(path)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r == Map((1L, 3L) -> 1000000L))
+    // triangle: N(1)={2,3}, N(2)={1,3} → common {3}, union size 3 → 1/3
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val t = GraphAlgos.neighborJaccard(k3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(t == Map((1L, 2L) -> 333333L, (1L, 3L) -> 333333L, (2L, 3L) -> 333333L))
+  }
+
   // ---- Count-Min sketch ----
 
   test("countMin: est >= exact always; heavy hitter exact at ample width") {
@@ -258,7 +273,8 @@ class AnalyticsSpec extends SparkSpec {
         "rel_cube_returns", "text_lm_bigram", "rel_histogram",
         "events_moving_window", "rel_topk_per_group", "rel_full_outer",
         "sketch_countmin_freq", "rel_rank_zoo", "rel_sorted_export",
-        "text_readability", "graph_pagerank_weighted")) {
+        "text_readability", "graph_pagerank_weighted",
+        "graph_neighbor_jaccard")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
