@@ -305,6 +305,53 @@ object AnalyticsQueries {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us, event_id""".stripMargin),
 
+    // ---- z-score outlier detection per event type: the data-quality
+    // "which readings are anomalous" pass. Moments come from EXACT
+    // decimal sums (order-independent), then one IEEE-identical double
+    // formula — the same discipline as text_readability's formula ----
+    "events_zscore_outliers" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // e4 fixed-point value → BIGINT moment sums (exact, order-free);
+        // the float formula runs once over those integers
+        val v4 = (col("value").cast(DecimalType(18, 4)) * 10000).cast("long")
+        val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(v4).as("s4"),
+          sum(v4 * v4).as("q8"))
+          .withColumn("mean",
+            col("s4").cast("double") / (col("n") * lit(10000.0)))
+          .withColumn("std",
+            sqrt(greatest(
+              col("q8").cast("double") / (col("n") * lit(100000000.0))
+                - col("mean") * col("mean"), lit(0.0))))
+        ev.join(stats.select("event_type", "mean", "std"), "event_type")
+          .withColumn("z", round(
+            when(col("std") === 0.0, lit(0.0))
+              .otherwise((col("value") - col("mean")) / col("std")), 4))
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy(abs(col("z")).desc, col("event_id")).limit(20)
+      },
+      """WITH v AS (SELECT event_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(v4) AS BIGINT) AS s4,
+        |    CAST(SUM(v4 * v4) AS BIGINT) AS q8
+        |  FROM v GROUP BY event_type),
+        |m AS (SELECT event_type,
+        |        CAST(s4 AS DOUBLE) / (n * CAST(10000.0 AS DOUBLE)) AS mean,
+        |        sqrt(GREATEST(CAST(q8 AS DOUBLE) / (n * CAST(100000000.0 AS DOUBLE))
+        |          - (CAST(s4 AS DOUBLE) / (n * CAST(10000.0 AS DOUBLE)))
+        |            * (CAST(s4 AS DOUBLE) / (n * CAST(10000.0 AS DOUBLE))), 0.0)) AS std
+        |      FROM stats)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  ROUND(CASE WHEN m.std = 0.0 THEN 0.0
+        |             ELSE (e.value - m.mean) / m.std END, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin),
+
     // ---- A17 CUBE: all four grouping combinations in one pass ----
     "rel_cube_returns" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)

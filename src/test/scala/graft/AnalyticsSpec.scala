@@ -274,7 +274,7 @@ class AnalyticsSpec extends SparkSpec {
         "events_moving_window", "rel_topk_per_group", "rel_full_outer",
         "sketch_countmin_freq", "rel_rank_zoo", "rel_sorted_export",
         "text_readability", "graph_pagerank_weighted",
-        "graph_neighbor_jaccard")) {
+        "graph_neighbor_jaccard", "events_zscore_outliers")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       assert(df.count() > 0, s"$name returned no rows")
     }
