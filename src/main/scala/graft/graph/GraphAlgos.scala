@@ -139,13 +139,38 @@ object GraphAlgos {
     * common-neighbor counts fall out of one wedge-join aggregation, and
     * |N(a) ∪ N(b)| = deg(a) + deg(b) − common, so no set materialization.
     * Scores are fixed-point (common * 1e6 DIV union) — integer-replayable
-    * like everything else here. One aggregation over wedges keyed by the
-    * pair; degree table broadcasts.
+    * like everything else here.
+    *
+    * Hub fan-out bound: a wedge center u emits deg(u)²/2 rows, so one
+    * 1M-neighbor hub would emit ~5·10¹¹ — and degree orientation (the
+    * `triangleCounts` trick) cannot help here, because EVERY neighbor
+    * pair of u is an output candidate, not just one oriented apex per
+    * triangle. Instead, each center contributes at most `maxCenterDegree`
+    * neighbors: the bottom-k of the Knuth hash over the neighbor id — a
+    * deterministic MinHash-style bottom-k sketch, the same
+    * auditable-integer discipline as `dedup/Dedup`. Wedge rows per center
+    * are then ≤ k²/2, the sample is engine-replayable (row_number over
+    * ((v*K) mod P, v) per center), and the result is EXACT wherever the
+    * cap does not bind; pairs whose common neighbors include super-hub
+    * centers are under-counted past the cap (at hub scale their Jaccard
+    * is noise — union ≥ hub degree dominates). Endpoint degrees in the
+    * union term always use the FULL degree. Pass Long.MaxValue to
+    * disable the cap (exact everywhere, unbounded hub fan-out).
+    *
+    * Plan: one degree aggregation, one per-center window rank when
+    * capped (window state is a single center's adjacency — linear, not
+    * quadratic), the wedge self-join, then two node-sized degree joins.
+    * The degree joins are ordinary shuffle joins: the degree table is
+    * node-sized and NOT broadcastable at 100 TB.
     *
     * @param edges undirected edges (src, dst); canonicalized internally
+    * @param maxCenterDegree per-center neighbor cap (bottom-k by Knuth
+    *        hash); Long.MaxValue = exact/unbounded
     * @return (a, b, common, jaccard_e6) for a < b with ≥ 1 common neighbor
     */
-  def neighborJaccard(edges: DataFrame): DataFrame = {
+  def neighborJaccard(edges: DataFrame,
+                      maxCenterDegree: Long = 1024L): DataFrame = {
+    require(maxCenterDegree >= 1, "maxCenterDegree must be >= 1")
     val canon = edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("a"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
@@ -154,10 +179,16 @@ object GraphAlgos {
     val adj = canon.select(col("a").as("u"), col("b").as("v"))
       .union(canon.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val capped =
+      if (maxCenterDegree == Long.MaxValue) adj
+      else adj.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+            .orderBy(graft.pipeline.Curation.idHash(col("v")), col("v"))))
+        .filter(col("rn") <= maxCenterDegree).drop("rn")
     // wedges centered on u connect neighbor pairs (v, w): each common
     // neighbor of (v, w) contributes exactly one wedge
-    val w1 = adj.select(col("u"), col("v"))
-    val w2 = adj.select(col("u"), col("v").as("w"))
+    val w1 = capped.select(col("u"), col("v"))
+    val w2 = capped.select(col("u"), col("v").as("w"))
     val common = w1.join(w2, Seq("u"))
       .filter(col("v") < col("w"))
       .groupBy(col("v").as("a"), col("w").as("b"))

@@ -66,12 +66,21 @@ object AnalyticsQueries {
 
   /** Deterministic 12.5 % edge sample of the (complete, in this synthetic
     * data) supplier co-supply graph: keep a pair iff the Knuth hash of its
-    * collision-free pair key is ≡ 0 (mod 8). Gives the triangle gate a
-    * graph with non-trivial structure at the gated SFs (~260 triangles at
-    * sf0.01, ~320k at sf0.1; sf0.001's 10-supplier graph keeps 5 edges —
-    * legitimately triangle-free). */
+    * pair key is ≡ 0 (mod 8). The pair key reduces a's hash mod P BEFORE
+    * the final Knuth multiply — `(a*1000003+b)*K` would overflow Long once
+    * suppkey exceeds ~3.4k (sf ≥ 1): Spark would wrap silently while
+    * DuckDB errors. Every intermediate here stays < 1.1e15 and the final
+    * multiplicand < P ≈ 1e9, so (x*K) < 2.7e18 ≪ 2^63 in both engines for
+    * any id < ~3.4e9. Gives the triangle gate a graph with non-trivial
+    * structure at the gated SFs (sf0.001's 10-supplier graph keeps a few
+    * edges — legitimately triangle-poor). */
   private val pairKeep =
-    s"((a * 1000003 + b) * $K) % $P % 8 = 0"
+    s"(((((a * $K) % $P) * 1000003 + b) % $P) * $K) % $P % 8 = 0"
+
+  /** The same keep decision as [[pairKeep]], Spark side. */
+  private def pairKeepCol(a: org.apache.spark.sql.Column,
+                          b: org.apache.spark.sql.Column) =
+    Curation.idHash(pmod(Curation.idHash(a) * 1000003L + b, lit(P))) % 8 === 0
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -121,7 +130,7 @@ object AnalyticsQueries {
         val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
           .filter(col("sk") < col("sk2"))
           .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(Curation.idHash(col("a") * 1000003L + col("b")) % 8 === 0)
+          .filter(pairKeepCol(col("a"), col("b")))
           .distinct()
         GraphAlgos.triangleCounts(
             pairs.select(col("a").as("src"), col("b").as("dst")),
@@ -163,8 +172,12 @@ object AnalyticsQueries {
         val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
           .filter(col("sk") < col("sk2"))
           .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(Curation.idHash(col("a") * 1000003L + col("b")) % 8 === 0)
+          .filter(pairKeepCol(col("a"), col("b")))
           .distinct()
+        // default 1024-neighbor hub cap: non-binding at the gated SFs
+        // (max degree ~125 at sf0.1) but the oracle replays the SAME
+        // bottom-k rank filter, so the capped semantics stays green if
+        // the scale grows past the cap
         GraphAlgos.neighborJaccard(
             pairs.select(col("a").as("src"), col("b").as("dst")))
           .orderBy(col("jaccard_e6").desc, col("a"), col("b")).limit(100)
@@ -176,8 +189,12 @@ object AnalyticsQueries {
          |adj AS (SELECT a AS u, b AS v FROM canon
          |        UNION ALL SELECT b, a FROM canon),
          |deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+         |adjc AS (SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (
+         |        PARTITION BY u ORDER BY (v * $K) % $P, v) AS rn
+         |    FROM adj) r WHERE rn <= 1024),
          |cm AS (SELECT w1.v AS a, w2.v AS b, COUNT(*) AS common
-         |       FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v
+         |       FROM adjc w1 JOIN adjc w2 ON w1.u = w2.u AND w1.v < w2.v
          |       GROUP BY 1, 2)
          |SELECT c.a, c.b, c.common,
          |  (c.common * 1000000) // (da.deg + db.deg - c.common) AS jaccard_e6
@@ -315,10 +332,14 @@ object AnalyticsQueries {
         // e4 fixed-point value → BIGINT moment sums (exact, order-free);
         // the float formula runs once over those integers
         val v4 = (col("value").cast(DecimalType(18, 4)) * 10000).cast("long")
+        // q8 accumulates in DECIMAL(38,0): v4² ≤ 1e14 per row, so a BIGINT
+        // sum overflows around 1e5 rows/type while DuckDB silently widens
+        // to HUGEINT — both engines now keep the exact integer and convert
+        // to double once, at the formula
         val stats = ev.groupBy(col("event_type")).agg(
           count(lit(1)).as("n"),
           sum(v4).as("s4"),
-          sum(v4 * v4).as("q8"))
+          sum((v4 * v4).cast(DecimalType(38, 0))).as("q8"))
           .withColumn("mean",
             col("s4").cast("double") / (col("n") * lit(10000.0)))
           .withColumn("std",
@@ -338,7 +359,7 @@ object AnalyticsQueries {
         |stats AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(v4) AS BIGINT) AS s4,
-        |    CAST(SUM(v4 * v4) AS BIGINT) AS q8
+        |    SUM(v4 * v4) AS q8
         |  FROM v GROUP BY event_type),
         |m AS (SELECT event_type,
         |        CAST(s4 AS DOUBLE) / (n * CAST(10000.0 AS DOUBLE)) AS mean,

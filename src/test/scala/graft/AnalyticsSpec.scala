@@ -125,6 +125,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(t == Map((1L, 2L) -> 333333L, (1L, 3L) -> 333333L, (2L, 3L) -> 333333L))
   }
 
+  test("neighborJaccard: hub cap bounds wedge fan-out; exact when non-binding") {
+    // one 10k-neighbor hub: uncapped it would emit C(10k,2) ≈ 50M wedge
+    // rows; with cap 64 the hub contributes exactly C(64,2) sampled pairs
+    // (leaves have degree 1, so only the hub is a wedge center)
+    val hub = (1 to 10000).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val capped = GraphAlgos.neighborJaccard(hub, maxCenterDegree = 64)
+    assert(capped.count() == 64L * 63 / 2)
+    // the bottom-k hash sample is deterministic across runs
+    val r1 = capped.orderBy("a", "b").collect().toSeq
+    val r2 = GraphAlgos.neighborJaccard(hub, maxCenterDegree = 64)
+      .orderBy("a", "b").collect().toSeq
+    assert(r1 == r2)
+    // every surviving pair: common = 1 (the hub), full degrees 1 each →
+    // jaccard = 1/1 (endpoint degrees are NOT affected by the cap)
+    assert(r1.forall(row => row.getLong(2) == 1L && row.getLong(3) == 1000000L))
+    // a non-binding cap returns the exact result
+    val small = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val exact = GraphAlgos.neighborJaccard(small, maxCenterDegree = Long.MaxValue)
+      .orderBy("a", "b").collect().toSeq
+    val dflt = GraphAlgos.neighborJaccard(small).orderBy("a", "b").collect().toSeq
+    assert(dflt == exact && exact.nonEmpty)
+  }
+
   // ---- Count-Min sketch ----
 
   test("countMin: est >= exact always; heavy hitter exact at ample width") {
