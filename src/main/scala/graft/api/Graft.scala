@@ -289,29 +289,44 @@ final class Graft(val spark: SparkSession, basePath: String,
   }
 
   /** PageRank over the entity mesh: which entities does this memory orbit?
-    * Edges are entity→value card triples (symmetrized); string nodes ride
-    * through the fixed-point integer ranks on their polynomial hash (a
-    * bijection-grade 1e9+7 key space — the same id the mesh sketches use).
-    * @return (node, rank_fp) — top entities by fixed-point rank */
+    * Edges are entity→value card triples (symmetrized). String nodes get
+    * 64-bit xxhash64 ids — NOT the mesh sketches' 1e9+7 polynomial key,
+    * whose birthday bound silently merges unrelated nodes around ~37k
+    * distinct strings (a routine corpus size). A 64-bit space pushes that
+    * to ~5e9 strings, and because even "unlikely" must not mean "silently
+    * wrong", the id table is checked and the call FAILS LOUDLY on a
+    * collision instead of ranking a merged node. The check doubles as the
+    * eager materialization of the persisted id table, so both joins below
+    * are guaranteed to read the same assignment.
+    * @return (name, rank_fp) — top entities by fixed-point rank */
   def entityRank(iterations: Int = 3, topK: Int = 20): DataFrame = {
-    graft.Sessions.ensureFunctions(spark)
-    import graft.functions.F
     val tri = cards.filter(col("entity").isNotNull && col("value").isNotNull)
       .select(col("entity").as("sname"), col("value").as("dname"))
     val ids = tri.select(col("sname").as("name"))
       .union(tri.select(col("dname").as("name")))
       .distinct()
-      .select(col("name"), F.polyHash(col("name")).as("nid"))
+      .select(col("name"), xxhash64(col("name")).as("nid"))
       .persist()
+    val nCollisions = ids.groupBy("nid").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1L).count()
+    if (nCollisions > 0) {
+      ids.unpersist()
+      throw new IllegalStateException(
+        s"entityRank: $nCollisions xxhash64 node-id collisions among distinct " +
+        "entity names — ranks would silently merge unrelated nodes")
+    }
     val dir = tri
       .join(ids.select(col("name").as("sname"), col("nid").as("src")), "sname")
       .join(ids.select(col("name").as("dname"), col("nid").as("dst")), "dname")
       .select("src", "dst")
     val sym = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-    graft.graph.GraphAlgos.pageRank(sym, iterations)
+    val out = graft.graph.GraphAlgos.pageRank(sym, iterations)
       .join(ids.select(col("nid").as("node"), col("name")), "node")
       .select(col("name"), col("rank_fp"))
       .orderBy(col("rank_fp").desc, col("name")).limit(topK)
+      .localCheckpoint()
+    ids.unpersist()
+    out
   }
 
   /** per-document quality signals: token counts + duplicate-ngram fraction */

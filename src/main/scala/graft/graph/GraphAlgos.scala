@@ -86,8 +86,10 @@ object GraphAlgos {
          .union(ed.select(col("dst").as("node"))).distinct().persist())
     val n = nodes.count()
     if (n == 0) {                      // empty graph: no ranks, no 1/n
+      val empty = nodes.withColumn("rank_fp", lit(0L)).limit(0).localCheckpoint()
       ed.unpersist(); deg.unpersist()
-      return nodes.withColumn("rank_fp", lit(0L)).limit(0)
+      if (!assumeSymmetric) nodes.unpersist()
+      return empty
     }
     val init = scale / n
     val teleport = (15L * scale) / (100L * n)
@@ -202,6 +204,19 @@ object GraphAlgos {
 
   def triangleCounts(edges: DataFrame,
                      assumeCanonical: Boolean = false): DataFrame = {
+    val (out, oriented) = triangleCountsPlan(edges, assumeCanonical)
+    // node-sized result — materialize, then drop the oriented-edge cache
+    val r = out.localCheckpoint()
+    oriented.unpersist()
+    r
+  }
+
+  /** The lazy plan behind [[triangleCounts]] plus its persisted oriented
+    * edge table — split out so plan-shape tests can assert on the
+    * pre-checkpoint join shape (localCheckpoint replaces it with an RDD
+    * scan). */
+  private[graft] def triangleCountsPlan(
+      edges: DataFrame, assumeCanonical: Boolean): (DataFrame, DataFrame) = {
     val canon =
       if (assumeCanonical)
         edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
@@ -236,6 +251,6 @@ object GraphAlgos {
       .union(tri.select(col("v").as("node")))
       .union(tri.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    out
+    (out, oriented)
   }
 }

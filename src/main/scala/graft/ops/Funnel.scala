@@ -33,6 +33,8 @@ object Funnel {
     var frontier = base.filter(col("__ty") === steps.head)
       .groupBy("__u").agg(min(col("__ts")).as("__t"))
       .persist()
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += frontier
     val counts = Seq.newBuilder[DataFrame]
     def countOf(df: DataFrame, i: Int, name: String) =
       df.agg(count(lit(1)).as("n_users"))
@@ -45,9 +47,15 @@ object Funnel {
         .filter(col("__ts") >= col("__prev"))
         .groupBy("__u").agg(min(col("__ts")).as("__t"))
         .persist()
+      persisted += frontier
       counts += countOf(frontier, i, name)
     }
-    counts.result().reduce(_ unionByName _).orderBy("step")
+    // the result is |steps| rows — materialize it, then drop the frontier
+    // caches so repeated funnel calls don't accumulate storage
+    val out = counts.result().reduce(_ unionByName _).orderBy("step")
+      .localCheckpoint()
+    persisted.result().foreach(_.unpersist())
+    out
   }
 
   /** Day-grain cohort retention: cohort = a user's first active day;

@@ -40,9 +40,19 @@ object Sketches {
   def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
                   k: Int = 256): DataFrame = {
     require(k >= 2, "k must be >= 2")
-    // id*K mod P with P prime and gcd(K,P)=1 is a bijection on [0,P), so
-    // for keys below HashMod distinct hashes == distinct keys and
-    // exact_distinct below is truly exact, not collision-lossy
+    // id*K mod P with P prime and gcd(K,P)=1 is a bijection ONLY on
+    // [0, P): for wider key domains (64-bit ids) distinct hashes would
+    // silently under-count distinct keys and `exact_distinct` would lie.
+    // Validate the domain up front — one narrow early-exit scan — and
+    // fail loudly rather than mislabel an estimate as exact.
+    val offDomain = df.select(col(keyCol).cast("long").as("k0"))
+      .filter(col("k0").isNull || col("k0") < 0L ||
+        col("k0") >= Curation.HashMod)
+      .limit(1).count()
+    require(offDomain == 0,
+      s"kmvDistinct: $keyCol has values outside [0, ${Curation.HashMod}) — " +
+      "the Knuth hash is only a bijection below HashMod, so exact_distinct " +
+      "would silently under-count; pre-map wide ids to a dense key first")
     val hashed = df.select(col(groupCol).as("grp"),
         Curation.idHash(col(keyCol).cast("long")).as("h"))
       .distinct()
@@ -88,6 +98,20 @@ object Sketches {
     */
   def countMinTopK(occurrences: DataFrame, termCol: String, k: Int = 20,
                    depth: Int = 4, width: Int = 8192): DataFrame = {
+    val (out, hashed) = countMinTopKPlan(occurrences, termCol, k, depth, width)
+    // k rows — materialize, then release the hashed-occurrence cache
+    val r = out.localCheckpoint()
+    hashed.unpersist()
+    r
+  }
+
+  /** The lazy plan behind [[countMinTopK]] plus its persisted intermediate —
+    * split out so plan-shape tests can assert on the pre-checkpoint physical
+    * plan (the broadcast probe), which `localCheckpoint` otherwise replaces
+    * with an RDD scan. */
+  private[graft] def countMinTopKPlan(
+      occurrences: DataFrame, termCol: String, k: Int,
+      depth: Int, width: Int): (DataFrame, DataFrame) = {
     val P = Curation.HashMod
     def bucket(h: String, i: String) =
       s"(($h * (${Curation.KnuthMult} + $i * 1000003) + 11 + 7 * $i) % $P) % $width"
@@ -107,8 +131,9 @@ object Sketches {
         expr(bucket("h64", "i")).as("bucket"))
       .join(broadcast(counters), Seq("i", "bucket"))
       .groupBy("term", "n_exact").agg(min(col("c")).as("est"))
-    est.select(col("term"), col("n_exact"), col("est"),
+    val out = est.select(col("term"), col("n_exact"), col("est"),
         (col("est") - col("n_exact")).as("overcount"))
       .orderBy(col("n_exact").desc, col("term"))
+    (out, hashed)
   }
 }

@@ -54,6 +54,10 @@ object BigramLM {
       .agg(count(lit(1)).as("n_pairs"), sum(col("p")).as("sp"))
       .select(col(idCol), col("n_pairs"),
         expr("sp DIV n_pairs").as("lm_score"))
+      // materialize before dropping the adjacency cache (the v-count above
+      // already populated it) — otherwise adjP leaks in a long-lived session
+      .localCheckpoint()
+    adjP.unpersist()
     out
   }
 }

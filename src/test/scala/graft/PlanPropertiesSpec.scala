@@ -7,6 +7,7 @@ import org.apache.spark.sql.DataFrame
   * correct. Complements SCALE.md's claims with executable checks.
   */
 class PlanPropertiesSpec extends SparkSpec {
+  import spark.implicits._
 
   private def plan(name: String): String = {
     val df: DataFrame = Registry.all(name).fn(spark, sfDir)
@@ -144,10 +145,16 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("triangle wedge join never joins on the raw hub-keyed edge id") {
     // degree orientation: the join keys must be the oriented src/dst pair,
-    // and the closing edge must come in as an equi-join (no nested loop)
-    val p = plan("graph_triangles")
+    // and the closing edge must come in as an equi-join (no nested loop).
+    // Assert the pre-checkpoint plan — the public method materializes.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val (lazyPlan, oriented) = graft.graph.GraphAlgos.triangleCountsPlan(
+      e, assumeCanonical = false)
+    val p = lazyPlan.queryExecution.executedPlan.toString
+    oriented.unpersist()
     assert(!p.toLowerCase.contains("broadcastnestedloop"),
       "wedge closing must stay an equi-join")
+    assert(p.toLowerCase.contains("join"), "plan must contain the wedge joins")
   }
 
   test("cube expands in one pass: a single Expand node, one agg shuffle") {
@@ -161,8 +168,12 @@ class PlanPropertiesSpec extends SparkSpec {
     val occ = Tables.documents(spark, sfDir)
       .select(org.apache.spark.sql.functions.explode(
         graft.functions.F.tokens(org.apache.spark.sql.functions.col("text"))).as("term"))
-    val p = graft.ops.Sketches.countMinTopK(occ, "term", k = 20)
-      .queryExecution.executedPlan.toString
+    // assert on the pre-checkpoint plan: the public method materializes
+    // (localCheckpoint) to release its cache, which hides the join shape
+    val (lazyPlan, hashed) =
+      graft.ops.Sketches.countMinTopKPlan(occ, "term", 20, 4, 8192)
+    val p = lazyPlan.queryExecution.executedPlan.toString
+    hashed.unpersist()
     assert(p.contains("BroadcastHashJoin"), "counter matrix must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "a fixed-size sketch must never be the big side of a shuffle join")
