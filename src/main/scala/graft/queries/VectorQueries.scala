@@ -165,6 +165,41 @@ object VectorQueries {
          |WHERE a.cluster IN (SELECT cid FROM probed)
          |ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15""".stripMargin),
 
+    // ---- A6 IVF + embedded per-cluster index (the HNSW wiring): vectors
+    // shuffle once keyed by cluster, each cluster is answered locally by
+    // Hnsw.searchAuto, per-cluster top-k merge in one bounded TakeOrdered.
+    // The gate pins switchThreshold = MaxValue — the EXACT brute branch —
+    // because a graph walk is not SQL-replayable; the ≥1000 HNSW branch is
+    // the same code path with the default threshold and its approximate
+    // contract (recall vs brute force) is asserted in VectorSpec/HnswSpec.
+    "vec_ivf_hnsw" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        val assigned = VectorSearch.assignClusters(emb, "embedding", cents)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        VectorSearch.ivfSearchEmbedded(assigned, "vec_id", "embedding", cents,
+          q, k = 15, nprobe = 2, switchThreshold = Int.MaxValue)
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+         |probed AS (
+         |  SELECT c.cid FROM cents c, q
+         |  ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
+         |assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e)
+         |SELECT a.vec_id, ${duckL2("a.ev", "q.qv")} AS dist
+         |FROM assigned a, q
+         |WHERE a.cluster IN (SELECT cid FROM probed)
+         |ORDER BY dist, a.vec_id LIMIT 15""".stripMargin),
+
     // ---- hyperplane LSH: banded cosine near-dup with exact verification.
     // The oracle replays the deterministic integer hyperplanes, sequential
     // dot folds, bucket keys, and verification — the approximation itself

@@ -151,15 +151,24 @@ object Hnsw {
     h
   }
 
-  /** reference parity switch: brute-force scan under the threshold, HNSW
-    * above it — for embedded-scale candidate sets. Returns (id, l2). */
-  def searchAuto(entries: IndexedSeq[(Long, Array[Float])], dim: Int,
+  /** exact L2 scan, (id, l2) ascending with id tiebreak — the sequential
+    * float→double fold that bit-matches the engine kernels and the
+    * DuckDB oracle folds */
+  def bruteForce(entries: IndexedSeq[(Long, Array[Float])], dim: Int,
                  query: Array[Float], k: Int): Seq[(Long, Double)] =
-    if (entries.length < SwitchThreshold) {
-      entries.map { case (id, v) =>
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = v(i).toDouble - query(i).toDouble; d += t * t; i += 1 }
-        (id, math.sqrt(d))
-      }.sortBy { case (id, d) => (d, id) }.take(k)
-    } else build(entries, dim).search(query, k)
+    entries.map { case (id, v) =>
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = v(i).toDouble - query(i).toDouble; d += t * t; i += 1 }
+      (id, math.sqrt(d))
+    }.sortBy { case (id, d) => (d, id) }.take(k)
+
+  /** reference parity switch: brute-force scan under the threshold, HNSW
+    * above it — for embedded-scale candidate sets. Returns (id, l2).
+    * `threshold` defaults to the reference's 1000; pass Int.MaxValue to
+    * pin the exact path (the oracle-gated mode of ivfSearchEmbedded). */
+  def searchAuto(entries: IndexedSeq[(Long, Array[Float])], dim: Int,
+                 query: Array[Float], k: Int,
+                 threshold: Int = SwitchThreshold): Seq[(Long, Double)] =
+    if (entries.length < threshold) bruteForce(entries, dim, query, k)
+    else build(entries, dim).search(query, k)
 }

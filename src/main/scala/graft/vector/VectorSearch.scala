@@ -76,14 +76,63 @@ object VectorSearch {
   def ivfSearch(embWithCluster: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[(Int, Array[Float])], query: Array[Float],
                 k: Int, nprobe: Int, metric: String = "cosine"): DataFrame = {
-    def l2(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-      math.sqrt(s)
-    }
-    val probed = centroids.sortBy { case (cid, c) => (l2(c, query), cid) }
-      .take(nprobe).map(_._1)
+    val probed = probeClusters(centroids, query, nprobe)
     knn(embWithCluster, idCol, vecCol, query, k, metric,
         candidateFilter = Some(col("cluster").isin(probed: _*)))
+  }
+
+  private def l2Local(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** driver-side probe: the nprobe nearest centroid ids, ties to low cid */
+  private def probeClusters(centroids: Seq[(Int, Array[Float])],
+                            query: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.sortBy { case (cid, c) => (l2Local(c, query), cid) }
+      .take(nprobe).map(_._1)
+
+  /** IVF search with the reference's EMBEDDED engine switch inside each
+    * probed cluster (`src/vec.rs:23`: brute force below 1000 vectors,
+    * HNSW at or above): candidates shuffle once keyed by cluster id —
+    * the same layout an IVF table is stored in — and each cluster's
+    * vectors are answered locally by [[Hnsw.searchAuto]], then the
+    * per-cluster top-k merge in one bounded TakeOrdered. L2 metric (the
+    * embedded index's contract).
+    *
+    * Determinism: entries are sorted by id before the index build, so
+    * the HNSW graph — and therefore the approximate result — replays
+    * identically at any parallelism. Below `switchThreshold` the result
+    * is EXACT (that mode is oracle-gated in `vec_ivf_hnsw`); at or above
+    * it the contract is approximate — recall vs brute force is asserted
+    * in VectorSpec/HnswSpec, not hash-gated.
+    *
+    * Scale: the per-cluster index is the natural shard of an embedded
+    * HNSW — cluster sizes are bounded by the IVF training (k centroids
+    * over the corpus), so no executor ever builds a corpus-sized graph.
+    */
+  def ivfSearchEmbedded(embWithCluster: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[(Int, Array[Float])], query: Array[Float],
+                        k: Int, nprobe: Int,
+                        switchThreshold: Int = Hnsw.SwitchThreshold): DataFrame = {
+    val spark = embWithCluster.sparkSession
+    import spark.implicits._
+    val probed = probeClusters(centroids, query, nprobe)
+    val dim = query.length
+    val q = query
+    val kk = k
+    val thr = switchThreshold
+    val top = embWithCluster.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol).cast("long"), col(vecCol), col("cluster").cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val entries: IndexedSeq[(Long, Array[Float])] =
+          it.map(t => (t._1, t._2)).toArray.sortBy(_._1).toIndexedSeq
+        Hnsw.searchAuto(entries, dim, q, kk, thr).iterator
+      }
+    top.toDF(idCol, "dist")
+      .orderBy(col("dist"), col(idCol)).limit(k)
   }
 }

@@ -50,6 +50,44 @@ class VectorSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSet == Set(0L, 1L, 5L))
   }
 
+  test("ivfSearchEmbedded: exact mode matches brute-force l2 within probed clusters") {
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+    val assigned = VectorSearch.assignClusters(embDf, "embedding", cents)
+    val q = Array(0.8f, 0.2f, 0f)
+    val viaHnswPath = VectorSearch.ivfSearchEmbedded(assigned, "vec_id",
+        "embedding", cents, q, k = 3, nprobe = 1, switchThreshold = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScan = VectorSearch.ivfSearch(assigned, "vec_id", "embedding",
+        cents, q, k = 3, nprobe = 1, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaHnswPath == viaScan && viaHnswPath.nonEmpty)
+  }
+
+  test("ivfSearchEmbedded: >=1000-vector cluster takes the HNSW branch — " +
+       "deterministic, high recall vs brute force") {
+    val emb = new graft.ask.HashEmbedder(32)
+    // one cluster of 1500 vectors (past the reference switch) near axis 0
+    val rows = (0 until 1500).map { i =>
+      (i.toLong, emb.embed(s"document number ${i * 3} topic ${(i * 7) % 50}"), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, rows.head._2))
+    val assigned = VectorSearch.assignClusters(df, "embedding", cents)
+    val q = emb.embed("topic 13 probe")
+    def run() = VectorSearch.ivfSearchEmbedded(assigned, "vec_id", "embedding",
+        cents, q, k = 10, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = run()
+    assert(got == run(), "HNSW branch must replay identically")
+    val truth = rows.map { case (id, v, _) =>
+      var d = 0.0; var j = 0
+      while (j < 32) { val t = v(j).toDouble - q(j).toDouble; d += t * t; j += 1 }
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = (truth intersect got.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"recall $recall < 0.8")
+  }
+
   test("adaptive cutoff strategies on a crafted score ladder") {
     // FIXTURES.md §3: [0.9, 0.88, 0.85, 0.4, 0.39] -> cliff cut at index 3
     val ranked = Seq((1L, 0.9), (2L, 0.88), (3L, 0.85), (4L, 0.4), (5L, 0.39))
