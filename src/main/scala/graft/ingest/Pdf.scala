@@ -224,6 +224,74 @@ object Pdf {
     } finally inf.end()
   }
 
+  /** Undo PNG row predictors (predictor 10–15; spec: PNG spec §6, applied
+    * per PDF 32000-1 §7.4.4.4): each row is a filter-type byte then
+    * `rowLen` filtered bytes; types 0 None, 1 Sub, 2 Up, 3 Average,
+    * 4 Paeth, reconstructed against the previous (initially zero) row.
+    * /Predictor 12 (Up) is what most PDF writers emit for xref and
+    * content streams. Returns None on a malformed layout (row remainder,
+    * unknown filter type) — the caller skips the stream, keeps the doc. */
+  private def pngUnpredict(data: Array[Byte], columns: Int, colors: Int,
+                           bpc: Int): Option[Array[Byte]] = {
+    val rowLen = (columns.toLong * colors * bpc + 7) / 8
+    if (rowLen <= 0 || rowLen > Int.MaxValue - 1) return None
+    val stride = rowLen.toInt + 1
+    if (data.length % stride != 0) return None
+    val bpp = math.max(1, colors * bpc / 8)
+    val n = rowLen.toInt
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * n)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * stride) & 0xff
+      val src = r * stride + 1
+      val dst = r * n
+      val prevRow = dst - n // -n on row 0 → guarded reads below
+      var i = 0
+      while (i < n) {
+        val rawB = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(prevRow + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(prevRow + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** TIFF predictor 2 (horizontal differencing), 8-bit components only */
+  private def tiffUnpredict(data: Array[Byte], columns: Int, colors: Int,
+                            bpc: Int): Option[Array[Byte]] = {
+    if (bpc != 8) return None
+    val rowLen = columns * colors
+    if (rowLen <= 0 || data.length % rowLen != 0) return None
+    val out = data.clone()
+    var r = 0
+    while (r < data.length) {
+      var i = colors
+      while (i < rowLen && r + i < out.length) {
+        out(r + i) = ((out(r + i) & 0xff) + (out(r + i - colors) & 0xff)).toByte
+        i += 1
+      }
+      r += rowLen
+    }
+    Some(out)
+  }
+
   /** decode a stream through its /Filter chain; None = unsupported filter */
   private def decodeStream(dict: PDict, raw: Array[Byte], doc: Doc): Option[Array[Byte]] = {
     val filters = doc.resolve(dict.m.getOrElse("Filter", PNull)) match {
@@ -231,15 +299,32 @@ object Pdf {
       case PArr(fs) => fs.map { case PName(f) => f; case _ => "?" }
       case _ => Seq.empty
     }
-    val parms = doc.resolve(dict.m.getOrElse("DecodeParms", PNull))
-    val hasPredictor = parms match {
-      case PDict(p) => p.get("Predictor").exists { case PNum(v) => v > 1; case _ => false }
-      case PArr(ps) => ps.exists { case PDict(p) =>
-        p.get("Predictor").exists { case PNum(v) => v > 1; case _ => false }; case _ => false }
-      case _ => false
+    // DecodeParms may be a dict or an array parallel to /Filter; with the
+    // single-Flate chain supported here, the first dict is the Flate parms
+    val parmsDict: Map[String, PObj] = doc.resolve(dict.m.getOrElse("DecodeParms", PNull)) match {
+      case PDict(p) => p
+      case PArr(ps) => ps.map(doc.resolve(_)).collectFirst { case PDict(p) => p }
+        .getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+    def parm(k: String, dflt: Int): Int = doc.resolve(parmsDict.getOrElse(k, PNull)) match {
+      case PNum(v) => v.toInt
+      case _ => dflt
     }
     if (filters.isEmpty) Some(raw)
-    else if (filters == Seq("FlateDecode") && !hasPredictor) inflate(raw)
+    else if (filters == Seq("FlateDecode")) {
+      inflate(raw).flatMap { flat =>
+        parm("Predictor", 1) match {
+          case 1 => Some(flat)
+          case 2 => tiffUnpredict(flat, parm("Columns", 1), parm("Colors", 1),
+            parm("BitsPerComponent", 8))
+          case p if p >= 10 && p <= 15 =>
+            pngUnpredict(flat, parm("Columns", 1), parm("Colors", 1),
+              parm("BitsPerComponent", 8))
+          case _ => None
+        }
+      }
+    }
     else None
   }
 

@@ -92,6 +92,87 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.title.contains("Titled"))
   }
 
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** PNG-predictor-encode `s` (rows of `columns` bytes, one filter-type
+    * byte per row) then deflate — what a /Predictor 12 writer produces.
+    * Content is space-padded to a whole row (harmless in a content
+    * stream). */
+  private def pngPredictDeflate(s: String, columns: Int, filterType: Int): Array[Byte] = {
+    val raw0 = s.getBytes(ISO_8859_1)
+    val pad = (columns - raw0.length % columns) % columns
+    val raw = raw0 ++ Array.fill(pad)(' '.toByte)
+    val out = new ByteArrayOutputStream()
+    var r = 0
+    while (r < raw.length) {
+      out.write(filterType)
+      var i = 0
+      while (i < columns) {
+        val cur = raw(r + i) & 0xff
+        val left = if (i > 0) raw(r + i - 1) & 0xff else 0
+        val up = if (r > 0) raw(r - columns + i) & 0xff else 0
+        val ul = if (r > 0 && i > 0) raw(r - columns + i - 1) & 0xff else 0
+        val enc = filterType match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        out.write(enc & 0xff)
+        i += 1
+      }
+      r += columns
+    }
+    deflateBytes(out.toByteArray)
+  }
+
+  test("flate + PNG predictors (Sub/Up/Average/Paeth) extract text") {
+    val content = "BT /F1 12 Tf 72 720 Td (Predictor text survives) Tj ET"
+    for (ft <- Seq(0, 1, 2, 3, 4)) {
+      val data = pngPredictDeflate(content, columns = 16, filterType = ft)
+      val bytes = onePagePdf(stream(
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>",
+        data))
+      assert(Pdf.pdfText(bytes).text == "Predictor text survives",
+        s"filter type $ft failed")
+    }
+  }
+
+  test("flate + TIFF predictor 2 extracts text; bad layouts skip cleanly") {
+    val content = "BT (Tiff horizontal diff) Tj ET "  // padded to 8 | len
+    val raw = content.getBytes(ISO_8859_1)
+    assert(raw.length % 8 == 0)
+    val enc = raw.clone()
+    var r = 0
+    while (r < enc.length) { // per 8-byte row: out[i] = raw[i] - raw[i-1]
+      var i = 7
+      while (i >= 1) { enc(r + i) = ((raw(r + i) & 0xff) - (raw(r + i - 1) & 0xff)).toByte; i -= 1 }
+      r += 8
+    }
+    val bytes = onePagePdf(stream(
+      "/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 8 >>",
+      deflateBytes(enc)))
+    assert(Pdf.pdfText(bytes).text == "Tiff horizontal diff")
+    // row remainder (columns don't divide payload): skip, never garble
+    val badCols = onePagePdf(stream(
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>",
+      pngPredictDeflate(content, columns = 16, filterType = 2)))
+    assert(Pdf.pdfText(badCols).text.isEmpty)
+  }
+
   test("object streams (/ObjStm) expose page dicts; multi-part /Contents") {
     // catalog+pages+page dicts packed inside a flate object stream
     val inner = "<< /Type /Catalog /Pages 2 0 R >> " +
