@@ -261,19 +261,63 @@ object ExtractedTables {
       size(col("headers")).as("n_cols"), size(col("rows")).as("n_rows"),
       array_join(col("headers"), ",").as("header_preview"))
 
-  /** exports (storage.rs:498,543) — built-in sinks */
-  def exportCsv(tables: DataFrame, tableId: Long, path: String): Unit = {
-    val t = tables.filter(col("tableId") === tableId)
-    val headers = t.select("headers").head.getSeq[String](0)
-    val rows = t.select(posexplode(col("rows")).as(Seq("i", "cells")))
-      .orderBy("i")
-      .select((headers.indices.map(i =>
-        col("cells").getItem(i).as(if (headers.nonEmpty) headers(i) else s"c$i"))): _*)
-    rows.coalesce(1).write.option("header", headers.nonEmpty).mode("overwrite").csv(path)
-  }
+  /** Exports (storage.rs:498,543) — built-in sinks.
+    *
+    * `exportCsv`/`exportJson` deliberately reproduce the reference's
+    * SINGLE-FILE contract (storage.rs writes one file per table): the
+    * `coalesce(1)` serializes the table through one task, which is the
+    * price of that contract — right for the reference's document-scale
+    * tables, wrong for a multi-GB extract. For those, the sharded
+    * variants below keep the write parallel (`n` output parts, rows
+    * range-ordered by row index so part files concatenate in order). */
+  def exportCsv(tables: DataFrame, tableId: Long, path: String): Unit =
+    csvRows(tables, tableId).coalesce(1)
+      .write.option("header", hasHeaders(tables, tableId))
+      .mode("overwrite").csv(path)
 
   def exportJson(tables: DataFrame, tableId: Long, path: String): Unit =
-    rowsAsMaps(tables.filter(col("tableId") === tableId))
-      .select(to_json(col("row_map")).as("row"))
-      .coalesce(1).write.mode("overwrite").text(path)
+    jsonRows(tables, tableId).coalesce(1).write.mode("overwrite").text(path)
+
+  /** parallel CSV export: `n` part files, globally ordered by row index
+    * (range partitioning), so `cat part-*` reproduces the table order */
+  def exportCsvSharded(tables: DataFrame, tableId: Long, path: String,
+                       n: Int): Unit = {
+    require(n >= 1, "shard count must be >= 1")
+    csvRows(tables, tableId, keepIdx = true)
+      .repartitionByRange(n, col("__i")).sortWithinPartitions("__i")
+      .drop("__i")
+      .write.option("header", hasHeaders(tables, tableId))
+      .mode("overwrite").csv(path)
+  }
+
+  def exportJsonSharded(tables: DataFrame, tableId: Long, path: String,
+                        n: Int): Unit = {
+    require(n >= 1, "shard count must be >= 1")
+    jsonRows(tables, tableId, keepIdx = true)
+      .repartitionByRange(n, col("__i")).sortWithinPartitions("__i")
+      .drop("__i")
+      .write.mode("overwrite").text(path)
+  }
+
+  private def hasHeaders(tables: DataFrame, tableId: Long): Boolean =
+    tables.filter(col("tableId") === tableId)
+      .select("headers").head.getSeq[String](0).nonEmpty
+
+  private def csvRows(tables: DataFrame, tableId: Long,
+                      keepIdx: Boolean = false): DataFrame = {
+    val t = tables.filter(col("tableId") === tableId)
+    val headers = t.select("headers").head.getSeq[String](0)
+    val base = t.select(posexplode(col("rows")).as(Seq("__i", "cells")))
+      .orderBy("__i")
+    val cols = headers.indices.map(i =>
+      col("cells").getItem(i).as(if (headers.nonEmpty) headers(i) else s"c$i"))
+    base.select((if (keepIdx) col("__i") +: cols else cols): _*)
+  }
+
+  private def jsonRows(tables: DataFrame, tableId: Long,
+                       keepIdx: Boolean = false): DataFrame = {
+    val rm = rowsAsMaps(tables.filter(col("tableId") === tableId))
+    if (keepIdx) rm.select(col("rowIdx").as("__i"), to_json(col("row_map")).as("row"))
+    else rm.select(to_json(col("row_map")).as("row"))
+  }
 }

@@ -49,6 +49,34 @@ class TablesAskSpec extends SparkSpec {
     ExtractedTables.exportJson(tables, (7L << 20), s"$dir/json")
     val json = spark.read.json(s"$dir/json").collect()
     assert(json.length == 2)
+    // single-file contract: exactly one data part (reference parity)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts(s"$dir/csv") == 1 && parts(s"$dir/json") == 1)
+  }
+
+  test("sharded export: parallel parts, same rows, order by row index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // a 40-row table (larger than the markdown fixture) to spread shards
+    val body = (1 to 40).map(i => s"| n$i | ${i * 10} |").mkString("\n")
+    val bigMd = s"| name | age |\n| --- | --- |\n$body"
+    val docs = Seq((9L, bigMd)).toDF("id", "text")
+    val tables = ExtractedTables.extract(docs, "id", "text")
+    ExtractedTables.exportCsvSharded(tables, (9L << 20), s"$dir/csv", n = 4)
+    val files = new java.io.File(s"$dir/csv").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length > 1, "sharded export must write multiple parts")
+    val csv = spark.read.option("header", true).csv(s"$dir/csv")
+    assert(csv.count() == 40)
+    // concatenating parts in filename order reproduces the table order:
+    // every part carries a contiguous, increasing range of row indices
+    val firstNames = files.toSeq.flatMap { f =>
+      scala.io.Source.fromFile(f).getLines().toList.drop(1) // per-part header
+        .map(_.split(",")(0).stripPrefix("n").toInt)
+    }
+    assert(firstNames == firstNames.sorted, s"rows out of order: $firstNames")
+    ExtractedTables.exportJsonSharded(tables, (9L << 20), s"$dir/json", n = 4)
+    assert(spark.read.json(s"$dir/json").count() == 40)
   }
 
   test("build_context groups hits by base uri") {
