@@ -133,6 +133,21 @@ final class FrameStore(spark: SparkSession, path: String) {
     latest.join(superseded, Seq("id"), "left_anti")
   }
 
+  /** Materialize the latest-active view as a read-optimized parquet copy,
+    * leaving the log (and so as-of history) intact. Computing the view on
+    * the fly costs two shuffles per read — the per-id window plus the
+    * supersedes anti-join — which is fine for one query and wasteful for
+    * a curation run that reads "current" dozens of times: pay the two
+    * shuffles once, then every consumer scans a plain table. At 100 TB,
+    * write it through `ops.Bucketing` keyed on `id` instead and the
+    * downstream joins are exchange-free too (SCALE.md "latest-active
+    * view"). `vacuum()` is the destructive in-place variant of the same
+    * idea. @return the materialized view, re-read from `outPath` */
+  def materializeCurrent(outPath: String): DataFrame = {
+    latestActive.write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** compaction: rewrite only the live view, dropping dead versions
     * (reference vacuum, mutation.rs:2999) */
   def vacuum(): Unit = {

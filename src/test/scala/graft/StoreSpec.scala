@@ -59,6 +59,23 @@ class StoreSpec extends SparkSpec {
     assert(store.log.count() == 1) // dead versions physically gone
   }
 
+  test("materializeCurrent: read-optimized copy matches the live view, log intact") {
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    val Seq(a) = store.put(Seq(("mv2://a", "stays live")), ts = ts(1000))
+    val Seq(b) = store.put(Seq(("mv2://b", "gets deleted")), ts = ts(1000))
+    store.update(a, "stays live v2", "mv2://a")
+    store.delete(b)
+    val mat = store.materializeCurrent(s"$dir/current")
+    val live = store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+    assert(mat.select("id").collect().map(_.getLong(0)).toSet == live)
+    // non-destructive: the full log (and as-of history) is untouched
+    assert(store.log.count() > store.latestActive.count())
+    // and the copy is a plain scan — no window/anti-join in its plan
+    val plan = mat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("anti"))
+  }
+
   test("graft facade: update/delete/vacuum mirror the store mutations") {
     val dir = tmpDir
     val g = new Graft(spark, dir)
