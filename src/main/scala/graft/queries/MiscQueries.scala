@@ -105,6 +105,47 @@ object MiscQueries {
          |       THEN 'well_spread' ELSE 'collapsed' END AS quality
          |FROM pairs""".stripMargin),
 
+    // ---- ST6 replay loop, hash-gated: record five deterministic searches
+    // (Replay.Action rows with resultHash outputs), re-execute them through
+    // Replay.replayAndCompare, and emit the match table. The oracle
+    // recomputes every result hash independently — the same per-row
+    // md5(sorted-column concat) → sorted-rowhash md5 chain resultHash uses
+    // — and pins matched = TRUE, so a drift anywhere in the record → hash
+    // → replay → compare machinery fails the gate. (As-of replay against
+    // a mutated store stays covered by ReplaySpec; the gated corpus is an
+    // immutable snapshot by construction.) ----
+    "replay_match_rate" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val terms = Seq("data", "spark", "join", "stream", "window")
+        def run(t: String) = docs.filter(col("text").contains(t))
+          .select(col("doc_id"), col("lang"))
+        val recorded = terms.zipWithIndex.map { case (t, i) =>
+          graft.replay.Replay.Action("gate", i.toLong, "search", t,
+            graft.replay.Replay.resultHash(run(t)), Nil, 0L)
+        }
+        val (cmp, _) = graft.replay.Replay.replayAndCompare(
+          s, s.createDataset(recorded).toDF(), "gate", run)
+        cmp.select(col("seq"), col("input"),
+            col("actualHash").as("result_hash"), col("matched"))
+          .orderBy("seq")
+      },
+      {
+        val terms = Seq("data", "spark", "join", "stream", "window")
+        val values = terms.zipWithIndex
+          .map { case (t, i) => s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+        // resultHash joins the sorted columns with \u0001 (nulls -> \u0000)
+        // before the per-row md5; chr(1) below mirrors that separator
+        s"""SELECT seq, input,
+           |  (SELECT md5(COALESCE(string_agg(h, '' ORDER BY h), ''))
+           |   FROM (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || lang) AS h
+           |         FROM documents WHERE contains(text, input)) t) AS result_hash,
+           |  TRUE AS matched
+           |FROM (VALUES $values) AS acts(seq, input)
+           |ORDER BY seq""".stripMargin
+      }),
+
     // ---- ask() end-to-end, hash-gated: the full facade runs (classify →
     // lexical/OR/vector/correction candidate lists → RRF → semantic
     // rerank → citations) and the oracle replays the SAME deterministic
