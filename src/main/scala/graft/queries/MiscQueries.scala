@@ -174,6 +174,51 @@ object MiscQueries {
       },
       askCitationsOracle),
 
+    // ---- ask() correction-promotion rung end-to-end (ask.rs:1437-1498):
+    // the corpus is the documents table PLUS deterministic corrections
+    // (every doc_id % 29 == 3 spawns "correction: spark guidance <id>"
+    // under doc://correction/), so the correction list is live. The
+    // corrections contain ONE query term ('spark'): the AND rungs stay
+    // empty, the OR list ranks by id and their 1e7-offset ids keep them
+    // out of it, so their ONLY score is the corrections-list RRF term —
+    // yet promotion must put them ABOVE every fused real doc. The oracle
+    // pins exactly that: top-5 = first corrections by id with scores
+    // 1/(61+rank); any promotion drift surfaces real docs and fails the
+    // hash. ----
+    "ask_corrections" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"),
+            concat(lit("doc://"), col("source"), lit("/"), col("doc_id")).as("uri"))
+        val corrections = Tables.documents(s, d)
+          .filter(col("doc_id") % 29 === 3)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("correction: spark guidance "), col("doc_id")).as("text"),
+            lit("correction").as("source"),
+            concat(lit("doc://correction/"), col("doc_id") + 10000000L).as("uri"))
+        val docs = base.unionByName(corrections)
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+                          track = col("source"))
+        val vectors = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+        val corpus = Ask.Corpus(docs, "doc_id", f, embeddings = Some(vectors),
+                                correctionUriPrefix = "doc://correction/")
+        val resp = Ask.ask(s, corpus, AskQuestion, Some(new HashEmbedder(64)))
+        resp.citations.map(c => (c.index.toLong, c.id, c.score))
+          .toDF("citation_idx", "doc_id", "score")
+          .withColumn("score", round(col("score"), 9))
+      },
+      """WITH corr AS (
+        |  SELECT 10000000 + doc_id AS doc_id,
+        |         row_number() OVER (ORDER BY doc_id) - 1 AS r
+        |  FROM documents WHERE doc_id % 29 = 3
+        |  ORDER BY doc_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS citation_idx,
+        |       doc_id,
+        |       ROUND(CAST(1 AS DOUBLE) / (61 + r), 9) AS score
+        |FROM corr ORDER BY r LIMIT 5""".stripMargin),
+
     // ---- S7-S9: table extraction + cell model over synthetic markdown ----
     "table_extract_cells" -> QueryDef.sql(
       (s, d) => {
