@@ -25,9 +25,21 @@ object TextInference {
     def close(): Unit = ()
   }
 
+  /** Classloader that resolves the ONNX runtime. Production leaves this at
+    * the defining loader; tests inject a loader serving a compiled fake
+    * `ai.onnxruntime` so the REAL reflective plumbing (method lookups,
+    * tensor assembly, output unwrapping) executes without the runtime jar.
+    * JVM-local by design — executor-side backends always see the default. */
+  @volatile private[graft] var runtimeLoader: ClassLoader =
+    classOf[Backend].getClassLoader
+
+  /** resolve an ONNX runtime class through [[runtimeLoader]] */
+  private[graft] def ortClass(name: String): Class[_] =
+    Class.forName(name, true, runtimeLoader)
+
   /** true iff the ONNX runtime classes are loadable here */
   def onnxAvailable: Boolean =
-    try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+    try { ortClass("ai.onnxruntime.OrtEnvironment"); true }
     catch { case _: Throwable => false }
 
   /** Reflection-backed ONNX session (the shape the reference builds at
@@ -39,7 +51,7 @@ object TextInference {
         throw new UnsupportedOperationException(
           "onnxruntime is not on the classpath; TextInference.onnxAvailable " +
           "guards this path — use HashEmbedder or a custom Backend instead")
-      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val envCls = ortClass("ai.onnxruntime.OrtEnvironment")
       val e = envCls.getMethod("getEnvironment").invoke(null)
       val s = envCls.getMethod("createSession", classOf[String])
         .invoke(e, modelPath)
@@ -50,9 +62,9 @@ object TextInference {
 
     def run(batch: Seq[Array[Long]]): Seq[Array[Float]] = {
       val _ = session // force the guarded lazy init before any reflection
-      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+      val tensorCls = ortClass("ai.onnxruntime.OnnxTensor")
       val create = tensorCls.getMethod("createTensor",
-        Class.forName("ai.onnxruntime.OrtEnvironment"), classOf[Object])
+        ortClass("ai.onnxruntime.OrtEnvironment"), classOf[Object])
       val maxLen = batch.map(_.length).max
       val ids = batch.map(_.padTo(maxLen, 0L).toArray).toArray
       val mask = batch.map(s2 => Array.tabulate(maxLen)(i =>

@@ -45,7 +45,7 @@ object NerInference {
         throw new UnsupportedOperationException(
           "onnxruntime is not on the classpath; NerInference.onnxAvailable " +
           "guards this path — use Ner.extractAll (heuristic) instead")
-      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val envCls = graft.ask.TextInference.ortClass("ai.onnxruntime.OrtEnvironment")
       val e = envCls.getMethod("getEnvironment").invoke(null)
       val s = envCls.getMethod("createSession", classOf[String])
         .invoke(e, modelPath)
@@ -56,9 +56,9 @@ object NerInference {
 
     def run(batch: Seq[Array[Long]]): Seq[Array[Array[Float]]] = {
       val _ = session
-      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+      val tensorCls = graft.ask.TextInference.ortClass("ai.onnxruntime.OnnxTensor")
       val create = tensorCls.getMethod("createTensor",
-        Class.forName("ai.onnxruntime.OrtEnvironment"), classOf[Object])
+        graft.ask.TextInference.ortClass("ai.onnxruntime.OrtEnvironment"), classOf[Object])
       val maxLen = batch.map(_.length).max
       val ids = batch.map(_.padTo(maxLen, 0L).toArray).toArray
       val mask = batch.map(s2 => Array.tabulate(maxLen)(i =>

@@ -47,14 +47,14 @@ object MediaInference {
           "onnxruntime is not on the classpath; MediaInference.onnxAvailable " +
           "guards this path — use FakeSpeechBackend for tests")
       // session-per-instance; same reflection shape as TextInference.OnnxBackend
-      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val envCls = graft.ask.TextInference.ortClass("ai.onnxruntime.OrtEnvironment")
       val env = envCls.getMethod("getEnvironment").invoke(null)
       val session = envCls.getMethod("createSession", classOf[String])
         .invoke(env, modelPath)
       val run = session.getClass.getMethods.find(m =>
         m.getName == "run" && m.getParameterCount == 1).get
       melWindows.map { mel =>
-        val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+        val tensorCls = graft.ask.TextInference.ortClass("ai.onnxruntime.OnnxTensor")
         val create = tensorCls.getMethod("createTensor",
           envCls, classOf[Object])
         val inputs = new java.util.HashMap[String, Object]()
@@ -91,13 +91,13 @@ object MediaInference {
         throw new UnsupportedOperationException(
           "onnxruntime is not on the classpath; MediaInference.onnxAvailable " +
           "guards this path — use FakeVisionBackend for tests")
-      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val envCls = graft.ask.TextInference.ortClass("ai.onnxruntime.OrtEnvironment")
       val env = envCls.getMethod("getEnvironment").invoke(null)
       val session = envCls.getMethod("createSession", classOf[String])
         .invoke(env, modelPath)
       val run = session.getClass.getMethods.find(m =>
         m.getName == "run" && m.getParameterCount == 1).get
-      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+      val tensorCls = graft.ask.TextInference.ortClass("ai.onnxruntime.OnnxTensor")
       val create = tensorCls.getMethod("createTensor", envCls, classOf[Object])
       val inputs = new java.util.HashMap[String, Object]()
       inputs.put("pixel_values", create.invoke(null, env, pixelBatch.toArray))
