@@ -13,15 +13,17 @@ import scala.collection.mutable
   *     incremental updates and truncated tails degrade gracefully),
   *   - object streams (/Type /ObjStm) unpacked so xref-stream-era PDFs
   *     (PDF 1.5+) still expose their page dictionaries,
-  *   - FlateDecode content streams inflated with a zip-bomb bound,
+  *   - the standard filter chain: Flate + LZW (PNG/TIFF predictors),
+  *     ASCIIHex, ASCII85, RunLength, composed in /Filter array order,
+  *     every decoder bounded against zip-bombs,
   *   - page order from the catalog's page tree (file order as fallback),
   *   - text from BT/ET operators: Tj, TJ (with kern→space heuristic),
   *     ' and " shows, Td/TD/T* line breaks, literal-string escapes and
   *     hex strings, UTF-16BE or PDFDocEncoding(≈Latin-1) decoding.
   *
   * Out of scope, degrading explicitly to skipped streams rather than
-  * garbage: encryption, non-Flate filters (DCT/LZW/...), predictor
-  * DecodeParms, CID/ToUnicode font maps (bytes then decode as Latin-1).
+  * garbage: encryption, image codecs (DCT/JPX/CCITT/JBIG2), CID/ToUnicode
+  * font maps (bytes then decode as Latin-1).
   */
 object Pdf {
 
@@ -292,40 +294,176 @@ object Pdf {
     Some(out)
   }
 
-  /** decode a stream through its /Filter chain; None = unsupported filter */
+  /** /ASCIIHexDecode (PDF 32000-1 §7.4.2): hex pairs, whitespace ignored,
+    * `>` is EOD, an odd trailing digit is padded with 0. */
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val d = Character.digit(c, 16)
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return Some(out.toByteArray)
+      } else if (d >= 0) {
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      } else if (!Character.isWhitespace(c)) return None
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** /ASCII85Decode (§7.4.3): 5 chars in '!'..'u' → 4 bytes base-85;
+    * `z` is a shorthand 4-zero group; `~>` is EOD; a final partial group
+    * of n chars yields n-1 bytes (padded with 'u' before decode). */
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(chars: Int): Boolean = { // decode a (padded) group, keep chars-1
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < chars) grp(i) else 84); i += 1 }
+      if (v > 0xffffffffL) return false
+      var k = 0
+      while (k < chars - 1) { out.write(((v >> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (c == '~') { // EOD
+        if (n == 1 || (n > 1 && !flush(n))) return None
+        return Some(out.toByteArray)
+      } else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      } else if (!Character.isWhitespace(c)) return None
+      i += 1
+    }
+    if (n == 1 || (n > 1 && !flush(n))) return None
+    Some(out.toByteArray)
+  }
+
+  /** /RunLengthDecode (§7.4.5): length byte L ≤ 127 copies the next L+1
+    * literal bytes; L ≥ 129 repeats the next byte 257−L times; 128 is EOD. */
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1); i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        val b = data(i + 1) & 0xff
+        var k = 257 - l
+        if (out.size.toLong + k > MaxStreamBytes) return None
+        while (k > 0) { out.write(b); k -= 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray) // missing EOD: tolerate, like truncated deflate
+  }
+
+  /** /LZWDecode (§7.4.4.2): TIFF-style variable-width LZW — 9→12-bit codes,
+    * 256 = table reset, 257 = EOD, width bumps at 2^w − EarlyChange
+    * (default 1, i.e. one code early). Returns None on a corrupt code or
+    * when output exceeds the zip-bomb bound. */
+  private def lzwDecode(data: Array[Byte], earlyChange: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
+    def freshTable(): mutable.ArrayBuffer[Array[Byte]] = {
+      val t = new mutable.ArrayBuffer[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { t += Array(i.toByte); i += 1 }
+      t += null; t += null // 256 = Clear, 257 = EOD placeholders
+      t
+    }
+    var table = freshTable()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (pos < data.length || bitCnt >= width) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return Some(out.toByteArray) // truncated input
+      val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 256) { table = freshTable(); width = 9; prev = null }
+      else if (code == 257) return Some(out.toByteArray)
+      else {
+        val entry: Array[Byte] =
+          if (code < table.length && table(code) != null) table(code)
+          else if (code == table.length && prev != null) prev :+ prev(0) // KwKwK
+          else return None
+        if (out.size.toLong + entry.length > MaxStreamBytes) return None
+        out.write(entry, 0, entry.length)
+        if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+        prev = entry
+        if (width < 12 && table.length >= (1 << width) - earlyChange) width += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** decode a stream through its /Filter chain (§7.4: filters compose in
+    * array order; /DecodeParms is a parallel array or a single dict).
+    * Supported: Flate and LZW (with PNG/TIFF predictors), ASCIIHex,
+    * ASCII85, RunLength. None = unsupported filter (DCT/JPX/CCITT/Crypt)
+    * or corrupt data — the caller skips the stream, keeps the document. */
   private def decodeStream(dict: PDict, raw: Array[Byte], doc: Doc): Option[Array[Byte]] = {
     val filters = doc.resolve(dict.m.getOrElse("Filter", PNull)) match {
       case PName(f) => Seq(f)
-      case PArr(fs) => fs.map { case PName(f) => f; case _ => "?" }
+      case PArr(fs) => fs.map(doc.resolve(_)).map { case PName(f) => f; case _ => "?" }
       case _ => Seq.empty
     }
-    // DecodeParms may be a dict or an array parallel to /Filter; with the
-    // single-Flate chain supported here, the first dict is the Flate parms
-    val parmsDict: Map[String, PObj] = doc.resolve(dict.m.getOrElse("DecodeParms", PNull)) match {
-      case PDict(p) => p
-      case PArr(ps) => ps.map(doc.resolve(_)).collectFirst { case PDict(p) => p }
-        .getOrElse(Map.empty)
-      case _ => Map.empty
+    val parmsList: IndexedSeq[Map[String, PObj]] =
+      doc.resolve(dict.m.getOrElse("DecodeParms", PNull)) match {
+        case PDict(p) => Vector(p)
+        case PArr(ps) => ps.map(doc.resolve(_)).map {
+          case PDict(p) => p
+          case _ => Map.empty[String, PObj]
+        }
+        case _ => Vector.empty
+      }
+    def parm(idx: Int, k: String, dflt: Int): Int = {
+      val m = if (idx < parmsList.length) parmsList(idx) else Map.empty[String, PObj]
+      doc.resolve(m.getOrElse(k, PNull)) match {
+        case PNum(v) => v.toInt
+        case _ => dflt
+      }
     }
-    def parm(k: String, dflt: Int): Int = doc.resolve(parmsDict.getOrElse(k, PNull)) match {
-      case PNum(v) => v.toInt
-      case _ => dflt
-    }
-    if (filters.isEmpty) Some(raw)
-    else if (filters == Seq("FlateDecode")) {
-      inflate(raw).flatMap { flat =>
-        parm("Predictor", 1) match {
-          case 1 => Some(flat)
-          case 2 => tiffUnpredict(flat, parm("Columns", 1), parm("Colors", 1),
-            parm("BitsPerComponent", 8))
-          case p if p >= 10 && p <= 15 =>
-            pngUnpredict(flat, parm("Columns", 1), parm("Colors", 1),
-              parm("BitsPerComponent", 8))
-          case _ => None
+    def unpredict(idx: Int, flat: Array[Byte]): Option[Array[Byte]] =
+      parm(idx, "Predictor", 1) match {
+        case 1 => Some(flat)
+        case 2 => tiffUnpredict(flat, parm(idx, "Columns", 1), parm(idx, "Colors", 1),
+          parm(idx, "BitsPerComponent", 8))
+        case p if p >= 10 && p <= 15 =>
+          pngUnpredict(flat, parm(idx, "Columns", 1), parm(idx, "Colors", 1),
+            parm(idx, "BitsPerComponent", 8))
+        case _ => None
+      }
+    filters.zipWithIndex.foldLeft(Option(raw)) { case (acc, (f, i)) =>
+      acc.flatMap { bytes =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(bytes).flatMap(unpredict(i, _))
+          case "LZWDecode" | "LZW" =>
+            lzwDecode(bytes, parm(i, "EarlyChange", 1)).flatMap(unpredict(i, _))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(bytes)
+          case "ASCII85Decode" | "A85" => ascii85Decode(bytes)
+          case "RunLengthDecode" | "RL" => runLengthDecode(bytes)
+          case _ => None // DCT/JPX/CCITT/Crypt/unknown: skip stream, keep doc
         }
       }
     }
-    else None
   }
 
   /** scan `N G obj ... endobj` without trusting the xref; last definition

@@ -290,4 +290,119 @@ class PdfSpec extends AnyFunSuite {
     assert(headerSimilarity(Seq("key", "name"), Seq("key")) == 0.0)
     assert(headerSimilarity(Seq("a", "b"), Seq("x", "y")) == 0.0)
   }
+
+  // ---------- filter-chain encoders (what a real PDF writer emits) ----------
+
+  private def asciiHexEncode(raw: Array[Byte]): Array[Byte] =
+    (raw.map(b => f"${b & 0xff}%02X").mkString.grouped(60).mkString("\n") + ">")
+      .getBytes(ISO_8859_1)
+
+  private def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < n) raw(i + k) & 0xff else 0); k += 1 }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.appendAll(cs, 0, n + 1)
+      i += 4
+    }
+    (sb.result() + "~>").getBytes(ISO_8859_1)
+  }
+
+  private def runLengthEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) { // literal chunks only (valid, if not minimal)
+      val n = math.min(128, raw.length - i)
+      out.write(n - 1)
+      out.write(raw, i, n)
+      i += n
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** TIFF-style variable-width LZW compressor (EarlyChange=1), the inverse
+    * of Pdf's decoder — bumps code width one entry early so a decoder
+    * following PDF 32000-1 §7.4.4.2 stays bit-aligned. */
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.Map.empty[Seq[Byte], Int]
+    (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+    var nextCode = 258
+    emit(256) // clear
+    var cur = Vector.empty[Byte]
+    raw.foreach { b =>
+      val nxt = cur :+ b
+      if (dict.contains(nxt)) cur = nxt
+      else {
+        emit(dict(cur))
+        dict(nxt) = nextCode; nextCode += 1
+        // decoder's table lags one add behind: it bumps after our emission
+        // #e leaves its table at 258+(e-1) = our nextCode-1 entries
+        if (width < 12 && nextCode - 1 >= (1 << width) - 1) width += 1
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(dict(cur))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("ASCIIHex, ASCII85, RunLength filters extract text") {
+    val content = "BT /F1 12 Tf 72 720 Td (Filter chain survives) Tj ET"
+    val raw = content.getBytes(ISO_8859_1)
+    val cases = Seq(
+      "/Filter /ASCIIHexDecode" -> asciiHexEncode(raw),
+      "/Filter /ASCII85Decode" -> ascii85Encode(raw),
+      "/Filter /RunLengthDecode" -> runLengthEncode(raw))
+    cases.foreach { case (dict, data) =>
+      assert(Pdf.pdfText(onePagePdf(stream(dict, data))).text == "Filter chain survives",
+        s"$dict failed")
+    }
+    // repeat-run branch: L=253 repeats the next byte 257-253=4 times
+    val rle = Array[Byte](3, 'B', 'T', ' ', '(', 253.toByte, 'x',
+      6, ')', ' ', 'T', 'j', ' ', 'E', 'T', 128.toByte)
+    val doc = Pdf.pdfText(onePagePdf(stream("/Filter /RunLengthDecode", rle)))
+    assert(doc.text == "xxxx")
+  }
+
+  test("LZW filter (9→10-bit width growth) extracts long text") {
+    // enough distinct bigrams to push the code table past 511 entries so
+    // both sides must agree on the 10-bit switch point
+    val body = (0 until 120).map(i => s"(seg$i lzw text) Tj 0 -12 Td").mkString(" ")
+    val content = s"BT /F1 8 Tf 72 720 Td $body ET"
+    val raw = content.getBytes(ISO_8859_1)
+    val bytes = onePagePdf(stream("/Filter /LZWDecode", lzwEncode(raw)))
+    val txt = Pdf.pdfText(bytes).text
+    assert(txt.contains("seg0 lzw text") && txt.contains("seg119 lzw text"))
+  }
+
+  test("chained filters compose in /Filter array order") {
+    val content = "BT (Chained payload) Tj ET"
+    // writer applies Flate then ASCII85; reader must undo 85 then inflate
+    val data = ascii85Encode(deflate(content))
+    val bytes = onePagePdf(stream("/Filter [/ASCII85Decode /FlateDecode]", data))
+    assert(Pdf.pdfText(bytes).text == "Chained payload")
+    // per-filter DecodeParms as a parallel array (null for the 85 stage)
+    val pred = onePagePdf(stream(
+      "/Filter [/ASCII85Decode /FlateDecode] " +
+        "/DecodeParms [null << /Predictor 12 /Columns 16 >>]",
+      ascii85Encode(pngPredictDeflate("BT (Par array) Tj ET", 16, 2))))
+    assert(Pdf.pdfText(pred).text == "Par array")
+    // unknown filter in the chain: stream skipped, document survives
+    val bad = onePagePdf(stream("/Filter [/DCTDecode]", Array[Byte](1, 2, 3)))
+    assert(Pdf.pdfText(bad).text.isEmpty)
+  }
 }
