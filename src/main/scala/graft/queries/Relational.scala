@@ -75,13 +75,16 @@ object Relational {
                                         lit("1996-12-31").cast("timestamp")) &&
                   $"l_discount" >= 0.05 && $"l_quantity" < 10)
           .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
-          .orderBy($"l_orderkey", $"l_linenumber")
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+          // (118k dup pairs at sf0.1) — order by every output column so the
+          // sort is total for the hash compare at any scale
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
       },
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
         |  AND l_discount >= 0.05 AND l_quantity < 10
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin),
 
     // ---- T1 top-k: compiles to TakeOrderedAndProject (no full sort) ----
     "rel_topk_orders" -> QueryDef.sql(
