@@ -191,6 +191,64 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact repeated-substring spans — the corpus-level "exact substring
+    * dedup" of Lee et al. 2022 (arXiv:2107.06499), re-expressed
+    * relationally: every maximal token span whose k-token windows each
+    * occur in at least `minDocs` distinct documents. (The paper's suffix
+    * array is a single-machine construction; positional k-token window
+    * fingerprints find the same ≥k-token cross-document repeats with two
+    * bounded shuffles.)
+    *
+    * Plan: one narrow pass builds positional k-token windows (native
+    * tokenizer + shingle expressions, order preserved); window fingerprints
+    * aggregate on an 8-byte hash (shuffle 1) to find cross-document
+    * repeats; surviving positions merge into maximal spans per document
+    * (gaps-and-islands: pos − row_number marks consecutive runs; shuffle 2,
+    * keyed on the doc). No self-join anywhere: work is linear in corpus
+    * size + repeat count — a window repeated in 10^6 docs costs 10^6 rows,
+    * not 10^12 pairs. Fingerprints are the 62-bit double polyHash (same
+    * construction as SimHash's h64) so the DuckDB oracle replays them
+    * exactly; collision odds are ~n²/2^63, and a collision can only extend
+    * a span, never lose one.
+    *
+    * Output: (doc_id, start_pos, end_pos, n_windows) — token positions,
+    * 0-based inclusive; span length = end_pos − start_pos + 1 ≥ k.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    F.ensureRegistered(docs.sparkSession)
+    val wins = docs
+      .withColumn("__toks", F.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol).as("doc_id"),
+        posexplode(F.shinglesFromTokens(col("__toks"), k)))
+      .toDF("doc_id", "pos", "win")
+      .select(col("doc_id"), col("pos"),
+        (F.polyHash(col("win")) * lit(2147483647L) +
+          F.polyHash(concat(col("win"), lit("!")))).as("h64"))
+      .persist()
+    val rep = wins.groupBy("h64")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h64")
+    val hits = wins.join(rep, "h64").select("doc_id", "pos")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+           (max(col("pos")) + k - 1).cast("long").as("end_pos"),
+           count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "n_windows")
+      // materialize before dropping the window cache (see BigramLM.score)
+      .localCheckpoint()
+    wins.unpersist()
+    out
+  }
+
   /** 60-bit portable SimHash: token hash h64 = polyHash(t)*(2^31-1) +
     * polyHash(t || "!"); bit j weight = +tf/-tf by bit parity; bit set when
     * the weighted sum is positive (ref sketch_track.rs:549-580).

@@ -123,6 +123,29 @@ object DedupQueries {
          |WHERE ROUND(CAST(c AS DOUBLE) / (ca.n + cb.n - c), 6) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- exact repeated-substring spans (Lee et al. 2022): maximal token
+    // spans whose 8-token windows recur in >= 2 distinct docs. The oracle
+    // replays every stage: positional windows -> 62-bit double polyHash ->
+    // cross-doc repeat filter -> gaps-and-islands span merge. ----
+    "dedup_substring_spans" -> QueryDef.sql(
+      (s, d) => Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 8, minDocs = 2)
+        .orderBy("doc_id", "start_pos"),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |p AS (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS pos
+         |      FROM toks WHERE len(tk) >= 8),
+         |ww AS (SELECT doc_id, pos, array_to_string(tk[pos+1:pos+8], ' ') AS win FROM p),
+         |hh AS (SELECT doc_id, pos,
+         |         ${duckPoly("win")} * 2147483647 + ${duckPoly("win || '!'")} AS h64 FROM ww),
+         |rep AS (SELECT h64 FROM hh GROUP BY h64 HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM hh JOIN rep USING (h64)),
+         |isl AS (SELECT doc_id, pos,
+         |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM hits)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+         |  CAST(MAX(pos) + 7 AS BIGINT) AS end_pos, COUNT(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin),
+
     // ---- F10 sketch pre-filter: hamming of doc sketches vs query sketch.
     // (The ≥max(top_k·10,500) relaxation policy is covered by
     // IngestExtrasSpec; this gates the sketch+hamming computation.) ----

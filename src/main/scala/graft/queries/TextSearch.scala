@@ -79,6 +79,51 @@ object TextSearch {
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin),
 
     // ---- quality scoring (training-data pipeline) ----
+    // ---- Gopher quality rules (Rae et al. 2021 §A1.1) over synthesized
+    // structure: deterministic bullets / ellipses / symbols / numeric runs
+    // appended per doc_id residue so every rule branches on real variance
+    // (plain corpus text has no lines or symbols). Both engines build the
+    // SAME synthesized text, so the gate is a full-rule hash compare. ----
+    "text_gopher_rules" -> QueryDef.sql(
+      (s, d) => {
+        val synth = concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- alpha item\n- beta item\n- gamma item")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nto be continued...")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" ## ## ## ##### #")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\n12345 67890 4242 9999 12 34 56 78 90 11")).otherwise(lit("")))
+        graft.text.QualityRules.gopherStats(
+            Tables.documents(s, d).withColumn("text", synth), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      s"""WITH s AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 7 = 0 THEN chr(10)||'- alpha item'||chr(10)||'- beta item'||chr(10)||'- gamma item' ELSE '' END
+         |       || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'to be continued...' ELSE '' END
+         |       || CASE WHEN doc_id % 3 = 0 THEN ' ## ## ## ##### #' ELSE '' END
+         |       || CASE WHEN doc_id % 11 = 0 THEN chr(10)||'12345 67890 4242 9999 12 34 56 78 90 11' ELSE '' END AS txt
+         |  FROM documents),
+         |w AS (SELECT doc_id, txt,
+         |  list_filter(regexp_split_to_array(txt, '\\s+'), x -> x != '') AS words,
+         |  string_split(txt, chr(10)) AS lines,
+         |  list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]')) AS tk
+         |  FROM s),
+         |m AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, x -> CAST(length(x) AS BIGINT))), (a,b)->a+b) AS DOUBLE) / len(words), 6) AS mean_word_len,
+         |  ROUND(CAST(CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) + CAST((length(txt) - length(replace(txt, '...', '')))/3 AS BIGINT) AS DOUBLE) / len(words), 6) AS symbol_ratio,
+         |  ROUND(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE) / len(lines), 6) AS bullet_frac,
+         |  ROUND(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
+         |  ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words), 6) AS alpha_frac,
+         |  CAST(len(list_intersect(list_distinct(tk), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio <= 0.1
+         |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin),
+
     "text_quality" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._

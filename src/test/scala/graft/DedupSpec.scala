@@ -64,4 +64,26 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("repeated spans: shared k-token run found, merged maximally, positions exact") {
+    // docs 10/11 share the 6-token run "alpha bravo charlie delta echo foxtrot"
+    // at different offsets; doc 12 shares nothing 4 tokens long
+    val docs = Seq(
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (11L, "zero one alpha bravo charlie delta echo foxtrot two three four"),
+      (12L, "alpha bravo kilo lima mike november oscar papa quebec romeo sierra")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // run of 6 tokens → 3 consecutive 4-token windows → one maximal span each
+    assert(spans.toSet == Set((10L, 0L, 5L, 3L), (11L, 2L, 7L, 3L)))
+  }
+
+  test("repeated spans: no cross-doc repeat → empty; single doc repeat not flagged") {
+    val docs = Seq(
+      (1L, "a b c d e f g h repeated a b c d e f g h"), // self-repeat only
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", k = 8, minDocs = 2).count() == 0)
+  }
 }

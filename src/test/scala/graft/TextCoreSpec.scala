@@ -175,4 +175,29 @@ class TextCoreSpec extends SparkSpec {
     val intruders = vocab.filter(t => !qTerms.contains(t) && qTerms.contains(graft.text.Porter.stem(t)))
     assert(intruders.isEmpty, s"tokens stem into query terms: ${intruders.mkString(",")}")
   }
+
+  test("gopher rules: each rule fires on its own violation, clean doc keeps") {
+    import graft.text.QualityRules
+    val good = ("the data and results align with that baseline over many runs " * 5).trim
+    val docs = Seq(
+      (1L, good),                                      // passes everything
+      (2L, "the of and to " + ("x " * 46).trim),       // mean word len < 3
+      (3L, good + " " + ("# " * 20).trim),             // symbol ratio > 0.1
+      (4L, (1 to 60).map(i => s"- item the of $i\n").mkString), // bullets > 0.9
+      (5L, good.split(" ").map(_ + "...\n").mkString(" ")), // ellipsis lines
+      (6L, ("42 17 " * 30).trim + " the of"),          // alpha fraction < 0.8
+      (7L, ("zebra quartz jumble " * 20).trim)         // no gopher stopwords
+    ).toDF("doc_id", "text")
+    val out = QualityRules.gopherStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(out(1L), "clean doc should keep")
+    assert((2L to 7L).forall(id => !out(id)), s"violations must drop: $out")
+    // short doc fails the word-count floor
+    val short = Seq((8L, "the of and that words here")).toDF("doc_id", "text")
+    assert(!QualityRules.gopherStats(short, "doc_id", "text")
+      .collect().head.getBoolean(8))
+    // the filter form returns original columns for keepers only
+    val kept = QualityRules.gopherFilter(docs, "doc_id", "text").collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L))
+  }
 }
