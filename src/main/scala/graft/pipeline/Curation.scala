@@ -173,6 +173,79 @@ object Curation {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the heavy-tail-safe alternative to min-label
+    * propagation that SCALE.md names for graphs whose components are deep
+    * or whose degree distribution is extreme:
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(N(u) ∪ {u});
+    *   - small-star(u): every neighbor v ≤ u (edges held max→min)
+    *     re-attaches to m = min(N(u) ∪ {u}).
+    *
+    * Each round is two grouped aggregations + joins keyed on a node id —
+    * the same shuffle budget as one label-propagation round — but
+    * component diameter collapses geometrically under contraction, so
+    * convergence is O(log n) rounds on ANY topology (label propagation's
+    * pointer-halving is also O(log d), but star contraction additionally
+    * shrinks the EDGE set toward one star per component, so late rounds
+    * get cheaper instead of staying edge-sized). Same output contract as
+    * [[connectedComponents]]: (id, component-min) for every node in the
+    * pair graph — the two implementations are interchangeable and
+    * hash-verified equal (`pipe_components_star` gates this one against
+    * the identical recursive-closure oracle).
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical directed form (u > v); self-pairs and duplicates dropped
+    val init = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var edges = init.localCheckpoint(true)
+    // every node of the pair graph, for final label assembly (roots and
+    // nodes whose edges contract away must still be labeled)
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the undirected adjacency: node a's min m attaches
+      // every strictly larger neighbor b. (b > a ≥ m, so output stays
+      // canonical; each input edge survives via its larger endpoint.)
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = adj.groupBy("a").agg(min(col("b")).as("__mn"))
+        .select(col("a"), least(col("__mn"), col("a")).as("m"))
+      val large = adj.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR on the canonical (max→min) edges: u's smaller
+      // neighborhood re-attaches to its min, and u follows.
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint = identical distinct edge set (both sides are distinct:
+      // equal count + empty one-sided difference). Contraction only ever
+      // lowers endpoints, so the set genuinely stabilizes.
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      iter += 1
+    }
+    // at the fixpoint every edge points directly at its component min;
+    // roots (and only roots) never appear on the left
+    nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+      .localCheckpoint(true)
+  }
+
   /** Canonical-document election: given component labels and a quality
     * ordering (longest content wins, ties to the smallest id), mark one
     * keeper per duplicate cluster. Output: one row per clustered document
