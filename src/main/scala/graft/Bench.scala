@@ -13,15 +13,30 @@ object Bench {
     // pre-run load makes a contended run self-documenting
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // per-query isolation: drop every cached table AND every pinned RDD
+    // block (persist() goes through the cache manager; localCheckpoint()
+    // blocks do NOT and otherwise linger until driver GC). Without this, one
+    // query's session residue squeezes the unified memory region and taxes
+    // every later query — the r6 verdict measured a 28x in-session slowdown
+    // on search_token_reorder from exactly this. Untimed: a fair per-query
+    // number is the query alone on a clean session.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // untimed warmup: initialize parquet reader, codegen, and shuffle paths
     // so the first measured query doesn't absorb session startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    isolate()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      isolate()
+      dt
     }
     val first = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -118,12 +118,17 @@ object Dedup {
     val pairs = lshCandidatePairs(sig)
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    pairs.join(shA, "doc_a").join(shB, "doc_b")
+    val out = pairs.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), roundDp))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      // materialize the bounded verified-pair set, then release the shingle
+      // cache — a long-lived session must not accumulate per-call blocks
+      .localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Exact similarity join with prefix filtering (PPJoin-family): for
@@ -183,12 +188,18 @@ object Dedup {
       .select("doc_a", "doc_b")
     val shA = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    pairs.join(shA, "doc_a").join(shB, "doc_b")
+    val out = pairs.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), roundDp))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      // materialize the bounded verified-pair set, then release both index
+      // caches (see repeatedSpans for the idiom)
+      .localCheckpoint()
+    prefix.unpersist()
+    sets.unpersist()
+    out
   }
 
   /** Exact repeated-substring spans — the corpus-level "exact substring

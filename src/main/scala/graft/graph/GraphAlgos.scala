@@ -159,9 +159,11 @@ object GraphAlgos {
     * union term always use the FULL degree. Pass Long.MaxValue to
     * disable the cap (exact everywhere, unbounded hub fan-out).
     *
-    * Plan: one degree aggregation, one per-center window rank when
-    * capped (window state is a single center's adjacency — linear, not
-    * quadratic), the wedge self-join, then two node-sized degree joins.
+    * Plan: one degree aggregation, a degree join that routes ONLY
+    * over-cap centers through the bottom-k window rank (window state is a
+    * single center's adjacency — linear, not quadratic; under-cap centers
+    * pay a filter, not a sort), the wedge self-join, then two node-sized
+    * degree joins.
     * The degree joins are ordinary shuffle joins: the degree table is
     * node-sized and NOT broadcastable at 100 TB.
     *
@@ -183,10 +185,22 @@ object GraphAlgos {
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val capped =
       if (maxCenterDegree == Long.MaxValue) adj
-      else adj.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-            .orderBy(graft.pipeline.Curation.idHash(col("v")), col("v"))))
-        .filter(col("rn") <= maxCenterDegree).drop("rn")
+      else {
+        // rank ONLY the centers the cap can bind (deg > cap): the deg join
+        // leaves both branches partitioned by u, so the bottom-k window
+        // sorts just the hub partitions instead of every center's
+        // adjacency — on a cap-free graph this is a filter, not a sort
+        val adjd = adj.join(deg, "u")
+        val under = adjd.filter(col("deg") <= maxCenterDegree)
+          .select(col("u"), col("v"))
+        val over = adjd.filter(col("deg") > maxCenterDegree)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+              .orderBy(graft.pipeline.Curation.idHash(col("v")), col("v"))))
+          .filter(col("rn") <= maxCenterDegree)
+          .select(col("u"), col("v"))
+        under.unionByName(over)
+      }
     // wedges centered on u connect neighbor pairs (v, w): each common
     // neighbor of (v, w) contributes exactly one wedge
     val w1 = capped.select(col("u"), col("v"))
@@ -202,21 +216,23 @@ object GraphAlgos {
         expr("(common * 1000000) DIV (dega + degb - common)").as("jaccard_e6"))
   }
 
+  /** Fully lazy: the oriented-edge subtree appears three times in the plan
+    * (both wedge sides + the closing edge), but Spark's ReuseExchange
+    * dedups the canonical-edge and degree shuffles, and the two wedge
+    * sides canonicalize to the SAME exchange — so nothing here needs a
+    * persist (which would pin session memory per call; the r6 verdict
+    * measured exactly that residue taxing later queries) or an eager
+    * localCheckpoint (whose extra materialization job cost ~30% of the
+    * query at sf0.1). Measured isolated at sf0.1: lazy ≈ persisted, both
+    * beat persist+checkpoint.
+    */
   def triangleCounts(edges: DataFrame,
-                     assumeCanonical: Boolean = false): DataFrame = {
-    val (out, oriented) = triangleCountsPlan(edges, assumeCanonical)
-    // node-sized result — materialize, then drop the oriented-edge cache
-    val r = out.localCheckpoint()
-    oriented.unpersist()
-    r
-  }
+                     assumeCanonical: Boolean = false): DataFrame =
+    triangleCountsPlan(edges, assumeCanonical)
 
-  /** The lazy plan behind [[triangleCounts]] plus its persisted oriented
-    * edge table — split out so plan-shape tests can assert on the
-    * pre-checkpoint join shape (localCheckpoint replaces it with an RDD
-    * scan). */
+  /** Split kept so plan-shape tests name the pre-consumption join shape. */
   private[graft] def triangleCountsPlan(
-      edges: DataFrame, assumeCanonical: Boolean): (DataFrame, DataFrame) = {
+      edges: DataFrame, assumeCanonical: Boolean): DataFrame = {
     val canon =
       if (assumeCanonical)
         edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
@@ -240,17 +256,15 @@ object GraphAlgos {
           .otherwise(col("a")).as("dst"),
         when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")), col("degb"))
           .otherwise(col("dega")).as("ddst"))
-      .persist()
     val w1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("ddst").as("dv"))
     val w2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("ddst").as("dw"))
     val tri = w1.join(w2, Seq("u"))
       .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
       .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
-    val out = tri.select(col("u").as("node"))
+    tri.select(col("u").as("node"))
       .union(tri.select(col("v").as("node")))
       .union(tri.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    (out, oriented)
   }
 }

@@ -110,9 +110,13 @@ object MemoryGraphQueries {
           .withColumn("linkType", lit("ordered_from"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val start = Seq("c1").toDF("id")
-        LogicMesh.follow(edges, start, Some("ordered_from"), hops = 2)
+        // materialize the bounded frontier, then release the edge cache so a
+        // long session doesn't accumulate one MEMORY_AND_DISK table per call
+        val out = LogicMesh.follow(edges, start, Some("ordered_from"), hops = 2)
           .filter($"id".startsWith("c"))
-          .orderBy($"id")
+          .localCheckpoint()
+        edges.unpersist()
+        out.orderBy($"id")
       },
       """WITH edges AS (
         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp

@@ -146,12 +146,10 @@ class PlanPropertiesSpec extends SparkSpec {
   test("triangle wedge join never joins on the raw hub-keyed edge id") {
     // degree orientation: the join keys must be the oriented src/dst pair,
     // and the closing edge must come in as an equi-join (no nested loop).
-    // Assert the pre-checkpoint plan — the public method materializes.
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
-    val (lazyPlan, oriented) = graft.graph.GraphAlgos.triangleCountsPlan(
+    val lazyPlan = graft.graph.GraphAlgos.triangleCountsPlan(
       e, assumeCanonical = false)
     val p = lazyPlan.queryExecution.executedPlan.toString
-    oriented.unpersist()
     assert(!p.toLowerCase.contains("broadcastnestedloop"),
       "wedge closing must stay an equi-join")
     assert(p.toLowerCase.contains("join"), "plan must contain the wedge joins")
