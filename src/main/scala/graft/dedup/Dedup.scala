@@ -217,7 +217,15 @@ object Dedup {
     * (gaps-and-islands: pos − row_number marks consecutive runs; shuffle 2,
     * keyed on the doc). No self-join anywhere: work is linear in corpus
     * size + repeat count — a window repeated in 10^6 docs costs 10^6 rows,
-    * not 10^12 pairs. Fingerprints are the 62-bit double polyHash (same
+    * not 10^12 pairs.
+    *
+    * Relaxation vs the paper: a merged span is the union of
+    * cross-document-repeated k-windows, and adjacent windows may each
+    * repeat via DIFFERENT partner documents — so a maximal output span is
+    * not guaranteed to occur verbatim in any single other document (it can
+    * be longer than any one true cross-doc repeat). Every k-token
+    * subwindow of it IS cross-doc repeated, which is the property span
+    * removal needs. Fingerprints are the 62-bit double polyHash (same
     * construction as SimHash's h64) so the DuckDB oracle replays them
     * exactly; collision odds are ~n²/2^63, and a collision can only extend
     * a span, never lose one.

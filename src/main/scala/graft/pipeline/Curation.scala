@@ -240,9 +240,13 @@ object Curation {
       iter += 1
     }
     // at the fixpoint every edge points directly at its component min;
-    // roots (and only roots) never appear on the left
+    // roots (and only roots) never appear on the left. The groupBy-min is
+    // structural one-row-per-node insurance: if the loop exits at maxIter
+    // before converging, a node can still hold edges to two provisional
+    // minima, and a raw join would emit conflicting labels for it.
     nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("v"), col("id"))).as("component"))
       .localCheckpoint(true)
   }
 

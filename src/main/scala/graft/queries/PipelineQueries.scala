@@ -126,6 +126,15 @@ object PipelineQueries {
       s"""WITH RECURSIVE $duckPairCtes
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
 
+    // ---- star-contraction components: same contract, same oracle — the
+    // two CC implementations are interchangeable and this gate proves it
+    "pipe_components_star" -> QueryDef.sql(
+      (s, d) => Curation.connectedComponentsStar(simhashPairs(s, d))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id"),
+      s"""WITH RECURSIVE $duckPairCtes
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
+
     // ---- canonical-document election per duplicate cluster ----
     "pipe_canonical_keep" -> QueryDef.sql(
       (s, d) => {

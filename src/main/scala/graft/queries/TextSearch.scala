@@ -95,8 +95,17 @@ object TextSearch {
             lit(" ## ## ## ##### #")).otherwise(lit("")),
           when(col("doc_id") % 11 === 0,
             lit("\n12345 67890 4242 9999 12 34 56 78 90 11")).otherwise(lit("")))
+        // a whitespace-only row exercises the guarded-division path (the
+        // corpus has no empty docs, so the nWords = 0 branch needs its own
+        // fixture to stay cross-engine gated)
+        val base = Tables.documents(s, d).withColumn("text", synth)
+          .select(col("doc_id"), col("text"))
+        val empty = {
+          import s.implicits._
+          Seq((-1L, "   \n\t ")).toDF("doc_id", "text")
+        }
         graft.text.QualityRules.gopherStats(
-            Tables.documents(s, d).withColumn("text", synth), "doc_id", "text")
+            base.unionByName(empty), "doc_id", "text")
           .orderBy("doc_id")
       },
       s"""WITH s AS (SELECT doc_id,
@@ -104,7 +113,8 @@ object TextSearch {
          |       || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'to be continued...' ELSE '' END
          |       || CASE WHEN doc_id % 3 = 0 THEN ' ## ## ## ##### #' ELSE '' END
          |       || CASE WHEN doc_id % 11 = 0 THEN chr(10)||'12345 67890 4242 9999 12 34 56 78 90 11' ELSE '' END AS txt
-         |  FROM documents),
+         |  FROM documents
+         |  UNION ALL SELECT -1, '   ' || chr(10) || chr(9) || ' '),
          |w AS (SELECT doc_id, txt,
          |  list_filter(regexp_split_to_array(txt, '\\s+'), x -> x != '') AS words,
          |  string_split(txt, chr(10)) AS lines,
@@ -112,11 +122,11 @@ object TextSearch {
          |  FROM s),
          |m AS (SELECT doc_id,
          |  CAST(len(words) AS BIGINT) AS n_words,
-         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, x -> CAST(length(x) AS BIGINT))), (a,b)->a+b) AS DOUBLE) / len(words), 6) AS mean_word_len,
-         |  ROUND(CAST(CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) + CAST((length(txt) - length(replace(txt, '...', '')))/3 AS BIGINT) AS DOUBLE) / len(words), 6) AS symbol_ratio,
-         |  ROUND(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE) / len(lines), 6) AS bullet_frac,
-         |  ROUND(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / len(lines), 6) AS ellipsis_frac,
-         |  ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words), 6) AS alpha_frac,
+         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, x -> CAST(length(x) AS BIGINT))), (a,b)->a+b) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len,
+         |  ROUND(CAST(CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) + CAST((length(txt) - length(replace(txt, '...', '')))/3 AS BIGINT) AS DOUBLE) / greatest(len(words), 1), 6) AS symbol_ratio,
+         |  ROUND(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE) / greatest(len(lines), 1), 6) AS bullet_frac,
+         |  ROUND(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / greatest(len(lines), 1), 6) AS ellipsis_frac,
+         |  ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(len(words), 1), 6) AS alpha_frac,
          |  CAST(len(list_intersect(list_distinct(tk), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
          |  FROM w)
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,

@@ -37,21 +37,28 @@ object QualityRules {
     // whitespace words (Gopher counts raw words, not normalized tokens)
     val words = filter(split(txt, "\\s+"), w => w =!= "")
     val nWords = size(words).cast("long")
+    // guarded denominators: an empty/whitespace-only doc has nWords = 0 and
+    // Spark's x/0 is null while DuckDB's differs by type — greatest(·,1)
+    // gives both engines the same well-defined 0.0 metrics (keep is false
+    // either way via the word-count bound, but the metric columns must
+    // replay hash-exactly too)
+    val wDen = greatest(nWords, lit(1L))
     val charSum = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-    val meanLen = round(charSum.cast("double") / nWords, 6)
+    val meanLen = round(charSum.cast("double") / wDen, 6)
     val nHash = graft.functions.F.occurrences(txt, "#")
     val nEllipsis = graft.functions.F.occurrences(txt, "...")
-    val symbolRatio = round((nHash + nEllipsis).cast("double") / nWords, 6)
+    val symbolRatio = round((nHash + nEllipsis).cast("double") / wDen, 6)
     val lines = split(txt, "\n")
     val nLines = size(lines).cast("long")
+    val lDen = greatest(nLines, lit(1L))
     val bulletLines = size(filter(lines, l =>
       ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
         ltrim(l).startsWith("• ")))
-    val bulletFrac = round(bulletLines.cast("double") / nLines, 6)
+    val bulletFrac = round(bulletLines.cast("double") / lDen, 6)
     val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
-    val ellipsisFrac = round(ellipsisLines.cast("double") / nLines, 6)
+    val ellipsisFrac = round(ellipsisLines.cast("double") / lDen, 6)
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
-    val alphaFrac = round(alphaWords.cast("double") / nWords, 6)
+    val alphaFrac = round(alphaWords.cast("double") / wDen, 6)
     val stopHits = size(array_intersect(
       array_distinct(graft.functions.F.tokens(txt)),
       array(GopherStopwords.map(lit(_)): _*))).cast("long")

@@ -57,6 +57,44 @@ object FakeOrt {
         |  private final String modelPath;
         |  public OrtSession(String p) { modelPath = p; }
         |  public OrtResult run(Map<String, Object> inputs) {
+        |    if (modelPath.contains("whisper-encoder")) {
+        |      // mel [1][nMels][nFrames] -> audio features [1][T][4]; the
+        |      // feature values are a pure function of the mel energies so the
+        |      // decoder's scripted logits can depend on the REAL featurization
+        |      float[][][] mel = (float[][][]) ((OnnxTensor) inputs.get("mel")).data;
+        |      float s = 0f;
+        |      for (float[] bin : mel[0]) for (float x : bin) s += x;
+        |      int T = Math.max(1, mel[0][0].length / 100);
+        |      float[][][] feats = new float[1][T][4];
+        |      for (int t = 0; t < T; t++)
+        |        for (int j = 0; j < 4; j++) feats[0][t][j] = s + t + j;
+        |      return new OrtResult(feats);
+        |    }
+        |    if (modelPath.contains("whisper-decoder")) {
+        |      // tokens [1][seq] + audio_features -> logits [1][seq][vocab].
+        |      // Scripted greedy path: a special-region trap at vocab-1 that
+        |      // suppression must kill, a favored normal token derived from
+        |      // (generated-count, feature signature), EOT favored after 8
+        |      // generations; "mode-rep" favors one token forever so the
+        |      // repetition brake is reachable.
+        |      long[][] toks = (long[][]) ((OnnxTensor) inputs.get("tokens")).data;
+        |      float[][][] feats =
+        |        (float[][][]) ((OnnxTensor) inputs.get("audio_features")).data;
+        |      int vocab = markerOf(modelPath, "vocab", 100);
+        |      int eot = markerOf(modelPath, "eot", 89);
+        |      int seq = toks[0].length;
+        |      int gen = seq - 3;                       // prompt length is 3
+        |      int sig = (int) (Math.abs(feats[0][0][0]) % 7);
+        |      float[][][] logits = new float[1][seq][vocab];
+        |      float[] last = logits[0][seq - 1];
+        |      last[vocab - 1] = 50f;                   // special trap
+        |      if (modelPath.contains("mode-rep")) last[42] = 10f;
+        |      else {
+        |        last[10 + ((gen * 7 + sig) % 30)] = 10f;
+        |        if (gen >= 8) last[eot] = 20f;
+        |      }
+        |      return new OrtResult(logits);
+        |    }
         |    if (inputs.containsKey("mel")) {
         |      float[][][] mel = (float[][][]) ((OnnxTensor) inputs.get("mel")).data;
         |      long h = 17;
@@ -87,9 +125,12 @@ object FakeOrt {
         |    return new OrtResult(out);
         |  }
         |  private static int dimOf(String path) {
+        |    return markerOf(path, "dim", 4);
+        |  }
+        |  private static int markerOf(String path, String marker, int dflt) {
         |    java.util.regex.Matcher m =
-        |      java.util.regex.Pattern.compile("dim(\\d+)").matcher(path);
-        |    return m.find() ? Integer.parseInt(m.group(1)) : 4;
+        |      java.util.regex.Pattern.compile(marker + "(\\d+)").matcher(path);
+        |    return m.find() ? Integer.parseInt(m.group(1)) : dflt;
         |  }
         |}
         |""".stripMargin)

@@ -64,6 +64,31 @@ class PipelineSpec extends SparkSpec {
     assert(comp.values.forall(_ == 0L))
   }
 
+  test("star-contraction components matches label propagation on chains and hubs") {
+    // 12-node chain (deep component), a 1-center hub, an island pair
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val hub = (101L to 110L).map(i => (100L, i))
+    val pairs = (chain ++ hub ++ Seq((200L, 201L))).toDF("doc_a", "doc_b")
+    val star = Curation.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Curation.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert((0L to 12L).forall(star(_) == 0L))
+    assert((100L to 110L).forall(star(_) == 100L))
+    assert(star(200L) == 200L && star(201L) == 200L)
+  }
+
+  test("star-contraction emits one row per node even when cut off early") {
+    // maxIter = 1 leaves provisional minima on a deep chain; the final
+    // groupBy-min must still yield exactly one label per node
+    val pairs = (0L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val early = Curation.connectedComponentsStar(pairs, maxIter = 1)
+    val n = early.count()
+    assert(n == 17L)
+    assert(early.select("id").distinct().count() == n)
+  }
+
   test("canonical election keeps the longest doc, ties to smallest id") {
     val labeled = Seq(
       (1L, 1L, 100L), (2L, 1L, 300L), (3L, 1L, 300L), // 2 wins: longest, lower id
