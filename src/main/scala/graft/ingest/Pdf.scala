@@ -233,8 +233,8 @@ object Pdf {
     * /Predictor 12 (Up) is what most PDF writers emit for xref and
     * content streams. Returns None on a malformed layout (row remainder,
     * unknown filter type) — the caller skips the stream, keeps the doc. */
-  private def pngUnpredict(data: Array[Byte], columns: Int, colors: Int,
-                           bpc: Int): Option[Array[Byte]] = {
+  private[graft] def pngUnpredict(data: Array[Byte], columns: Int, colors: Int,
+                                  bpc: Int): Option[Array[Byte]] = {
     val rowLen = (columns.toLong * colors * bpc + 7) / 8
     if (rowLen <= 0 || rowLen > Int.MaxValue - 1) return None
     val stride = rowLen.toInt + 1

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *   - audio: WAV parse → 16 kHz mono resample → log-mel windows are REAL
   *     (Wav.scala, MelSpectrogram.scala, pure JDK); only the token decode
   *     behind the mel features sits behind the ONNX reflection guard.
-  *   - image: pixel decode needs an imaging lib this container lacks, so
-  *     the preprocessor is the stub boundary; the session shape (pixel
-  *     tensor batches → pooled embedding) is the real CLIP contract.
+  *   - image: PNG pixel decode + CLIP preprocessing (resize/crop/[0,1]
+  *     CHW) are REAL (Png.scala, pure JDK); fakePreprocessor remains the
+  *     stand-in only for formats without a decoder here (JPEG etc.); the
+  *     session shape (pixel tensor batches → pooled embedding) is the real
+  *     CLIP contract.
   *
   * Both stages load their backend ONCE per partition and batch through it,
   * identical to the text/NER inference stages.
@@ -170,8 +172,11 @@ object MediaInference {
     }
   }
 
-  /** Distributed image embedding: preprocess (stub boundary) → batched
-    * vision backend, one session per partition. */
+  /** Distributed image embedding: preprocess (Png.clipPreprocessor for PNG;
+    * fakePreprocessor remains the stand-in for formats without a decoder
+    * here) → batched vision backend, one session per partition. Rows whose
+    * bytes fail to decode are skipped, not failed — the budgeted-extraction
+    * convention transcribeWav also follows (S6). */
   def embedImages(media: Dataset[MediaRow], mkBackend: () => VisionBackend,
                   preprocess: ImagePreprocessor = fakePreprocessor,
                   batchSize: Int = 16,
@@ -180,9 +185,15 @@ object MediaInference {
     media.filter(col("mediaType") === "image").mapPartitions { it =>
       val backend = mkBackend()
       it.grouped(batchSize).flatMap { batch =>
-        val vecs = backend.run(batch.map(m => preprocess(m.content)))
-        batch.zip(vecs).map { case (m, v) =>
-          MediaFeature(m.mediaId, m.mediaType, v, modelVersion)
+        val decoded = batch.flatMap(m =>
+          try Some(m -> preprocess(m.content))
+          catch { case _: IllegalArgumentException => None })
+        if (decoded.isEmpty) Seq.empty
+        else {
+          val vecs = backend.run(decoded.map(_._2))
+          decoded.zip(vecs).map { case ((m, _), v) =>
+            MediaFeature(m.mediaId, m.mediaType, v, modelVersion)
+          }
         }
       }
     }

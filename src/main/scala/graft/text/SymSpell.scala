@@ -13,11 +13,13 @@ import scala.collection.mutable
   * verification uses true Damerau-Levenshtein — so search cost is
   * independent of dictionary size.
   *
-  * The bundled 82k-entry frequency file is not shippable here (zero
-  * egress, no reference copying), so the built-in dictionary is a compact
-  * common-English core (BuiltinDictionary) and `withCorpus` augments it
-  * with corpus-derived frequencies — rare domain words come from the data
-  * itself, which is what a 100 TB corpus gives cheaply anyway.
+  * Two dictionary tiers ship: `SymSpell.builtin` is a compact
+  * common-English core (fast to build — the default for per-row repair
+  * paths), and `SymSpell.bundled`/`SymSpell.default` load the full
+  * public-domain 82,765-word frequency list (same data the reference
+  * embeds from the SymSpell project). `withCorpus` additionally augments
+  * either tier with corpus-derived frequencies, so rare domain words come
+  * from the data itself.
   */
 final class SymSpell(maxEdit: Int = 2, prefixLen: Int = 7) extends Serializable {
 
@@ -122,12 +124,38 @@ final class SymSpell(maxEdit: Int = 2, prefixLen: Int = 7) extends Serializable 
   }
 }
 
-/** Compact common-English frequency core (hand-written Zipf-ish ranks;
-  * stands in for the reference's bundled 82k-word file). Frequencies only
-  * need to ORDER candidates sensibly. */
+/** Compact common-English frequency core (hand-written Zipf-ish ranks)
+  * plus the full bundled 82,765-word frequency dictionary — the same
+  * public-domain list (Google Books Ngram ∩ SCOWL, distributed with Wolf
+  * Garbe's SymSpell project) the reference embeds at
+  * src/symspell_cleanup.rs:20. */
 object SymSpell {
   def builtin(maxEdit: Int = 2): SymSpell =
     new SymSpell(maxEdit).addAll(BuiltinDictionary.entries)
+
+  /** the bundled `word frequency` lines, parsed once per JVM */
+  lazy val bundledEntries: Seq[(String, Long)] = {
+    val in = getClass.getResourceAsStream(
+      "/graft/text/frequency_dictionary_en_82_765.txt")
+    require(in != null, "bundled frequency dictionary missing from resources")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
+      l.split(' ') match {
+        case Array(w, f) => f.toLongOption.map(w -> _)
+        case _ => None
+      }
+    }.toVector
+    finally in.close()
+  }
+
+  /** full-dictionary instance; the delete-neighborhood index over 82k words
+    * is a few-hundred-MB, few-second build, so share [[default]] rather
+    * than constructing per call */
+  def bundled(maxEdit: Int = 2): SymSpell =
+    new SymSpell(maxEdit).addAll(bundledEntries)
+
+  /** shared full-dictionary instance (one per JVM — e.g. one per executor
+    * when used inside mapPartitions) */
+  lazy val default: SymSpell = bundled()
 }
 
 private object BuiltinDictionary {

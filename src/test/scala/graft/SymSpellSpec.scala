@@ -61,4 +61,22 @@ class SymSpellSpec extends AnyFunSuite {
     assert(TextRepair.fixPdfText("", sym) == "")
     assert(TextRepair.fixPdfText("v1.2 build 42", sym) == "v1.2 build 42")
   }
+
+  test("bundled 82k dictionary repairs rare words the compact core misses") {
+    assert(SymSpell.bundledEntries.length > 82000)
+    val full = SymSpell.default
+    assert(full.size > 80000)
+    // frequency order preserved from the file ("the" is the top entry)
+    assert(full.frequency("the") > full.frequency("bureaucracy"))
+    // rare words: absent from the compact core, repaired by the full tier
+    for ((typo, word) <- Seq("bureaucrcy" -> "bureaucracy",
+                             "rhytm" -> "rhythm",
+                             "acquaintence" -> "acquaintance")) {
+      assert(!sym.contains(word), s"compact core unexpectedly has $word")
+      assert(sym.lookup(typo).headOption.forall(_.term != word))
+      assert(full.lookup(typo).head.term == word, s"$typo -> $word")
+    }
+    assert(full.lookupCompound("the bureaucrcy expanded") ==
+      "the bureaucracy expanded")
+  }
 }
