@@ -102,6 +102,15 @@ final class Graft(val spark: SparkSession, basePath: String,
     * versions out of the log */
   def vacuum(): Unit = frames.vacuum()
 
+  /** Pin the latest-active view to a read-optimized parquet copy for a
+    * read-mostly phase (a curation run, a bulk query session): every
+    * search/ask/timeline/embeddings read scans the copy instead of paying
+    * the per-id window + supersedes anti-join. Mutations drop the pin. */
+  def snapshotCurrent(outPath: String): Unit = frames.snapshotCurrent(outPath)
+
+  /** back to live-log reads */
+  def releaseSnapshot(): Unit = frames.releaseSnapshot()
+
   // ---- query ----
   def search(query: String, topK: Int = 10): DataFrame =
     Search.search(frames.latestActive, "id", frameCols, query,

@@ -40,8 +40,10 @@ final class FrameStore(spark: SparkSession, path: String) {
     (maxId, maxSeq)
   }
 
-  private def appendFrames(fs: Seq[Frame]): Unit =
+  private def appendFrames(fs: Seq[Frame]): Unit = {
     fs.toDS().write.mode(SaveMode.Append).parquet(path)
+    currentSnapshot = None // the pinned copy no longer reflects the log
+  }
 
   /** J8 dedup plan: stage the incoming batch's hashes and left-anti join
     * them against the live log on sourceSha256 (reference BLAKE3 dedup
@@ -115,8 +117,15 @@ final class FrameStore(spark: SparkSession, path: String) {
     appendFrames(Seq(f))
   }
 
-  /** current state: newest version per id, active only, superseded hidden */
-  def latestActive: DataFrame = latestActiveAsOf(None)
+  /** When set, `latestActive` serves this read-optimized parquet copy
+    * instead of recomputing the window + anti-join per read. Any mutation
+    * invalidates it (the log has moved past the copy). */
+  private var currentSnapshot: Option[DataFrame] = None
+
+  /** current state: newest version per id, active only, superseded hidden.
+    * Served from the pinned snapshot when one is live ([[snapshotCurrent]]) —
+    * a plain parquet scan instead of two shuffles. */
+  def latestActive: DataFrame = currentSnapshot.getOrElse(latestActiveAsOf(None))
 
   /** F7 time travel: state as of a commitSeq */
   def asOf(commitSeq: Long): DataFrame = latestActiveAsOf(Some(commitSeq))
@@ -144,9 +153,23 @@ final class FrameStore(spark: SparkSession, path: String) {
     * view"). `vacuum()` is the destructive in-place variant of the same
     * idea. @return the materialized view, re-read from `outPath` */
   def materializeCurrent(outPath: String): DataFrame = {
-    latestActive.write.mode(SaveMode.Overwrite).parquet(outPath)
+    latestActiveAsOf(None).write.mode(SaveMode.Overwrite).parquet(outPath)
     spark.read.parquet(outPath)
   }
+
+  /** Materialize AND pin: every subsequent `latestActive` read — search,
+    * ask, timeline, embeddings, the whole curation surface — scans the
+    * parquet copy until a mutation lands or [[releaseSnapshot]] is called.
+    * This is the multi-read consumer of [[materializeCurrent]]: a curation
+    * run that reads "current" N times pays the window + anti-join once. */
+  def snapshotCurrent(outPath: String): DataFrame = {
+    val df = materializeCurrent(outPath)
+    currentSnapshot = Some(df)
+    df
+  }
+
+  /** drop the pinned snapshot; reads recompute from the live log again */
+  def releaseSnapshot(): Unit = currentSnapshot = None
 
   /** compaction: rewrite only the live view, dropping dead versions
     * (reference vacuum, mutation.rs:2999) */
@@ -156,7 +179,8 @@ final class FrameStore(spark: SparkSession, path: String) {
     // goes through Hadoop FileSystem so non-local stores (hdfs/s3a)
     // work the same as file://
     val tmp = path + "_vacuum"
-    latestActive.as[Frame].write.mode(SaveMode.Overwrite).parquet(tmp)
+    latestActiveAsOf(None).as[Frame].write.mode(SaveMode.Overwrite).parquet(tmp)
+    currentSnapshot = None
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -76,6 +76,52 @@ class StoreSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.toLowerCase.contains("anti"))
   }
 
+  test("snapshotCurrent: N reads pay the window+anti-join once, mutation unpins") {
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    val Seq(a) = store.put(Seq(("mv2://a", "alpha lives here")), ts = ts(1000))
+    val Seq(b) = store.put(Seq(("mv2://b", "beta gets deleted")), ts = ts(1000))
+    store.update(a, "alpha version two", "mv2://a")
+    store.delete(b)
+    val liveBefore = store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+    // live view recomputes: window + anti-join in every read's plan
+    assert(store.latestActive.queryExecution.executedPlan.toString.contains("Window"))
+    store.snapshotCurrent(s"$dir/current")
+    // every read while pinned is a plain parquet scan — the two shuffles
+    // were paid once at materialization
+    (1 to 3).foreach { _ =>
+      val plan = store.latestActive.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window") && !plan.toLowerCase.contains("anti"))
+    }
+    assert(store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+      == liveBefore)
+    // a mutation invalidates the pin: the new row is visible immediately
+    val Seq(c) = store.put(Seq(("mv2://c", "gamma arrives")), ts = ts(2000))
+    val afterIds = store.latestActive.select("id").collect().map(_.getLong(0)).toSet
+    assert(afterIds == liveBefore + c)
+    assert(store.latestActive.queryExecution.executedPlan.toString.contains("Window"))
+    // explicit release also unpins
+    store.snapshotCurrent(s"$dir/current2")
+    store.releaseSnapshot()
+    assert(store.latestActive.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("graft facade: snapshotCurrent serves search/ask surface from the copy") {
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    g.put("mv2://doc/1", "the aurora was visible from the cabin")
+    g.put("mv2://doc/2", "cabin maintenance scheduled for spring")
+    g.snapshotCurrent(s"$dir/current")
+    assert(g.search("cabin").count() == 2)
+    assert(g.timeline().count() == 2)
+    val plan = g.frames.latestActive.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    // a put drops the pin and the new doc is searchable
+    g.put("mv2://doc/3", "a new cabin appears")
+    assert(g.search("cabin").count() == 3)
+    g.releaseSnapshot()
+  }
+
   test("graft facade: update/delete/vacuum mirror the store mutations") {
     val dir = tmpDir
     val g = new Graft(spark, dir)
