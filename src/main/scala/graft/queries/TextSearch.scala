@@ -134,6 +134,59 @@ object TextSearch {
          |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
          |FROM m ORDER BY doc_id""".stripMargin),
 
+    // ---- C4 line/document filters (Raffel et al. 2020 §2.2) over the same
+    // synthesized-structure trick as the Gopher gate: doc_id residues append
+    // lines that exercise every rule branch (terminal punctuation, the
+    // 5-word floor, javascript lines, lorem ipsum, braces), both engines
+    // build the SAME text, full-metric hash compare. ----
+    "text_c4_filters" -> QueryDef.sql(
+      (s, d) => {
+        val synth = concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nThis sentence ends with a period and has many words.")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\nShort line.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nEnable JavaScript to view the full content here.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nAnother full sentence arrives here with plenty of words!")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nLorem ipsum dolor sit amet consectetur.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nfunction f() { return 42; }")).otherwise(lit("")))
+        graft.text.C4Rules.c4Stats(
+            Tables.documents(s, d).withColumn("text", synth)
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", minKeptLines = 2)
+          .orderBy("doc_id")
+      },
+      s"""WITH s AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 2 = 0 THEN chr(10)||'This sentence ends with a period and has many words.' ELSE '' END
+         |       || CASE WHEN doc_id % 3 = 0 THEN chr(10)||'Short line.' ELSE '' END
+         |       || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'Enable JavaScript to view the full content here.' ELSE '' END
+         |       || CASE WHEN doc_id % 7 = 0 THEN chr(10)||'Another full sentence arrives here with plenty of words!' ELSE '' END
+         |       || CASE WHEN doc_id % 11 = 0 THEN chr(10)||'Lorem ipsum dolor sit amet consectetur.' ELSE '' END
+         |       || CASE WHEN doc_id % 13 = 0 THEN chr(10)||'function f() { return 42; }' ELSE '' END AS txt
+         |  FROM documents),
+         |w AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS lines FROM s),
+         |k AS (SELECT doc_id, txt, lines,
+         |  list_filter(lines, l ->
+         |    (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+         |    AND len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x != '')) >= 5
+         |    AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM w),
+         |m AS (SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(kept, x -> CAST(length(x) AS BIGINT))), (a,b)->a+b) AS BIGINT) AS kept_chars,
+         |  ROUND(CAST(len(kept) AS DOUBLE) / greatest(len(lines), 1), 6) AS kept_frac,
+         |  contains(lower(txt), 'lorem ipsum') AS has_lorem,
+         |  (contains(txt, '{') OR contains(txt, '}')) AS has_brace
+         |  FROM k)
+         |SELECT doc_id, n_lines, n_kept_lines, kept_chars, kept_frac, has_lorem, has_brace,
+         |  (n_kept_lines >= 2 AND NOT has_lorem AND NOT has_brace) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin),
+
     "text_quality" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._

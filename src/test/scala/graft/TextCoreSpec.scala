@@ -200,4 +200,35 @@ class TextCoreSpec extends SparkSpec {
     val kept = QualityRules.gopherFilter(docs, "doc_id", "text").collect()
     assert(kept.map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("c4 rules: line retention, document floors, clean transform") {
+    import spark.implicits._
+    import graft.text.C4Rules
+    val good = "This line has enough words to survive easily.\n" +
+      "Another retained sentence follows with plenty of words!\n" +
+      "And a third one rounds out the document nicely."
+    val docs = Seq(
+      (1L, good),                                           // keeps: 3 kept lines
+      (2L, good + "\nEnable JavaScript to view this page."), // js line dropped, doc keeps
+      (3L, good + "\nLorem Ipsum dolor sit amet."),          // lorem -> doc dropped
+      (4L, good + "\nvar x = { a: 1 };"),                    // brace -> doc dropped
+      (5L, "no terminal punctuation here at all\nshort one.\n" +
+        "word word word word no period"),                    // 0 kept lines -> dropped
+      (6L, "One good sentence with enough words right here.\nTiny.") // 1 < 3 floor
+    ).toDF("doc_id", "text")
+    val stats = C4Rules.c4Stats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).getBoolean(7), "clean doc keeps")
+    assert(stats(2L).getBoolean(7) && stats(2L).getLong(2) == 3,
+      "javascript line dropped but doc keeps with 3 lines")
+    assert(!stats(3L).getBoolean(7) && stats(3L).getBoolean(5), "lorem drops doc")
+    assert(!stats(4L).getBoolean(7) && stats(4L).getBoolean(6), "brace drops doc")
+    assert(!stats(5L).getBoolean(7) && stats(5L).getLong(2) == 0)
+    assert(!stats(6L).getBoolean(7) && stats(6L).getLong(2) == 1)
+    // the clean transform drops non-keepers and strips non-retained lines
+    val cleaned = C4Rules.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(cleaned.keySet == Set(1L, 2L))
+    assert(cleaned(2L) == good, "js line stripped from kept doc")
+  }
 }
