@@ -268,4 +268,46 @@ object Curation {
       .withColumn("is_canonical", col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** Exact-first dedup cascade: collapse exact duplicates to a
+    * representative BEFORE the near-dup stage, then run SimHash banding +
+    * connected components on representatives only, and map every document
+    * through its representative to the component canonical.
+    *
+    * This ordering is the scale-critical design, not a convenience: on a
+    * corpus with heavy exact duplication (every real crawl; the amplified
+    * soak corpus is the extreme case — c identical copies of everything),
+    * near-dup banding on raw documents puts all c copies in the same LSH
+    * buckets, so candidate pairs grow Θ(c²·n) and component label
+    * propagation inherits the blowup (measured: the x10 soak rung's
+    * near-dup components run 20–30× the x1 cost, SCALE.md "Scale soak").
+    * Exact collapse is ONE linear shuffle on a 16-byte fingerprint and
+    * returns the pair space to unique-content size — the x10 corpus
+    * near-dups at x1 cost, because its unique set IS the x1 corpus.
+    *
+    * Output: one row per input document —
+    *   (doc_id, rep_id: exact-group min, canonical_id: near-dup component
+    *   min of the rep, keep: doc_id == canonical_id).
+    */
+  def dedupCascade(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 2): DataFrame = {
+    import graft.dedup.Dedup
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("fp", md5(Dedup.normalized(col("text")).cast("binary")))
+    // exact collapse: one shuffle on fp (window-min = groupBy+join fused)
+    val repMap = base
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val reps = repMap.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    // near-dup on unique content only
+    val pairs = Dedup.simhashNearDuplicates(
+      Dedup.simhash(reps, "doc_id", "text"), maxHamming)
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("rep_id"), col("component"))
+    repMap.select(col("doc_id"), col("rep_id"))
+      .join(comp, Seq("rep_id"), "left")
+      .withColumn("canonical_id", coalesce(col("component"), col("rep_id")))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "rep_id", "canonical_id", "keep")
+  }
 }

@@ -29,10 +29,11 @@ object PipelineQueries {
     .mkString("CASE source ", " ", " ELSE 1000000 END")
 
   /** simhash near-dup pair CTEs (hamming ≤ 2) — same arithmetic the
-    * dedup_simhash oracle replays, reused here as the component edge set. */
-  private val duckPairCtes = {
+    * dedup_simhash oracle replays, reused here as the component edge set.
+    * `src` is the (doc_id, text) relation the pairs are built over. */
+  private def duckPairCtes(src: String = "documents") = {
     import DedupQueries.{duckToks, duckPoly}
-    s"""toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, $duckToks AS tk FROM $src),
        |tf AS (SELECT doc_id, t, COUNT(*) AS tf
        |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) u GROUP BY doc_id, t),
        |hh AS (SELECT doc_id, tf, ${duckPoly("t")} * 2147483647 + ${duckPoly("t || '!'")} AS h64 FROM tf),
@@ -123,7 +124,7 @@ object PipelineQueries {
       (s, d) => Curation.connectedComponents(simhashPairs(s, d))
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id"),
-      s"""WITH RECURSIVE $duckPairCtes
+      s"""WITH RECURSIVE ${duckPairCtes()}
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
 
     // ---- star-contraction components: same contract, same oracle — the
@@ -132,7 +133,7 @@ object PipelineQueries {
       (s, d) => Curation.connectedComponentsStar(simhashPairs(s, d))
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id"),
-      s"""WITH RECURSIVE $duckPairCtes
+      s"""WITH RECURSIVE ${duckPairCtes()}
          |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin),
 
     // ---- canonical-document election per duplicate cluster ----
@@ -146,7 +147,7 @@ object PipelineQueries {
             col("is_canonical"))
           .orderBy("doc_id")
       },
-      s"""WITH RECURSIVE $duckPairCtes,
+      s"""WITH RECURSIVE ${duckPairCtes()},
          |lab AS (SELECT c.doc_id, c.component, d.n_chars
          |        FROM comp c JOIN documents d USING (doc_id)),
          |elect AS (SELECT doc_id, component, n_chars,
@@ -156,6 +157,33 @@ object PipelineQueries {
          |                  ORDER BY n_chars DESC, doc_id ASC) AS rk FROM lab) z)
          |SELECT doc_id, component, canonical_id, rk = 1 AS is_canonical
          |FROM elect ORDER BY doc_id""".stripMargin),
+
+    // ---- exact-first dedup cascade (the soak-proven ordering): synthesized
+    // exact duplicates (every 10th doc re-appears under doc_id+1e6, the
+    // amplified-soak pattern in miniature) collapse to representatives
+    // BEFORE simhash near-dup + components — pair space stays unique-
+    // content-sized. Full per-doc mapping hash-compared. ----
+    "pipe_dedup_cascade" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val dups = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        Curation.dedupCascade(docs.unionByName(dups), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE
+         |u AS (SELECT doc_id, text FROM documents
+         |      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |f AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM u),
+         |rep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep_id FROM f),
+         |rdocs AS (SELECT u.doc_id, u.text FROM u
+         |          JOIN (SELECT DISTINCT rep_id FROM rep) rr ON u.doc_id = rr.rep_id),
+         |${duckPairCtes("rdocs")}
+         |SELECT r.doc_id, r.rep_id,
+         |  COALESCE(c.component, r.rep_id) AS canonical_id,
+         |  (r.doc_id = COALESCE(c.component, r.rep_id)) AS keep
+         |FROM rep r LEFT JOIN comp c ON c.doc_id = r.rep_id
+         |ORDER BY r.doc_id""".stripMargin),
 
     // ---- per-language corpus statistics (mixture planning input) ----
     "pipe_corpus_stats" -> QueryDef.sql(

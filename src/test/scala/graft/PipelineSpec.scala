@@ -89,6 +89,31 @@ class PipelineSpec extends SparkSpec {
     assert(early.select("id").distinct().count() == n)
   }
 
+  test("dedup cascade: exact collapse first, near-dup on representatives only") {
+    // three exact copies of A, two of B (near-dup of A), one unique C
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val c = "completely different content about distributed query engines at scale"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a),   // exact group -> rep 1
+      (4L, b), (5L, b),            // exact group -> rep 4; b near-dups a
+      (6L, c)                      // unique
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupCascade(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // reps: exact-group minima
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L))
+    assert(Seq(4L, 5L).forall(out(_)._1 == 4L))
+    assert(out(6L)._1 == 6L)
+    // canonical: near-dup component of the rep (a ~ b at hamming<=8)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(out(_)._2 == 1L),
+      s"a/b should share canonical 1: $out")
+    assert(out(6L)._2 == 6L)
+    // keep only the canonical doc itself
+    assert(out.count(_._2._3) == 2 && out(1L)._3 && out(6L)._3)
+  }
+
   test("canonical election keeps the longest doc, ties to smallest id") {
     val labeled = Seq(
       (1L, 1L, 100L), (2L, 1L, 300L), (3L, 1L, 300L), // 2 wins: longest, lower id
