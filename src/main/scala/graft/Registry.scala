@@ -13,5 +13,6 @@ object Registry {
     graft.queries.MemoryGraphQueries.defs ++
     graft.queries.MiscQueries.defs ++
     graft.queries.PipelineQueries.defs ++
-    graft.queries.AnalyticsQueries.defs
+    graft.queries.AnalyticsQueries.defs ++
+    graft.queries.IngestQueries.defs
 }

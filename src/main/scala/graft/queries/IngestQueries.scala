@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle gates for the S5 text-family document readers (plain/markdown/
+  * html/jsonl/csv — reference dispatch src/reader/mod.rs:43-205), the J4
+  * hybrid graph-filtered search (src/graph_search.rs:311-440) and the
+  * F12/X16 sentence-aware snippet slicer (src/lex.rs:537-633).
+  *
+  * Pattern (same as the S7 table gates in MiscQueries): a deterministic
+  * fixture is rendered from the testdata tables with Spark expressions,
+  * pushed through the REAL reader/operator, and the oracle replays the
+  * expected output directly from the source table — if the parser drops,
+  * duplicates, or mis-unescapes anything, the hash differs. Readers are
+  * row-local JVM logic, so they run as UDFs over the rendered column;
+  * rendering and comparison stay fully distributed (no driver loops).
+  */
+object IngestQueries {
+
+  private val parseCsvRecord =
+    udf((s: String) => graft.ingest.Readers.csvRows(s).headOption.getOrElse(Seq.empty))
+  private val readJsonl =
+    udf((s: String) => graft.ingest.Readers.jsonl(s.getBytes("UTF-8")).text)
+  private val readHtmlText =
+    udf((s: String) => graft.ingest.Readers.html(s.getBytes("UTF-8")).text)
+  private val readHtmlTitle =
+    udf((s: String) => graft.ingest.Readers.html(s.getBytes("UTF-8")).title.orNull)
+  private val readMarkdownTitle =
+    udf((s: String) => graft.ingest.Readers.markdown(s.getBytes("UTF-8")).title.orNull)
+  private val firstSnippet =
+    udf((text: String, term: String) =>
+      graft.search.Snippets.slice(text, Seq(term)).headOption.orNull)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- S5 CSV reader: RFC-4180 round-trip. Each customer row renders
+    // as one fully-quoted CSV record whose third field deliberately embeds
+    // a comma, a doubled quote, and a newline; the reader must undo the
+    // quoting exactly, so the parsed columns hash-match the source table.
+    "ingest_csv_roundtrip" -> QueryDef.sql(
+      (s, d) => {
+        val esc = (c: org.apache.spark.sql.Column) =>
+          regexp_replace(c, "\"", "\"\"")
+        val src = Tables.customer(s, d).select(
+          col("c_custkey"), col("c_name"),
+          concat(lit("x,\"y\"\n"), col("c_mktsegment")).as("gnarly"),
+          col("c_mktsegment"))
+        val line = concat(
+          lit("\""), col("c_custkey"), lit("\",\""), esc(col("c_name")),
+          lit("\",\""), esc(col("gnarly")), lit("\",\""),
+          esc(col("c_mktsegment")), lit("\""))
+        src.select(parseCsvRecord(line).as("f"))
+          .select(
+            element_at(col("f"), 1).cast("bigint").as("c_custkey"),
+            element_at(col("f"), 2).as("c_name"),
+            element_at(col("f"), 3).as("gnarly"),
+            element_at(col("f"), 4).as("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_name,
+        |       'x,"y"' || chr(10) || c_mktsegment AS gnarly, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // ---- S5 JSONL reader: each document renders as one JSON line with
+    // the reader's supported escapes (\" and \n; raw backslash/tab/CR are
+    // stripped from the input first — the reference reader's unescape set
+    // is exactly {\n, \", \\}); the extracted text field must equal the
+    // cleaned source text.
+    "ingest_jsonl_extract" -> QueryDef.sql(
+      (s, d) => {
+        val clean = regexp_replace(col("text"), "[\\\\\\t\\r]", "")
+        val jsonEsc = regexp_replace(
+          regexp_replace(clean, "\"", "\\\\\""), "\n", "\\\\n")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("{\"id\":"), col("doc_id"),
+              lit(",\"text\":\""), jsonEsc, lit("\"}")).as("line"))
+          .select(col("doc_id"), readJsonl(col("line")).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, regexp_replace(text, '[\\\x09\x0D]', '', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- S5 HTML reader: a full page is rendered around the document
+    // text (title head, style + script blocks to drop whole, heading and
+    // trailing entities to decode); the reader must strip markup, decode
+    // &amp;/&lt;/&gt;/&nbsp;, and collapse whitespace. '&'/'<'/'>' are
+    // removed from the body text first so entity decode is unambiguous.
+    "ingest_html_extract" -> QueryDef.sql(
+      (s, d) => {
+        val clean = regexp_replace(col("text"), "[&<>]", "")
+        val page = concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p { color: red }</style></head><body>"),
+          lit("<script>if (1 < 2) { x = \"&amp;\"; }</script>"),
+          lit("<h1>Header</h1>\n<p>"), clean,
+          lit("</p>\n<p>A&nbsp;&amp; B &lt;tag&gt;</p></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), page.as("page"))
+          .select(col("doc_id"),
+            readHtmlTitle(col("page")).as("title"),
+            readHtmlText(col("page")).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, 'Doc ' || doc_id AS title,
+        |       trim(regexp_replace(
+        |         'Header ' || regexp_replace(text, '[&<>]', '', 'g')
+        |                   || ' A & B <tag>',
+        |         '\s+', ' ', 'g')) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- S5 markdown reader: title = first '# ' heading line.
+    "ingest_markdown_title" -> QueryDef.sql(
+      (s, d) => {
+        val md = concat(lit("intro line\n# "), col("p_name"),
+          lit("\n## sub\n"), col("p_type"))
+        Tables.part(s, d)
+          .select(col("p_partkey"), md.as("md"))
+          .select(col("p_partkey"), readMarkdownTitle(col("md")).as("title"))
+          .orderBy(col("p_partkey"))
+      },
+      """SELECT p_partkey, p_name AS title FROM part ORDER BY p_partkey""".stripMargin),
+
+    // ---- J4 hybrid graph-filtered search, graph-match branch: a triple
+    // pattern (slot + value constrained → specificity 2/3) over cards
+    // derived from orders selects candidate frames in the documents table
+    // via a left-semi join; scores are pattern specificity × per-frame
+    // match multiplicity (graph_search.rs m.confidence propagation).
+    "search_graph_hybrid" -> QueryDef.sql(
+      (s, d) => {
+        val cards = Tables.orders(s, d).select(
+          concat(lit("cust:"), col("o_custkey")).as("entity"),
+          lit("order_priority").as("slot"),
+          col("o_orderpriority").as("value"),
+          pmod(col("o_orderkey"), lit(500)).cast("long").as("sourceFrameId"))
+        val frames = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+        graft.graph.GraphSearch.hybridSearch(
+          cards, frames, "doc_id",
+          graft.search.FrameCols(text = col("text")),
+          entity = None, slot = Some("order_priority"),
+          valueContains = Some("URGENT"), queryText = "spark join",
+          topK = 10)
+      },
+      """WITH m AS (
+        |  SELECT o_orderkey % 500 AS id,
+        |         MIN('cust:' || o_custkey) AS matched_entity,
+        |         COUNT(*) AS n
+        |  FROM orders
+        |  WHERE contains(o_orderpriority, 'URGENT')
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |       (CAST(2 AS DOUBLE)/3) * (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE) + m.n)) AS score,
+        |       (CAST(2 AS DOUBLE)/3) * (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE) + m.n)) AS graph_score,
+        |       CAST(0 AS DOUBLE) AS vector_score,
+        |       m.matched_entity,
+        |       substr(d.text, 1, 200) AS preview
+        |FROM documents d JOIN m ON d.doc_id = m.id
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin),
+
+    // ---- F12/X16 sentence-aware snippets: for documents containing the
+    // phrase exactly once (no overlap-merge ambiguity), the first slice is
+    // the occurrence extended to sentence bounds, clamped to ±3×window
+    // chars (lex.rs:595-633; this corpus has no sentence terminators, so
+    // the clamp path is the one exercised).
+    "search_snippet_sentence" -> QueryDef.sql(
+      (s, d) => {
+        val term = "spark join"
+        val occ = (length(col("text")) -
+          length(regexp_replace(lower(col("text")), term, ""))) / term.length
+        Tables.documents(s, d)
+          .filter(occ === 1)
+          .select(col("doc_id"),
+            firstSnippet(col("text"), lit(term)).as("snippet"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH hits AS (
+        |  SELECT doc_id, text,
+        |         strpos(lower(text), 'spark join') - 1 AS p
+        |  FROM documents
+        |  WHERE (length(text) - length(replace(lower(text), 'spark join', '')))
+        |        / length('spark join') = 1),
+        |b AS (
+        |  SELECT doc_id, text, p,
+        |         length(regexp_replace(substr(text, 1, p), '[^.!?\x0A]*$', '')) AS sa,
+        |         p + 10 + length(regexp_extract(substr(text, p + 11), '^[^.!?\x0A]*')) AS rawb
+        |  FROM hits),
+        |sp AS (
+        |  SELECT doc_id, text,
+        |         greatest(sa, p - 180) AS st,
+        |         least(CASE WHEN rawb < length(text) THEN rawb + 1 ELSE rawb END,
+        |               p + 10 + 180) AS en
+        |  FROM b)
+        |SELECT doc_id,
+        |       trim(substr(text, st + 1, en - st),
+        |            ' ' || chr(10) || chr(13) || chr(9)) AS snippet
+        |FROM sp ORDER BY doc_id""".stripMargin))
+}
