@@ -73,17 +73,7 @@ object GraphAlgos {
         .withColumn("w", lit(1L))
     }
     val e = if (dedup) raw.distinct() else raw
-    // the (node-sized) out-weight table is persisted so the
-    // symmetric-graph node set is a narrow scan of its keys — zero extra
-    // shuffles. For w = 1 this is exactly the out-degree.
-    val deg = e.groupBy("src").agg(sum(col("w")).as("wsum")).persist()
-    // ONE persisted edge table carries everything the loop reads (edges +
-    // degree), so the upstream edge build (often a join) executes once
-    val ed = e.join(deg, "src").persist()
-    val nodes =
-      (if (assumeSymmetric) deg.select(col("src").as("node"))
-       else ed.select(col("src").as("node"))
-         .union(ed.select(col("dst").as("node"))).distinct().persist())
+    val (deg, ed, nodes) = prPrepare(e, assumeSymmetric)
     val n = nodes.count()
     if (n == 0) {                      // empty graph: no ranks, no 1/n
       val empty = nodes.withColumn("rank_fp", lit(0L)).limit(0).localCheckpoint()
@@ -97,13 +87,7 @@ object GraphAlgos {
     var ranks = nodes.withColumn("rank_fp", lit(init))
     var i = 0
     while (i < iterations) {
-      val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(rank_fp * w) DIV wsum").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("sc"))
-      ranks = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
-            .as("rank_fp"))
+      ranks = prStep(ed, nodes, ranks, teleport)
       // lineage must not grow unboundedly, but every checkpoint is an
       // eager job — cut every 5th round, and always on the last so the
       // caches can be dropped before the caller consumes the result
@@ -113,6 +97,46 @@ object GraphAlgos {
     ed.unpersist(); deg.unpersist()
     if (!assumeSymmetric) nodes.unpersist()
     ranks
+  }
+
+  /** Loop-invariant tables for [[pageRank]]: the persisted out-weight table,
+    * the persisted edge+weight table, and the node set. The edge table is
+    * hash-partitioned on src BEFORE the persist: the deg join often
+    * broadcasts (leaving ed partitioned on whatever built e), and without
+    * the repartition every iteration's ranks⋈edges join re-shuffles the
+    * full edge table — the one table that is huge at scale. Co-partitioned,
+    * the loop only moves node-sized rank/message rows
+    * (PlanPropertiesSpec locks this).
+    */
+  private[graft] def prPrepare(e: DataFrame, assumeSymmetric: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // the (node-sized) out-weight table is persisted so the
+    // symmetric-graph node set is a narrow scan of its keys — zero extra
+    // shuffles. For w = 1 this is exactly the out-degree.
+    val deg = e.groupBy("src").agg(sum(col("w")).as("wsum")).persist()
+    // ONE persisted edge table carries everything the loop reads (edges +
+    // degree), so the upstream edge build (often a join) executes once
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    val nodes =
+      if (assumeSymmetric) deg.select(col("src").as("node"))
+      else ed.select(col("src").as("node"))
+        .union(ed.select(col("dst").as("node"))).distinct().persist()
+    (deg, ed, nodes)
+  }
+
+  /** One power-iteration step: scatter rank mass along out-edges, gather by
+    * destination, apply damping. Fixed-point BIGINT arithmetic throughout so
+    * the result is shuffle-order-independent.
+    */
+  private[graft] def prStep(ed: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, teleport: Long): DataFrame = {
+    val sums = ed.join(ranks.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), expr("(rank_fp * w) DIV wsum").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("sc"))
+    nodes.join(sums, Seq("node"), "left")
+      .select(col("node"),
+        (lit(teleport) + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) DIV 100"))
+          .as("rank_fp"))
   }
 
   /** Degree-oriented triangle counting (the MR/Cohen orientation trick).

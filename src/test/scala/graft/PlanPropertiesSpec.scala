@@ -189,4 +189,40 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(5).mkString("\n"))
     assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
   }
+
+  test("pagerank iteration moves only node-sized rows, never the edge table") {
+    // AQE off so the tree is plain; broadcast off to force the SMJ path a
+    // billion-node graph would take — that is the plan that must hold.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = Tables.documents(s2, sfDir)
+    val e = docs.select(
+        pmod(col("doc_id"), lit(97)).cast("long").as("src"),
+        pmod(col("doc_id") * 31 + 7, lit(97)).cast("long").as("dst"))
+      .withColumn("w", lit(1L)).distinct()
+    val (deg, ed, nodes) = graft.graph.GraphAlgos.prPrepare(e, assumeSymmetric = false)
+    try {
+      ed.count(); nodes.count() // materialize the loop-invariant caches
+      val ranks = nodes.withColumn("rank_fp", lit(1000L))
+      val step = graft.graph.GraphAlgos.prStep(ed, nodes, ranks, teleport = 7L)
+      val phys = step.queryExecution.executedPlan
+      val shuffles = phys.collect { case ex: ShuffleExchangeExec => ex }
+      // exactly 1: the gather groupBy(dst). The persisted edge table is
+      // partitioned on src at prepare time; the ranks side arrives
+      // partitioned on node from the previous gather and alias-propagates
+      // node→src, so the scatter join is exchange-free on BOTH sides; the
+      // nodes⋈sums join has both sides on node.
+      assert(shuffles.size == 1,
+        s"expected 1 node-sized shuffle per iteration, got ${shuffles.size}:\n$phys")
+      // what moves through that shuffle is the map-side-combined (node,
+      // partial sum) pairs — 2 columns — never the edge table's rows
+      val moved = shuffles.head.child.output.map(_.name)
+      assert(moved.size == 2 && moved.contains("node"),
+        s"the iteration shuffle moves $moved, not node-sized messages:\n$phys")
+    } finally { ed.unpersist(); deg.unpersist(); nodes.unpersist() }
+  }
 }
