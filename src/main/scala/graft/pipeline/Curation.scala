@@ -122,9 +122,15 @@ object Curation {
     // symmetrizing is a free union — deduplicating it would be a whole
     // extra shuffle over the pair set for nothing.
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Hash-partitioned on dst BEFORE the persist: the propagation join is
+    // keyed on dst every round, and the labels side arrives partitioned on
+    // id (alias-propagated to dst), so a dst-partitioned edge cache makes
+    // the per-round join exchange-free on BOTH sides — only node-sized
+    // label rows move through the groupBy. One edge-sized shuffle up front
+    // instead of one per round (same idiom as GraphAlgos.prPrepare).
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .repartition(col("dst")).persist()
     // localCheckpoint (not persist) each round: label propagation's plan
     // doubles per iteration — lineage must be cut, not just cached, or the
     // optimizer walks an exponentially growing tree. Old checkpoint blocks
