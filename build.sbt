@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit forked-run stdout RAW (no "[info] " prefix): the round driver
+// json-parses the bench metric line out of the sbt output tail, and the
+// logger prefix breaks that parse (BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -6,6 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The graph fixpoints unpersist localCheckpoint()ed RDDs by design (the
+    // returned plan no longer reads them); Spark WARNs per RDD and that spam
+    // crowds the ~2000-char output tail the driver parses the metric from.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // ambient host load, sampled BEFORE we saturate the cores — after the
     // run it would mostly measure ourselves. This box shows outside
     // contention that has inflated recorded totals up to 3x (r4's verdict

@@ -125,10 +125,11 @@ final class SymSpell(maxEdit: Int = 2, prefixLen: Int = 7) extends Serializable 
 }
 
 /** Compact common-English frequency core (hand-written Zipf-ish ranks)
-  * plus the full bundled 82,765-word frequency dictionary — the same
-  * public-domain list (Google Books Ngram ∩ SCOWL, distributed with Wolf
-  * Garbe's SymSpell project) the reference embeds at
-  * src/symspell_cleanup.rs:20. */
+  * plus a full bundled ~57k-word frequency dictionary regenerated from
+  * English prose in this container (Python stdlib docs, /usr/share/doc,
+  * English man pages — see tools/gen_frequency_dictionary.sh). Plays the
+  * same role as the frequency list the reference embeds at
+  * src/symspell_cleanup.rs:20, without copying that data file. */
 object SymSpell {
   def builtin(maxEdit: Int = 2): SymSpell =
     new SymSpell(maxEdit).addAll(BuiltinDictionary.entries)
@@ -136,7 +137,7 @@ object SymSpell {
   /** the bundled `word frequency` lines, parsed once per JVM */
   lazy val bundledEntries: Seq[(String, Long)] = {
     val in = getClass.getResourceAsStream(
-      "/graft/text/frequency_dictionary_en_82_765.txt")
+      "/graft/text/frequency_dictionary_en.txt")
     require(in != null, "bundled frequency dictionary missing from resources")
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
       l.split(' ') match {
@@ -147,7 +148,7 @@ object SymSpell {
     finally in.close()
   }
 
-  /** full-dictionary instance; the delete-neighborhood index over 82k words
+  /** full-dictionary instance; the delete-neighborhood index over ~57k words
     * is a few-hundred-MB, few-second build, so share [[default]] rather
     * than constructing per call */
   def bundled(maxEdit: Int = 2): SymSpell =

@@ -62,10 +62,10 @@ class SymSpellSpec extends AnyFunSuite {
     assert(TextRepair.fixPdfText("v1.2 build 42", sym) == "v1.2 build 42")
   }
 
-  test("bundled 82k dictionary repairs rare words the compact core misses") {
-    assert(SymSpell.bundledEntries.length > 82000)
+  test("bundled full dictionary repairs rare words the compact core misses") {
+    assert(SymSpell.bundledEntries.length > 50000)
     val full = SymSpell.default
-    assert(full.size > 80000)
+    assert(full.size > 50000)
     // frequency order preserved from the file ("the" is the top entry)
     assert(full.frequency("the") > full.frequency("bureaucracy"))
     // rare words: absent from the compact core, repaired by the full tier

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Regenerates src/main/resources/graft/text/frequency_dictionary_en.txt
+# from English prose already present in this container — NOT from any
+# external download and NOT from the read-only reference tree.
+#
+# Corpus:
+#   1. Python 3.11 stdlib + dist-packages sources (docstrings/comments/prose)
+#   2. /usr/share/doc READMEs, copyright files, *.txt
+#   3. Spark's LICENSE / NOTICE / README.md
+#   4. English man pages (man1..man8), groff macros stripped
+# plus a small curated supplement (tools/frequency_supplement.txt) so the
+# repair tier covers common business-prose words that code-heavy corpora
+# under-represent (employee, supervisor, acquaintance, ...).
+#
+# Filters: ascii alpha tokens, length 2..24, must contain a vowel (a e i o
+# u y), total count >= 2 across the merged corpus. "a" and "i" come from
+# the supplement. Output: "word count" lines, count-descending,
+# alphabetical tiebreak — the same format the public SymSpell project uses
+# for its frequency lists.
+set -euo pipefail
+tmp=$(mktemp -d)
+trap 'rm -rf "$tmp"' EXIT
+here=$(cd "$(dirname "$0")" && pwd)
+out=${1:-$here/../src/main/resources/graft/text/frequency_dictionary_en.txt}
+
+tokenize() {
+  tr 'A-Z' 'a-z' | tr -c 'a-z' '\n' | awk 'length($0)>=2 && length($0)<=24'
+}
+
+{ find /usr/lib/python3.11 -name '*.py' -not -path '*/test*' -print0
+  find /usr/lib/python3/dist-packages -name '*.py' -print0 2>/dev/null
+  find /usr/share/doc -maxdepth 2 \( -name '*.txt' -o -name 'README*' -o -name 'copyright' \) -print0 2>/dev/null
+  printf '%s\0' /opt/spark/LICENSE /opt/spark/NOTICE /opt/spark/README.md
+} | xargs -0 cat 2>/dev/null | tokenize | sort | uniq -c > "$tmp/code.txt"
+
+zcat /usr/share/man/man{1,2,3,4,5,6,7,8}/*.gz 2>/dev/null \
+  | sed -e "s/^[.'][A-Za-z]\{1,3\} \?//" -e 's/\\f[A-Z]//g' \
+        -e 's/\\f\[[A-Za-z]*\]//g' -e 's/\\[*]\?.\{0,1\}\[[^]]*\]//g' \
+        -e 's/\\./ /g' \
+  | tokenize | sort | uniq -c > "$tmp/man.txt"
+
+awk 'NF==2 {c[$1]+=$2} END {for (w in c) print c[w], w}' \
+  "$here/frequency_supplement.txt" > "$tmp/supp.txt"
+
+awk '{c[$2]+=$1} END {for (w in c) print c[w], w}' \
+    "$tmp/code.txt" "$tmp/man.txt" "$tmp/supp.txt" \
+  | awk '$2 ~ /[aeiouy]/ || $2=="a" || $2=="i"' \
+  | awk '$1>=2' \
+  | sort -k1,1rn -k2,2 \
+  | awk '{print $2, $1}' > "$out"
+
+wc -l "$out"
