@@ -22,6 +22,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query isolation, same as Bench: queries may run with
+      // release=false (skipping their own cache teardown job) because this
+      // loop drops cached tables AND pinned localCheckpoint blocks after
+      // each one — without this, residue taxes every later query
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -60,11 +60,20 @@ object GraphAlgos {
     *               row per edge); keep w * scale < 2^63. Unweighted is
     *               the w = 1 special case of the same arithmetic.
     */
+  /** @param release when true (default), the final iteration is eagerly
+    *        localCheckpoint()ed and the loop-invariant caches are dropped
+    *        before returning — safe for callers that hold the result across
+    *        other work. Pass false when the caller consumes the result
+    *        IMMEDIATELY (one aggregation/top-k) in a context that isolates
+    *        caches afterwards (Bench/Verify clear per query): that skips one
+    *        full materialization job — the caller's single consumption runs
+    *        the (persisted-edge-backed) iteration chain directly. */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
                dedup: Boolean = true,
                assumeSymmetric: Boolean = false,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               release: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val raw = weightCol match {
       case Some(wc) => edges.select(col("src").cast("long"),
@@ -89,13 +98,16 @@ object GraphAlgos {
     while (i < iterations) {
       ranks = prStep(ed, nodes, ranks, teleport)
       // lineage must not grow unboundedly, but every checkpoint is an
-      // eager job — cut every 5th round, and always on the last so the
-      // caches can be dropped before the caller consumes the result
-      if (i % 5 == 4 || i == iterations - 1) ranks = ranks.localCheckpoint()
+      // eager job — cut every 5th round, and on the last only when the
+      // caches must be dropped before the caller consumes the result
+      if ((i % 5 == 4 && i != iterations - 1) ||
+          (i == iterations - 1 && release)) ranks = ranks.localCheckpoint()
       i += 1
     }
-    ed.unpersist(); deg.unpersist()
-    if (!assumeSymmetric) nodes.unpersist()
+    if (release) {
+      ed.unpersist(); deg.unpersist()
+      if (!assumeSymmetric) nodes.unpersist()
+    }
     ranks
   }
 
@@ -110,13 +122,21 @@ object GraphAlgos {
     */
   private[graft] def prPrepare(e: DataFrame, assumeSymmetric: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
-    // the (node-sized) out-weight table is persisted so the
-    // symmetric-graph node set is a narrow scan of its keys — zero extra
-    // shuffles. For w = 1 this is exactly the out-degree.
-    val deg = e.groupBy("src").agg(sum(col("w")).as("wsum")).persist()
     // ONE persisted edge table carries everything the loop reads (edges +
-    // degree), so the upstream edge build (often a join) executes once
-    val ed = e.join(deg, "src").repartition(col("src")).persist()
+    // out-weight): repartition on src once, then attach wsum with a
+    // whole-group window over the already-co-located partitions. That is
+    // exactly one full-edge exchange — the former agg → join → repartition
+    // shape paid the degree shuffle PLUS a second full-edge pass whenever
+    // the degree join broadcast (leaving ed unpartitioned). WindowExec
+    // buffers one src group at a time (spill-backed), so a 10M-out-edge
+    // hub costs disk, not memory, at 100 TB.
+    val ed = e.repartition(col("src"))
+      .withColumn("wsum", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    // node-sized derivations of the persisted table — no extra exchange:
+    // dropDuplicates("src") re-uses ed's hash partitioning
+    val deg = ed.select(col("src"), col("wsum")).dropDuplicates("src")
     val nodes =
       if (assumeSymmetric) deg.select(col("src").as("node"))
       else ed.select(col("src").as("node"))

@@ -138,10 +138,15 @@ object Curation {
     // init fused with round 1: grouping the edge list by src both builds
     // the node set AND applies the first min-propagation step (label =
     // min(self, neighbors)) in a single shuffle
+    // LAZY localCheckpoint: the convergence aggregate right below is the
+    // first action, so one job materializes the checkpoint AND computes
+    // the sum — the eager form paid a separate materialization job per
+    // round (2 jobs/round → 1; at sf0.1 the loop cost is job overhead,
+    // not data)
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("component"))
       .select(col("src").as("id"), col("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Labels only ever decrease (min semilattice), so the label sum is a
     // monotone potential: an unchanged sum proves a fixpoint. One cheap
     // aggregate over the cached result per round — no convergence join.
@@ -168,8 +173,8 @@ object Curation {
         .select(col("id"),
           least(col("component"), coalesce(col("__c2"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+        .localCheckpoint(false)
+      val nextSum = labelSum(next) // materializes the lazy checkpoint
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -208,13 +213,16 @@ object Curation {
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    var edges = init.localCheckpoint(true)
+    var edges = init.localCheckpoint(false)
+    var edgeCount = edges.count() // materializes the lazy checkpoint
     // every node of the pair graph, for final label assembly (roots and
-    // nodes whose edges contract away must still be labeled)
+    // nodes whose edges contract away must still be labeled). Lazy: built
+    // from the checkpointed init blocks, materialized by the final
+    // assembly join — no standalone job.
     val nodes = edges.select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id"))).distinct()
-      .localCheckpoint(true)
-    var converged = edges.isEmpty
+      .localCheckpoint(false)
+    var converged = edgeCount == 0
     var iter = 0
     while (!converged && iter < maxIter) {
       // LARGE-STAR over the undirected adjacency: node a's min m attaches
@@ -236,13 +244,15 @@ object Curation {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the count() just below
       // fixpoint = identical distinct edge set (both sides are distinct:
       // equal count + empty one-sided difference). Contraction only ever
       // lowers endpoints, so the set genuinely stabilizes.
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      val nSmall = small.count() // known count of the previous round:
+      // recounting the already-materialized `edges` would be a wasted job
+      converged = nSmall == edgeCount && small.except(edges).isEmpty
       edges = small
+      edgeCount = nSmall
       iter += 1
     }
     // at the fixpoint every edge points directly at its component min;
@@ -253,7 +263,8 @@ object Curation {
     nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
       .groupBy(col("id"))
       .agg(min(coalesce(col("v"), col("id"))).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lineage cut lands on the caller's first
+      // action instead of costing a standalone materialization job here
   }
 
   /** Canonical-document election: given component labels and a quality

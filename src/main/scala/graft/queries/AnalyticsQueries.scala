@@ -97,7 +97,7 @@ object AnalyticsQueries {
           .distinct()
         val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         GraphAlgos.pageRank(sym, iterations = 3, scale = Scale,
-            dedup = false, assumeSymmetric = true)
+            dedup = false, assumeSymmetric = true, release = false)
           .orderBy(col("rank_fp").desc, col("node")).limit(20)
       },
       pagerankOracle(3, weighted = false)),
@@ -115,7 +115,8 @@ object AnalyticsQueries {
         val sym = pairs.union(
           pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         GraphAlgos.pageRank(sym, iterations = 3, scale = Scale,
-            dedup = false, assumeSymmetric = true, weightCol = Some("w"))
+            dedup = false, assumeSymmetric = true, weightCol = Some("w"),
+            release = false)
           .orderBy(col("rank_fp").desc, col("node")).limit(20)
       },
       pagerankOracle(3, weighted = true)),
