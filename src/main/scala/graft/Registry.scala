@@ -14,5 +14,6 @@ object Registry {
     graft.queries.MiscQueries.defs ++
     graft.queries.PipelineQueries.defs ++
     graft.queries.AnalyticsQueries.defs ++
-    graft.queries.IngestQueries.defs
+    graft.queries.IngestQueries.defs ++
+    graft.queries.MediaQueries.defs
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.{MediaInference, Multimodal, Png, Wav}
+import org.apache.spark.sql.functions._
+
+/** Oracle gates for the S12/S13 media batch paths: the REAL distributed
+  * pipelines (mapPartitions, per-partition backend load, batched inference —
+  * `MediaInference.transcribeWav` / `embedImages`) over binary-payload rows,
+  * with the deterministic fake backends standing in for model weights (the
+  * sanctioned stub boundary; reference src/whisper.rs:920-1090,
+  * src/clip.rs:856-891).
+  *
+  * Fixture discipline: payload bytes are synthesized from `doc_id` alone
+  * with integer arithmetic (doc_id < 40 exists identically at every gated
+  * SF), so the pipeline output is a pure deterministic function of the row
+  * id. The oracle is the golden output table (generated once by
+  * `graft.tools.GoldenGen`, then frozen): WAV parse → resample → log-mel →
+  * digest, and PNG decode → CLIP preprocess → fake embedding, are not
+  * SQL-expressible, so the gate locks the batch path against drift the way
+  * a golden file locks a codec.
+  */
+object MediaQueries {
+
+  /** PCM16 mono WAV at 8 kHz (exercises the 2x resample path): length and
+    * waveform vary per id, all-integer synthesis. */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val n = 4000 + (id % 40).toInt * 123
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952)            // "RIFF"
+    bb.putInt(36 + 2 * n)
+    bb.putInt(0x45564157)            // "WAVE"
+    bb.putInt(0x20746d66)            // "fmt "
+    bb.putInt(16)
+    bb.putShort(1)                   // PCM
+    bb.putShort(1)                   // mono
+    bb.putInt(8000)
+    bb.putInt(8000 * 2)
+    bb.putShort(2)
+    bb.putShort(16)
+    bb.putInt(0x61746164)            // "data"
+    bb.putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort(((((i * (2 * id + 3) + 17) % 1024) - 512) * 60).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** 16x12 RGB PNG, gradient parameterized by id. */
+  def synthPngBytes(id: Long): Array[Byte] = {
+    val w = 16; val h = 12
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = 3 * (y * w + x)
+        rgb(o) = ((x * 17 + y * 31 + id * 7) % 256).toByte
+        rgb(o + 1) = ((x * 5 + y * 13 + id * 11) % 256).toByte
+        rgb(o + 2) = ((x * 29 + y * 3 + id * 23) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png.encode(Png.Image(w, h, rgb))
+  }
+
+  private def mediaRows(s: org.apache.spark.sql.SparkSession, d: String,
+                        kind: String, synth: Long => Array[Byte]) = {
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id, s"mv2://media/$id", kind,
+        synth(id), Map.empty))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- S12 batch transcription: WAV parse → 16 kHz resample → log-mel
+    // windows → per-partition speech backend. The fake backend's digest is
+    // a pure function of the real mel features, so any drift in parsing,
+    // resampling, windowing, or the mel filterbank breaks the hash.
+    "media_transcribe_batch" -> QueryDef.sql(
+      (s, d) => {
+        MediaInference.transcribeWav(
+            mediaRows(s, d, "audio", synthWavBytes),
+            () => new MediaInference.FakeSpeechBackend)
+          .toDF()
+          .select(col("mediaId").as("media_id"), col("segmentIdx").as("seg"),
+            col("startMs").as("start_ms"), col("endMs").as("end_ms"), col("text"))
+          .orderBy(col("media_id"), col("seg"))
+      },
+      MediaGolden.transcribeSql),
+
+    // ---- S13 batch image embedding: PNG decode → CLIP preprocess
+    // (shortest-edge bilinear resize, center crop, [0,1] CHW) → batched
+    // per-partition vision backend; embedding dims are emitted as exact
+    // thousandths so the compare is integer-stable.
+    "media_clip_embed_batch" -> QueryDef.sql(
+      (s, d) => {
+        val feats = MediaInference.embedImages(
+            mediaRows(s, d, "image", synthPngBytes),
+            () => new MediaInference.FakeVisionBackend(dim = 8),
+            preprocess = Png.clipPreprocessor(size = 32))
+          .toDF()
+        val dims = (0 until 8).map(i =>
+          round(element_at(col("feature"), i + 1) * 1000).cast("int").as(s"e$i"))
+        feats.select(col("mediaId").as("media_id") +: dims: _*)
+          .orderBy(col("media_id"))
+      },
+      MediaGolden.clipSql))
+}

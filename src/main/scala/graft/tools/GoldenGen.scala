@@ -1,0 +1,41 @@
+package graft.tools
+
+/** Regenerates the golden oracle tables in MediaGolden.scala: runs the two
+  * media batch pipelines at sf0.01 and prints the full DuckDB SQL for each.
+  * Run after any intentional change to Wav/MelSpectrogram/Png/fake backends:
+  *   SPARK_GRAFT_CPUS=8 sbt "runMain graft.tools.GoldenGen"
+  * and paste the two blocks into MediaGolden.scala. */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val defs = graft.queries.MediaQueries.defs
+
+    val tr = defs("media_transcribe_batch").fn(spark, sfDir).collect()
+    val trVals = tr.map(r =>
+      s"(${r.getLong(0)},${r.getInt(1)},${r.getLong(2)},${r.getLong(3)},'${r.getString(4)}')")
+      .mkString(",\n  ")
+    println("=== transcribeSql ===")
+    println(
+      s"""SELECT media_id, seg, start_ms, end_ms, text FROM (VALUES
+  $trVals)
+ t(media_id, seg, start_ms, end_ms, text)
+WHERE media_id IN (SELECT doc_id FROM documents)
+ORDER BY media_id, seg""")
+
+    val cl = defs("media_clip_embed_batch").fn(spark, sfDir).collect()
+    val clVals = cl.map(r =>
+      "(" + (0 until 9).map(i => r.get(i).toString).mkString(",") + ")")
+      .mkString(",\n  ")
+    println("=== clipSql ===")
+    println(
+      s"""SELECT media_id, e0, e1, e2, e3, e4, e5, e6, e7 FROM (VALUES
+  $clVals)
+ t(media_id, e0, e1, e2, e3, e4, e5, e6, e7)
+WHERE media_id IN (SELECT doc_id FROM documents)
+ORDER BY media_id""")
+    spark.stop()
+  }
+}
