@@ -44,17 +44,26 @@ object VectorQueries {
   private def dlist(xs: Iterable[Double]): String =
     xs.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
 
-  private def pqOracle: String = {
+  private def duckL2sq(c: String, v: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($c, $v), p -> (p[1]-p[2])*(p[1]-p[2]))), (x,y)->x+y)"
+
+  /** codebook literal for subspace s — a DuckDB list of centroid lists */
+  private def cbLit(s: Int): String =
+    PqModel.codebooks(s).map(c => dlist(c.map(_.toDouble))).mkString("[", ", ", "]")
+
+  /** per-subspace 1-based argmin code exprs over a DOUBLE[] column `v` —
+    * the SQL replay of ProductQuantizer.encode's nearest() */
+  private def codeExprs: Seq[String] = {
     val sub = PqModel.subDim // 8
-    val l2sq = (c: String, v: String) =>
-      s"list_reduce(list_prepend(0.0, list_transform(list_zip($c, $v), p -> (p[1]-p[2])*(p[1]-p[2]))), (x,y)->x+y)"
-    // per-subspace: centroid literal list, distance list, 1-based argmin code
-    val codeExprs = (0 until Pq.numSubspaces).map { s =>
-      val cb = PqModel.codebooks(s).map(c => dlist(c.map(_.toDouble))).mkString("[", ", ", "]")
+    (0 until Pq.numSubspaces).map { s =>
+      val cb = cbLit(s)
       val slice = s"v[${s * sub + 1}:${(s + 1) * sub}]"
-      s"array_position(list_transform($cb, c -> ${l2sq("c", slice)}), " +
-        s"list_min(list_transform($cb, c -> ${l2sq("c", slice)})))"
+      s"array_position(list_transform($cb, c -> ${duckL2sq("c", slice)}), " +
+        s"list_min(list_transform($cb, c -> ${duckL2sq("c", slice)})))"
     }
+  }
+
+  private def pqOracle: String = {
     val table = Pq.distanceTable(PqQuery, PqModel)
     val distSum = table.indices.map(s => s"${dlist(table(s))}[c$s]").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -199,6 +208,53 @@ object VectorQueries {
          |FROM assigned a, q
          |WHERE a.cluster IN (SELECT cid FROM probed)
          |ORDER BY dist, a.vec_id LIMIT 15""".stripMargin),
+
+    // ---- A5+A6 composed: IVF-PQ with exact re-rank (FAISS IVFPQ shape).
+    // The corpus pass touches only (cluster, 8 byte-codes); raw vectors are
+    // read for the 45-row shortlist only. The oracle replays centroid
+    // assignment, probe, per-subspace argmin codes, the asymmetric distance
+    // sums, both cut points, and the exact re-rank — all double-exact. ----
+    "vec_ivfpq_search" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        val assigned = VectorSearch.assignClusters(emb, "embedding", cents)
+        val enc = Pq.encode(assigned, "embedding", PqModel)
+        Pq.ivfPqSearch(enc, "vec_id", "embedding", cents, q, PqModel,
+          k = 15, nprobe = 2, refine = 3)
+      },
+      {
+        val sub = PqModel.subDim
+        val terms = (0 until Pq.numSubspaces).map(s =>
+          duckL2sq(s"${cbLit(s)}[c$s]", s"qv[${s * sub + 1}:${(s + 1) * sub}]"))
+          .mkString(" + ")
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+           |probed AS (
+           |  SELECT c.cid FROM cents c, q
+           |  ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
+           |assigned AS (
+           |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           |    (SELECT c.cid FROM cents c
+           |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+           |     LIMIT 1) AS cluster
+           |  FROM embeddings e),
+           |codes AS (
+           |  SELECT vec_id, ${codeExprs.zipWithIndex.map { case (x, s) => s"$x AS c$s" }.mkString(", ")}
+           |  FROM assigned WHERE cluster IN (SELECT cid FROM probed)),
+           |short AS (
+           |  SELECT vec_id, sqrt($terms) AS pq_dist FROM codes, q
+           |  ORDER BY pq_dist, vec_id LIMIT 45)
+           |SELECT a.vec_id, ${duckL2("a.v", "q.qv")} AS dist
+           |FROM assigned a, q
+           |WHERE a.vec_id IN (SELECT vec_id FROM short)
+           |ORDER BY dist, a.vec_id LIMIT 15""".stripMargin
+      }),
 
     // ---- hyperplane LSH: banded cosine near-dup with exact verification.
     // The oracle replays the deterministic integer hyperplanes, sequential

@@ -119,4 +119,41 @@ final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 
       .orderBy(col("pq_dist"), col(idCol))
       .limit(k)
   }
+
+  /** IVF + PQ with exact re-rank — the classic compressed-ANN composition
+    * (FAISS IVFPQ; reference keeps the pieces separate at src/vec.rs:23 +
+    * src/vec_pq.rs:106): prune to the `nprobe` nearest inverted lists,
+    * rank the surviving codes by asymmetric PQ distance (M table lookups
+    * per row — the corpus-sized pass touches only cluster + M byte codes,
+    * never the raw vectors), keep a `refine`×k shortlist, then re-rank the
+    * shortlist EXACTLY by L2 against the raw vectors via a broadcast
+    * semi-join of shortlist ids (k-sized, never the corpus).
+    *
+    * At 100 TB this is the working shape: the heavy scan reads ~M bytes ×
+    * nprobe/k_clusters of the corpus; raw vectors are fetched for ≤
+    * refine×k rows. Deterministic end to end (seeded codebooks, double
+    * accumulation, ties to the low id at both cut points) — the DuckDB
+    * oracle replays codes, table distances, shortlist, and re-rank
+    * hash-exactly.
+    */
+  def ivfPqSearch(encodedWithCluster: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[(Int, Array[Float])], query: Array[Float],
+                  model: Model, k: Int, nprobe: Int, refine: Int = 3): DataFrame = {
+    graft.functions.F.ensureRegistered(encodedWithCluster.sparkSession)
+    val probed = VectorSearch.probeClusters(centroids, query, nprobe)
+    val dist = asymmetricDistance(query, model)
+    val shortlist = encodedWithCluster
+      .filter(col("cluster").isin(probed: _*))
+      .withColumn("pq_dist", dist(col("pq_codes")))
+      .select(col(idCol), col("pq_dist"))
+      .orderBy(col("pq_dist"), col(idCol))
+      .limit(k * refine)
+    encodedWithCluster
+      .join(broadcast(shortlist.select(idCol)), idCol)
+      .withColumn("dist",
+        graft.functions.F.l2Distance(col(vecCol), typedlit(query)))
+      .select(col(idCol), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
 }

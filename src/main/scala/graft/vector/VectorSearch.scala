@@ -88,7 +88,7 @@ object VectorSearch {
   }
 
   /** driver-side probe: the nprobe nearest centroid ids, ties to low cid */
-  private def probeClusters(centroids: Seq[(Int, Array[Float])],
+  private[vector] def probeClusters(centroids: Seq[(Int, Array[Float])],
                             query: Array[Float], nprobe: Int): Seq[Int] =
     centroids.sortBy { case (cid, c) => (l2Local(c, query), cid) }
       .take(nprobe).map(_._1)

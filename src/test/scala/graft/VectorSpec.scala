@@ -88,6 +88,31 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall < 0.8")
   }
 
+  test("ivfPqSearch: probed-cluster shortlist, exact re-rank equals brute l2") {
+    // 32-dim so the 8-subspace PQ has 4-dim subspaces; 3 separated bands
+    // of vectors so cluster probing is meaningful
+    val dim = 32
+    def v(base: Int, j: Int): Array[Float] =
+      Array.tabulate(dim)(i => (((i * 7 + base * 13 + j * 3) % 17) / 17.0f) + base * 2.0f)
+    val rows = for (b <- 0 until 3; j <- 0 until 12) yield (b * 100L + j, v(b, j), b)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val pq = new graft.vector.ProductQuantizer(numSubspaces = 8, numCentroids = 4)
+    val model = pq.train(rows.map(_._2).toArray)
+    val cents = (0 until 3).map(b => (b, v(b, 0)))
+    val assigned = VectorSearch.assignClusters(df, "embedding", cents)
+    val enc = pq.encode(assigned, "embedding", model)
+    val q = v(1, 5)
+    val got = pq.ivfPqSearch(enc, "vec_id", "embedding", cents, q, model,
+      k = 5, nprobe = 1, refine = 3).collect()
+    // exact re-rank over a shortlist >= cluster size == brute force l2
+    // restricted to the probed cluster (cluster 1: ids 100..111)
+    val brute = VectorSearch.knn(df.filter(col("label") === 1), "vec_id",
+      "embedding", q, k = 5, metric = "l2").collect()
+    assert(got.map(_.getLong(0)).toSeq == brute.map(_.getLong(0)).toSeq)
+    assert(got.map(_.getDouble(1)).toSeq == brute.map(_.getDouble(1)).toSeq)
+    assert(got.head.getLong(0) == 105L) // the query vector itself
+  }
+
   test("adaptive cutoff strategies on a crafted score ladder") {
     // FIXTURES.md §3: [0.9, 0.88, 0.85, 0.4, 0.39] -> cliff cut at index 3
     val ranked = Seq((1L, 0.9), (2L, 0.88), (3L, 0.85), (4L, 0.4), (5L, 0.39))
