@@ -190,6 +190,36 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
   }
 
+  test("prPrepare pays exactly one full-edge exchange, output partitioned on src") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val e = Tables.documents(s2, sfDir).select(
+        pmod(col("doc_id"), lit(97)).cast("long").as("src"),
+        pmod(col("doc_id") * 31 + 7, lit(97)).cast("long").as("dst"))
+      .withColumn("w", lit(1L)).distinct()
+    val (deg, ed, nodes) = graft.graph.GraphAlgos.prPrepare(e, assumeSymmetric = true)
+    try {
+      // the exchanges live under the InMemoryRelation's cached plan, so
+      // assert on the rendered tree (collect() does not descend into it)
+      val p = ed.queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      // the distinct's own exchange plus ONE repartition(src) — the former
+      // agg→join→repartition prepare paid an extra node shuffle and, on a
+      // broadcast degree join, a second full-edge pass
+      assert(exchanges == 2, s"expected distinct + repartition(src) only:\n$p")
+      assert(p.contains("REPARTITION_BY_COL"), s"missing the src repartition:\n$p")
+      assert(p.contains("Window"), s"wsum must be window-fused, not joined:\n$p")
+      // deg is a narrow derivation of the persisted table: no new exchange
+      val dp = deg.queryExecution.executedPlan.toString
+      val degExchanges = dp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(degExchanges == 2, s"deg must reuse ed's partitioning, none added:\n$dp")
+      assert(!dp.contains("SortMergeJoin") && !dp.contains("BroadcastHashJoin"),
+        s"deg is a projection of ed, not a join:\n$dp")
+    } finally { ed.unpersist(); nodes.sparkSession } // nodes lazy here
+  }
+
   test("pagerank iteration moves only node-sized rows, never the edge table") {
     // AQE off so the tree is plain; broadcast off to force the SMJ path a
     // billion-node graph would take — that is the plan that must hold.
