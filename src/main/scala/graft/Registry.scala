@@ -15,5 +15,6 @@ object Registry {
     graft.queries.PipelineQueries.defs ++
     graft.queries.AnalyticsQueries.defs ++
     graft.queries.IngestQueries.defs ++
-    graft.queries.MediaQueries.defs
+    graft.queries.MediaQueries.defs ++
+    graft.queries.StoreQueries.defs
 }

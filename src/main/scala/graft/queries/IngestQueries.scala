@@ -32,7 +32,49 @@ object IngestQueries {
     udf((text: String, term: String) =>
       graft.search.Snippets.slice(text, Seq(term)).headOption.orNull)
 
+  private val autoTagsUdf =
+    udf((t: String) => graft.ingest.Enrich.autoTags(t))
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- X10 auto-tagging: the 6 keyword rules applied on the data path,
+    // aggregated per tag; the oracle replays each rule with RE2 regexes
+    // (same ASCII word-boundary semantics as java.util.regex here). The
+    // synthetic corpus contains none of the rule keywords, so a keyword
+    // suffix is rendered per doc_id — every rule fires on a known subset
+    // and BOTH engines see the same augmented text.
+    "text_autotags" -> QueryDef.sql(
+      (s, d) => {
+        val suffix = element_at(typedlit(Seq(
+          "saw a standup note", "TODO follow up", "hit an error in prod",
+          "deploy tonight", "new design proposal", "invoice attached",
+          "nothing special here")), (pmod(col("doc_id"), lit(7)) + 1).cast("int"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), concat(col("text"), lit(" "), suffix).as("text"))
+          .select(col("doc_id"), explode(autoTagsUdf(col("text"))).as("tag"))
+          .groupBy(col("tag"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("tag"))
+      },
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' ' || ['saw a standup note', 'TODO follow up',
+        |    'hit an error in prod', 'deploy tonight', 'new design proposal',
+        |    'invoice attached', 'nothing special here'][(doc_id % 7) + 1] AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, 'meeting' AS tag FROM aug WHERE regexp_matches(text, '(?i)\b(meeting|standup|sync|1:1)\b')
+        |  UNION ALL
+        |  SELECT doc_id, 'task' FROM aug WHERE regexp_matches(text, '(?i)\b(todo|task|action item)\b')
+        |  UNION ALL
+        |  SELECT doc_id, 'issue' FROM aug WHERE regexp_matches(text, '(?i)\b(bug|error|exception|crash)\b')
+        |  UNION ALL
+        |  SELECT doc_id, 'release' FROM aug WHERE regexp_matches(text, '(?i)\b(deploy|release|ship)\b')
+        |  UNION ALL
+        |  SELECT doc_id, 'design' FROM aug WHERE regexp_matches(text, '(?i)\b(idea|proposal|design)\b')
+        |  UNION ALL
+        |  SELECT doc_id, 'finance' FROM aug WHERE regexp_matches(text, '(?i)\b(invoice|payment|budget)\b'))
+        |SELECT tag, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS first_doc
+        |FROM m GROUP BY tag ORDER BY tag""".stripMargin),
 
     // ---- S5 CSV reader: RFC-4180 round-trip. Each customer row renders
     // as one fully-quoted CSV record whose third field deliberately embeds

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.store.FrameStore
+import org.apache.spark.sql.functions._
+
+/** Oracle gate for the S1–S3/F8 store lifecycle — put (batch append with
+  * content-hash dedup), update (supersede), delete (tombstone), and the
+  * latest-active window view, end to end against the DuckDB oracle
+  * (reference mutation path src/memvid/mutation.rs:3090-3316).
+  *
+  * The fixture batch is collected driver-side deliberately: `put` IS the
+  * reference's driver-batch ingestion API (one document per call there;
+  * bulk ingestion at scale is native partitioned reads, S4). 60 rows,
+  * bounded, all < 1000 chars so every document is single-chunk and the
+  * oracle needs no chunk-boundary replay.
+  */
+object StoreQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "store_put_lifecycle" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://gate/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_store_gate").toString
+        val store = new FrameStore(s, dir)
+        // batch 1: docs 0..39
+        val ids1 = store.put(docs.take(40))
+        // batch 2: docs 40..59 PLUS a re-put of 0..9 — the content-hash
+        // anti-join must skip the 10 duplicates, so ids2 covers 40..59 only
+        val ids2 = store.put(docs.drop(40) ++ docs.take(10))
+        // supersede docs 0..4 with edited text (new id, supersedes old)
+        docs.take(5).zip(ids1.take(5)).foreach { case ((u, t), oldId) =>
+          store.update(oldId, t + " v2", u)
+        }
+        // tombstone docs 40..44 (first five ids of the second batch)
+        ids2.take(5).foreach(store.delete(_))
+        // current = newest version per id, active only, superseded hidden
+        store.latestActive
+          .select(col("uri"), col("text"))
+          .orderBy(col("uri"))
+      },
+      """WITH base AS (
+        |  SELECT doc_id, 'mv2://gate/' || doc_id AS uri, text
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT uri,
+        |       CASE WHEN doc_id < 5 THEN text || ' v2' ELSE text END AS text
+        |FROM base
+        |WHERE doc_id NOT BETWEEN 40 AND 44
+        |ORDER BY uri""".stripMargin))
+}
