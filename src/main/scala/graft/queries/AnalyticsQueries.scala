@@ -124,8 +124,13 @@ object AnalyticsQueries {
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(
       (s, d) => {
+        // no (p, sk) pre-distinct: the pair-level distinct below already
+        // normalizes duplicates — deduplicating the scan first costs a full
+        // extra exchange to remove the ~1.5% duplicated rows of this table,
+        // and the join-multiplicity inflation it prevents is quadratic only
+        // per duplicated (part, supplier) pair: negligible at every SF
         val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
         // hash-filter BEFORE the dedup shuffle (the keep decision is
         // per-pair, so order is free — only the shuffled volume changes)
         val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
@@ -168,8 +173,9 @@ object AnalyticsQueries {
     // ---- neighbor-set Jaccard (link prediction) on the sampled graph ----
     "graph_neighbor_jaccard" -> QueryDef.sql(
       (s, d) => {
+        // same no-pre-distinct reasoning as graph_triangles above
         val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
         val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
           .filter(col("sk") < col("sk2"))
           .select(col("sk").as("a"), col("sk2").as("b"))
