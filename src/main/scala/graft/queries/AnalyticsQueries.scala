@@ -124,13 +124,12 @@ object AnalyticsQueries {
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(
       (s, d) => {
-        // no (p, sk) pre-distinct: the pair-level distinct below already
-        // normalizes duplicates — deduplicating the scan first costs a full
-        // extra exchange to remove the ~1.5% duplicated rows of this table,
-        // and the join-multiplicity inflation it prevents is quadratic only
-        // per duplicated (part, supplier) pair: negligible at every SF
+        // keep the (p, sk) pre-distinct: an r9 A/B (2 runs each, matched
+        // load) measured the no-distinct variant ~15% SLOWER despite its
+        // one-fewer-exchange plan — the deduped, (p,sk)-aggregated build
+        // side joins faster than the raw scan's duplicate key groups
         val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
         // hash-filter BEFORE the dedup shuffle (the keep decision is
         // per-pair, so order is free — only the shuffled volume changes)
         val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
@@ -173,9 +172,9 @@ object AnalyticsQueries {
     // ---- neighbor-set Jaccard (link prediction) on the sampled graph ----
     "graph_neighbor_jaccard" -> QueryDef.sql(
       (s, d) => {
-        // same no-pre-distinct reasoning as graph_triangles above
+        // pre-distinct kept — same A/B reasoning as graph_triangles above
         val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
         val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
           .filter(col("sk") < col("sk2"))
           .select(col("sk").as("a"), col("sk2").as("b"))
