@@ -209,6 +209,36 @@ object VectorQueries {
          |WHERE a.cluster IN (SELECT cid FROM probed)
          |ORDER BY dist, a.vec_id LIMIT 15""".stripMargin),
 
+    // ---- IVF index upkeep: per-cluster population + distortion stats,
+    // the "does the index need re-training" signal. Per-row L2 distortions
+    // bit-match the oracle's double folds; the cross-row mean goes through
+    // exact DECIMAL sums on both sides (no raw double aggregation). ----
+    "vec_ivf_drift" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        VectorSearch.ivfDriftStats(
+          VectorSearch.assignClusters(emb, "embedding", cents), "embedding", cents)
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e),
+         |dd AS (
+         |  SELECT a.cluster,
+         |    CAST(${duckL2("a.v", "c.cv")} AS DECIMAL(38,12)) AS d
+         |  FROM assigned a JOIN cents c ON c.cid = a.cluster)
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(CAST(SUM(d) / COUNT(*) AS DOUBLE), 6) AS mean_distortion,
+         |  ROUND(CAST(MAX(d) AS DOUBLE), 6) AS max_distortion
+         |FROM dd GROUP BY cluster ORDER BY cluster""".stripMargin),
+
     // ---- A5+A6 composed: IVF-PQ with exact re-rank (FAISS IVFPQ shape).
     // The corpus pass touches only (cluster, 8 byte-codes); raw vectors are
     // read for the 45-row shortlist only. The oracle replays centroid

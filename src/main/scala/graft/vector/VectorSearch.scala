@@ -93,6 +93,34 @@ object VectorSearch {
     centroids.sortBy { case (cid, c) => (l2Local(c, query), cid) }
       .take(nprobe).map(_._1)
 
+  /** IVF index-maintenance signal: per-cluster population and distortion
+    * (L2 distance to the assigned centroid). A growing mean or a lopsided
+    * population tells an operator the centroids no longer fit the data and
+    * the index needs re-training — the standard upkeep loop for any IVF
+    * deployment ingesting new embeddings. One narrow pass (centroids
+    * broadcast as literals) + one cluster-keyed aggregation; per-row
+    * distortions go through exact DECIMAL sums so the mean is
+    * shuffle-order-independent (the QueryDef no-raw-double-agg rule).
+    */
+  def ivfDriftStats(embWithCluster: DataFrame, vecCol: String,
+                    centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    F.ensureRegistered(embWithCluster.sparkSession)
+    val dist = centroids.tail.foldLeft(
+      when(col("cluster") === centroids.head._1,
+        F.l2Distance(col(vecCol), typedlit(centroids.head._2)))) {
+      case (acc, (cid, c)) =>
+        acc.when(col("cluster") === cid, F.l2Distance(col(vecCol), typedlit(c)))
+    }
+    embWithCluster
+      .withColumn("__d", dist.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        round((sum(col("__d")) / count(lit(1))).cast("double"), 6).as("mean_distortion"),
+        round(max(col("__d")).cast("double"), 6).as("max_distortion"))
+      .orderBy(col("cluster"))
+  }
+
   /** IVF search with the reference's EMBEDDED engine switch inside each
     * probed cluster (`src/vec.rs:23`: brute force below 1000 vectors,
     * HNSW at or above): candidates shuffle once keyed by cluster id —
