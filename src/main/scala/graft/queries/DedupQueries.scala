@@ -223,6 +223,41 @@ object DedupQueries {
          |FROM assigned a JOIN assigned b
          |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE ${duckCosRaw("a.ev", "b.ev")} >= 0.45
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // ---- SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup.
+    // Same within-cluster pair space as vec_neardup_cluster, plus the
+    // paper's upper-triangle removal decision — the actual pruned-corpus
+    // output a training pipeline consumes, with the lowest-id witness per
+    // removed vector. Oracle replays assignment, the cluster-keyed pair
+    // join, the MIN-witness aggregation, and the left-join keep flag. ----
+    "vec_semdedup" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        graft.vector.SemDedup.prune(
+            VectorSearch.assignClusters(emb, "embedding", cents),
+            "vec_id", "embedding", tau = 0.45)
+          .orderBy(col("vec_id"))
+      },
+      s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))), (u,v)->u+v)), c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e),
+         |w AS (
+         |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |  WHERE ${duckCosRaw("a.ev", "b.ev")} >= 0.45
+         |  GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.cluster, w.dup_of IS NOT NULL AS removed, w.dup_of
+         |FROM assigned a LEFT JOIN w USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin)
   )
 }

@@ -207,4 +207,21 @@ class VectorSpec extends SparkSpec {
     assert(causes(ex).exists(_.getMessage != null) &&
       causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")))
   }
+
+  test("SemDeDup prunes the higher-id member of a near-identical pair, within clusters only") {
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+    val cl = VectorSearch.assignClusters(embDf, "embedding", cents)
+    val out = graft.vector.SemDedup.prune(cl, "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // cos(0,1)=0.994 -> 1 removed with witness 0; cos(2,3)=0.994 -> 3 removed
+    assert(out(0L) == ((false, None)) && out(1L) == ((true, Some(0L))))
+    assert(out(2L) == ((false, None)) && out(3L) == ((true, Some(2L))))
+    // 5 is in cluster 0 but cos(5, 0)=0.707 < tau -> kept; 4 alone in its space
+    assert(out(5L)._1 == false && out(4L)._1 == false)
+    // keep() returns exactly the non-removed rows
+    val kept = graft.vector.SemDedup.keep(cl, "vec_id", "embedding", tau = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 4L, 5L))
+  }
 }
