@@ -441,6 +441,37 @@ object TextSearch {
          |  FROM adj a JOIN big b USING (w, w2) JOIN uni u USING (w))
          |SELECT doc_id, COUNT(*) AS n_pairs,
          |  CAST(SUM(p) AS BIGINT) // COUNT(*) AS lm_score
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // CCNet head/middle/tail split (Wenzek et al. 2020): tercile cutoffs
+    // over the bigram-LM score, assignment by threshold (no global rank —
+    // an exact-percentile aggregate + broadcast + narrow CASE, the
+    // 100 TB-safe shape). quantile_cont ↔ percentile interpolate
+    // identically (the rel_quantiles parity), so the cutoffs and every
+    // boundary decision replay double-exact.
+    "text_ccnet_buckets" -> QueryDef.sql(
+      (s, d) => graft.text.BigramLM.ccnetBuckets(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      s"""WITH toks AS (SELECT doc_id, ${DedupQueries.duckToks} AS tk FROM documents),
+         |adjl AS (SELECT doc_id, list_transform(range(len(tk) - 1),
+         |           i -> struct_pack(w := tk[i+1], w2 := tk[i+2])) AS ps
+         |         FROM toks),
+         |adj AS (SELECT doc_id, unnest(ps, recursive := true) FROM adjl),
+         |big AS (SELECT w, w2, COUNT(*) AS c12 FROM adj GROUP BY w, w2),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM adj GROUP BY w),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM adj),
+         |scored AS (SELECT a.doc_id,
+         |    ((b.c12 + 1) * 1000000000) // (u.c1 + (SELECT v FROM vocab)) AS p
+         |  FROM adj a JOIN big b USING (w, w2) JOIN uni u USING (w)),
+         |lm AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) // COUNT(*) AS lm_score
+         |       FROM scored GROUP BY doc_id),
+         |cuts AS (SELECT quantile_cont(lm_score, 2.0/3.0) AS q_hi,
+         |                quantile_cont(lm_score, 1.0/3.0) AS q_lo FROM lm)
+         |SELECT lm.doc_id, lm.lm_score,
+         |  CASE WHEN lm.lm_score >= c.q_hi THEN 'head'
+         |       WHEN lm.lm_score >= c.q_lo THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lm, cuts c ORDER BY lm.doc_id""".stripMargin)
   )
 }

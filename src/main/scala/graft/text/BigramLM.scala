@@ -60,4 +60,26 @@ object BigramLM {
     adjP.unpersist()
     out
   }
+
+  /** CCNet-style head/middle/tail quality split (Wenzek et al. 2020,
+    * arXiv:1911.00359): documents ranked by LM fluency are cut at the
+    * tercile boundaries, and downstream pipelines keep head+middle (or
+    * sample the tail). CCNet computes cutoffs once over the corpus and
+    * assigns by threshold — NOT a global rank — so the Spark shape is an
+    * exact-percentile aggregate (two scalars), a broadcast, and a narrow
+    * CASE pass: no global window, no single-task sort, 100 TB-safe.
+    * Boundary docs (score exactly at a cutoff) go to the better bucket.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = score(docs, idCol, textCol)
+    val cuts = scored.agg(
+      expr("percentile(lm_score, 2.0D/3.0D)").as("__q_hi"),
+      expr("percentile(lm_score, 1.0D/3.0D)").as("__q_lo"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("lm_score") >= col("__q_hi"), lit("head"))
+          .when(col("lm_score") >= col("__q_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("lm_score"), col("bucket"))
+  }
 }

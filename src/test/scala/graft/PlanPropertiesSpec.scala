@@ -255,4 +255,35 @@ class PlanPropertiesSpec extends SparkSpec {
         s"the iteration shuffle moves $moved, not node-sized messages:\n$phys")
     } finally { ed.unpersist(); deg.unpersist(); nodes.unpersist() }
   }
+
+  test("IVF index stored partitionBy(cluster): probe scan prunes partitions") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB IVF contract (VectorSearch scaladoc): write the assigned
+    // table partitioned by cluster so an nprobe query READS nprobe/k of
+    // the data — partition pruning at the file listing, not a post-filter
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Seq(0L, 1L, 2L, 3L).map(i =>
+      (i.toInt, graft.vector.VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    graft.vector.VectorSearch.assignClusters(emb, "embedding", cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val probe = spark.read.parquet(dir).filter(col("cluster").isin(0, 2))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("cluster"),
+      s"cluster filter did not reach partition pruning:\n$p")
+    // the pruned read must touch only the 2 probed cluster directories
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"pruned listing has ${scan.selectedPartitions.partitionCount} partitions, expected 2")
+    // sanity: the unfiltered table really has all 4 cluster partitions
+    val fullScan = spark.read.parquet(dir).queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(fullScan.selectedPartitions.partitionCount == 4)
+    val all = spark.read.parquet(dir).select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(all == Set(0, 1, 2, 3))
+  }
 }

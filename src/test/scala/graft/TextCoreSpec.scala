@@ -231,4 +231,30 @@ class TextCoreSpec extends SparkSpec {
     assert(cleaned.keySet == Set(1L, 2L))
     assert(cleaned(2L) == good, "js line stripped from kept doc")
   }
+
+  test("ccnet buckets: tercile thresholds split fluent from disfluent docs") {
+    // 6 docs: 0-1 repeat the corpus's dominant bigrams (fluent), 2-3 mix,
+    // 4-5 are one-off word salads (every bigram count 1 -> low score)
+    val docs = Seq(
+      (0L, "the quick fox jumps high and the quick fox jumps high"),
+      (1L, "the quick fox jumps high and the quick fox runs far"),
+      (2L, "the quick fox sleeps now while zebra quartz vexes judge"),
+      (3L, "a quick fox jumps but marble onyx granite slate basalt"),
+      (4L, "crimson harpoon velvet sundial meadow lantern copper whisper"),
+      (5L, "orbit saffron trellis bourbon nimbus falcon ember quill")
+    ).toDF("doc_id", "text")
+    val out = graft.text.BigramLM.ccnetBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 6)
+    // fluent docs land in head, salads in tail; scores order consistently
+    assert(out(0L)._2 == "head" && out(1L)._2 == "head")
+    assert(out(4L)._2 == "tail" && out(5L)._2 == "tail")
+    assert(out(0L)._1 > out(4L)._1)
+    // every bucket respects the threshold semantics: head >= middle >= tail scores
+    val byBucket = out.values.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    for (h <- byBucket.getOrElse("head", Nil); m <- byBucket.getOrElse("middle", Nil))
+      assert(h >= m)
+    for (m <- byBucket.getOrElse("middle", Nil); t <- byBucket.getOrElse("tail", Nil))
+      assert(m >= t)
+  }
 }
