@@ -71,20 +71,62 @@ object Dedup {
       .select(col("doc_id"), F.minhashSig(col("shingles")).as("sig"))
   }
 
-  /** LSH banding: bands of `rowsPerBand` signature slots; candidates are
-    * pairs sharing at least one full band. */
-  def lshCandidatePairs(signatures: DataFrame, bands: Int = 4,
-                        rowsPerBand: Int = 4): DataFrame = {
-    val banded = signatures.select(col("doc_id"),
+  /** (doc_id, band, key) rows — the LSH bucket table. This is also the
+    * persisted INDEX shape for incremental dedup: at scale the corpus's
+    * band table is computed once, stored partitioned by (band, key), and
+    * probed by each ingest batch. */
+  private[graft] def bandKeyTable(signatures: DataFrame, bands: Int = 4,
+                                  rowsPerBand: Int = 4): DataFrame =
+    signatures.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(transform(sequence(b * rowsPerBand, (b + 1) * rowsPerBand - 1),
           i => element_at(col("sig"), i + 1)), "_"))))
       .toDF("doc_id", "band", "key")
+
+  /** LSH banding: bands of `rowsPerBand` signature slots; candidates are
+    * pairs sharing at least one full band. */
+  def lshCandidatePairs(signatures: DataFrame, bands: Int = 4,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandKeyTable(signatures, bands, rowsPerBand)
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Incremental near-dup: a NEW ingest batch probed against the SEEN
+    * corpus — the production ingestion path (the near-dup generalization
+    * of the reference's per-put dedup-by-hash short-circuit,
+    * src/memvid/mutation.rs:3300-3316). Only cross pairs (new × seen) are
+    * generated: the corpus never self-joins, so cost is linear in corpus
+    * band-bucket hits for the batch's keys. At 100 TB the seen side is a
+    * precomputed band table partitioned by (band, key) — here the batch's
+    * band table is broadcast, so the corpus side is one narrow probe pass
+    * with no corpus shuffle at all.
+    */
+  def incrementalNearDuplicates(seen: DataFrame, newBatch: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.7, shingleSize: Int = 3,
+                                roundDp: Int = 6): DataFrame = {
+    val shSeen = shingleSets(seen, idCol, textCol, shingleSize).persist()
+    val shNew = shingleSets(newBatch, idCol, textCol, shingleSize).persist()
+    val pairs = bandKeyTable(minhashSignatures(shSeen))
+      .withColumnRenamed("doc_id", "seen_id")
+      .join(broadcast(bandKeyTable(minhashSignatures(shNew))
+        .withColumnRenamed("doc_id", "new_id")), Seq("band", "key"))
+      .select("new_id", "seen_id").distinct()
+    val sA = shSeen.select(col("doc_id").as("seen_id"), col("shingles").as("sh_a"))
+    val sB = shNew.select(col("doc_id").as("new_id"), col("shingles").as("sh_b"))
+    val out = pairs.join(sA, "seen_id").join(broadcast(sB), "new_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), roundDp))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "seen_id", "jaccard")
+      .localCheckpoint()
+    shSeen.unpersist(); shNew.unpersist()
+    out
   }
 
   /** Benchmark decontamination (training-data pipeline): corpus docs that

@@ -77,6 +77,41 @@ object DedupQueries {
          |WHERE ROUND(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- incremental near-dup: new batch (doc_id % 10 = 0) probed against
+    // the seen corpus — cross pairs only, corpus never self-joins, batch
+    // band table broadcast (plan-locked in DedupSpec). The oracle replays
+    // signatures for both sides and restricts banding to seen×new. ----
+    "dedup_incremental" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalNearDuplicates(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", threshold = 0.5)
+          .orderBy(col("new_id"), col("seen_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
+         |       WHERE len($duckShingles) > 0),
+         |h AS (SELECT doc_id, ${duckPoly("sng")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashMins FROM h GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |pairs AS (SELECT DISTINCT n.doc_id AS new_id, se.doc_id AS seen_id
+         |          FROM banded se JOIN banded n
+         |          ON se.band = n.band AND se.key = n.key
+         |          WHERE se.doc_id % 10 != 0 AND n.doc_id % 10 = 0),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.new_id, p.seen_id, COUNT(*) AS c
+         |          FROM pairs p JOIN sh a ON a.doc_id = p.seen_id
+         |                        JOIN sh b ON b.doc_id = p.new_id AND a.sng = b.sng
+         |          GROUP BY p.new_id, p.seen_id)
+         |SELECT i.new_id, i.seen_id,
+         |  ROUND(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) AS jaccard
+         |FROM inter i JOIN cnt ca ON i.seen_id = ca.doc_id
+         |             JOIN cnt cb ON i.new_id = cb.doc_id
+         |WHERE ROUND(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) >= 0.5
+         |ORDER BY new_id, seen_id""".stripMargin),
+
     // ---- SimHash near-dup with banded hamming join ----
     "dedup_simhash" -> QueryDef.sql(
       (s, d) => {

@@ -65,6 +65,40 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("incremental near-dup: batch probes corpus, cross pairs only, batch side broadcast") {
+    import org.apache.spark.sql.functions.col
+    // 1 and 2 are near-identical; treat 2 as the arriving batch. 4 and 5
+    // remain in the corpus — they must NOT pair with each other (no
+    // corpus self-join), even though both sit in the seen side.
+    val seen = corpus.filter(col("doc_id") =!= 2L)
+    val batch = corpus.filter(col("doc_id") === 2L)
+    val df = Dedup.incrementalNearDuplicates(seen, batch, "doc_id", "text",
+      threshold = 0.5)
+    val hits = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((2L, 1L), (2L, 3L)))
+    assert(hits.forall(_._3 >= 0.5))
+    // the exact-dup pair scores 1.0
+    assert(hits.find(h => h._2 == 1L).get._3 == 1.0)
+  }
+
+  test("incremental near-dup: batch band table is broadcast (corpus side never shuffles to meet it)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // the candidate join as built inside incrementalNearDuplicates, before
+    // the checkpoint makes the executed plan opaque
+    val seen = corpus.filter(col("doc_id") =!= 2L)
+    val batch = corpus.filter(col("doc_id") === 2L)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandKeyTable(Dedup.minhashSignatures(
+        Dedup.shingleSets(df, "doc_id", "text")))
+    val pairs = bands(seen).withColumnRenamed("doc_id", "seen_id")
+      .join(broadcast(bands(batch).withColumnRenamed("doc_id", "new_id")),
+        Seq("band", "key"))
+      .select("new_id", "seen_id").distinct()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"batch probe must broadcast:\n$plan")
+  }
+
   test("repeated spans: shared k-token run found, merged maximally, positions exact") {
     // docs 10/11 share the 6-token run "alpha bravo charlie delta echo foxtrot"
     // at different offsets; doc 12 shares nothing 4 tokens long
