@@ -159,6 +159,54 @@ object GraphAlgos {
           .as("rank_fp"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection by iterated plurality vote, made fully deterministic: every
+    * node starts labeled with its own id; each round it adopts the label
+    * held by the most neighbors, ties broken toward the SMALLEST label
+    * (the published async/random variant is not replayable; the
+    * synchronous min-tie-break variant is, and the DuckDB oracle replays
+    * every round bit-exactly).
+    *
+    * Plan shape per round (the pageRank loop discipline): the symmetrized
+    * edge table is repartitioned on src once and persisted; labels arrive
+    * partitioned on node from the previous round's aggregate and
+    * alias-propagate node→src, so the scatter join is exchange-free on
+    * BOTH sides. The vote is a (node, label)-keyed count then a node-keyed
+    * min(struct(-cnt, label)) — two map-side-combinable aggregations of
+    * node-sized data, no windows, no sorts. Lineage cut every 5th round.
+    *
+    * @param edges undirected edges (src, dst); symmetrized internally
+    *              unless assumeSymmetric
+    * @return (node BIGINT, community BIGINT) — the round-`iterations` label
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+                       dedup: Boolean = true,
+                       assumeSymmetric: Boolean = false,
+                       release: Boolean = true): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = if (dedup) raw.distinct() else raw
+    val sym = if (assumeSymmetric) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val ed = sym.repartition(col("src")).persist()
+    var labels = ed.select(col("src").as("node")).dropDuplicates("node")
+      .withColumn("label", col("node"))
+    var i = 0
+    while (i < iterations) {
+      labels = ed.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("label"))
+      if ((i % 5 == 4 && i != iterations - 1) ||
+          (i == iterations - 1 && release)) labels = labels.localCheckpoint()
+      i += 1
+    }
+    if (release) ed.unpersist()
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Degree-oriented triangle counting (the MR/Cohen orientation trick).
     *
     * Undirected edges are canonicalized (a < b), then oriented from the

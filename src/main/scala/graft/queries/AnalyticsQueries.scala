@@ -121,6 +121,38 @@ object AnalyticsQueries {
       },
       pagerankOracle(3, weighted = true)),
 
+    // ---- synchronous label propagation (Raghavan et al. 2007) on the
+    // customer–supplier bipartite graph: plurality vote per round, ties
+    // to the smallest label — deterministic, so the oracle unrolls all 3
+    // rounds and replays every vote bit-exactly. ----
+    "graph_label_propagation" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+                  (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        GraphAlgos.labelPropagation(sym, iterations = 3,
+            dedup = false, assumeSymmetric = true, release = false)
+          .orderBy(col("node"))
+      },
+      {
+        def round(prev: String, cur: String) =
+          s"""c$cur AS (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+             |       FROM e JOIN l$prev l ON l.node = e.src GROUP BY 1, 2),
+             |l$cur AS (SELECT node, (min(struct_pack(nc := -cnt, l := label))).l AS label
+             |       FROM c$cur GROUP BY node)""".stripMargin
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
+      }),
+
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(
       (s, d) => {

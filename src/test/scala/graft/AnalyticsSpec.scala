@@ -306,4 +306,28 @@ class AnalyticsSpec extends SparkSpec {
     val tri = SparkEntry.queries("graph_triangles")(spark, "/root/testdata/sf0.01")
     assert(tri.count() > 0, "graph_triangles returned no rows at sf0.01")
   }
+
+  test("labelPropagation: two cliques joined by a bridge resolve to two communities") {
+    import graft.graph.GraphAlgos
+    // clique A = {1,2,3}, clique B = {10,11,12}, bridge 3–10
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                    (10L, 11L), (10L, 12L), (11L, 12L),
+                    (3L, 10L)).toDF("src", "dst")
+    val out = GraphAlgos.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-tie-break drives both cliques to their smallest member's label
+    assert(out(1L) == out(2L) && out(2L) == out(3L), s"clique A split: $out")
+    assert(out(10L) == out(11L) && out(11L) == out(12L), s"clique B split: $out")
+    assert(out(1L) != out(10L), s"communities merged: $out")
+  }
+
+  test("labelPropagation is deterministic across partitionings") {
+    import graft.graph.GraphAlgos
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("src", "dst")
+    val a = GraphAlgos.labelPropagation(edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = GraphAlgos.labelPropagation(edges.repartition(17), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
 }
