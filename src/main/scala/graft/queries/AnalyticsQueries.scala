@@ -411,6 +411,47 @@ object AnalyticsQueries {
         |FROM events e JOIN m USING (event_type)
         |ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin),
 
+    // ---- MAD robust outliers (Iglewicz–Hoaglin modified z-score): the
+    // median-based alternative to events_zscore_outliers that a single
+    // wild value cannot poison. Both medians run over integers — v4 is
+    // e4 fixed-point, and the deviation is doubled (|2·v4 − 2·med4|) so
+    // it stays exactly integer even when the even-count median lands on
+    // a half — which keeps every percentile interpolation double-exact
+    // across engines (the rel_quantiles parity). ----
+    "events_mad_outliers" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val wv = ev.withColumn("v4",
+          (col("value").cast(DecimalType(18, 4)) * 10000).cast("long"))
+        val med = wv.groupBy("event_type")
+          .agg(expr("percentile(v4, 0.5D)").as("med4"))
+        val dev = wv.join(med, "event_type")
+          .withColumn("d8", abs(col("v4") * 2 - col("med4") * 2).cast("long"))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(d8, 0.5D)").as("mad8"))
+        dev.join(mad, "event_type")
+          .withColumn("score", round(
+            when(col("mad8") === 0.0, lit(0.0))
+              .otherwise(lit(0.6745) * (col("v4") * 2 - col("med4") * 2) / col("mad8")), 4))
+          .select(col("event_id"), col("event_type"), col("value"), col("score"))
+          .orderBy(abs(col("score")).desc, col("event_id")).limit(20)
+      },
+      """WITH v AS (SELECT event_id, event_type, value,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(v4, 0.5) AS med4
+        |        FROM v GROUP BY event_type),
+        |dev AS (SELECT v.event_id, v.event_type, v.value, v.v4, med.med4,
+        |               CAST(abs(v.v4 * 2 - med.med4 * 2) AS BIGINT) AS d8
+        |        FROM v JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(d8, 0.5) AS mad8
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  ROUND(CASE WHEN mad.mad8 = 0.0 THEN 0.0
+        |             ELSE 0.6745 * (d.v4 * 2 - d.med4 * 2) / mad.mad8 END, 4) AS score
+        |FROM dev d JOIN mad USING (event_type)
+        |ORDER BY abs(score) DESC, event_id LIMIT 20""".stripMargin),
+
     // ---- A17 CUBE: all four grouping combinations in one pass ----
     "rel_cube_returns" -> QueryDef.sql(
       (s, d) => Tables.lineitem(s, d)
