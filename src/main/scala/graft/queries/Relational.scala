@@ -347,6 +347,31 @@ object Relational {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
 
+    // ---- A17 GROUPING SETS — the general form rollup/cube specialize:
+    // per-status, per-priority, and grand total WITHOUT the cross product
+    // (exactly the three report margins, not cube's 4th interior). Same
+    // single-Expand one-agg-shuffle plan as the rollup gate. ----
+    "rel_grouping_sets" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(grouping_id().cast("long").as("gid"),
+               sum(e4(dec($"o_totalprice"))).as("revenue_e4"),
+               count(lit(1)).as("n_orders"))
+          .select($"gid", $"o_orderstatus", $"o_orderpriority", $"revenue_e4", $"n_orders")
+          .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
     // ---- A17 pivot: per-user event-type matrix through the real pivot
     // operator (missing cells 0, like the oracle's FILTER aggregates) ----
     "rel_pivot_event_counts" -> QueryDef.sql(
