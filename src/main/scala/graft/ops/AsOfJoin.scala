@@ -34,10 +34,18 @@ object AsOfJoin {
     * never satisfy ts <= left ts and are dropped up front (a NULL would
     * otherwise sort before every real timestamp and be carried as a
     * bogus earlier-than-everything match); left rows with a NULL
-    * timestamp get no match, as in DuckDB's ASOF. */
+    * timestamp get no match, as in DuckDB's ASOF.
+    *
+    * `tolerance`: maximum allowed staleness — a match further than this
+    * behind the left timestamp is discarded (pandas merge_asof's
+    * `tolerance`; kdb's wj window). Requires NUMERIC timestamp columns
+    * (epoch micros); the carried struct keeps the matched right ts, so
+    * the bound is a narrow post-filter on the window output — the plan
+    * still pays exactly one key shuffle. */
   def latestPriorTo(left: DataFrame, right0: DataFrame, keyCol: String,
                     leftTs: String, rightTs: String,
-                    strict: Boolean = false): DataFrame = {
+                    strict: Boolean = false,
+                    tolerance: Option[Long] = None): DataFrame = {
     val right = right0.filter(col(rightTs).isNotNull)
     val rPayload = right.columns.filterNot(_ == keyCol).toSeq
     val lCols = left.columns.toSeq
@@ -63,9 +71,14 @@ object AsOfJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
+    val matched = lTagged.unionByName(rTagged)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(lCols.map(col) ++ rPayload.map(c => col(s"__c.$c").as(c)): _*)
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("__c",
+        when(col(s"__c.$rightTs") >= col("__t") - lit(tol), col("__c")))
+      case None => matched
+    }
+    bounded.select(lCols.map(col) ++ rPayload.map(c => col(s"__c.$c").as(c)): _*)
   }
 }

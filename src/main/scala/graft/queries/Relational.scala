@@ -211,6 +211,32 @@ object Relational {
         |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.click_us >= e.err_us
         |ORDER BY click_id""".stripMargin),
 
+    // ---- J9 as-of with tolerance (pandas merge_asof tolerance / kdb wj):
+    // a stale match — latest error more than 10 minutes before the click —
+    // is discarded, not attached. The carried struct keeps the matched
+    // right ts, so the bound is a narrow post-filter; still one shuffle.
+    // Oracle: native ASOF LEFT JOIN + the same staleness CASE. ----
+    "rel_asof_tolerance" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_us"))
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("err_id"), $"ts_us".as("err_us"))
+        graft.ops.AsOfJoin.latestPriorTo(clicks, errors, "user_id",
+            "click_us", "err_us", tolerance = Some(600000000L))
+          .orderBy($"click_id")
+      },
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us FROM ev WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS err_id, ts_us AS err_us FROM ev WHERE event_type = 'error')
+        |SELECT c.user_id, click_id, click_us,
+        |  CASE WHEN err_us >= click_us - 600000000 THEN err_id END AS err_id,
+        |  CASE WHEN err_us >= click_us - 600000000 THEN err_us END AS err_us
+        |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.click_us >= e.err_us
+        |ORDER BY click_id""".stripMargin),
+
     // ---- W4 lag window (score-cliff detection, types/adaptive.rs:141-203) ----
     "rel_window_lag_delta" -> QueryDef.sql(
       (s, d) => {

@@ -68,4 +68,23 @@ class AsOfJoinSpec extends SparkSpec {
     val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(shuffles == 1, plan)
   }
+
+  test("tolerance discards stale matches but keeps fresh ones; plan unchanged") {
+    // trade@25 matches quote@20 (gap 5 <= tol 10); trade@99's latest quote
+    // is @30 (gap 69 > tol) -> discarded, payload null
+    val df = AsOfJoin.latestPriorTo(trades, quotes, "sym", "t_ts", "q_ts",
+      tolerance = Some(10L))
+    val out = df.collect().map(r =>
+      r.getAs[Long]("trade_id") -> Option(r.get(r.fieldIndex("q_ts")))).toMap
+    assert(out(102L) == Some(20L), s"fresh match lost: $out")
+    assert(out(103L) == None, s"stale match kept: $out")
+    assert(out(101L) == Some(20L)) // exact tie: gap 0
+    assert(out(105L) == None)      // still no-match key
+    // the staleness bound is a narrow post-filter: still one shuffle, no
+    // join (fresh plan — an executed AQE plan prints initial+final copies)
+    val plan = AsOfJoin.latestPriorTo(trades, quotes, "sym", "t_ts", "q_ts",
+      tolerance = Some(10L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, plan)
+  }
 }
