@@ -100,6 +100,18 @@ object VectorQueries {
          |WHERE label != 2
          |ORDER BY dist, vec_id LIMIT 20""".stripMargin),
 
+    // ---- A4 MIPS variant: max-inner-product top-k (recommender
+    // retrieval — no norm division, so long vectors legitimately win) ----
+    "vec_knn_dot" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 0L)
+        VectorSearch.knn(emb, "vec_id", "embedding", q, k = 20, metric = "dot")
+      },
+      s"""SELECT vec_id, ${duckDot(e, "q.qv")} AS score
+         |FROM embeddings, (SELECT $qVec AS qv) q
+         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+
     // ---- A7 adaptive cutoff (relative threshold) over over-fetched list ----
     "vec_knn_adaptive" -> QueryDef.sql(
       (s, d) => {

@@ -38,6 +38,13 @@ object VectorSearch {
           .select(col(idCol), col("dist"))
           .orderBy(col("dist"), col(idCol))
           .limit(k)
+      // MIPS — max inner product, the recommender-retrieval metric (no
+      // norm division: popular/long vectors legitimately win)
+      case "dot" =>
+        filtered.withColumn("score", F.dotProduct(col(vecCol), q))
+          .select(col(idCol), col("score"))
+          .orderBy(col("score").desc, col(idCol))
+          .limit(k)
       case m => throw new IllegalArgumentException(s"unknown metric $m")
     }
   }
