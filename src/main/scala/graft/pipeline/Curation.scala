@@ -327,4 +327,43 @@ object Curation {
       .withColumn("keep", col("doc_id") === col("canonical_id"))
       .select("doc_id", "rep_id", "canonical_id", "keep")
   }
+
+  /** Filter-attrition funnel — the curation-ladder observability report
+    * every production pipeline publishes: how many documents survive each
+    * stage of C4 line/doc rules (Raffel et al. 2020) → Gopher quality
+    * rules (Rae et al. 2021) → CCNet LM-fluency tail cut (Wenzek et al.
+    * 2020), with the LM terciles trained on the stage-2 SURVIVORS (the
+    * honest pipeline order: fluency cutoffs are computed over what the
+    * structural filters kept, not the raw crawl).
+    *
+    * Shape: the flag stages are narrow per-row projections joined on the
+    * id; the counts are four single-row aggregates — nothing driver-side,
+    * nothing quadratic, and the whole report costs one pass over the
+    * corpus plus the LM's own bounded aggregations.
+    *
+    * @return (stage BIGINT, stage_name, n_docs) — cumulative survivors
+    */
+  def filterFunnel(docs: DataFrame, idCol: String, textCol: String,
+                   minKeptLines: Int = 3): DataFrame = {
+    val c4 = graft.text.C4Rules.c4Stats(docs, idCol, textCol, minKeptLines)
+      .select(col(idCol), col("keep").as("c4_keep"))
+    val gop = graft.text.QualityRules.gopherStats(docs, idCol, textCol)
+      .select(col(idCol), col("keep").as("gopher_keep"))
+    val flags = docs.join(c4, Seq(idCol)).join(gop, Seq(idCol))
+    val s1 = flags.filter(col("c4_keep"))
+    val s2 = s1.filter(col("gopher_keep")).persist()
+    val lm = graft.text.BigramLM.ccnetBuckets(
+      s2.select(col(idCol), col(textCol)), idCol, textCol)
+    val s3 = lm.filter(col("bucket") =!= "tail")
+    def stageRow(df: DataFrame, stage: Long, name: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    val out = stageRow(docs, 0L, "ingest")
+      .unionByName(stageRow(s1, 1L, "c4"))
+      .unionByName(stageRow(s2, 2L, "gopher"))
+      .unionByName(stageRow(s3, 3L, "lm_tail_cut"))
+      .localCheckpoint()
+    s2.unpersist()
+    out
+  }
 }

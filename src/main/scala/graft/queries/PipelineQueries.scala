@@ -230,6 +230,90 @@ object PipelineQueries {
            |SELECT source, COUNT(*) AS n_kept,
            |  CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tok_sum
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
-      })
+      }),
+
+    // ---- filter-attrition funnel: C4 → Gopher → CCNet tail cut, the
+    // curation-ladder observability report (cumulative survivor counts;
+    // LM terciles trained on the stage-2 survivors — the honest pipeline
+    // order). Synth structure combines both filter gates' doc_id-residue
+    // tricks so every stage discriminates; the oracle replays all three
+    // filters' verdicts and the survivor-trained LM end to end. ----
+    "pipe_filter_funnel" -> QueryDef.sql(
+      (s, d) => {
+        val synth = concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nThis sentence ends with a period and has many words.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nAnother full sentence arrives here with plenty of words!")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nEnable JavaScript to view the full content here.")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nfunction f() { return 42; }")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit(" ## ## ## ##### #")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\n12345 67890 4242 9999 12 34 56 78 90 11")).otherwise(lit("")))
+        Curation.filterFunnel(
+            Tables.documents(s, d).withColumn("text", synth)
+              .select(col("doc_id"), col("text")),
+            "doc_id", "text", minKeptLines = 1)
+          .orderBy(col("stage"))
+      },
+      s"""WITH s AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 2 = 0 THEN chr(10)||'This sentence ends with a period and has many words.' ELSE '' END
+         |       || CASE WHEN doc_id % 7 = 0 THEN chr(10)||'Another full sentence arrives here with plenty of words!' ELSE '' END
+         |       || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'Enable JavaScript to view the full content here.' ELSE '' END
+         |       || CASE WHEN doc_id % 13 = 0 THEN chr(10)||'function f() { return 42; }' ELSE '' END
+         |       || CASE WHEN doc_id % 3 = 0 THEN ' ## ## ## ##### #' ELSE '' END
+         |       || CASE WHEN doc_id % 11 = 0 THEN chr(10)||'12345 67890 4242 9999 12 34 56 78 90 11' ELSE '' END AS txt
+         |  FROM documents),
+         |w AS (SELECT doc_id, txt,
+         |  list_filter(regexp_split_to_array(txt, '\\s+'), x -> x != '') AS words,
+         |  string_split(txt, chr(10)) AS lines,
+         |  list_filter(regexp_split_to_array(lower(txt), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]')) AS tk
+         |  FROM s),
+         |c4k AS (SELECT doc_id,
+         |  (len(list_filter(lines, l ->
+         |     (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+         |     AND len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x != '')) >= 5
+         |     AND NOT contains(lower(l), 'javascript'))) >= 1
+         |   AND NOT contains(lower(txt), 'lorem ipsum')
+         |   AND NOT (contains(txt, '{') OR contains(txt, '}'))) AS c4_keep
+         |  FROM w),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, x -> CAST(length(x) AS BIGINT))), (a,b)->a+b) AS DOUBLE) / greatest(len(words), 1), 6) AS mean_word_len,
+         |  ROUND(CAST(CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) + CAST((length(txt) - length(replace(txt, '...', '')))/3 AS BIGINT) AS DOUBLE) / greatest(len(words), 1), 6) AS symbol_ratio,
+         |  ROUND(CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS DOUBLE) / greatest(len(lines), 1), 6) AS bullet_frac,
+         |  ROUND(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE) / greatest(len(lines), 1), 6) AS ellipsis_frac,
+         |  ROUND(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / greatest(len(words), 1), 6) AS alpha_frac,
+         |  CAST(len(list_intersect(list_distinct(tk), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+         |  FROM w),
+         |gk AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10 AND symbol_ratio <= 0.1
+         |   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND stop_hits >= 2) AS gopher_keep
+         |  FROM gm),
+         |s1 AS (SELECT w.doc_id, w.tk FROM w JOIN c4k USING (doc_id) WHERE c4_keep),
+         |surv AS (SELECT s1.doc_id, s1.tk FROM s1 JOIN gk USING (doc_id) WHERE gopher_keep),
+         |adjl AS (SELECT doc_id, list_transform(range(len(tk) - 1),
+         |           i -> struct_pack(w := tk[i+1], w2 := tk[i+2])) AS ps
+         |         FROM surv),
+         |adj AS (SELECT doc_id, unnest(ps, recursive := true) FROM adjl),
+         |big AS (SELECT w, w2, COUNT(*) AS c12 FROM adj GROUP BY w, w2),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM adj GROUP BY w),
+         |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM adj),
+         |scored AS (SELECT a.doc_id,
+         |    ((b.c12 + 1) * 1000000000) // (u.c1 + (SELECT v FROM vocab)) AS p
+         |  FROM adj a JOIN big b USING (w, w2) JOIN uni u USING (w)),
+         |lm AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) // COUNT(*) AS lm_score
+         |       FROM scored GROUP BY doc_id),
+         |cuts AS (SELECT quantile_cont(lm_score, 1.0/3.0) AS q_lo FROM lm),
+         |s3 AS (SELECT lm.doc_id FROM lm, cuts c WHERE lm.lm_score >= c.q_lo)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS stage_name, (SELECT COUNT(*) FROM s) AS n_docs
+         |  UNION ALL SELECT 1, 'c4', (SELECT COUNT(*) FROM s1)
+         |  UNION ALL SELECT 2, 'gopher', (SELECT COUNT(*) FROM surv)
+         |  UNION ALL SELECT 3, 'lm_tail_cut', (SELECT COUNT(*) FROM s3)
+         |) ORDER BY stage""".stripMargin)
   )
 }

@@ -124,4 +124,29 @@ class PipelineSpec extends SparkSpec {
     assert(canon.values.toSet == Set(2L, 5L))
     assert(elected.count(_.getAs[Boolean]("is_canonical")) == 2)
   }
+
+  test("filter funnel: cumulative survivor counts are monotone, stages labeled in order") {
+    import org.apache.spark.sql.functions._
+    // 6 docs: 0-2 full sentences with stopwords (pass c4+gopher), 3 has
+    // braces (c4 doc kill), 4 has no terminal punctuation (c4 line kill),
+    // 5 passes c4 but is stopword-free word salad (gopher kill)
+    val sentence = "The quick brown fox jumps over the lazy dog and runs to the river with great speed and joy today."
+    val docs = Seq(
+      (0L, (sentence + " ") * 4),
+      (1L, (sentence.replace("quick", "calm") + " ") * 4),
+      (2L, (sentence.replace("fox", "cat") + " ") * 4),
+      (3L, (sentence + " ") * 4 + "{ code }"),
+      (4L, "no terminal punctuation here just words " * 12),
+      (5L, ("alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima. ") * 8)
+    ).toDF("doc_id", "text")
+    val out = Curation.filterFunnel(docs, "doc_id", "text", minKeptLines = 1)
+      .orderBy(col("stage")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._2).toSeq == Seq("ingest", "c4", "gopher", "lm_tail_cut"))
+    assert(out(0)._3 == 6 && out(1)._3 == 4 && out(2)._3 == 3)
+    // terciles over 3 survivors cut the worst-scoring third
+    assert(out(3)._3 == 2)
+    val counts = out.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }
