@@ -68,6 +68,29 @@ object MediaQueries {
     Png.encode(Png.Image(w, h, rgb))
   }
 
+  /** "GVID" container of 6 + id%5 PNG frames, each a gradient varying by
+    * (id, frame) — all-integer synthesis like the WAV/PNG fixtures. */
+  def synthVideoBytes(id: Long): Array[Byte] = {
+    val frames = (0 until 6 + (id % 5).toInt).map { f =>
+      val w = 16; val h = 12
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = 3 * (y * w + x)
+          rgb(o) = ((x * 17 + y * 31 + id * 7 + f * 41) % 256).toByte
+          rgb(o + 1) = ((x * 5 + y * 13 + id * 11 + f * 19) % 256).toByte
+          rgb(o + 2) = ((x * 29 + y * 3 + id * 23 + f * 53) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      graft.multimodal.Png.encode(graft.multimodal.Png.Image(w, h, rgb))
+    }
+    graft.multimodal.Video.encode(frames)
+  }
+
   private def mediaRows(s: org.apache.spark.sql.SparkSession, d: String,
                         kind: String, synth: Long => Array[Byte]) = {
     import s.implicits._
@@ -111,5 +134,21 @@ object MediaQueries {
         feats.select(col("mediaId").as("media_id") +: dims: _*)
           .orderBy(col("media_id"))
       },
-      MediaGolden.clipSql))
+      MediaGolden.clipSql),
+
+    // ---- S11+ video frame sampling: GVID demux → every-3rd-frame stride →
+    // REAL per-frame PNG pixel decode → exact integer channel means. The
+    // golden oracle locks demux, stride arithmetic, the PNG codec, and the
+    // stats — the full batch path a real demuxer would drop into. ----
+    "media_frame_sample" -> QueryDef.sql(
+      (s, d) => {
+        graft.multimodal.Video.sampleFrames(
+            mediaRows(s, d, "video", synthVideoBytes), every = 3)
+          .toDF()
+          .select(col("mediaId").as("media_id"), col("frameIdx").as("frame"),
+            col("width").as("w"), col("height").as("h"),
+            col("meanR").as("mr"), col("meanG").as("mg"), col("meanB").as("mb"))
+          .orderBy(col("media_id"), col("frame"))
+      },
+      MediaGolden.frameSampleSql))
 }

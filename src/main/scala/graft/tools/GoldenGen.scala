@@ -36,6 +36,18 @@ ORDER BY media_id, seg""")
  t(media_id, e0, e1, e2, e3, e4, e5, e6, e7)
 WHERE media_id IN (SELECT doc_id FROM documents)
 ORDER BY media_id""")
+
+    val fs = defs("media_frame_sample").fn(spark, sfDir).collect()
+    val fsVals = fs.map(r =>
+      "(" + (0 until 7).map(i => r.get(i).toString).mkString(",") + ")")
+      .mkString(",\n  ")
+    println("=== frameSampleSql ===")
+    println(
+      s"""SELECT media_id, frame, w, h, mr, mg, mb FROM (VALUES
+  $fsVals)
+ t(media_id, frame, w, h, mr, mg, mb)
+WHERE media_id IN (SELECT doc_id FROM documents)
+ORDER BY media_id, frame""")
     spark.stop()
   }
 }

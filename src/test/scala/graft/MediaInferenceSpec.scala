@@ -112,4 +112,24 @@ class MediaInferenceSpec extends SparkSpec {
       new OnnxVisionBackend("/nonexistent.onnx", 512).run(Seq(Array(1.0f)))
     }
   }
+
+  test("video container round-trips; frame sampling strides and decodes real pixels") {
+    import graft.multimodal.{Png, Video}
+    // 5 solid-color 2x2 frames: r = 10*frame
+    val frames = (0 until 5).map { f =>
+      Png.encode(Png.Image(2, 2, Array.fill(4)(
+        Array((10 * f).toByte, 20.toByte, 30.toByte)).flatten))
+    }
+    val blob = Video.encode(frames)
+    assert(Video.demux(blob).map(_.toSeq) == frames.map(_.toSeq))
+    intercept[IllegalArgumentException](Video.demux("junk".getBytes))
+    val rows = Seq(Multimodal.MediaRow(7L, "mv2://v/7", "video", blob, Map.empty),
+                   Multimodal.MediaRow(8L, "mv2://v/8", "image", blob, Map.empty))
+    val out = Video.sampleFrames(rows.toDS(), every = 2).collect()
+      .map(s => (s.mediaId, s.frameIdx, s.meanR, s.meanG, s.meanB)).sorted
+    // only the video row; frames 0, 2, 4; exact means in thousandths
+    assert(out.toSeq == Seq(
+      (7L, 0, 0, 20000, 30000), (7L, 2, 20000, 20000, 30000),
+      (7L, 4, 40000, 20000, 30000)))
+  }
 }
