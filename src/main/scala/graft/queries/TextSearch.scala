@@ -443,6 +443,28 @@ object TextSearch {
          |  CAST(SUM(p) AS BIGINT) // COUNT(*) AS lm_score
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // TF-IDF top-3 keywords per doc (Spärck Jones 1972): tf·ln(N/df),
+    // 6dp-rounded, term tie-break; per-doc window, never global. The ln
+    // replays bit-exactly (the BM25 parity).
+    "text_tfidf_keywords" -> QueryDef.sql(
+      (s, d) => graft.text.Keywords.tfidfTopK(
+          Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ROUND(tf.tf * ln(CAST(st.n_docs AS DOUBLE) / df.df), 6) AS score
+         |  FROM tf JOIN df USING (term), st),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
     // CCNet head/middle/tail split (Wenzek et al. 2020): tercile cutoffs
     // over the bigram-LM score, assignment by threshold (no global rank —
     // an exact-percentile aggregate + broadcast + narrow CASE, the
