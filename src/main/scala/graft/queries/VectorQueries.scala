@@ -27,6 +27,7 @@ object VectorQueries {
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (x,y)->x+y))"
 
   private val qVec = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+  private val qVec5 = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 5)"
   private val e = "CAST(embedding AS DOUBLE[])"
 
   // -- PQ gate fixtures: deterministic, data-independent training sample +
@@ -296,6 +297,34 @@ object VectorQueries {
            |FROM assigned a, q
            |WHERE a.vec_id IN (SELECT vec_id FROM short)
            |ORDER BY dist, a.vec_id LIMIT 15""".stripMargin
+      }),
+
+    // ---- binary quantization ANN: sign-bit words (2 BIGINTs per vector,
+    // the 16-byte index the corpus pass scans), Hamming shortlist of 40,
+    // exact cosine re-rank to 15. Every stage deterministic; the oracle
+    // rebuilds the bit words, the xor/bit_count shortlist, and the
+    // re-rank double-exact. ----
+    "vec_binary_quant" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        graft.vector.BinaryQuant.search(
+          graft.vector.BinaryQuant.encode(emb, "embedding"),
+          "vec_id", "embedding", q, k = 15, shortlist = 40)
+      },
+      {
+        def w(v: String, off: Int) =
+          s"list_reduce(list_transform(range(32), i -> CASE WHEN $v[i+${off + 1}] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END), (a,b)->a+b)"
+        s"""WITH e AS (SELECT vec_id, $e AS v FROM embeddings),
+           |q AS (SELECT $qVec5 AS qv),
+           |bits AS (SELECT vec_id, v, ${w("v", 0)} AS b0, ${w("v", 32)} AS b1 FROM e),
+           |qb AS (SELECT ${w("qv", 0)} AS q0, ${w("qv", 32)} AS q1 FROM q),
+           |short AS (
+           |  SELECT b.vec_id, b.v,
+           |    CAST(bit_count(xor(b.b0, qb.q0)) + bit_count(xor(b.b1, qb.q1)) AS BIGINT) AS hamming
+           |  FROM bits b, qb ORDER BY hamming, vec_id LIMIT 40)
+           |SELECT s.vec_id, s.hamming, ROUND(${duckCos("s.v", "q.qv")}, 6) AS score
+           |FROM short s, q ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
       }),
 
     // ---- hyperplane LSH: banded cosine near-dup with exact verification.

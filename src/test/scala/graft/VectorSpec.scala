@@ -208,6 +208,24 @@ class VectorSpec extends SparkSpec {
       causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("dimension mismatch")))
   }
 
+  test("binary quantization: self-match at hamming 0 ranks first; shortlist contains brute-force winners") {
+    import graft.vector.BinaryQuant
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(13)._2
+    val out = BinaryQuant.search(BinaryQuant.encode(df, "embedding"),
+      "vec_id", "embedding", q, k = 5, shortlist = 20).collect()
+    assert(out.head.getLong(0) == 13L && out.head.getLong(1) == 0L)
+    assert(out.head.getDouble(2) == 1.0)
+    // brute-force top-1 (the query itself) must be found; top-5 overlap is
+    // the recall contract at this shortlist size on random data
+    val brute = VectorSearch.knn(df, "vec_id", "embedding", q, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val got = out.map(_.getLong(0)).toSet
+    assert((brute intersect got).size >= 3, s"poor recall: brute=$brute got=$got")
+  }
+
   test("SemDeDup prunes the higher-id member of a near-identical pair, within clusters only") {
     val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
     val cl = VectorSearch.assignClusters(embDf, "embedding", cents)
