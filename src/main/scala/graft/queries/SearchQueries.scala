@@ -69,6 +69,26 @@ object SearchQueries {
         |       OR lang = 'spark' OR source = 'spark')
         |  AND (list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]')), 'merge')
         |       OR lang = 'merge' OR source = 'merge')
-        |ORDER BY score DESC, id LIMIT 30""".stripMargin)
+        |ORDER BY score DESC, id LIMIT 30""".stripMargin),
+
+    // ---- NEAR/k proximity: both terms within 5 tokens, scored by MIN
+    // token distance — one narrow indexed-transform pass, no explode, no
+    // shuffle; the oracle rebuilds positions and the pairwise min with
+    // the same integer arithmetic. ----
+    "search_proximity" -> QueryDef.sql(
+      (s, d) => graft.search.Proximity.near(
+        graft.Tables.documents(s, d), "doc_id", "text",
+        "spark", "join", window = 5, topK = 50),
+      {
+        def pos(term: String) =
+          s"list_filter(list_transform(range(len(tk)), i -> CASE WHEN tk[i+1] = '$term' THEN i ELSE -1 END), x -> x >= 0)"
+        s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+           |p AS (SELECT doc_id, ${pos("spark")} AS pa, ${pos("join")} AS pb FROM t),
+           |d AS (SELECT doc_id,
+           |  CAST(list_min(flatten(list_transform(pa, a -> list_transform(pb, b -> abs(a - b))))) AS BIGINT) AS min_dist
+           |  FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+           |SELECT doc_id, min_dist FROM d
+           |WHERE min_dist <= 5 ORDER BY min_dist, doc_id LIMIT 50""".stripMargin
+      })
   )
 }
