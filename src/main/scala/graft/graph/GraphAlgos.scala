@@ -207,6 +207,45 @@ object GraphAlgos {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** k-core peeling, fixed synchronous rounds: each round drops every node
+    * whose CURRENT degree is below k, then restricts the edge set to
+    * surviving endpoints (Seidman 1983 cores; the bounded-round form is
+    * deterministic and oracle-replayable — run until a round removes
+    * nothing to reach the true k-core). The dense-subgraph screen a
+    * pipeline runs before expensive per-community work.
+    *
+    * Per round: one degree aggregate + two semi-joins, all keyed on node
+    * ids; lineage cut per round. The edge table shrinks monotonically, so
+    * later rounds get cheaper — the opposite of a fixpoint that grows.
+    *
+    * @param edges undirected (src, dst); symmetrized internally unless
+    *              assumeSymmetric
+    * @return (node, degree) — surviving nodes with their within-core
+    *         degree after `rounds` peels
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+                dedup: Boolean = true,
+                assumeSymmetric: Boolean = false): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = if (dedup) raw.distinct() else raw
+    var e = (if (assumeSymmetric) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select(col("src").as("__node"))
+      e = e
+        .join(keep.withColumnRenamed("__node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__node", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      i += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Degree-oriented triangle counting (the MR/Cohen orientation trick).
     *
     * Undirected edges are canonicalized (a < b), then oriented from the

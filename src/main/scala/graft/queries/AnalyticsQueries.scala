@@ -153,6 +153,43 @@ object AnalyticsQueries {
            |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
       }),
 
+    // ---- k-core peel (Seidman 1983), 3 synchronous rounds at k=11 on the
+    // hash-sampled supplier co-part graph (the triangles gate's edge set —
+    // homogeneous degrees around the threshold, so every round genuinely
+    // cascades: 100 → 75 → 43 → 14 nodes at sf0.01). Each round is a
+    // degree agg + two semi-joins; the edge set only shrinks. ----
+    "graph_kcore" -> QueryDef.sql(
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .filter(pairKeepCol(col("a"), col("b")))
+          .distinct()
+        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        GraphAlgos.kcorePeel(sym, k = 11, rounds = 3,
+            dedup = false, assumeSymmetric = true)
+          .orderBy(col("node"))
+      },
+      {
+        def round(prev: String, cur: String) =
+          s"""k$cur AS (SELECT src AS node FROM e$prev GROUP BY src HAVING COUNT(*) >= 11),
+             |e$cur AS (SELECT e.src, e.dst FROM e$prev e
+             |          JOIN k$cur x ON e.src = x.node JOIN k$cur y ON e.dst = y.node)""".stripMargin
+        s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+           |raw AS (SELECT x.sk AS a, y.sk AS b
+           |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+           |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+           |e0 AS (SELECT a AS src, b AS dst FROM canon UNION ALL SELECT b AS src, a AS dst FROM canon),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT src AS node, COUNT(*) AS degree FROM e3
+           |GROUP BY src ORDER BY node""".stripMargin
+      }),
+
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(
       (s, d) => {

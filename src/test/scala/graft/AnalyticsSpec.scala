@@ -321,6 +321,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L) != out(10L), s"communities merged: $out")
   }
 
+  test("kcorePeel: pendant chain peels over successive rounds, K4 core survives with full degree") {
+    import graft.graph.GraphAlgos
+    // K4 on {1,2,3,4} plus a chain 4-5-6 (5 and 6 below k=2 once the tail goes)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+                    (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r1 = GraphAlgos.kcorePeel(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: only 6 (degree 1) peels; 5 keeps degree 2 until its tail goes
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L, 5L), s"round1: $r1")
+    val r2 = GraphAlgos.kcorePeel(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2: 5 lost 6, now degree 1 -> peels; the K4 core is stable
+    assert(r2.keySet == Set(1L, 2L, 3L, 4L), s"round2: $r2")
+    assert(r2.values.toSet == Set(3L), "K4 members keep within-core degree 3")
+  }
+
   test("labelPropagation is deterministic across partitionings") {
     import graft.graph.GraphAlgos
     val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("src", "dst")
