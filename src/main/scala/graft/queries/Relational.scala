@@ -578,6 +578,34 @@ object Relational {
         |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS hi_e4
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
 
+    // ---- equi-depth histogram: quartile cutoffs by exact percentile over
+    // e4 fixed-point prices, bucket assignment by threshold, per-bucket
+    // count + exact bounds — the optimizer-statistics primitive next to
+    // the fixed-width rel_histogram. Same scale shape as the CCNet split:
+    // one aggregate to 3 scalars, a broadcast, a narrow CASE. ----
+    "rel_equidepth_histogram" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val v = Tables.orders(s, d).withColumn("v4", e4(dec($"o_totalprice")))
+        val cuts = v.agg(
+          expr("percentile(v4, 0.25D)").as("c1"),
+          expr("percentile(v4, 0.5D)").as("c2"),
+          expr("percentile(v4, 0.75D)").as("c3"))
+        v.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            when($"v4" < $"c1", 0L).when($"v4" < $"c2", 1L)
+              .when($"v4" < $"c3", 2L).otherwise(3L))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), min($"v4").as("lo_e4"), max($"v4").as("hi_e4"))
+          .orderBy($"bucket")
+      },
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4 FROM orders),
+        |cuts AS (SELECT quantile_cont(v4, 0.25) AS c1, quantile_cont(v4, 0.5) AS c2,
+        |                quantile_cont(v4, 0.75) AS c3 FROM v)
+        |SELECT CASE WHEN v4 < c1 THEN 0 WHEN v4 < c2 THEN 1 WHEN v4 < c3 THEN 2 ELSE 3 END AS bucket,
+        |  COUNT(*) AS n, MIN(v4) AS lo_e4, MAX(v4) AS hi_e4
+        |FROM v, cuts GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // ---- countDistinct aggregation ----
     "rel_count_distinct" -> QueryDef.sql(
       (s, d) => {
