@@ -112,6 +112,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).sorted.toSeq == Seq("hello", "world"))
   }
 
+  test("dedup within watermark: duplicates inside the horizon drop, state evicts past it") {
+    // dropDuplicatesWithinWatermark bounds the dedup state by the
+    // watermark horizon (exact dedup forever needs unbounded state at
+    // 100 TB) — a late re-arrival AFTER the horizon legitimately
+    // re-emits, which is the documented trade the bounded state buys.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def t(s2: String) = java.sql.Timestamp.valueOf(s2)
+    val frames = mem.toDF().toDF("ts", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text")
+    val q = frames.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    mem.addData((t("2024-01-01 10:00:00"), "hello"), (t("2024-01-01 10:01:00"), "hello"))
+    q.processAllAvailable()
+    // advance event time far past the horizon so "hello" state evicts
+    mem.addData((t("2024-01-01 11:00:00"), "advance"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 11:01:00"), "hello"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_wm").collect().map(_.getString(1))
+    q.stop()
+    assert(texts.count(_ == "hello") == 2, s"expected re-emit after eviction: ${texts.toSeq}")
+    assert(texts.count(_ == "advance") == 1)
+  }
+
   test("multimodal: binary columns flow through batched stub inference") {
     val media = Seq(
       Multimodal.MediaRow(1L, "img://a", "image", Array[Byte](1, 2, 3, 4), Map("w" -> "64")),
