@@ -173,6 +173,37 @@ object Dedup {
     out
   }
 
+  /** Containment pairs — the ASYMMETRIC dedup metric C(A,B) = |A∩B|/|A|:
+    * a short document quoted or boilerplate-wrapped inside a long one has
+    * low Jaccard (union is large) but containment ≈ 1, so symmetric
+    * near-dup passes miss exactly the subsumption cases a crawl corpus is
+    * full of. Candidates come from the same MinHash band buckets as the
+    * Jaccard path (a containment-tuned LSH would band asymmetrically;
+    * band-candidate recall is the documented approximation here, and the
+    * oracle replays it exactly); each candidate pair emits up to two
+    * directed rows (sub ⊆ super). Verification touches candidate pairs
+    * only — same bounded shape as verifiedNearDuplicates.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.75, shingleSize: Int = 3,
+                       roundDp: Int = 6): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    val pairs = lshCandidatePairs(minhashSignatures(sh))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val withInter = pairs.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+    val dirA = withInter.select(col("doc_a").as("sub_id"), col("doc_b").as("super_id"),
+      round(col("__i") / size(col("sh_a")), roundDp).as("containment"))
+    val dirB = withInter.select(col("doc_b").as("sub_id"), col("doc_a").as("super_id"),
+      round(col("__i") / size(col("sh_b")), roundDp).as("containment"))
+    val out = dirA.unionByName(dirB)
+      .filter(col("containment") >= threshold)
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
   /** Exact similarity join with prefix filtering (PPJoin-family): for
     * Jaccard ≥ t, two docs must share at least one of the
     * n - ⌈t·n⌉ + 1 globally-rarest shingles of each — so only those

@@ -112,6 +112,38 @@ object DedupQueries {
          |WHERE ROUND(CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c), 6) >= 0.5
          |ORDER BY new_id, seen_id""".stripMargin),
 
+    // ---- asymmetric containment dedup: |A∩B|/|A| over the band
+    // candidates — catches short-doc-quoted-in-long subsumption that
+    // symmetric Jaccard misses. Both directions emitted; threshold 0.6
+    // so partial quotes surface at sf0.01. ----
+    "dedup_containment" -> QueryDef.sql(
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6)
+        .orderBy(col("sub_id"), col("super_id")),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
+         |       WHERE len($duckShingles) > 0),
+         |h AS (SELECT doc_id, ${duckPoly("sng")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $minhashMins FROM h GROUP BY doc_id),
+         |banded AS ($bandKeys),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM banded a JOIN banded b
+         |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+         |          FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+         |                        JOIN sh b ON b.doc_id = p.doc_b AND a.sng = b.sng
+         |          GROUP BY p.doc_a, p.doc_b),
+         |dirs AS (
+         |  SELECT i.doc_a AS sub_id, i.doc_b AS super_id,
+         |    ROUND(CAST(i.c AS DOUBLE) / ca.n, 6) AS containment
+         |  FROM inter i JOIN cnt ca ON i.doc_a = ca.doc_id
+         |  UNION ALL
+         |  SELECT i.doc_b, i.doc_a, ROUND(CAST(i.c AS DOUBLE) / cb.n, 6)
+         |  FROM inter i JOIN cnt cb ON i.doc_b = cb.doc_id)
+         |SELECT sub_id, super_id, containment FROM dirs
+         |WHERE containment >= 0.6 ORDER BY sub_id, super_id""".stripMargin),
+
     // ---- SimHash near-dup with banded hamming join ----
     "dedup_simhash" -> QueryDef.sql(
       (s, d) => {
