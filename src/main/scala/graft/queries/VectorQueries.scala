@@ -222,6 +222,50 @@ object VectorQueries {
          |WHERE a.cluster IN (SELECT cid FROM probed)
          |ORDER BY dist, a.vec_id LIMIT 15""".stripMargin),
 
+    // ---- ANN observability: measured recall@15 of IVF(nprobe=2) against
+    // the brute-force truth — the index-quality report an operator reads
+    // next to vec_ivf_drift before deciding to re-train or raise nprobe.
+    // Both sides are deterministic, so even the recall NUMBER replays. ----
+    "vec_ivf_recall" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        val assigned = VectorSearch.assignClusters(emb, "embedding", cents)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        val ivf = VectorSearch.ivfSearch(assigned, "vec_id", "embedding",
+          cents, q, k = 15, nprobe = 2).select("vec_id")
+        val brute = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 15)
+          .select("vec_id")
+        ivf.join(brute, "vec_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(15L).as("k"), col("n_overlap"),
+            round(col("n_overlap") / 15.0, 6).as("recall"))
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+         |probed AS (
+         |  SELECT c.cid FROM cents c, q
+         |  ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
+         |assigned AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e),
+         |ivf AS (
+         |  SELECT a.vec_id FROM assigned a, q
+         |  WHERE a.cluster IN (SELECT cid FROM probed)
+         |  ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15),
+         |brute AS (
+         |  SELECT vec_id FROM embeddings, q
+         |  ORDER BY ${duckCos(e, "q.qv")} DESC, vec_id LIMIT 15)
+         |SELECT CAST(15 AS BIGINT) AS k, COUNT(*) AS n_overlap,
+         |  ROUND(COUNT(*) / 15.0, 6) AS recall
+         |FROM ivf JOIN brute USING (vec_id)""".stripMargin),
+
     // ---- IVF index upkeep: per-cluster population + distortion stats,
     // the "does the index need re-training" signal. Per-row L2 distortions
     // bit-match the oracle's double folds; the cross-row mean goes through
