@@ -338,6 +338,22 @@ final class Graft(val spark: SparkSession, basePath: String,
     out
   }
 
+  /** documents SUBSUMED by another live document (containment ≥ threshold
+    * in the sub→super direction) — the asymmetric complement of
+    * nearDuplicates for quoted/boilerplate-wrapped content */
+  def subsumedDocuments(threshold: Double = 0.75): DataFrame =
+    graft.dedup.Dedup.containmentPairs(liveDocs, "id", "text", threshold)
+
+  /** curation-ladder attrition report over live documents: survivors
+    * after C4 line/doc rules → Gopher quality rules → CCNet LM tail cut
+    * (terciles trained on the structural survivors) */
+  def curationFunnel(minKeptLines: Int = 3): DataFrame =
+    graft.pipeline.Curation.filterFunnel(liveDocs, "id", "text", minKeptLines)
+
+  /** top-k TF-IDF keywords per live document */
+  def keywords(k: Int = 3): DataFrame =
+    graft.text.Keywords.tfidfTopK(liveDocs, "id", "text", k)
+
   /** per-document quality signals: token counts + duplicate-ngram fraction */
   def qualityReport(): DataFrame = {
     graft.Sessions.ensureFunctions(spark)

@@ -275,6 +275,19 @@ class StoreSpec extends SparkSpec {
     assert(q.length == 3)
     assert(q.forall(_.getLong(1) > 0))
     assert(q.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0))
+
+    // subsumption: the two fox docs contain each other at high containment
+    val sub = g.subsumedDocuments(threshold = 0.5).collect()
+    assert(sub.length == 2 && sub.forall(_.getDouble(2) >= 0.5))
+
+    // funnel: ingest row always present, counts monotone
+    val fun = g.curationFunnel(minKeptLines = 1).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fun("ingest") == 3 && fun.size == 4)
+
+    // keywords: every doc gets ranked terms, rank 1 first
+    val kw = g.keywords(k = 2).collect()
+    assert(kw.nonEmpty && kw.forall(_.getLong(1) >= 1))
   }
 
   test("doctor reports orphans and dangling cards; repairCards rebuilds from live frames") {
