@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** DSIR-style data selection: importance reweighting of a raw crawl toward
+  * a target (quality) distribution over hashed n-gram features (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169). The reference engine has no corpus-selection stage —
+  * this is a beyond-reference training-data-pipeline operator, same family
+  * as `Curation` (mixture/stratified sampling) and `text/BigramLM` (CCNet
+  * buckets).
+  *
+  * DSIR proper scores log p_target(f) − log p_raw(f) summed over a doc's
+  * hashed-bigram features. To honor this repo's auditability contract — no
+  * float ever reaches a per-row keep/drop decision (see pipeline/Curation,
+  * text/BigramLM) — the per-feature log-likelihood-ratio is replaced by a
+  * CENTERED FIXED-POINT PROBABILITY RATIO, monotone in the same quantity:
+  *
+  *   ratio1_f = ((ct_f + 1) * S) DIV (cr_f + 1)      — ≤ S (target ⊆ raw)
+  *   g        = ((NR + B) * S) DIV (NT + B)          — corpus-size factor
+  *   ilr_f    = (ratio1_f * g) DIV S − S             — BIGINT, centered at 0
+  *   weight   = Σ_f cnt_f(doc) * ilr_f               — exact integer sum
+  *
+  * so every weight is a BIGINT the DuckDB oracle replays bit-exactly
+  * (`text_dsir_select`).
+  *
+  * Scale shape (100 TB): bigram features are a narrow per-row transform
+  * (codegen TokenizeExpr + polyHash); doc-feature counts and corpus-feature
+  * counts are both map-side-combinable aggregates; the per-feature weight
+  * table has at most `buckets` rows (broadcast); totals and the selection
+  * cutoff are single-row aggregates. Two data-sized shuffles total, no
+  * window, no global sort.
+  */
+object Dsir {
+
+  val Scale = 1000000L
+
+  /** Hashed-bigram feature ids for a text column: polyHash("w1 w2") mod
+    * buckets. Narrow; empty/1-token docs produce no features. */
+  private def featureRows(docs: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    docs
+      .withColumn("__tk", F.tokens(col(textCol)))
+      .withColumn("__bg",
+        when(size(col("__tk")) >= 2,
+          expr("transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .select(col(idCol), col("__isTarget"), explode(col("__bg")).as("__bg"))
+      .select(col(idCol), col("__isTarget"),
+        (F.polyHash(col("__bg")) % buckets).as("f"))
+  }
+
+  /** Per-document DSIR importance weights.
+    *
+    * @param isTarget predicate over `docs` columns marking the target
+    *                 (quality) subset; the raw distribution is all of
+    *                 `docs`, so target counts never exceed raw counts
+    * @return (idCol, weight) — one row per document with ≥ 1 bigram
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val feats = featureRows(
+      docs.withColumn("__isTarget", isTarget), idCol, textCol, buckets)
+    val docF = feats.groupBy(col(idCol), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpF = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"),
+           count(when(col("__isTarget"), lit(1))).as("ct"))
+    val tot = corpF.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val ilr = corpF.crossJoin(broadcast(tot))
+      .select(col("f"), expr(
+        s"""((((ct + 1) * $Scale) DIV (cr + 1))
+           | * ((($buckets + nr) * $Scale) DIV ($buckets + nt))) DIV $Scale
+           | - $Scale""".stripMargin.replace("\n", " ")).as("ilr"))
+    docF.join(broadcast(ilr), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("ilr")).as("weight"))
+  }
+
+  /** Importance selection: keep documents whose weight reaches the
+    * `keepQuantile` exact-interpolated percentile of the corpus weight
+    * distribution (threshold assignment, not a global rank — the CCNet
+    * cutoff idiom, 100 TB-safe). */
+  def select(docs: DataFrame, idCol: String, textCol: String,
+             isTarget: Column, buckets: Int = 1024,
+             keepQuantile: Double = 0.75): DataFrame = {
+    val w = importanceWeights(docs, idCol, textCol, isTarget, buckets)
+    val cut = w.agg(expr(s"percentile(weight, ${keepQuantile}D)").as("__cut"))
+    w.crossJoin(broadcast(cut))
+      .select(col(idCol), col("weight"),
+        (col("weight") >= col("__cut")).cast("int").as("keep"))
+  }
+}

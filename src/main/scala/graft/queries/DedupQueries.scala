@@ -325,6 +325,36 @@ object DedupQueries {
          |  GROUP BY a.vec_id)
          |SELECT a.vec_id, a.cluster, w.dup_of IS NOT NULL AS removed, w.dup_of
          |FROM assigned a LEFT JOIN w USING (vec_id)
-         |ORDER BY a.vec_id""".stripMargin)
+         |ORDER BY a.vec_id""".stripMargin),
+
+    // ---- entity resolution / record linkage (dedup/RecordLinkage):
+    // blocking on (p_brand, p_type) → integer levenshtein ≤ 2 edges →
+    // connected components → canonical min-id + cluster size for EVERY
+    // record (singletons label themselves). Edit distance is an integer,
+    // so the oracle replays the edge set exactly and closes it with the
+    // same recursive min-reachability CTE the components gates use. ----
+    "er_resolve_parts" -> QueryDef.sql(
+      (s, d) => graft.dedup.RecordLinkage.resolve(
+          Tables.part(s, d), "p_partkey", "p_name",
+          blockCols = Seq("p_brand", "p_type"), maxDist = 2)
+        .orderBy(col("p_partkey")),
+      """WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS b, p_type AS t FROM part),
+        |prs AS (SELECT a.id AS doc_a, b2.id AS doc_b
+        |        FROM p a JOIN p b2 ON a.b = b2.b AND a.t = b2.t AND a.id < b2.id
+        |        WHERE abs(length(a.nm) - length(b2.nm)) <= 2
+        |          AND levenshtein(a.nm, b2.nm) <= 2),
+        |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM prs
+        |          UNION ALL SELECT doc_b, doc_a FROM prs),
+        |nodes AS (SELECT doc_a AS id FROM prs UNION SELECT doc_b FROM prs),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.ea, r.r FROM edges e JOIN reach r ON r.id = e.eb),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |lab AS (SELECT p.id, COALESCE(c.component, p.id) AS canon_id
+        |        FROM p LEFT JOIN comp c USING (id))
+        |SELECT id AS p_partkey, canon_id,
+        |  COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
+        |FROM lab ORDER BY p_partkey""".stripMargin)
   )
 }

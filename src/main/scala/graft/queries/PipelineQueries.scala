@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.dedup.Dedup
-import graft.pipeline.Curation
+import graft.pipeline.{Curation, Dsir}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation gates (pipeline/Curation.scala): the dataset-
@@ -231,6 +231,38 @@ object PipelineQueries {
            |  CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tok_sum
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       }),
+
+    // ---- DSIR importance selection (Xie et al. 2023): hashed-bigram
+    // importance reweighting of the raw corpus toward the target (en)
+    // distribution, held in fixed point (centered probability ratio — see
+    // pipeline/Dsir scaladoc); keep = weight >= exact 75th percentile.
+    // The oracle replays features → counts → per-feature ratio → per-doc
+    // weight → cutoff with identical integer arithmetic. ----
+    "pipe_dsir_select" -> QueryDef.sql(
+      (s, d) => Dsir.select(Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en")
+        .orderBy(col("doc_id")),
+      s"""WITH toks AS (SELECT doc_id, lang, ${DedupQueries.duckToks} AS tk FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |         unnest(list_transform(range(greatest(len(tk)-1, 0)),
+         |                               i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+         |       FROM toks),
+         |f AS (SELECT doc_id, lang, ${DedupQueries.duckPoly("bg")} % 1024 AS f FROM bg),
+         |docf AS (SELECT doc_id, f, COUNT(*) AS cnt FROM f GROUP BY doc_id, f),
+         |corpf AS (SELECT f, COUNT(*) AS cr,
+         |            COUNT(*) FILTER (WHERE lang = 'en') AS ct
+         |          FROM f GROUP BY f),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM corpf),
+         |ilr AS (SELECT f, CAST(
+         |          ((((ct + 1) * 1000000) // (cr + 1))
+         |           * (((1024 + nr) * 1000000) // (1024 + nt))) // 1000000
+         |          - 1000000 AS BIGINT) AS ilr
+         |        FROM corpf, tot),
+         |w AS (SELECT doc_id, CAST(SUM(cnt * ilr) AS BIGINT) AS weight
+         |      FROM docf JOIN ilr USING (f) GROUP BY doc_id),
+         |cut AS (SELECT quantile_cont(weight, 0.75) AS c FROM w)
+         |SELECT doc_id, weight, CAST(weight >= c AS INT) AS keep
+         |FROM w, cut ORDER BY doc_id""".stripMargin),
 
     // ---- filter-attrition funnel: C4 → Gopher → CCNet tail cut, the
     // curation-ladder observability report (cumulative survivor counts;

@@ -494,6 +494,47 @@ object TextSearch {
          |  CASE WHEN lm.lm_score >= c.q_hi THEN 'head'
          |       WHEN lm.lm_score >= c.q_lo THEN 'middle'
          |       ELSE 'tail' END AS bucket
-         |FROM lm, cuts c ORDER BY lm.doc_id""".stripMargin)
+         |FROM lm, cuts c ORDER BY lm.doc_id""".stripMargin),
+
+    // ---- X15 SymSpell repair ON THE DATA PATH (text/SpellRepair):
+    // corpus-trained frequency dictionary, broadcast, delete-neighborhood
+    // lookup per synthetic typo (2nd char deleted from one deterministic
+    // token of every 7th doc). SymSpell ranks (dist, -freq, term) and its
+    // candidate generation is exact for dist ≤ 1, where OSA == full
+    // damerau-levenshtein — so the oracle replays the winner by scanning
+    // the whole dictionary. ----
+    "text_spell_repair" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dict = graft.text.SpellRepair.corpusDictionary(docs, "text")
+        val typos = docs
+          .withColumn("__tk", F.tokens(col("text")))
+          .filter(col("doc_id") % 7 === 3 && size(col("__tk")) > 0)
+          .withColumn("__w",
+            expr("__tk[CAST((doc_id DIV 7) % size(__tk) AS INT)]"))
+          .filter(length(col("__w")) >= 4)
+          .select(col("doc_id"),
+            concat(substring(col("__w"), 1, 1),
+                   expr("substring(__w, 3)")).as("typo"))
+        graft.text.SpellRepair.repair(typos, dict, maxEdit = 1)
+          .toDF().orderBy(col("doc_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |dict AS (SELECT t AS w, COUNT(*) AS freq
+         |         FROM (SELECT unnest(tk) AS t FROM toks) u
+         |         GROUP BY t HAVING COUNT(*) >= 2),
+         |ty0 AS (SELECT doc_id, tk[CAST((doc_id // 7) % len(tk) AS INT) + 1] AS w0
+         |        FROM toks WHERE doc_id % 7 = 3 AND len(tk) > 0),
+         |ty AS (SELECT doc_id, substring(w0, 1, 1) || substring(w0, 3) AS typo
+         |       FROM ty0 WHERE length(w0) >= 4),
+         |cand AS (SELECT doc_id, typo, w, freq,
+         |           damerau_levenshtein(typo, w) AS dist
+         |         FROM ty, dict WHERE damerau_levenshtein(typo, w) <= 1),
+         |best AS (SELECT doc_id, typo, w AS corrected, CAST(dist AS INT) AS dist,
+         |           freq, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |             ORDER BY dist, freq DESC, w) AS rk
+         |         FROM cand)
+         |SELECT doc_id, typo, corrected, dist, freq
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)
   )
 }

@@ -15,11 +15,12 @@ import scala.collection.mutable
   *
   * Two dictionary tiers ship: `SymSpell.builtin` is a compact
   * common-English core (fast to build — the default for per-row repair
-  * paths), and `SymSpell.bundled`/`SymSpell.default` load the full
-  * public-domain 82,765-word frequency list (same data the reference
-  * embeds from the SymSpell project). `withCorpus` additionally augments
-  * either tier with corpus-derived frequencies, so rare domain words come
-  * from the data itself.
+  * paths), and `SymSpell.bundled`/`SymSpell.default` load a ~57k-word
+  * frequency list regenerated from English prose in this container
+  * (tools/gen_frequency_dictionary.sh) — playing the role of the frequency
+  * list the reference embeds, without copying that data file. `withCorpus`
+  * additionally augments either tier with corpus-derived frequencies, so
+  * rare domain words come from the data itself.
   */
 final class SymSpell(maxEdit: Int = 2, prefixLen: Int = 7) extends Serializable {
 
