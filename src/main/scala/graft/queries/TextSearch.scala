@@ -20,7 +20,59 @@ object TextSearch {
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
 
+  /** Unrolled BPE-training oracle: each round = pair counts → argmax with
+    * (cnt desc, l, r2) tie-break → run-parity leftmost-greedy merge (a
+    * consumed right symbol can't start another merge, so overlapping runs
+    * — only possible when left == right — merge at odd row-numbers within
+    * the run). Same unroll-the-fixpoint idiom as the graph_kcore /
+    * graph_label_propagation oracles. */
+  private def bpeOracle(rounds: Int): String = {
+    val head = Seq(
+      s"toks AS (SELECT doc_id, $duckToks AS tk FROM documents)",
+      "wf AS (SELECT t AS word, COUNT(*) AS freq FROM (SELECT unnest(tk) AS t FROM toks) u GROUP BY t)",
+      """s0 AS MATERIALIZED (SELECT word, freq, CAST(i AS BIGINT) AS pos,
+        |         substring(word, CAST(i AS INT) + 1, 1) AS tok
+        |       FROM (SELECT word, freq, unnest(range(length(word))) AS i FROM wf) z)"""
+        .stripMargin)
+    val perRound = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"""c$r AS (SELECT a.tok AS l, b.tok AS r2, CAST(SUM(a.freq) AS BIGINT) AS cnt
+           |       FROM s$p a JOIN s$p b ON a.word = b.word AND b.pos = a.pos + 1
+           |       GROUP BY 1, 2)""".stripMargin,
+        s"b$r AS MATERIALIZED (SELECT l, r2, cnt FROM c$r ORDER BY cnt DESC, l, r2 LIMIT 1)",
+        s"""m$r AS (SELECT word, freq, pos, tok,
+           |         coalesce(tok = (SELECT l FROM b$r)
+           |           AND lead(tok) OVER (PARTITION BY word ORDER BY pos)
+           |               = (SELECT r2 FROM b$r), false) AS mt
+           |       FROM s$p)""".stripMargin,
+        s"h$r AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY pos) AS rg FROM m$r)",
+        s"""g$r AS (SELECT word, freq, pos, tok,
+           |         mt AND (ROW_NUMBER() OVER (PARTITION BY word, mt, rg ORDER BY pos) % 2 = 1) AS mh
+           |       FROM h$r)""".stripMargin,
+        s"""s$r AS MATERIALIZED (SELECT word, freq,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos,
+           |         CASE WHEN mh THEN tok || (SELECT r2 FROM b$r) ELSE tok END AS tok
+           |       FROM (SELECT *, lag(mh) OVER (PARTITION BY word ORDER BY pos) AS pm FROM g$r) q$r
+           |       WHERE NOT coalesce(pm, false))""".stripMargin)
+    }
+    val union = (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS mrank, l AS lft, r2 AS rgt, cnt AS pair_freq FROM b$r")
+      .mkString("\nUNION ALL ")
+    (head ++ perRound).mkString("WITH ", ",\n", "\n") + union + "\nORDER BY mrank"
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- BPE tokenizer TRAINING over the corpus (text/Bpe, Sennrich et
+    // al. 2016): 10 merge rounds; integer pair counts and deterministic
+    // tie-breaks make the whole training trajectory — argmax, merge
+    // semantics, counts — replayable by the unrolled oracle. ----
+    "text_bpe_merges" -> QueryDef.sql(
+      (s, d) => graft.text.Bpe.trainMerges(Tables.documents(s, d), "text",
+          rounds = 10)
+        .orderBy(col("mrank")),
+      bpeOracle(10)),
 
     // ---- X1 tokenizer + term frequency ----
     "text_term_frequency" -> QueryDef.sql(
