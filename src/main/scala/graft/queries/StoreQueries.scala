@@ -50,5 +50,40 @@ object StoreQueries {
         |       CASE WHEN doc_id < 5 THEN text || ' v2' ELSE text END AS text
         |FROM base
         |WHERE doc_id NOT BETWEEN 40 AND 44
-        |ORDER BY uri""".stripMargin))
+        |ORDER BY uri""".stripMargin),
+
+    // ---- F7 + snapshot delta: diff two as-of views of the store
+    // (store/SnapshotDiff) — the incremental-reprocessing primitive.
+    // v1 = state after batch 1; v2 = current state after a second batch,
+    // five supersedes, and two tombstones. The oracle states the expected
+    // classification per uri directly from the fixture's construction. ----
+    "store_version_diff" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://gate/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_store_diff").toString
+        val store = new FrameStore(s, dir)
+        val ids1 = store.put(docs.take(40))
+        val seq1 = store.log.agg(max(col("commitSeq"))).head.getLong(0)
+        store.put(docs.drop(40))
+        docs.take(5).zip(ids1.take(5)).foreach { case ((u, t), oldId) =>
+          store.update(oldId, t + " v2", u)
+        }
+        Seq(30, 31).foreach(i => store.delete(ids1(i)))
+        graft.store.SnapshotDiff.diff(
+            store.asOf(seq1), store.latestActive, "uri", "text")
+          .select(col("key").as("uri"), col("status"))
+          .orderBy(col("uri"))
+      },
+      """WITH base AS (
+        |  SELECT doc_id, 'mv2://gate/' || doc_id AS uri
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT uri,
+        |       CASE WHEN doc_id BETWEEN 0 AND 4 THEN 'changed'
+        |            WHEN doc_id IN (30, 31) THEN 'removed'
+        |            WHEN doc_id >= 40 THEN 'added'
+        |            ELSE 'unchanged' END AS status
+        |FROM base ORDER BY uri""".stripMargin))
 }
