@@ -86,6 +86,55 @@ object Curation {
       .filter(col("__rn") <= nPerStratum)
       .drop("__rn1", "__rn")
 
+  /** Exact integer square root as a column: floor(sqrt(x)) with explicit
+    * ±1 correction, because a correctly-rounded double sqrt can land one
+    * ulp past an integer for x near k² once k > 2²⁶ — the correction makes
+    * the result exact for any nonnegative BIGINT, so both engines replay
+    * it bit-identically. */
+  def isqrt(x: Column): Column = {
+    val max = 3037000499L // isqrt(Long.MaxValue): squares above it overflow
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    // nested when, not &&: CaseWhen short-circuits branch conditions, so
+    // the squares are never computed in the overflow region (ANSI mode)
+    val s1 = s0 + when(s0 >= max, lit(0L))
+      .otherwise(when((s0 + 1) * (s0 + 1) <= x, lit(1L)).otherwise(lit(0L)))
+    s1 - when(s1 > max, lit(1L))
+      .otherwise(when(s1 * s1 > x, lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * α = 0.5 upsampling rule, per Raffel et al. 2020 §3.4.3 / the mC4
+    * recipe): per-document keep-rate ∝ n_source^(α−1), normalized so the
+    * SMALLEST source keeps everything — large sources are downsampled
+    * toward the small ones instead of drowning them. With α = ½ the rate
+    * is isqrt(n_min)·10⁶ DIV isqrt(n_s) per million, all exact integers,
+    * and the per-row decision is the same Knuth-hash rule as
+    * [[mixtureSample]] — fully replayable.
+    *
+    * Scale shape: source-count aggregate (map-side combinable) + two tiny
+    * broadcasts + one narrow filter. No data-sized shuffle.
+    *
+    * @return (sourceCol, n_docs, thresh_pm, n_kept) per source
+    */
+  def temperatureSample(docs: DataFrame, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("__n_min"))
+    val thr = counts.crossJoin(broadcast(minN))
+      .withColumn("__is", isqrt(col("n_docs")))
+      .withColumn("__ismin", isqrt(col("__n_min")))
+      .withColumn("thresh_pm", expr("(__ismin * 1000000) DIV __is"))
+      .select(col(sourceCol), col("n_docs"), col("thresh_pm"))
+    val kept = docs
+      .join(broadcast(thr.select(col(sourceCol), col("thresh_pm"))), sourceCol)
+      .filter(idHash(col(idCol)) % 1000000 < col("thresh_pm"))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_kept"))
+    thr.join(kept, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("thresh_pm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Token-budget sequence packing, shard-local: within each shard (in id
     * order) documents are laid head-to-tail and cut into bins of ~`budget`
     * tokens; bin = floor(tokens-before-this-doc / budget). A document that

@@ -455,6 +455,46 @@ object AnalyticsQueries {
     // it stays exactly integer even when the even-count median lands on
     // a half — which keeps every percentile interpolation double-exact
     // across engines (the rel_quantiles parity). ----
+    // ---- hour-of-day seasonal baseline: per (event_type, hour) expected
+    // count = total-at-hour DIV n_days (fixed point), deviation per
+    // (type, day, hour) cell — the diurnal-profile anomaly monitor. Hour
+    // and day come from pure integer arithmetic on epoch micros (UTC), so
+    // no calendar function can diverge between engines. ----
+    "events_hour_baseline" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("__us", unix_micros(col("ts")))
+          .withColumn("day", expr("__us DIV 86400000000"))
+          .withColumn("hr", expr("(__us DIV 3600000000) % 24"))
+        val cells = ev.groupBy(col("event_type"), col("day"), col("hr"))
+          .agg(count(lit(1)).as("cnt"))
+        val nDays = ev.agg(
+          countDistinct(expr("__us DIV 86400000000")).as("__n_days"))
+        val base = cells.groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cnt")).as("__tot"))
+          .crossJoin(broadcast(nDays))
+          .withColumn("baseline_fp", expr("(__tot * 1000000) DIV __n_days"))
+          .select(col("event_type"), col("hr"), col("baseline_fp"))
+        cells.join(base, Seq("event_type", "hr"))
+          .select(col("event_type"), col("day"), col("hr"), col("cnt"),
+            col("baseline_fp"),
+            (col("cnt") * 1000000L - col("baseline_fp")).as("dev_fp"))
+          .orderBy(col("event_type"), col("day"), col("hr"))
+      },
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |cells AS (SELECT event_type, us // 86400000000 AS day,
+        |                 (us // 3600000000) % 24 AS hr, COUNT(*) AS cnt
+        |          FROM e GROUP BY 1, 2, 3),
+        |nd AS (SELECT COUNT(DISTINCT us // 86400000000) AS n_days FROM e),
+        |base AS (SELECT event_type, hr,
+        |           (CAST(SUM(cnt) AS BIGINT) * 1000000)
+        |             // (SELECT n_days FROM nd) AS baseline_fp
+        |         FROM cells GROUP BY 1, 2)
+        |SELECT c.event_type, c.day, c.hr, c.cnt, b.baseline_fp,
+        |       c.cnt * 1000000 - b.baseline_fp AS dev_fp
+        |FROM cells c JOIN base b USING (event_type, hr)
+        |ORDER BY c.event_type, c.day, c.hr""".stripMargin),
+
     "events_mad_outliers" -> QueryDef.sql(
       (s, d) => {
         val ev = Tables.events(s, d)

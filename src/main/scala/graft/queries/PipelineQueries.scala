@@ -232,6 +232,37 @@ object PipelineQueries {
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // ---- temperature-scaled mixture sampling (α = 0.5): per-doc
+    // keep-rate ∝ isqrt(n_min)/isqrt(n_source), smallest source keeps
+    // all — the multilingual upsampling rule, decided by the same Knuth
+    // hash as pipe_mixture_sample. isqrt carries an explicit ±1
+    // correction so both engines' integer square roots agree exactly. ----
+    "pipe_mixture_temperature" -> QueryDef.sql(
+      (s, d) => Curation.temperatureSample(Tables.documents(s, d),
+          "doc_id", "source")
+        .orderBy(col("source")),
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |mn AS (SELECT MIN(n_docs) AS n_min FROM c),
+         |isq AS (SELECT source, n_docs,
+         |          s0 + CASE WHEN (s0+1)*(s0+1) <= n_docs THEN 1 ELSE 0 END
+         |             - CASE WHEN s0*s0 > n_docs THEN 1 ELSE 0 END AS isq_s,
+         |          m0 + CASE WHEN (m0+1)*(m0+1) <= n_min THEN 1 ELSE 0 END
+         |             - CASE WHEN m0*m0 > n_min THEN 1 ELSE 0 END AS isq_m
+         |        FROM (SELECT source, n_docs, n_min,
+         |                CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0,
+         |                CAST(floor(sqrt(CAST(n_min AS DOUBLE))) AS BIGINT) AS m0
+         |              FROM c, mn) z),
+         |thr AS (SELECT source, n_docs, (isq_m * 1000000) // isq_s AS thresh_pm
+         |        FROM isq),
+         |kept AS (SELECT d.source, COUNT(*) AS n_kept
+         |         FROM documents d JOIN thr USING (source)
+         |         WHERE ($duckHash) % 1000000 < thresh_pm
+         |         GROUP BY d.source)
+         |SELECT t.source, t.n_docs, t.thresh_pm,
+         |       COALESCE(k.n_kept, 0) AS n_kept
+         |FROM thr t LEFT JOIN kept k USING (source)
+         |ORDER BY source""".stripMargin),
+
     // ---- DSIR importance selection (Xie et al. 2023): hashed-bigram
     // importance reweighting of the raw corpus toward the target (en)
     // distribution, held in fixed point (centered probability ratio — see

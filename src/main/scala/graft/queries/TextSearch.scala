@@ -548,6 +548,49 @@ object TextSearch {
          |       ELSE 'tail' END AS bucket
          |FROM lm, cuts c ORDER BY lm.doc_id""".stripMargin),
 
+    // ---- vocabulary drift between two corpus slices (src0-9 vs
+    // src10-19): per-term occurrence rates in fixed-point per-million,
+    // top 20 terms by absolute rate delta — the corpus-monitoring signal
+    // a recurring crawl watches between snapshots. All-integer, total
+    // order (|drift| desc, term). ----
+    "text_vocab_drift" -> QueryDef.sql(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(
+            when(expr("CAST(substring(source, 4) AS INT) < 10"), lit("A"))
+              .otherwise(lit("B")).as("grp"),
+            explode(F.tokens(col("text"))).as("term"))
+        val cnts = toks.groupBy(col("term")).agg(
+          count(when(col("grp") === "A", lit(1))).as("ca"),
+          count(when(col("grp") === "B", lit(1))).as("cb"))
+        val tot = cnts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+        cnts.crossJoin(broadcast(tot))
+          .withColumn("rate_a", expr("(ca * 1000000) DIV ta"))
+          .withColumn("rate_b", expr("(cb * 1000000) DIV tb"))
+          .withColumn("drift", col("rate_a") - col("rate_b"))
+          .select(col("term"), col("ca"), col("cb"),
+            col("rate_a"), col("rate_b"), col("drift"))
+          .orderBy(abs(col("drift")).desc, col("term"))
+          .limit(20)
+      },
+      s"""WITH toks AS (SELECT CASE WHEN CAST(substring(source, 4) AS INT) < 10
+         |                          THEN 'A' ELSE 'B' END AS grp,
+         |                     unnest($duckToks) AS term
+         |              FROM documents),
+         |cnts AS (SELECT term,
+         |           COUNT(*) FILTER (WHERE grp = 'A') AS ca,
+         |           COUNT(*) FILTER (WHERE grp = 'B') AS cb
+         |         FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+         |               CAST(SUM(cb) AS BIGINT) AS tb FROM cnts)
+         |SELECT term, ca, cb,
+         |  (ca * 1000000) // ta AS rate_a,
+         |  (cb * 1000000) // tb AS rate_b,
+         |  (ca * 1000000) // ta - (cb * 1000000) // tb AS drift
+         |FROM cnts, tot
+         |ORDER BY abs((ca * 1000000) // ta - (cb * 1000000) // tb) DESC, term
+         |LIMIT 20""".stripMargin),
+
     // ---- X15 SymSpell repair ON THE DATA PATH (text/SpellRepair):
     // corpus-trained frequency dictionary, broadcast, delete-neighborhood
     // lookup per synthetic typo (2nd char deleted from one deterministic

@@ -149,4 +149,30 @@ class PipelineSpec extends SparkSpec {
     val counts = out.map(_._3)
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("isqrt is exact where double sqrt misrounds") {
+    // floor(sqrt((k²-1) as double)) == k (WRONG) for these k; the ±1
+    // correction must bring each back to k-1, and k² itself must give k
+    val ks = Seq(67108865L, 94906265L, 3037000499L)
+    val xs = ks.flatMap(k => Seq(k * k - 1 -> (k - 1), k * k -> k)) ++
+      Seq(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 999999L -> 999L)
+    val out = xs.map(_._1).toDF("x")
+      .select(col("x"), Curation.isqrt(col("x")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { case (x, want) => assert(out(x) == want, s"isqrt($x)") }
+  }
+
+  test("temperature sampling keeps everything from the smallest source and downsamples larger ones") {
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (1000L until 1016L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val rep = Curation.temperatureSample(docs, "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nSmall, tSmall, kSmall) = rep("small")
+    val (nBig, tBig, kBig) = rep("big")
+    assert(nSmall == 16 && tSmall == 1000000L && kSmall == 16) // keeps all
+    // isqrt(16)*1e6 DIV isqrt(100) = 4e6 DIV 10 = 400000 per million
+    assert(nBig == 100 && tBig == 400000L)
+    assert(kBig < 100 && kBig > 0) // genuinely downsampled, hash-decided
+  }
 }
