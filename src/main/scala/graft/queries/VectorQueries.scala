@@ -371,6 +371,43 @@ object VectorQueries {
            |FROM short s, q ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
       }),
 
+    // ---- int8-style scalar quantization (vector/ScalarQuant): per-dim
+    // min/max calibration → codes 0..254 → integer-dot shortlist → exact
+    // re-rank. floor(x·s + 0.5) with an identical operation sequence on
+    // both sides (never round(), whose half-way semantics differ), so
+    // codes, shortlist, and re-rank all replay hash-exactly. ----
+    "vec_scalar_quant" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (mins, scales) = graft.vector.ScalarQuant.calibrate(emb, "embedding", 64)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        graft.vector.ScalarQuant.search(
+          graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
+          "vec_id", "embedding", q, mins, scales, k = 15, shortlist = 40)
+      },
+      s"""WITH e AS (SELECT vec_id, $e AS v FROM embeddings),
+         |cal AS (SELECT d, MIN(v[CAST(d AS INT)+1]) AS mn, MAX(v[CAST(d AS INT)+1]) AS mx
+         |        FROM e, (SELECT unnest(range(64)) AS d) ds GROUP BY d),
+         |sc AS (SELECT d, mn,
+         |         CASE WHEN mx > mn THEN 254.0/(mx - mn) ELSE 0.0 END AS s
+         |       FROM cal),
+         |cd AS (SELECT e.vec_id, s.d,
+         |         CAST(greatest(0.0, least(254.0,
+         |           floor((e.v[CAST(s.d AS INT)+1] - s.mn) * s.s + 0.5))) AS BIGINT) AS c
+         |       FROM e, sc s),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+         |qc AS (SELECT s.d,
+         |         CAST(greatest(0.0, least(254.0,
+         |           floor((q.qv[CAST(s.d AS INT)+1] - s.mn) * s.s + 0.5))) AS BIGINT) AS c
+         |       FROM q, sc s),
+         |dot AS (SELECT cd.vec_id, CAST(SUM(cd.c * qc.c) AS BIGINT) AS qdot
+         |        FROM cd JOIN qc USING (d) GROUP BY cd.vec_id),
+         |short AS (SELECT d2.vec_id, d2.qdot, e.v
+         |          FROM dot d2 JOIN e USING (vec_id)
+         |          ORDER BY d2.qdot DESC, vec_id LIMIT 40)
+         |SELECT s2.vec_id, s2.qdot, ROUND(${duckCos("s2.v", "q.qv")}, 6) AS score
+         |FROM short s2, q ORDER BY score DESC, vec_id LIMIT 15""".stripMargin),
+
     // ---- hyperplane LSH: banded cosine near-dup with exact verification.
     // The oracle replays the deterministic integer hyperplanes, sequential
     // dot folds, bucket keys, and verification — the approximation itself

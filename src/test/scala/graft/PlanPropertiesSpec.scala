@@ -286,4 +286,37 @@ class PlanPropertiesSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(all == Set(0, 1, 2, 3))
   }
+
+  test("DSIR weight join broadcasts the bucket-sized feature table") {
+    val w = graft.pipeline.Dsir.importanceWeights(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en")
+    val p = w.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "per-feature ilr table (<= buckets rows) must broadcast")
+  }
+
+  test("record-linkage blocking compiles to an equi-join, never a cartesian") {
+    val e = graft.dedup.RecordLinkage.linkEdges(
+      Tables.part(spark, sfDir), "p_partkey", "p_name",
+      Seq("p_brand", "p_type"), maxDist = 2)
+    val p = e.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "block keys must drive an equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("scalar-quant shortlist is a bounded TakeOrdered over a narrow scan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (mins, scales) = graft.vector.ScalarQuant.calibrate(emb, "embedding", 64)
+    val q = graft.vector.VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+    val out = graft.vector.ScalarQuant.search(
+      graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
+      "vec_id", "embedding", q, mins, scales, k = 10, shortlist = 40)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "SQ index scan must not shuffle")
+  }
 }
