@@ -246,6 +246,44 @@ object GraphAlgos {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Multi-source BFS: min hop distance from any seed, bounded to `rounds`
+    * hops (the "distance to nearest labeled/seed document" signal — e.g.
+    * hops from a trusted-domain seed set in a link graph). Frontier-free
+    * formulation: each round relaxes ALL current labels through the edge
+    * set and takes the min — monotone, so bounded rounds give exactly the
+    * ≤ rounds-hop distances. Unreached nodes are absent, not null.
+    *
+    * Scale shape: edges repartitioned on src ONCE and persisted (the
+    * components/pageRank idiom) so every round's scatter join is
+    * exchange-free on the edge side; only node-sized (node, dist) rows
+    * move through the per-round min aggregate. Lazy per-round
+    * localCheckpoint, one materializing job at the end, edges released
+    * before returning. */
+  def bfsLayers(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                dedup: Boolean = true,
+                assumeSymmetric: Boolean = false): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = if (dedup) raw.distinct() else raw
+    val sym = if (assumeSymmetric) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val e = sym.repartition(col("src")).persist()
+    var dist = seeds.select(col("node").cast("long"), lit(0L).as("dist"))
+    var i = 0
+    while (i < rounds) {
+      val next = dist.withColumnRenamed("node", "__n")
+        .join(e, col("__n") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    val out = dist.localCheckpoint()
+    e.unpersist(false)
+    out
+  }
+
   /** Degree-oriented triangle counting (the MR/Cohen orientation trick).
     *
     * Undirected edges are canonicalized (a < b), then oriented from the

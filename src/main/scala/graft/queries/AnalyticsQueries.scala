@@ -190,6 +190,90 @@ object AnalyticsQueries {
            |GROUP BY src ORDER BY node""".stripMargin
       }),
 
+    // ---- multi-source BFS hop distance on the sampled co-supplier graph
+    // (GraphAlgos.bfsLayers): seeds = nodes ≡ 0 (mod 97), 3 bounded
+    // rounds; the oracle unrolls each min-relaxation round (materialized
+    // CTEs: each round references the previous one twice). ----
+    "graph_bfs_layers" -> QueryDef.sql(
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .filter(pairKeepCol(col("a"), col("b")))
+          .distinct()
+        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+        GraphAlgos.bfsLayers(sym, seeds, rounds = 3,
+            dedup = false, assumeSymmetric = true)
+          .orderBy(col("node"))
+      },
+      {
+        def round(prev: String, cur: String) =
+          s"""d$cur AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+             |  SELECT node, dist FROM d$prev
+             |  UNION ALL
+             |  SELECT e.dst, d.dist + 1 FROM d$prev d JOIN e0 e ON e.src = d.node) u
+             |GROUP BY node)""".stripMargin
+        s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+           |raw AS (SELECT x.sk AS a, y.sk AS b
+           |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+           |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+           |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+           |                    UNION ALL SELECT b, a FROM canon),
+           |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           |       FROM e0 WHERE src % 97 = 0),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+      }),
+
+    // ---- last-touch attribution: every purchase as-of joined to the
+    // user's latest click within 1 h (ops/AsOfJoin tolerance), rolled up
+    // to a per-day conversion report with fixed-point mean click→purchase
+    // lag. Oracle: DuckDB native ASOF LEFT JOIN + the same staleness CASE
+    // + the same integer rollup. ----
+    "events_attribution" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_us").as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_us").as("c_us"))
+        graft.ops.AsOfJoin.latestPriorTo(purchases, clicks, "user_id",
+            "p_us", "c_us", tolerance = Some(3600000000L))
+          .groupBy(expr("p_us DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+               count(col("click_id")).as("n_attributed"),
+               coalesce(sum(col("p_us") - col("c_us")), lit(0L)).as("lag_sum_us"))
+          .select(col("day"), col("n_purchases"), col("n_attributed"),
+            when(col("n_attributed") > 0,
+              expr("lag_sum_us DIV n_attributed")).otherwise(lit(0L))
+              .as("avg_lag_us"))
+          .orderBy(col("day"))
+      },
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_us AS p_us FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts_us AS c_us FROM ev WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, p.p_us,
+        |        CASE WHEN c_us >= p_us - 3600000000 THEN click_id END AS click_id,
+        |        CASE WHEN c_us >= p_us - 3600000000 THEN c_us END AS c_us
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_us >= c.c_us),
+        |g AS (SELECT p_us // 86400000000 AS day, COUNT(*) AS n_purchases,
+        |        COUNT(click_id) AS n_attributed,
+        |        CAST(COALESCE(SUM(p_us - c_us), 0) AS BIGINT) AS lag_sum
+        |      FROM j GROUP BY 1)
+        |SELECT day, n_purchases, n_attributed,
+        |  CASE WHEN n_attributed > 0 THEN lag_sum // n_attributed
+        |       ELSE 0 END AS avg_lag_us
+        |FROM g ORDER BY day""".stripMargin),
+
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(
       (s, d) => {
