@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics over an edge DataFrame — the batch-graph layer that
@@ -281,6 +282,51 @@ object GraphAlgos {
     }
     val out = dist.localCheckpoint()
     e.unpersist(false)
+    out
+  }
+
+  /** Deterministic random walks — the graph-embedding corpus generator
+    * (DeepWalk/node2vec training data): from each seed, `steps` hops where
+    * hop t leaves node v through neighbor index
+    * ((v·K + t·1000003) mod P) mod deg(v) over the dst-sorted adjacency —
+    * a seedless hash in place of an RNG, so every walk is reproducible
+    * across runs, partitionings, and engines (the mixtureSample
+    * auditability contract applied to walk sampling).
+    *
+    * Scale shape: adjacency indexing is one per-src window (bounded by
+    * degree); each hop is one equi-join keyed on the current node. Walk
+    * state is (seed, node) pairs — seeds-sized, not graph-sized.
+    *
+    * @return (seed, step, node) — step 0 is the seed itself */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
+                  dedup: Boolean = true,
+                  assumeSymmetric: Boolean = false): DataFrame = {
+    import graft.pipeline.Curation.{KnuthMult, HashMod}
+    require(steps >= 1, "steps must be >= 1")
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e0 = if (dedup) raw.distinct() else raw
+    val sym = (if (assumeSymmetric) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      .localCheckpoint()
+    val nbr = sym.withColumn("idx",
+      row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = nbr.join(deg, "src").localCheckpoint()
+    var out = seeds.select(col("node").cast("long").as("seed"),
+      lit(0).as("step"), col("node").cast("long").as("node"))
+    var cur = out
+    var t = 1
+    while (t <= steps) {
+      val nxt = cur.select(col("seed"), col("node").as("__cur"))
+        .join(adj, col("__cur") === col("src"))
+        .filter(col("idx") ===
+          pmod(col("__cur") * lit(KnuthMult) + lit(t * 1000003L), lit(HashMod))
+            % col("deg"))
+        .select(col("seed"), lit(t).as("step"), col("dst").as("node"))
+      out = out.unionByName(nxt)
+      cur = nxt
+      t += 1
+    }
     out
   }
 

@@ -232,6 +232,56 @@ object AnalyticsQueries {
            |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
       }),
 
+    // ---- deterministic random walks (GraphAlgos.randomWalks): hash-
+    // driven neighbor choice over the dst-sorted adjacency — DeepWalk-
+    // style corpus generation with zero RNG state. The oracle rebuilds
+    // the indexed adjacency and unrolls all 3 hops with the same hash
+    // arithmetic. ----
+    "graph_random_walks" -> QueryDef.sql(
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .filter(pairKeepCol(col("a"), col("b")))
+          .distinct()
+        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+        GraphAlgos.randomWalks(sym, seeds, steps = 3,
+            dedup = false, assumeSymmetric = true)
+          .orderBy(col("seed"), col("step"))
+      },
+      {
+        def hop(prev: String, t: Int) =
+          s"""w$t AS MATERIALIZED (SELECT w.seed, $t AS step, n.dst AS node
+             |  FROM $prev w JOIN deg d ON d.src = w.node
+             |  JOIN nbr n ON n.src = w.node
+             |   AND n.idx = ((w.node * $K + ${t * 1000003L}) % $P) % d.deg)"""
+            .stripMargin
+        s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+           |raw AS (SELECT x.sk AS a, y.sk AS b
+           |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+           |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+           |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+           |                    UNION ALL SELECT b, a FROM canon),
+           |nbr AS MATERIALIZED (SELECT src, dst,
+           |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+           |       FROM e0),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+           |w0 AS (SELECT src AS seed, 0 AS step, src AS node
+           |       FROM (SELECT DISTINCT src FROM e0 WHERE src % 97 = 0) s),
+           |${hop("w0", 1)},
+           |${hop("w1", 2)},
+           |${hop("w2", 3)}
+           |SELECT seed, step, node
+           |FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+           |      UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3) u
+           |ORDER BY seed, step""".stripMargin
+      }),
+
     // ---- last-touch attribution: every purchase as-of joined to the
     // user's latest click within 1 h (ops/AsOfJoin tolerance), rolled up
     // to a per-day conversion report with fixed-point mean click→purchase

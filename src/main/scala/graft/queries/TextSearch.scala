@@ -548,6 +548,22 @@ object TextSearch {
          |       ELSE 'tail' END AS bucket
          |FROM lm, cuts c ORDER BY lm.doc_id""".stripMargin),
 
+    // ---- blocklist term filter (the C4 badwords step): per-doc count of
+    // flagged-term token hits, keep = zero hits. One narrow pass over the
+    // token array — no explode, no shuffle. ----
+    "text_blocklist_filter" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__tk", F.tokens(col("text")))
+        .select(col("doc_id"),
+          size(expr("filter(__tk, t -> t IN ('slow', 'batch', 'vector'))"))
+            .cast("long").as("n_hits"))
+        .withColumn("keep", (col("n_hits") === 0).cast("int"))
+        .orderBy(col("doc_id")),
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($duckToks, t -> t IN ('slow', 'batch', 'vector'))) AS BIGINT) AS n_hits,
+         |  CAST(len(list_filter($duckToks, t -> t IN ('slow', 'batch', 'vector'))) = 0 AS INT) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- vocabulary drift between two corpus slices (src0-9 vs
     // src10-19): per-term occurrence rates in fixed-point per-million,
     // top 20 terms by absolute rate delta — the corpus-monitoring signal

@@ -371,6 +371,45 @@ object VectorQueries {
            |FROM short s, q ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
       }),
 
+    // ---- MMR diversified retrieval (vector/Mmr, Carbonell & Goldstein
+    // 1998): cosine shortlist (bounded TakeOrdered), then the greedy
+    // λ·rel − (1−λ)·max-sim-to-picked loop over the collected shortlist
+    // (the sanctioned bounded-top-k′ driver reduction, as in Ask fusion).
+    // The oracle unrolls all 10 picks; every sim is the same index-ordered
+    // double fold, ties break on id, so the whole greedy trajectory
+    // replays hash-exactly. ----
+    "vec_mmr_diversify" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        graft.vector.Mmr.diversify(emb, "vec_id", "embedding", q,
+          k = 10, shortlist = 40, lambda = 0.7)
+      },
+      {
+        val rounds = (2 to 10).map { r =>
+          val pk = r - 1
+          s"""c$r AS (SELECT c.vec_id, c.v, c.rel,
+             |  0.7*c.rel - 0.3*(SELECT MAX(${duckCos("c.v", "pw.v")}) FROM pk$pk pw) AS mmr
+             |  FROM sh c WHERE c.vec_id NOT IN (SELECT vec_id FROM pk$pk)),
+             |p$r AS MATERIALIZED (SELECT * FROM c$r ORDER BY mmr DESC, vec_id LIMIT 1),
+             |pk$r AS MATERIALIZED (SELECT vec_id, v FROM pk$pk
+             |                      UNION ALL SELECT vec_id, v FROM p$r)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to 10).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, vec_id, rel, mmr FROM p$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH e AS (SELECT vec_id, $e AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+           |sh AS MATERIALIZED (SELECT vec_id, v, ${duckCos("v", "q.qv")} AS rel
+           |                    FROM e, q ORDER BY rel DESC, vec_id LIMIT 40),
+           |p1 AS MATERIALIZED (SELECT vec_id, v, rel, 0.7*rel AS mmr FROM sh
+           |                    ORDER BY mmr DESC, vec_id LIMIT 1),
+           |pk1 AS MATERIALIZED (SELECT vec_id, v FROM p1),
+           |$rounds
+           |SELECT rank, vec_id, ROUND(rel, 6) AS relevance, ROUND(mmr, 6) AS mmr
+           |FROM ($union) u ORDER BY rank""".stripMargin
+      }),
+
     // ---- int8-style scalar quantization (vector/ScalarQuant): per-dim
     // min/max calibration → codes 0..254 → integer-dot shortlist → exact
     // re-rank. floor(x·s + 0.5) with an identical operation sequence on
