@@ -63,11 +63,17 @@ object Dsir {
                         isTarget: Column, buckets: Int = 1024): DataFrame = {
     val feats = featureRows(
       docs.withColumn("__isTarget", isTarget), idCol, textCol, buckets)
-    val docF = feats.groupBy(col(idCol), col("f"))
+    // corpus counts derive FROM the per-doc counts (isTarget is
+    // functionally dependent on the doc id, so carrying it in the groupBy
+    // adds no groups): the expensive tokenize→bigram→hash→(id,f) aggregate
+    // is then an identical subtree on both sides of the final join and
+    // Spark's ReuseExchange computes it once — one corpus-scale pass, not
+    // two. At 100 TB that halves the dominant shuffle.
+    val docF = feats.groupBy(col(idCol), col("__isTarget"), col("f"))
       .agg(count(lit(1)).as("cnt"))
-    val corpF = feats.groupBy(col("f"))
-      .agg(count(lit(1)).as("cr"),
-           count(when(col("__isTarget"), lit(1))).as("ct"))
+    val corpF = docF.groupBy(col("f"))
+      .agg(sum(col("cnt")).as("cr"),
+           sum(when(col("__isTarget"), col("cnt")).otherwise(lit(0L))).as("ct"))
     val tot = corpF.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val ilr = corpF.crossJoin(broadcast(tot))
       .select(col("f"), expr(
