@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.graph.GraphAlgos
 import graft.ops.{Funnel, Sketches}
 import graft.pipeline.Curation
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -589,6 +590,51 @@ object AnalyticsQueries {
     // it stays exactly integer even when the even-count median lands on
     // a half — which keeps every percentile interpolation double-exact
     // across engines (the rel_quantiles parity). ----
+    // ---- CUSUM changepoint detection over daily event volumes (Page
+    // 1954): one-sided clamped CUSUM via the prefix-sum identity
+    // s_t = P_t − min(0, min_{τ≤t} P_τ) — max(0, s+dev) recursion becomes
+    // two plain windows, no recursion, all fixed-point integers. Alarm
+    // when s exceeds 3× the per-type daily mean. ----
+    "events_cusum_changepoint" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+        val cells = ev.groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x"))
+        val stats = cells.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("__tot"), count(lit(1)).as("__n"))
+          .withColumn("mean_fp", expr("(__tot * 1000000) DIV __n"))
+          .select(col("event_type"), col("mean_fp"),
+            expr("mean_fp DIV 20").as("__slack"),
+            (col("mean_fp") * 3).as("__h"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.join(broadcast(stats), "event_type")
+          .withColumn("__dev", col("x") * 1000000L - col("mean_fp") - col("__slack"))
+          .withColumn("__p", sum(col("__dev")).over(w))
+          .withColumn("s_fp", col("__p") - least(min(col("__p")).over(w), lit(0L)))
+          .select(col("event_type"), col("day"), col("x"), col("s_fp"),
+            (col("s_fp") > col("__h")).cast("int").as("alarm"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      """WITH cells AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                 COUNT(*) AS x
+        |               FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type,
+        |            (CAST(SUM(x) AS BIGINT) * 1000000) // COUNT(*) AS mean_fp
+        |          FROM cells GROUP BY 1),
+        |j AS (SELECT c.event_type, c.day, c.x, s.mean_fp,
+        |        c.x * 1000000 - s.mean_fp - (s.mean_fp // 20) AS dev,
+        |        s.mean_fp * 3 AS h
+        |      FROM cells c JOIN stats s USING (event_type)),
+        |p AS (SELECT *, SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING) AS pf FROM j),
+        |sc AS (SELECT *, pf - LEAST(MIN(pf) OVER (PARTITION BY event_type
+        |         ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS s_fp FROM p)
+        |SELECT event_type, day, x, CAST(s_fp AS BIGINT) AS s_fp,
+        |  CAST(s_fp > h AS INT) AS alarm
+        |FROM sc ORDER BY event_type, day""".stripMargin),
+
     // ---- hour-of-day seasonal baseline: per (event_type, hour) expected
     // count = total-at-hour DIV n_days (fixed point), deviation per
     // (type, day, hour) cell — the diurnal-profile anomaly monitor. Hour

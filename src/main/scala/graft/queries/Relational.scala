@@ -325,6 +325,85 @@ object Relational {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
 
+    // ---- SURVEY §4 runtime-filter pattern, end-to-end (ops/BloomFilter):
+    // BUILDING-segment customer keys → 8192-bit integer bloom (3 affine
+    // hashes, 32-bit-packed words, bit_or aggregate) → narrow probe-side
+    // prune of orders BEFORE any join, with the exact semi-join truth and
+    // the false-positive count in the report. Every bit and every
+    // pass/fail replays in the oracle. ----
+    "ops_bloom_semijoin" -> QueryDef.sql(
+      (s, d) => {
+        import graft.ops.BloomFilter
+        val m = 8192
+        val bld = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        val words = BloomFilter.build(bld, "c_custkey", m)
+        Tables.orders(s, d).select(col("o_custkey"))
+          .withColumn("pass",
+            BloomFilter.mightContain(col("o_custkey"), words, m))
+          .join(bld.withColumn("__in", lit(1))
+              .withColumnRenamed("c_custkey", "o_custkey"),
+            Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("n_probe"),
+               count(when(col("pass"), lit(1))).as("n_pass"),
+               count(col("__in")).as("n_match"))
+          .select(col("n_probe"), col("n_pass"), col("n_match"),
+            (col("n_pass") - col("n_match")).as("n_false_pos"))
+      },
+      {
+        val (a, b) = (graft.ops.BloomFilter.HashA, graft.ops.BloomFilter.HashB)
+        val p = graft.ops.BloomFilter.P
+        def h(j: Int, k: String = "k") = s"((($k*${a(j)} + ${b(j)}) % $p) % 8192)"
+        s"""WITH bld AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+           |pos AS (${(0 until 3).map(j => s"SELECT ${h(j)} AS pos FROM bld")
+                      .mkString(" UNION ALL ")}),
+           |words AS (SELECT CAST(pos // 32 AS INT) AS w,
+           |            bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+           |          FROM pos GROUP BY 1),
+           |probe AS (SELECT o_custkey AS k FROM orders),
+           |t AS (SELECT probe.k,
+           |        COALESCE(((w0.word >> CAST(${h(0)} % 32 AS INT)) % 2 = 1), false)
+           |    AND COALESCE(((w1.word >> CAST(${h(1)} % 32 AS INT)) % 2 = 1), false)
+           |    AND COALESCE(((w2.word >> CAST(${h(2)} % 32 AS INT)) % 2 = 1), false) AS pass
+           |      FROM probe
+           |      LEFT JOIN words w0 ON w0.w = CAST(${h(0)} // 32 AS INT)
+           |      LEFT JOIN words w1 ON w1.w = CAST(${h(1)} // 32 AS INT)
+           |      LEFT JOIN words w2 ON w2.w = CAST(${h(2)} // 32 AS INT))
+           |SELECT COUNT(*) AS n_probe,
+           |  COUNT(*) FILTER (WHERE pass) AS n_pass,
+           |  COUNT(*) FILTER (WHERE k IN (SELECT k FROM bld)) AS n_match,
+           |  COUNT(*) FILTER (WHERE pass) -
+           |    COUNT(*) FILTER (WHERE k IN (SELECT k FROM bld)) AS n_false_pos
+           |FROM t""".stripMargin
+      }),
+
+    // ---- SURVEY §4 data layout: Z-order (Morton) clustering report
+    // (ops/ZOrder, the OPTIMIZE ZORDER BY primitive). Every lineitem row
+    // gets the bit-interleave of (partkey, suppkey); 64 z-range buckets
+    // then show per-bucket min/max of BOTH dimensions — the file-stats
+    // tightness that makes two-column predicate skipping work. Pure
+    // literal-mask BIGINT twiddling, replayed exactly. ----
+    "ops_zorder_layout" -> QueryDef.sql(
+      (s, d) => {
+        import graft.ops.ZOrder
+        Tables.lineitem(s, d)
+          .select(
+            ZOrder.zValue(pmod(col("l_partkey"), lit(65536)),
+                          pmod(col("l_suppkey"), lit(65536))).as("z"),
+            col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .groupBy(expr("z DIV 65536").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+               min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+               min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+          .orderBy(col("bucket"))
+      },
+      s"""SELECT z // 65536 AS bucket, COUNT(*) AS n_rows,
+         |  MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |FROM (SELECT ${graft.ops.ZOrder.duckZ("l_partkey % 65536", "l_suppkey % 65536")} AS z,
+         |        l_partkey AS pk, l_suppkey AS sk FROM lineitem) t
+         |GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     // ---- SURVEY §4 bucketing, end-to-end: both sides written bucketed
     // on the join key, joined WITHOUT a shuffle (the 0-exchange SMJ plan
     // is locked in BucketingSpec), and the result must hash-match the
