@@ -354,6 +354,43 @@ final class Graft(val spark: SparkSession, basePath: String,
   def keywords(k: Int = 3): DataFrame =
     graft.text.Keywords.tfidfTopK(liveDocs, "id", "text", k)
 
+  /** DSIR-style importance selection of live documents toward a target
+    * subset (predicate over document columns): (id, weight, keep) with
+    * keep decided at the exact `keepQuantile` percentile */
+  def importanceSelect(isTarget: org.apache.spark.sql.Column,
+                       keepQuantile: Double = 0.75): DataFrame =
+    graft.pipeline.Dsir.select(liveDocs, "id", "text", isTarget,
+      keepQuantile = keepQuantile)
+
+  /** train a BPE merge table over the live corpus (rank, lft, rgt,
+    * pair_freq) — see text/Bpe */
+  def trainTokenizer(rounds: Int = 32): DataFrame =
+    graft.text.Bpe.trainMerges(liveDocs, "text", rounds)
+
+  /** per-document token counts under a trained merge table (whitespace
+    * vs BPE subtokens) — the packing/budgeting signal */
+  def tokenCounts(merges: Seq[(String, String)]): DataFrame =
+    graft.text.Bpe.encodeTokenCounts(liveDocs, "id", "text", merges)
+
+  /** SymSpell-repair a (id, typo) relation against a dictionary trained
+    * on the live corpus */
+  def spellRepair(typos: DataFrame, maxEdit: Int = 1): DataFrame = {
+    val dict = graft.text.SpellRepair.corpusDictionary(liveDocs, "text")
+    graft.text.SpellRepair.repair(
+      typos.withColumnRenamed(typos.columns.head, "doc_id"), dict, maxEdit).toDF()
+  }
+
+  /** current commit watermark — capture before a batch of writes, then
+    * [[changesSince]] that value to get the delta */
+  def currentVersion: Long =
+    frames.log.agg(max(col("commitSeq"))).head.getLong(0)
+
+  /** snapshot delta vs an earlier commit: every live uri classified
+    * added/removed/changed/unchanged (incremental-reprocessing input) */
+  def changesSince(commitSeq: Long): DataFrame =
+    graft.store.SnapshotDiff.diff(frames.asOf(commitSeq), frames.latestActive,
+      "uri", "text")
+
   /** per-document quality signals: token counts + duplicate-ngram fraction */
   def qualityReport(): DataFrame = {
     graft.Sessions.ensureFunctions(spark)

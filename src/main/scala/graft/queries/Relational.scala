@@ -325,6 +325,32 @@ object Relational {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
 
+    // ---- SURVEY §4 skew diagnostics: per-key concentration report — the
+    // signal that decides when ops/Salt and AQE skew-join are needed.
+    // share_ppm = key share of all rows; skew_x_ppm = multiple of the
+    // uniform expectation (1e6 = perfectly uniform), both fixed point. ----
+    "ops_skew_report" -> QueryDef.sql(
+      (s, d) => {
+        val cnt = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+        val tot = cnt.agg(sum(col("n_rows")).as("__tot"),
+          count(lit(1)).as("__nkeys"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("l_suppkey"), col("n_rows"),
+            expr("(n_rows * 1000000) DIV __tot").as("share_ppm"),
+            expr("(n_rows * __nkeys * 1000000) DIV __tot").as("skew_x_ppm"))
+          .orderBy(col("n_rows").desc, col("l_suppkey")).limit(15)
+      },
+      """WITH cnt AS (SELECT l_suppkey, COUNT(*) AS n_rows
+        |             FROM lineitem GROUP BY l_suppkey),
+        |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+        |               COUNT(*) AS nk FROM cnt)
+        |SELECT l_suppkey, n_rows,
+        |  (n_rows * 1000000) // t AS share_ppm,
+        |  (n_rows * nk * 1000000) // t AS skew_x_ppm
+        |FROM cnt, tot
+        |ORDER BY n_rows DESC, l_suppkey LIMIT 15""".stripMargin),
+
     // ---- SURVEY §4 runtime-filter pattern, end-to-end (ops/BloomFilter):
     // BUILDING-segment customer keys → 8192-bit integer bloom (3 affine
     // hashes, 32-bit-packed words, bit_or aggregate) → narrow probe-side

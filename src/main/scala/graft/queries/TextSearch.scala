@@ -27,6 +27,15 @@ object TextSearch {
     * the run). Same unroll-the-fixpoint idiom as the graph_kcore /
     * graph_label_propagation oracles. */
   private def bpeOracle(rounds: Int): String = {
+    val union = (1 to rounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS mrank, l AS lft, r2 AS rgt, cnt AS pair_freq FROM b$r")
+      .mkString("\nUNION ALL ")
+    bpeCtes(rounds) + union + "\nORDER BY mrank"
+  }
+
+  /** just the training CTE chain (toks/wf/s0..s{rounds}), reused by the
+    * encode gate */
+  private def bpeCtes(rounds: Int): String = {
     val head = Seq(
       s"toks AS (SELECT doc_id, $duckToks AS tk FROM documents)",
       "wf AS (SELECT t AS word, COUNT(*) AS freq FROM (SELECT unnest(tk) AS t FROM toks) u GROUP BY t)",
@@ -56,10 +65,7 @@ object TextSearch {
            |       FROM (SELECT *, lag(mh) OVER (PARTITION BY word ORDER BY pos) AS pm FROM g$r) q$r
            |       WHERE NOT coalesce(pm, false))""".stripMargin)
     }
-    val union = (1 to rounds).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS mrank, l AS lft, r2 AS rgt, cnt AS pair_freq FROM b$r")
-      .mkString("\nUNION ALL ")
-    (head ++ perRound).mkString("WITH ", ",\n", "\n") + union + "\nORDER BY mrank"
+    (head ++ perRound).mkString("WITH ", ",\n", "\n")
   }
 
   def defs: Map[String, QueryDef] = Map(
@@ -547,6 +553,29 @@ object TextSearch {
          |       WHEN lm.lm_score >= c.q_lo THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM lm, cuts c ORDER BY lm.doc_id""".stripMargin),
+
+    // ---- BPE ENCODE with the trained merges (train → encode, the full
+    // tokenizer loop): per-doc whitespace vs BPE-subtoken counts. The
+    // merge table is applied over the vocabulary (10 narrow folds), docs
+    // priced by an equi-join; the oracle reuses the training CTE chain
+    // and reads subtoken counts straight out of the final state s10. ----
+    "text_bpe_encode" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.text.Bpe.trainMerges(docs, "text", rounds = 10)
+          .orderBy(col("mrank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.text.Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+          .orderBy(col("doc_id"))
+      },
+      bpeCtes(10).stripSuffix("\n") + ",\n" +
+        """wsub AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+          |         FROM s10 GROUP BY word),
+          |dt AS (SELECT doc_id, unnest(tk) AS word FROM toks)
+          |SELECT doc_id, COUNT(*) AS n_tok_ws,
+          |  CAST(SUM(n_sub) AS BIGINT) AS n_tok_bpe
+          |FROM dt JOIN wsub USING (word)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // ---- blocklist term filter (the C4 badwords step): per-doc count of
     // flagged-term token hits, keep = zero hits. One narrow pass over the

@@ -35,6 +35,21 @@ object Bpe {
 
   private def lit1(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
 
+  /** leftmost-greedy merge of every (l, r) adjacency as a SQL index fold —
+    * a consumed right symbol is skipped, so overlapping runs merge at even
+    * offsets only (the reference BPE semantics) */
+  private def mergeFold(l: String, r: String): String = {
+    val (lq, rq) = (lit1(l), lit1(r))
+    s"""aggregate(sequence(0, size(toks)-1),
+       |  named_struct('acc', CAST(array() AS array<string>), 'skip', false),
+       |  (s, i) -> CASE
+       |    WHEN s.skip THEN named_struct('acc', s.acc, 'skip', false)
+       |    WHEN i < size(toks)-1 AND toks[i] = '$lq' AND toks[i+1] = '$rq'
+       |      THEN named_struct('acc', concat(s.acc, array('$lq$rq')), 'skip', true)
+       |    ELSE named_struct('acc', concat(s.acc, array(toks[i])), 'skip', false) END,
+       |  s -> s.acc)""".stripMargin
+  }
+
   /** Train `rounds` BPE merges over the tokenized corpus.
     * @return DataFrame (mrank, lft, rgt, pair_freq), one row per merge in
     *         training order (may be fewer than `rounds` if pairs run out)
@@ -66,24 +81,43 @@ object Bpe {
         val (l, rg, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(r.toLong, l, rg, cnt)
-        val (lq, rq) = (lit1(l), lit1(rg))
-        // leftmost-greedy merge of every (l, rg) adjacency: an index fold —
-        // a consumed right symbol is skipped, so overlapping runs merge at
-        // even offsets only (the reference BPE semantics)
-        state = state.withColumn("toks", expr(
-          s"""aggregate(sequence(0, size(toks)-1),
-             |  named_struct('acc', CAST(array() AS array<string>), 'skip', false),
-             |  (s, i) -> CASE
-             |    WHEN s.skip THEN named_struct('acc', s.acc, 'skip', false)
-             |    WHEN i < size(toks)-1 AND toks[i] = '$lq' AND toks[i+1] = '$rq'
-             |      THEN named_struct('acc', concat(s.acc, array('$lq$rq')), 'skip', true)
-             |    ELSE named_struct('acc', concat(s.acc, array(toks[i])), 'skip', false) END,
-             |  s -> s.acc)""".stripMargin))
+        state = state.withColumn("toks", expr(mergeFold(l, rg)))
           .localCheckpoint()
         r += 1
       }
     }
     merges.toSeq.toDF()
+  }
+
+  /** Distributed corpus encode under a trained merge table: per-document
+    * whitespace-token and BPE-subtoken counts — the sequence-length signal
+    * packing and budgeting run on (`Curation.packGreedy`'s input at real
+    * token granularity).
+    *
+    * Scale shape: the merge application runs over the VOCABULARY — one
+    * distinct plus `merges.size` narrow fold passes over a word-sized
+    * table — and documents are then priced by an equi-join on the word
+    * (Catalyst broadcasts the vocab side while it fits; at web-scale
+    * vocabularies it degrades to a plain shuffle join, never a scan of
+    * reapplied merges per document occurrence). One corpus-scale explode +
+    * one combinable aggregate.
+    *
+    * @return (idCol, n_tok_ws, n_tok_bpe)
+    */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(F.tokens(col(textCol))).as("word"))
+    var vocab = toks.select(col("word")).distinct()
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    merges.foreach { case (l, r) =>
+      vocab = vocab.withColumn("toks", expr(mergeFold(l, r)))
+    }
+    val sub = vocab.select(col("word"), size(col("toks")).cast("long").as("n_sub"))
+    toks.join(sub, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok_ws"), sum(col("n_sub")).as("n_tok_bpe"))
   }
 
   /** Apply a trained merge table to one token (greedy by merge rank) —

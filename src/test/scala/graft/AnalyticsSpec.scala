@@ -346,4 +346,37 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(a.sameElements(b))
   }
+
+  test("graft facade: tokenizer train -> encode and importance selection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val g = new api.Graft(spark, dir)
+    g.put("mv2://a", "alpha beta alpha beta gamma")
+    g.put("mv2://b", "alpha beta alpha alpha beta")
+    g.put("mv2://c", "delta epsilon zeta")
+    val merges = g.trainTokenizer(rounds = 4).orderBy("mrank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val counts = g.tokenCounts(merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // BPE can only shrink relative to characters and never below the
+    // whitespace token count
+    counts.values.foreach { case (ws, bpe) => assert(bpe >= ws) }
+    val sel = g.importanceSelect(col("text").contains("alpha"),
+      keepQuantile = 0.5).collect()
+    assert(sel.length == 3 && sel.count(_.getInt(2) == 1) >= 1)
+  }
+
+  test("graft facade: changesSince classifies the delta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    val g = new api.Graft(spark, dir)
+    val id1 = g.put("mv2://x", "original text here").get
+    g.put("mv2://y", "stays the same")
+    val seq1 = g.currentVersion
+    g.update(id1, "edited text here", "mv2://x")
+    g.put("mv2://z", "brand new doc")
+    val r = g.changesSince(seq1).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("mv2://x" -> "changed", "mv2://y" -> "unchanged",
+      "mv2://z" -> "added"))
+  }
 }
