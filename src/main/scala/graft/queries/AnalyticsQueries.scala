@@ -283,6 +283,53 @@ object AnalyticsQueries {
            |ORDER BY seed, step""".stripMargin
       }),
 
+    // ---- resource-allocation link prediction (Zhou/Lü/Zhang 2009):
+    // RA(a,b) = Σ_z 1/deg(z) over common neighbors, held exactly as
+    // Σ 10⁶ DIV deg(z); centers capped at deg ≤ 64 (documented hub
+    // exclusion — the same bounded-wedge discipline as neighbor-jaccard)
+    // and existing edges anti-joined away. ----
+    "graph_resource_alloc" -> QueryDef.sql(
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .filter(pairKeepCol(col("a"), col("b")))
+          .distinct()
+        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val en = sym.join(deg.filter(col("deg") <= 64), "src")
+          .select(col("src").as("z"), col("dst").as("n"),
+            expr("1000000 DIV deg").as("w"))
+        val ra = en.select(col("z"), col("n").as("pa"), col("w"))
+          .join(en.select(col("z"), col("n").as("pb")), "z")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(sum(col("w")).as("ra_fp"), count(lit(1)).as("n_common"))
+        ra.join(pairs,
+            ra("pa") === pairs("a") && ra("pb") === pairs("b"), "left_anti")
+          .orderBy(col("ra_fp").desc, col("pa"), col("pb")).limit(20)
+      },
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |raw AS (SELECT x.sk AS a, y.sk AS b
+         |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+         |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+         |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
+         |                    UNION ALL SELECT b, a FROM canon),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+         |en AS MATERIALIZED (SELECT e.src AS z, e.dst AS n, 1000000 // d.deg AS w
+         |      FROM e0 e JOIN deg d ON d.src = e.src AND d.deg <= 64),
+         |ra AS (SELECT x.n AS pa, y.n AS pb,
+         |         CAST(SUM(x.w) AS BIGINT) AS ra_fp, COUNT(*) AS n_common
+         |       FROM en x JOIN en y ON x.z = y.z AND x.n < y.n
+         |       GROUP BY 1, 2)
+         |SELECT pa, pb, ra_fp, n_common FROM ra
+         |WHERE NOT EXISTS (SELECT 1 FROM canon c
+         |                  WHERE c.a = ra.pa AND c.b = ra.pb)
+         |ORDER BY ra_fp DESC, pa, pb LIMIT 20""".stripMargin),
+
     // ---- last-touch attribution: every purchase as-of joined to the
     // user's latest click within 1 h (ops/AsOfJoin tolerance), rolled up
     // to a per-day conversion report with fixed-point mean click→purchase

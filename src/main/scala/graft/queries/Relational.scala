@@ -325,6 +325,48 @@ object Relational {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY tier ORDER BY tier""".stripMargin),
 
+    // ---- SURVEY §4 bitmap index: per-predicate 32-bit-packed key bitmaps
+    // (bit_or aggregate over chunked o_orderkey), predicate conjunction as
+    // per-chunk word AND + bit_count — the roaring-bitmap join-free
+    // multi-predicate counting pattern. The report carries the direct
+    // COUNT alongside, so the bitmap arithmetic is self-checking. ----
+    "ops_bitmap_index" -> QueryDef.sql(
+      (s, d) => {
+        val pow2 = typedlit(Array.tabulate(32)(i => 1L << i))
+        val ord = Tables.orders(s, d)
+        def bitmap(cond: Column, name: String) = ord.filter(cond)
+          .select(expr("o_orderkey DIV 32").as("chunk"),
+            element_at(pow2,
+              pmod(col("o_orderkey"), lit(32)).cast("int") + 1).as("b"))
+          .groupBy(col("chunk")).agg(expr("bit_or(b)").as(name))
+        val wa = bitmap(
+          col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"), "wa")
+        val wb = bitmap(col("o_orderstatus") === "F", "wb")
+        val bm = wa.join(wb, "chunk")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(expr("bit_count(wa & wb)")).cast("long").as("n_bitmap"))
+        val direct = ord.filter(
+            col("o_orderpriority").isin("1-URGENT", "3-MEDIUM") &&
+            col("o_orderstatus") === "F")
+          .agg(count(lit(1)).as("n_direct"))
+        bm.crossJoin(direct)
+          .select(col("n_chunks"), col("n_bitmap"), col("n_direct"))
+      },
+      """WITH wa AS (SELECT o_orderkey // 32 AS chunk,
+        |              bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 32 AS INT)) AS wa
+        |            FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |            GROUP BY 1),
+        |wb AS (SELECT o_orderkey // 32 AS chunk,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 32 AS INT)) AS wb
+        |       FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |bm AS (SELECT COUNT(*) AS n_chunks,
+        |         CAST(SUM(bit_count(wa & wb)) AS BIGINT) AS n_bitmap
+        |       FROM wa JOIN wb USING (chunk)),
+        |direct AS (SELECT COUNT(*) AS n_direct FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |             AND o_orderstatus = 'F')
+        |SELECT n_chunks, n_bitmap, n_direct FROM bm, direct""".stripMargin),
+
     // ---- SURVEY §4 skew diagnostics: per-key concentration report — the
     // signal that decides when ops/Salt and AQE skew-join are needed.
     // share_ppm = key share of all rows; skew_x_ppm = multiple of the

@@ -593,6 +593,49 @@ object TextSearch {
          |  CAST(len(list_filter($duckToks, t -> t IN ('slow', 'batch', 'vector'))) = 0 AS INT) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- term-association lift (PMI-style, fixed point): for adjacent
+    // bigrams with support ≥ 5, lift = P(w1w2)/(P(w1)·P(w2)) held as
+    // (c12·10⁶) DIV max((c1·c2) DIV N, 1) — division order bounds the
+    // intermediates at web scale (c1·c2 first would overflow with 1e9+
+    // token corpora if multiplied by the scale too). Top 20 by lift. ----
+    "text_term_assoc" -> QueryDef.sql(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), F.tokens(col("text")).as("tk"))
+        val adj = toks.select(explode(when(size(col("tk")) >= 2,
+            expr("transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))"))
+          .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val uni = toks.select(explode(col("tk")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val n = toks.select(explode(col("tk")).as("w"))
+          .agg(count(lit(1)).as("__n"))
+        adj.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            expr("(c12 * 1000000) DIV greatest((c1 * c2) DIV __n, 1)")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(20)
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |adj AS (SELECT unnest(list_transform(range(greatest(len(tk)-1, 0)),
+         |          i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS p
+         |        FROM toks),
+         |a2 AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM adj),
+         |uni AS (SELECT t AS w, COUNT(*) AS c
+         |        FROM (SELECT unnest(tk) AS t FROM toks) u GROUP BY t),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM uni),
+         |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM a2 GROUP BY 1, 2
+         |        HAVING COUNT(*) >= 5)
+         |SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+         |  (b.c12 * 1000000) // greatest((u1.c * u2.c) // n.nn, 1) AS lift_ppm
+         |FROM big b JOIN uni u1 ON u1.w = b.w1
+         |           JOIN uni u2 ON u2.w = b.w2, n
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin),
+
     // ---- vocabulary drift between two corpus slices (src0-9 vs
     // src10-19): per-term occurrence rates in fixed-point per-million,
     // top 20 terms by absolute rate delta — the corpus-monitoring signal

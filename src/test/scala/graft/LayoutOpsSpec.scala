@@ -42,6 +42,35 @@ class LayoutOpsSpec extends SparkSpec {
     assert(fp < nonMembers.size / 5, s"fp rate too high: $fp/${nonMembers.size}")
   }
 
+  test("bitmap-index count agrees with the direct predicate count") {
+    val r = Registry.all("ops_bitmap_index").fn(spark, sfDir).head
+    assert(r.getLong(1) == r.getLong(2),
+      s"bitmap ${r.getLong(1)} != direct ${r.getLong(2)}")
+    assert(r.getLong(0) > 0)
+  }
+
+  test("resource-allocation index weights common neighbors by 1/degree") {
+    import graft.pipeline.Curation
+    // z1 (deg 2) and z2 (deg 3) both connect 1 and 2; prediction (1,2)
+    // gets 1e6/2 + 1e6/3; pair (1,3) shares only z2 -> 1e6/3
+    val pairs = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L))
+    // reuse the gate's shape inline: symmetric edges, deg, wedge join
+    val e = pairs.toDF("a", "b")
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val en = sym.join(deg, "src")
+      .select(col("src").as("z"), col("dst").as("n"),
+        expr("1000000 DIV deg").as("w"))
+    val ra = en.select(col("z"), col("n").as("pa"), col("w"))
+      .join(en.select(col("z"), col("n").as("pb")), "z")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(sum(col("w")).as("ra_fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ra((1L, 2L)) == 500000L + 333333L)
+    assert(ra((1L, 3L)) == 333333L && ra((2L, 3L)) == 333333L)
+  }
+
   test("CUSUM prefix-sum identity equals the clamped recursion") {
     // the gate computes s_t = P_t - min(0, running_min(P)); pin it against
     // the textbook recursion s_t = max(0, s_{t-1} + dev_t) on raw devs
