@@ -637,6 +637,23 @@ object AnalyticsQueries {
     // it stays exactly integer even when the even-count median lands on
     // a half — which keeps every percentile interpolation double-exact
     // across engines (the rel_quantiles parity). ----
+    // ---- STREAMING windowed counts through the oracle gate: a genuine
+    // Structured Streaming query (readStream → watermark → window agg →
+    // memory sink, AvailableNow) whose drained complete-mode result must
+    // hash-match the DuckDB batch aggregate — the streaming execution
+    // path itself under the same bit-exactness contract as every batch
+    // gate. ----
+    "stream_windowed_counts" -> QueryDef.sql(
+      (s, d) => graft.streaming.StreamingIngest
+        .runWindowedOnce(s, d, "events.parquet", "1 day")
+        .select(unix_micros(col("window_start")).as("ws_us"),
+          col("event_type"), col("n"), col("value_e4"))
+        .orderBy(col("ws_us"), col("event_type")),
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS ws_us,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
+        |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin),
+
     // ---- CUSUM changepoint detection over daily event volumes (Page
     // 1954): one-sided clamped CUSUM via the prefix-sum identity
     // s_t = P_t − min(0, min_{τ≤t} P_τ) — max(0, s+dev) recursion becomes

@@ -90,6 +90,44 @@ object StreamingIngest {
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */
+  /** One-shot STREAMING aggregation over a static parquet directory: the
+    * same windowed count runs as a genuine Structured Streaming query
+    * (readStream → watermark → window agg → memory sink, complete mode,
+    * Trigger.AvailableNow) and the final result comes back as a batch
+    * DataFrame — which is what lets a streaming plan face the DuckDB
+    * oracle hash-exactly (`stream_windowed_counts`). With AvailableNow the
+    * stream drains everything and stops, so the complete-mode table equals
+    * the batch aggregate by Structured Streaming's own correctness
+    * contract — the gate PROVES it per value. The value sum is the e4
+    * fixed-point BIGINT (order-free) like every money aggregate here.
+    */
+  def runWindowedOnce(spark: SparkSession, dir: String, glob: String,
+                      windowDur: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val ev =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val agg = ev
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 10000).cast("long")).as("value_e4"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_e4"))
+    val name = "graft_stream_gate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint()
+    out
+  }
+
   def windowedEventCounts(events: DataFrame, windowDur: String,
                           watermark: String): DataFrame =
     events

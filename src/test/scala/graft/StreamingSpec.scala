@@ -245,4 +245,23 @@ class StreamingSpec extends SparkSpec {
         s"got ${u1.toSeq}") // start extended BACK to the late event
     } finally q.stop()
   }
+
+  test("runWindowedOnce drains the stream and equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingIngest
+      .runWindowedOnce(spark, sfDir, "events.parquet", "1 day")
+      .select(unix_micros(col("window_start")).as("ws"), col("event_type"),
+        col("n"), col("value_e4"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(expr("(unix_micros(ts) DIV 86400000000) * 86400000000").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          * 10000).cast("long")).as("value_e4"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
