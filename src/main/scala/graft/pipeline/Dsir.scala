@@ -92,7 +92,12 @@ object Dsir {
   def select(docs: DataFrame, idCol: String, textCol: String,
              isTarget: Column, buckets: Int = 1024,
              keepQuantile: Double = 0.75): DataFrame = {
+    // materialize the weights ONCE before the cutoff aggregate — `w` feeds
+    // both the percentile and the output join, and without the checkpoint
+    // the whole corpus-scale feature pipeline runs twice (the
+    // BigramLM.score/ccnetBuckets idiom; measured 34-exchange plan → 4)
     val w = importanceWeights(docs, idCol, textCol, isTarget, buckets)
+      .localCheckpoint()
     val cut = w.agg(expr(s"percentile(weight, ${keepQuantile}D)").as("__cut"))
     w.crossJoin(broadcast(cut))
       .select(col(idCol), col("weight"),

@@ -285,9 +285,12 @@ object AnalyticsQueries {
 
     // ---- resource-allocation link prediction (Zhou/Lü/Zhang 2009):
     // RA(a,b) = Σ_z 1/deg(z) over common neighbors, held exactly as
-    // Σ 10⁶ DIV deg(z); centers capped at deg ≤ 64 (documented hub
-    // exclusion — the same bounded-wedge discipline as neighbor-jaccard)
-    // and existing edges anti-joined away. ----
+    // Σ 10⁶ DIV deg(z). Wedge fan-out is bounded by the bottom-64
+    // neighbors (by id) per center — the deterministic capped-list
+    // discipline of neighbor-jaccard (a deg-threshold exclusion instead
+    // would empty out at larger SFs where every center is a hub); the
+    // 1/deg weight still reflects the TRUE degree. Existing edges
+    // anti-joined away. ----
     "graph_resource_alloc" -> QueryDef.sql(
       (s, d) => {
         val ps = Tables.lineitem(s, d)
@@ -300,9 +303,16 @@ object AnalyticsQueries {
         val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
           .union(pairs.select(col("b").as("src"), col("a").as("dst")))
         val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        val en = sym.join(deg.filter(col("deg") <= 64), "src")
+        // checkpoint: en sits on BOTH sides of the wedge self-join — without
+        // this the sampled-pairs build runs twice (measured 58 exchanges)
+        val en = sym
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("dst"))))
+          .filter(col("__rn") <= 64)
+          .join(deg, "src")
           .select(col("src").as("z"), col("dst").as("n"),
             expr("1000000 DIV deg").as("w"))
+          .localCheckpoint()
         val ra = en.select(col("z"), col("n").as("pa"), col("w"))
           .join(en.select(col("z"), col("n").as("pb")), "z")
           .filter(col("pa") < col("pb"))
@@ -319,8 +329,12 @@ object AnalyticsQueries {
          |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
          |                    UNION ALL SELECT b, a FROM canon),
          |deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+         |nb AS (SELECT src, dst,
+         |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |       FROM e0),
          |en AS MATERIALIZED (SELECT e.src AS z, e.dst AS n, 1000000 // d.deg AS w
-         |      FROM e0 e JOIN deg d ON d.src = e.src AND d.deg <= 64),
+         |      FROM nb e JOIN deg d ON d.src = e.src
+         |      WHERE e.rn <= 64),
          |ra AS (SELECT x.n AS pa, y.n AS pb,
          |         CAST(SUM(x.w) AS BIGINT) AS ra_fp, COUNT(*) AS n_common
          |       FROM en x JOIN en y ON x.z = y.z AND x.n < y.n
