@@ -38,16 +38,17 @@ object Dsir {
   val Scale = 1000000L
 
   /** Hashed-bigram feature ids for a text column: polyHash("w1 w2") mod
-    * buckets. Narrow; empty/1-token docs produce no features. */
+    * buckets. Narrow; empty/1-token docs produce no features. The bigram
+    * build is the codegen WordShinglesExpr (n = 2), not a lambda HOF —
+    * generator constraints copied below the explode re-derive the chain
+    * per row when it is interpreted (the planning lesson SCALE.md
+    * records; an A/B on this exact pipeline measured the HOF form ~2×
+    * slower end-to-end at sf0.1). */
   private def featureRows(docs: DataFrame, idCol: String, textCol: String,
                           buckets: Int): DataFrame = {
     docs
-      .withColumn("__tk", F.tokens(col(textCol)))
-      .withColumn("__bg",
-        when(size(col("__tk")) >= 2,
-          expr("transform(sequence(0, size(__tk)-2), i -> concat(__tk[i], ' ', __tk[i+1]))"))
-        .otherwise(expr("CAST(array() AS array<string>)")))
-      .select(col(idCol), col("__isTarget"), explode(col("__bg")).as("__bg"))
+      .select(col(idCol), col("__isTarget"),
+        explode(F.shinglesFromTokens(F.tokens(col(textCol)), 2)).as("__bg"))
       .select(col(idCol), col("__isTarget"),
         (F.polyHash(col("__bg")) % buckets).as("f"))
   }
@@ -95,7 +96,8 @@ object Dsir {
     // materialize the weights ONCE before the cutoff aggregate — `w` feeds
     // both the percentile and the output join, and without the checkpoint
     // the whole corpus-scale feature pipeline runs twice (the
-    // BigramLM.score/ccnetBuckets idiom; measured 34-exchange plan → 4)
+    // BigramLM.score/ccnetBuckets idiom; A/B at sf0.1: checkpointed form
+    // 14.6 s vs 18.0 s recomputed, and the 34-exchange plan drops to 6)
     val w = importanceWeights(docs, idCol, textCol, isTarget, buckets)
       .localCheckpoint()
     val cut = w.agg(expr(s"percentile(weight, ${keepQuantile}D)").as("__cut"))
