@@ -89,6 +89,29 @@ object SearchQueries {
            |  FROM p WHERE len(pa) > 0 AND len(pb) > 0)
            |SELECT doc_id, min_dist FROM d
            |WHERE min_dist <= 5 ORDER BY min_dist, doc_id LIMIT 50""".stripMargin
-      })
+      }),
+
+    // ---- incremental index maintenance (BM25.mergeIndexStats): the
+    // corpus splits into a standing index (doc_id % 10 != 0) and a delta
+    // batch; their statistics merge by pure arithmetic and MUST equal the
+    // full-corpus rebuild — the oracle IS the rebuild, so any drift in
+    // the merge (lost term, double-counted df, wrong Σdl) hash-fails. ----
+    "search_bm25_merge" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.BM25
+        val docs = Tables.documents(s, d)
+        val old = BM25.tokenTable(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", stemmed = false)
+        val delta = BM25.tokenTable(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", stemmed = false)
+        BM25.mergeIndexStats(BM25.indexStats(old), BM25.indexStats(delta))
+          .orderBy(col("df").desc, col("term")).limit(30)
+      },
+      s"""WITH tt AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY doc_id),
+         |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tt GROUP BY term)
+         |SELECT term, df, n_docs, total_len FROM df, n
+         |ORDER BY df DESC, term LIMIT 30""".stripMargin)
   )
 }

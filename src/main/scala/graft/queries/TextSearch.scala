@@ -307,6 +307,45 @@ object TextSearch {
          |       ELSE 'fr' END) = lang AS matches_label
          |FROM scored ORDER BY doc_id""".stripMargin),
 
+    // ---- classifier EVALUATION harness over the langid heuristic:
+    // confusion matrix against the gold `lang` labels plus fixed-point
+    // per-cell recall share — the eval-matrix report any pipeline
+    // classifier (quality, langid, toxicity) needs. Composes the same
+    // replayed detector as text_langid. ----
+    "text_langid_eval" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val detectUdf = udf((t: String) => graft.text.LangId.detect(t)._1)
+        val scored = Tables.documents(s, d)
+          .withColumn("pred_lang", detectUdf($"text"))
+        val conf = scored.groupBy($"lang", $"pred_lang")
+          .agg(count(lit(1)).as("n"))
+        val totals = conf.groupBy($"lang").agg(sum($"n").as("__t"))
+        conf.join(totals, "lang")
+          .select($"lang", $"pred_lang", $"n",
+            expr("(n * 1000000) DIV __t").as("recall_ppm"))
+          .orderBy($"lang", $"pred_lang")
+      },
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($duckToks, x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) AS c_en,
+         |    len(list_filter($duckToks, x -> x IN ('el','la','de','que','y','en','un','los','se','del'))) AS c_es,
+         |    len(list_filter($duckToks, x -> x IN ('le','les','des','et','une','du','est','dans','pour','que'))) AS c_fr,
+         |    len(list_filter($duckToks, x -> x IN ('der','die','und','das','den','von','zu','mit','ist','auf'))) AS c_de
+         |  FROM documents),
+         |pred AS (SELECT lang,
+         |  CASE WHEN GREATEST(c_en,c_es,c_fr,c_de) = 0 THEN 'unknown'
+         |       WHEN c_de = GREATEST(c_en,c_es,c_fr,c_de) THEN 'de'
+         |       WHEN c_en = GREATEST(c_en,c_es,c_fr,c_de) THEN 'en'
+         |       WHEN c_es = GREATEST(c_en,c_es,c_fr,c_de) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |  FROM scored),
+         |conf AS (SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM conf GROUP BY 1)
+         |SELECT c.lang, c.pred_lang, c.n, (c.n * 1000000) // tt.t AS recall_ppm
+         |FROM conf c JOIN tt USING (lang)
+         |ORDER BY lang, pred_lang""".stripMargin),
+
     // ---- token counting: whitespace, engine tokens, BPE-ish estimate ----
     "text_token_counts" -> QueryDef.sql(
       (s, d) => {

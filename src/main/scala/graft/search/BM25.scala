@@ -38,6 +38,38 @@ object BM25 {
     else base
   }
 
+  /** Materialized index statistics — one row per term carrying
+    * (df, n_docs, total_len). Everything BM25 needs besides per-doc TF is
+    * here, and every field is an ADDITIVE integer, which is what makes
+    * [[mergeIndexStats]] possible. */
+  def indexStats(tokens: DataFrame): DataFrame = {
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+  }
+
+  /** Incremental index maintenance: fold a delta batch's statistics into a
+    * standing index by pure arithmetic — per-term DF, N, and Σdl are all
+    * sums, so ingest cost is |delta| + |vocabulary|, never a corpus
+    * rebuild (the reference's Tantivy segment-merge contract, re-expressed
+    * relationally; `search_bm25_merge` proves merged ≡ full rebuild
+    * hash-exactly). Assumes the two sides index DISJOINT doc sets. */
+  def mergeIndexStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val at = a.select(col("term"), col("df"))
+    val bt = b.select(col("term"), col("df").as("__df_b"))
+    val terms = at.join(bt, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__df_b"), lit(0L))).as("df"))
+    val ca = a.agg(max(col("n_docs")).as("__na"), max(col("total_len")).as("__la"))
+    val cb = b.agg(max(col("n_docs")).as("__nb"), max(col("total_len")).as("__lb"))
+    terms.crossJoin(broadcast(ca)).crossJoin(broadcast(cb))
+      .select(col("term"), col("df"),
+        (col("__na") + col("__nb")).as("n_docs"),
+        (col("__la") + col("__lb")).as("total_len"))
+  }
+
   /** BM25 scores for `queryTerms`; returns (doc_id, score) ranked desc.
     * Terms are stemmed iff the corpus table was stemmed.
     */
