@@ -232,6 +232,68 @@ object PipelineQueries {
            |FROM kept GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // ---- dataset datasheet (the "dataset card" summary block): one
+    // consolidated (metric, value) report — corpus size, token volume,
+    // vocabulary, language mix, length distribution (exact fixed-point
+    // mean/median), and exact-duplicate exposure. Everything a dataset
+    // release README quotes, in one gate, all integers. ----
+    "pipe_dataset_card" -> QueryDef.sql(
+      (s, d) => {
+        import graft.functions.F
+        val docs = Tables.documents(s, d)
+          .withColumn("__n_tok", size(F.tokens(col("text"))).cast("long"))
+          .withColumn("__fp", md5(trim(regexp_replace(regexp_replace(
+            lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+        val core = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n_tok")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("(sum(__n_tok) * 1000000) DIV count(1)").as("mean_tokens_e6"),
+          expr("CAST(percentile(__n_tok, 0.5D) * 1000000 AS BIGINT)")
+            .as("median_tokens_e6"))
+        val vocab = docs.select(explode(F.tokens(col("text"))).as("t"))
+          .agg(countDistinct(col("t")).as("vocab_size"))
+        val dups = docs.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).agg(coalesce(sum(col("n")), lit(0L)).as("v"))
+        val langRows = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("v"))
+          .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("v"))
+        val coreRows = Seq("n_docs", "n_tokens", "n_langs",
+            "mean_tokens_e6", "median_tokens_e6")
+          .map(m => core.select(lit(m).as("metric"), col(m).cast("long").as("v")))
+          .reduce(_ unionByName _)
+        coreRows
+          .unionByName(vocab.select(lit("vocab_size").as("metric"),
+            col("vocab_size").as("v")))
+          .unionByName(dups.select(lit("n_exact_dup_docs").as("metric"), col("v")))
+          .unionByName(langRows)
+          .select(col("metric"), col("v").as("value"))
+          .orderBy(col("metric"))
+      },
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    CAST(len(${DedupQueries.duckToks}) AS BIGINT) AS n_tok,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |core AS (SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |           COUNT(DISTINCT lang) AS n_langs,
+         |           (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) AS mean_tokens_e6,
+         |           CAST(quantile_cont(n_tok, 0.5) * 1000000 AS BIGINT) AS median_tokens_e6
+         |         FROM t),
+         |voc AS (SELECT COUNT(DISTINCT tok) AS vocab_size
+         |        FROM (SELECT unnest(${DedupQueries.duckToks}) AS tok FROM documents) u),
+         |dup AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS v
+         |        FROM (SELECT fp, COUNT(*) AS n FROM t GROUP BY fp HAVING COUNT(*) > 1) g)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM core
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM core
+         |  UNION ALL SELECT 'n_langs', n_langs FROM core
+         |  UNION ALL SELECT 'mean_tokens_e6', mean_tokens_e6 FROM core
+         |  UNION ALL SELECT 'median_tokens_e6', median_tokens_e6 FROM core
+         |  UNION ALL SELECT 'vocab_size', vocab_size FROM voc
+         |  UNION ALL SELECT 'n_exact_dup_docs', v FROM dup
+         |  UNION ALL SELECT 'docs_lang_' || lang, COUNT(*) FROM t GROUP BY lang
+         |) z ORDER BY metric""".stripMargin),
+
     // ---- temperature-scaled mixture sampling (α = 0.5): per-doc
     // keep-rate ∝ isqrt(n_min)/isqrt(n_source), smallest source keeps
     // all — the multilingual upsampling rule, decided by the same Knuth
