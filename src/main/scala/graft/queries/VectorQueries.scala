@@ -266,6 +266,146 @@ object VectorQueries {
          |  ROUND(COUNT(*) / 15.0, 6) AS recall
          |FROM ivf JOIN brute USING (vec_id)""".stripMargin),
 
+    // ---- ANN quality dashboard: recall@15 of every approximate index
+    // family — IVF (nprobe 2), sign-bit BQ (shortlist 40), int8 SQ
+    // (shortlist 40) — against the same brute-force truth, in one report.
+    // The recall NUMBERS are deterministic and the oracle replays all
+    // three methods end to end; this is the index-selection evidence an
+    // operator reads before choosing a compression point. ----
+    "vec_ann_dashboard" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        val brute = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 15)
+          .select("vec_id")
+        def row(ids: org.apache.spark.sql.DataFrame, name: String) =
+          ids.select("vec_id").join(brute, "vec_id")
+            .agg(count(lit(1)).as("n_overlap"))
+            .select(lit(name).as("method"), lit(15L).as("k"),
+              col("n_overlap"), round(col("n_overlap") / 15.0, 6).as("recall"))
+        val cents = Seq(0L, 1L, 2L).map(i =>
+          (i.toInt, VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+        val ivf = VectorSearch.ivfSearch(
+          VectorSearch.assignClusters(emb, "embedding", cents),
+          "vec_id", "embedding", cents, q, k = 15, nprobe = 2)
+        val bq = graft.vector.BinaryQuant.search(
+          graft.vector.BinaryQuant.encode(emb, "embedding"),
+          "vec_id", "embedding", q, k = 15, shortlist = 40)
+        val (mins, scales) = graft.vector.ScalarQuant.calibrate(emb, "embedding", 64)
+        val sq = graft.vector.ScalarQuant.search(
+          graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
+          "vec_id", "embedding", q, mins, scales, k = 15, shortlist = 40)
+        // SQ8-for-cosine: quantize the NORMALIZED vectors — dot order on
+        // the unit sphere IS cosine order, so the same integer shortlist
+        // becomes angle-faithful (raw-SQ is a MIPS index; compare rows)
+        val normEmb = graft.vector.ScalarQuant.normalize(emb, "embedding", "embn")
+        val (minsN, scalesN) = graft.vector.ScalarQuant.calibrate(normEmb, "embn", 64)
+        val qn = {
+          val n = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+          if (n > 0) q.map(_.toDouble / n) else q.map(_ => 0.0)
+        }
+        // asymmetric SQ distance: shortlist ranks by the dot of the
+        // DEQUANTIZED corpus codes against the float query (Faiss's SQ
+        // search) — a raw code·code dot is biased by the per-dim affine
+        // offsets (Σ mn_d·v_d varies per vector) and ranks wrongly
+        val sqn = graft.vector.ScalarQuant.encode(normEmb, "embn", minsN, scalesN)
+          .withColumn("sdot", aggregate(
+            transform(sequence(lit(0), lit(63)),
+              dd => (element_at(typedlit(minsN), dd + 1) +
+                     when(element_at(typedlit(scalesN), dd + 1) > 0,
+                       element_at(col("codes"), dd + 1) /
+                         element_at(typedlit(scalesN), dd + 1))
+                       .otherwise(lit(0.0))) *
+                    element_at(typedlit(qn), dd + 1)),
+            lit(0.0), (a, b) => a + b))
+          .orderBy(col("sdot").desc, col("vec_id")).limit(40)
+          .withColumn("dotn", aggregate(
+            transform(sequence(lit(0), lit(63)),
+              dd => element_at(col("embn"), dd + 1) *
+                    element_at(typedlit(qn), dd + 1)),
+            lit(0.0), (a, b) => a + b))
+          .orderBy(col("dotn").desc, col("vec_id")).limit(15)
+        row(ivf, "ivf").unionByName(row(bq, "bq")).unionByName(row(sq, "sq"))
+          .unionByName(row(sqn, "sq_norm"))
+          .orderBy(col("method"))
+      },
+      {
+        def w(v: String, off: Int) =
+          s"list_reduce(list_transform(range(32), i -> CASE WHEN $v[i+${off + 1}] > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END), (a,b)->a+b)"
+        s"""WITH e AS (SELECT vec_id, $e AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+           |brute AS (SELECT vec_id FROM e, q
+           |          ORDER BY ${duckCos("e.v", "q.qv")} DESC, vec_id LIMIT 15),
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN (0, 1, 2)),
+           |probed AS (SELECT c.cid FROM cents c, q
+           |           ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
+           |assigned AS (SELECT e.vec_id, e.v AS ev,
+           |    (SELECT c.cid FROM cents c
+           |     ORDER BY ${duckL2("e.v", "c.cv")}, c.cid LIMIT 1) AS cluster
+           |  FROM e),
+           |ivf AS (SELECT a.vec_id FROM assigned a, q
+           |        WHERE a.cluster IN (SELECT cid FROM probed)
+           |        ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15),
+           |bits AS (SELECT vec_id, v, ${w("v", 0)} AS b0, ${w("v", 32)} AS b1 FROM e),
+           |qb AS (SELECT ${w("qv", 0)} AS q0, ${w("qv", 32)} AS q1 FROM q),
+           |bshort AS (SELECT b.vec_id, b.v,
+           |    CAST(bit_count(xor(b.b0, qb.q0)) + bit_count(xor(b.b1, qb.q1)) AS BIGINT) AS hamming
+           |  FROM bits b, qb ORDER BY hamming, vec_id LIMIT 40),
+           |bq AS (SELECT s2.vec_id FROM bshort s2, q
+           |       ORDER BY ROUND(${duckCos("s2.v", "q.qv")}, 6) DESC, vec_id LIMIT 15),
+           |cal AS (SELECT d2, MIN(v[CAST(d2 AS INT)+1]) AS mn, MAX(v[CAST(d2 AS INT)+1]) AS mx
+           |        FROM e, (SELECT unnest(range(64)) AS d2) ds GROUP BY d2),
+           |sc AS (SELECT d2, mn, CASE WHEN mx > mn THEN 254.0/(mx - mn) ELSE 0.0 END AS s FROM cal),
+           |cd AS (SELECT e.vec_id, s.d2,
+           |         CAST(greatest(0.0, least(254.0,
+           |           floor((e.v[CAST(s.d2 AS INT)+1] - s.mn) * s.s + 0.5))) AS BIGINT) AS c
+           |       FROM e, sc s),
+           |qc AS (SELECT s.d2,
+           |         CAST(greatest(0.0, least(254.0,
+           |           floor((q.qv[CAST(s.d2 AS INT)+1] - s.mn) * s.s + 0.5))) AS BIGINT) AS c
+           |       FROM q, sc s),
+           |dot AS (SELECT cd.vec_id, CAST(SUM(cd.c * qc.c) AS BIGINT) AS qdot
+           |        FROM cd JOIN qc USING (d2) GROUP BY cd.vec_id),
+           |sshort AS (SELECT d3.vec_id, d3.qdot, e.v FROM dot d3 JOIN e USING (vec_id)
+           |           ORDER BY d3.qdot DESC, vec_id LIMIT 40),
+           |sq AS (SELECT s3.vec_id FROM sshort s3, q
+           |       ORDER BY ROUND(${duckCos("s3.v", "q.qv")}, 6) DESC, vec_id LIMIT 15),
+           |en2 AS (SELECT vec_id,
+           |    CASE WHEN ${duckNormSq("v")} > 0
+           |      THEN list_transform(v, x -> x / sqrt(${duckNormSq("v")}))
+           |      ELSE list_transform(v, x -> 0.0) END AS vn
+           |  FROM e),
+           |qn AS (SELECT list_transform(qv, x -> x / sqrt(${duckNormSq("qv")})) AS qnv FROM q),
+           |caln AS (SELECT d4, MIN(vn[CAST(d4 AS INT)+1]) AS mn, MAX(vn[CAST(d4 AS INT)+1]) AS mx
+           |         FROM en2, (SELECT unnest(range(64)) AS d4) ds2 GROUP BY d4),
+           |scn AS (SELECT d4, mn, CASE WHEN mx > mn THEN 254.0/(mx - mn) ELSE 0.0 END AS s FROM caln),
+           |cdn AS (SELECT en2.vec_id, s.d4,
+           |          CAST(greatest(0.0, least(254.0,
+           |            floor((en2.vn[CAST(s.d4 AS INT)+1] - s.mn) * s.s + 0.5))) AS BIGINT) AS c
+           |        FROM en2, scn s),
+           |codesn AS (SELECT vec_id, list(c ORDER BY d4) AS cl FROM cdn GROUP BY vec_id),
+           |scl AS (SELECT list(mn ORDER BY d4) AS mnl, list(s ORDER BY d4) AS sl FROM scn),
+           |deqdot AS (SELECT c2.vec_id,
+           |    list_reduce(list_prepend(0.0, list_transform(range(64), dd ->
+           |      (mnl[CAST(dd AS INT)+1] + CASE WHEN sl[CAST(dd AS INT)+1] > 0
+           |         THEN cl[CAST(dd AS INT)+1] / sl[CAST(dd AS INT)+1] ELSE 0.0 END)
+           |      * qnv[CAST(dd AS INT)+1])), (a,b) -> a + b) AS sdot
+           |  FROM codesn c2, scl, qn),
+           |nshort AS (SELECT d5.vec_id, d5.sdot, en2.vn
+           |           FROM deqdot d5 JOIN en2 USING (vec_id)
+           |           ORDER BY d5.sdot DESC, vec_id LIMIT 40),
+           |sqn AS (SELECT s4.vec_id FROM nshort s4, qn
+           |        ORDER BY ${duckDot("s4.vn", "qn.qnv")} DESC, vec_id LIMIT 15)
+           |SELECT method, CAST(15 AS BIGINT) AS k, n_overlap,
+           |  ROUND(n_overlap / 15.0, 6) AS recall
+           |FROM (
+           |  SELECT 'ivf' AS method, COUNT(*) AS n_overlap FROM ivf JOIN brute USING (vec_id)
+           |  UNION ALL SELECT 'bq', COUNT(*) FROM bq JOIN brute USING (vec_id)
+           |  UNION ALL SELECT 'sq', COUNT(*) FROM sq JOIN brute USING (vec_id)
+           |  UNION ALL SELECT 'sq_norm', COUNT(*) FROM sqn JOIN brute USING (vec_id)
+           |) z ORDER BY method""".stripMargin
+      }),
+
     // ---- IVF index upkeep: per-cluster population + distortion stats,
     // the "does the index need re-training" signal. Per-row L2 distortions
     // bit-match the oracle's double folds; the cross-row mean goes through

@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object ScalarQuant {
 
+  /** L2-normalized double-precision copy of the vector column (index-order
+    * fold, so both engines replay it identically); zero vectors become
+    * zero vectors. For COSINE retrieval, quantize THIS — on raw vectors
+    * the integer-dot shortlist optimizes MIPS, not angle, and recall
+    * against a cosine truth collapses (measured in vec_ann_dashboard:
+    * raw-SQ 0.27 vs normalized-SQ — the standard SQ8-for-cosine recipe). */
+  def normalize(emb: DataFrame, vecCol: String, outCol: String): DataFrame =
+    emb
+      .withColumn("__nsq", expr(
+        s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN __nsq > 0
+           | THEN transform($vecCol, x -> CAST(x AS DOUBLE) / sqrt(__nsq))
+           | ELSE transform($vecCol, x -> CAST(0.0 AS DOUBLE)) END"""
+          .stripMargin.replace("\n", " ")))
+      .drop("__nsq")
+
   /** Per-dimension (min, scale) calibration; scale = 254/(max−min), 0 for
     * constant dimensions. One aggregate, `dim` rows to the driver. */
   def calibrate(emb: DataFrame, vecCol: String,
