@@ -276,8 +276,10 @@ object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+        // 15-row truth set, referenced by all four overlap joins —
+        // checkpoint so the brute TakeOrdered scan runs once, not 4×
         val brute = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 15)
-          .select("vec_id")
+          .select("vec_id").localCheckpoint()
         def row(ids: org.apache.spark.sql.DataFrame, name: String) =
           ids.select("vec_id").join(brute, "vec_id")
             .agg(count(lit(1)).as("n_overlap"))
