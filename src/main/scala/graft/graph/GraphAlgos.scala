@@ -285,6 +285,50 @@ object GraphAlgos {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) in fixed point: per round,
+    * hub(src) = Σ auth(dst) over out-edges and auth(dst) = Σ hub(src)
+    * over in-edges, each renormalized to `scale` by an integer DIV of the
+    * round's maximum — so every score is a BIGINT and the whole
+    * trajectory replays in the oracle (the pageRank discipline applied to
+    * the mutually-recursive pair). Natural fit for BIPARTITE graphs
+    * (customer→supplier orders: hubs = broad buyers, authorities =
+    * widely-bought-from suppliers).
+    *
+    * Scale shape: edges checkpointed once; each round is two
+    * map-side-combinable join-aggregates keyed on src/dst plus two
+    * single-row max aggregates broadcast back. Node-sized rows move;
+    * nothing corpus-sized is collected. */
+  def hits(edges: DataFrame, iterations: Int,
+           scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    var auth = e.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(scale))
+    var hub: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("__h"))
+      val hmax = hraw.agg(max(col("__h")).as("__hm"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("src").as("node"),
+          expr(s"(__h * $scale) DIV __hm").as("h"))
+        .localCheckpoint(false)
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("__a"))
+      val amax = araw.agg(max(col("__a")).as("__am"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("dst").as("node"),
+          expr(s"(__a * $scale) DIV __am").as("a"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    hub.select(col("node"), lit("hub").as("role"), col("h").as("score_fp"))
+      .unionByName(auth.select(col("node"), lit("authority").as("role"),
+        col("a").as("score_fp")))
+  }
+
   /** Deterministic random walks — the graph-embedding corpus generator
     * (DeepWalk/node2vec training data): from each seed, `steps` hops where
     * hop t leaves node v through neighbor index

@@ -191,6 +191,50 @@ object AnalyticsQueries {
            |GROUP BY src ORDER BY node""".stripMargin
       }),
 
+    // ---- HITS hubs & authorities on the bipartite order graph
+    // (GraphAlgos.hits): customers that buy broadly are hubs, suppliers
+    // bought from widely are authorities; 3 fixed-point rounds with
+    // DIV-max renormalization, every round unrolled in the oracle. ----
+    "graph_hits" -> QueryDef.sql(
+      (s, d) => {
+        val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+                  (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val r = GraphAlgos.hits(e, iterations = 3)
+        r.filter(col("role") === "hub")
+          .orderBy(col("score_fp").desc, col("node")).limit(10)
+          .unionByName(r.filter(col("role") === "authority")
+            .orderBy(col("score_fp").desc, col("node")).limit(10))
+          .orderBy(col("role"), col("score_fp").desc, col("node"))
+      },
+      {
+        def round(p: Int, c: Int) =
+          s"""h${c}r AS (SELECT e.src, CAST(SUM(a$p.a) AS BIGINT) AS h
+             |  FROM e JOIN a$p ON a$p.node = e.dst GROUP BY e.src),
+             |h$c AS MATERIALIZED (SELECT src AS node,
+             |  (h * 1000000) // (SELECT MAX(h) FROM h${c}r) AS h FROM h${c}r),
+             |a${c}r AS (SELECT e.dst, CAST(SUM(h$c.h) AS BIGINT) AS a
+             |  FROM e JOIN h$c ON h$c.node = e.src GROUP BY e.dst),
+             |a$c AS MATERIALIZED (SELECT dst AS node,
+             |  (a * 1000000) // (SELECT MAX(a) FROM a${c}r) AS a FROM a${c}r)"""
+            .stripMargin
+        s"""WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |a0 AS (SELECT DISTINCT dst AS node, CAST(1000000 AS BIGINT) AS a FROM e),
+           |${round(0, 1)},
+           |${round(1, 2)},
+           |${round(2, 3)},
+           |hubs AS (SELECT node, 'hub' AS role, h AS score_fp FROM h3
+           |         ORDER BY h DESC, node LIMIT 10),
+           |auths AS (SELECT node, 'authority' AS role, a AS score_fp FROM a3
+           |          ORDER BY a DESC, node LIMIT 10)
+           |SELECT node, role, score_fp
+           |FROM (SELECT * FROM auths UNION ALL SELECT * FROM hubs) z
+           |ORDER BY role, score_fp DESC, node""".stripMargin
+      }),
+
     // ---- multi-source BFS hop distance on the sampled co-supplier graph
     // (GraphAlgos.bfsLayers): seeds = nodes ≡ 0 (mod 97), 3 bounded
     // rounds; the oracle unrolls each min-relaxation round (materialized
