@@ -712,6 +712,43 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin),
 
+    // ---- first-order Markov transition matrix over per-user event
+    // sequences: adjacent (event, next-event) pairs in timestamp order
+    // (event_id tiebreak — a total order, so any engine sequences
+    // identically), counts + fixed-point row-normalized transition
+    // probabilities. The user-behavior model behind session analysis /
+    // next-action prediction. ----
+    "events_markov_transition" -> QueryDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("__us", unix_micros(col("ts")))
+        val nxt = ev
+          .withColumn("next_type", lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("__us"), col("event_id"))))
+          .filter(col("next_type").isNotNull)
+        val cnt = nxt.groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy(col("event_type")).agg(sum(col("n")).as("__t"))
+        cnt.join(tot, "event_type")
+          .select(col("event_type"), col("next_type"), col("n"),
+            expr("(n * 1000000) DIV __t").as("p_ppm"))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |nxt AS (SELECT event_type,
+        |          lead(event_type) OVER (PARTITION BY user_id
+        |            ORDER BY us, event_id) AS next_type
+        |        FROM ev),
+        |cnt AS (SELECT event_type, next_type, COUNT(*) AS n FROM nxt
+        |        WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+        |        FROM cnt GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n, (c.n * 1000000) // t.t AS p_ppm
+        |FROM cnt c JOIN tot t USING (event_type)
+        |ORDER BY c.event_type, c.next_type""".stripMargin),
+
     // ---- CUSUM changepoint detection over daily event volumes (Page
     // 1954): one-sided clamped CUSUM via the prefix-sum identity
     // s_t = P_t − min(0, min_{τ≤t} P_τ) — max(0, s+dev) recursion becomes

@@ -408,6 +408,61 @@ object VectorQueries {
            |) z ORDER BY method""".stripMargin
       }),
 
+    // ---- fully-replayable Lloyd k-means (VectorSearch.kmeansLloyd, vs
+    // the seeded-MLlib black box behind IVF): assign → exact-DECIMAL
+    // per-dim means rounded to 6dp doubles → reassign; the oracle replays
+    // BOTH rounds — assignments, centroid updates, final populations, and
+    // the seed→trained centroid shift. Empty clusters keep their seed. ----
+    "vec_kmeans_lloyd" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val seeds = Seq(0L, 1L, 2L, 3L).map(i => (i.toInt,
+          VectorSearch.queryVector(emb, "vec_id", "embedding", i)
+            .map(_.toDouble)))
+        val (cents, assigned) =
+          VectorSearch.kmeansLloyd(emb, "embedding", seeds, iterations = 2)
+        val shifts = seeds.map { case (cid, s0) =>
+          val c1 = cents.find(_._1 == cid).get._2
+          val l2 = math.sqrt(
+            s0.zip(c1).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (cid, math.BigDecimal(l2)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val shiftDf = s.createDataFrame(shifts).toDF("cluster", "shift_l2")
+        shiftDf.join(
+            assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n")),
+            Seq("cluster"), "left")
+          .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+            col("shift_l2"))
+          .orderBy(col("cluster"))
+      },
+      s"""WITH c0 AS (SELECT CAST(vec_id AS INT) AS cid, $e AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+         |ev AS (SELECT vec_id, $e AS v FROM embeddings),
+         |a1 AS MATERIALIZED (SELECT ev.vec_id, ev.v,
+         |    (SELECT c.cid FROM c0 c
+         |     ORDER BY ${duckL2sq("c.cv", "ev.v")}, c.cid LIMIT 1) AS cluster
+         |  FROM ev),
+         |m AS (SELECT a1.cluster, dd.d,
+         |    ROUND(CAST(SUM(CAST(v[CAST(dd.d AS INT)+1] AS DECIMAL(38,12)))
+         |      / COUNT(*) AS DOUBLE), 6) AS mv
+         |  FROM a1, (SELECT unnest(range(64)) AS d) dd
+         |  GROUP BY a1.cluster, dd.d),
+         |ml AS (SELECT cluster, list(mv ORDER BY d) AS l FROM m GROUP BY cluster),
+         |c1 AS MATERIALIZED (SELECT c0.cid, COALESCE(ml.l, c0.cv) AS cv
+         |  FROM c0 LEFT JOIN ml ON ml.cluster = c0.cid),
+         |a2 AS (SELECT ev.vec_id,
+         |    (SELECT c.cid FROM c1 c
+         |     ORDER BY ${duckL2sq("c.cv", "ev.v")}, c.cid LIMIT 1) AS cluster
+         |  FROM ev),
+         |cnt AS (SELECT cluster, COUNT(*) AS n FROM a2 GROUP BY cluster),
+         |shift AS (SELECT c0.cid AS cluster,
+         |    ROUND(sqrt(${duckL2sq("c0.cv", "c1.cv")}), 6) AS shift_l2
+         |  FROM c0 JOIN c1 ON c1.cid = c0.cid)
+         |SELECT s2.cluster, COALESCE(cnt.n, 0) AS n, s2.shift_l2
+         |FROM shift s2 LEFT JOIN cnt USING (cluster)
+         |ORDER BY s2.cluster""".stripMargin),
+
     // ---- IVF index upkeep: per-cluster population + distortion stats,
     // the "does the index need re-training" signal. Per-row L2 distortions
     // bit-match the oracle's double folds; the cross-row mean goes through

@@ -62,6 +62,70 @@ object VectorSearch {
     emb.withColumn("cluster", array_min(array(dists: _*)).getField("cid"))
   }
 
+  /** Double-precision assignment for iterated training loops: per-centroid
+    * L2² as an index-order fold over double arrays (the duckL2sq shape),
+    * argmin by (distance, cid) struct min — replayable at every Lloyd
+    * iteration, unlike the float codegen kernel whose inputs change type
+    * after the first exact-DECIMAL centroid update. */
+  def assignClustersD(emb: DataFrame, vecCol: String,
+                      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val dists = centroids.map { case (cid, c) =>
+      val d2 = aggregate(
+        transform(sequence(lit(0), lit(c.length - 1)),
+          d => {
+            val x = element_at(col(vecCol), d + 1).cast("double") -
+              element_at(typedlit(c), d + 1)
+            x * x
+          }),
+        lit(0.0), (a, b) => a + b)
+      struct(d2.as("d"), lit(cid).as("cid"))
+    }
+    emb.withColumn("cluster", array_min(array(dists: _*)).getField("cid"))
+  }
+
+  /** Fully-replayable Lloyd k-means (vs [[trainCentroids]]' seeded MLlib
+    * black box): `iterations` rounds of assign → exact-DECIMAL per-dim
+    * means → ROUND(·, 6) back to doubles, so every iteration's centroids
+    * — and therefore every assignment — is bit-reproducible in any engine
+    * (`vec_kmeans_lloyd` replays both rounds). Empty clusters keep their
+    * previous centroid. Per round: one narrow assignment pass + one
+    * (cluster, dim)-keyed combinable aggregate + a k×dim driver collect
+    * (index metadata, the PQ-codebook convention).
+    *
+    * @return (final centroids, assignment DataFrame of the LAST round)
+    */
+  def kmeansLloyd(emb: DataFrame, vecCol: String,
+                  seeds: Seq[(Int, Array[Double])], iterations: Int)
+      : (Seq[(Int, Array[Double])], DataFrame) = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = seeds
+    var assigned: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      assigned = assignClustersD(emb, vecCol, cents)
+      if (it < iterations - 1) {
+        val means = assigned
+          .select(col("cluster"), posexplode(col(vecCol)).as(Seq("d", "x")))
+          .groupBy(col("cluster"), col("d"))
+          .agg(sum(col("x").cast("double").cast(DecimalType(38, 12))).as("s"),
+            count(lit(1)).as("n"))
+          .select(col("cluster"), col("d"),
+            round((col("s") / col("n")).cast("double"), 6).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.map(r => r.getInt(1) -> r.getDouble(2))
+              .sortBy(_._1).map(_._2).toArray
+          }
+        cents = cents.map { case (cid, old) =>
+          cid -> means.getOrElse(cid, old)
+        }
+      }
+      it += 1
+    }
+    (cents, assigned)
+  }
+
   /** IVF centroid training via MLlib KMeans (seeded → reproducible): the
     * batch index-build path. At 100 TB: train on a sample
     * (`emb.sample(...)`), broadcast the k centroids, assign in one narrow
