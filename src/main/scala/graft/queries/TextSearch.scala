@@ -616,6 +616,39 @@ object TextSearch {
           |FROM dt JOIN wsub USING (word)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- per-document boilerplate exposure: the fraction of a doc's
+    // distinct 3-token shingles that also occur in at least one OTHER
+    // document — corpus-level shared-content measurement (vs
+    // text_repetition's intra-doc duplication and dedup_containment's
+    // pairwise subsumption). The memorization-risk / boilerplate signal
+    // per document, in fixed point. One shingle-keyed combinable
+    // aggregate + one join back; 100 TB-safe. ----
+    "text_boilerplate_frac" -> QueryDef.sql(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(F.shingles(col("text"), 3))).as("sng"))
+        val df = sh.groupBy(col("sng")).agg(count(lit(1)).as("__df"))
+        sh.join(df, "sng")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("__df") >= 2, lit(1))).as("n_shared"))
+          .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+            expr("(n_shared * 1000000) DIV n_shingles").as("shared_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(greatest(len(tk)-2, 0)),
+         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS sng
+         |  FROM toks WHERE len(tk) >= 3),
+         |df AS (SELECT sng, COUNT(*) AS dfc FROM sh GROUP BY sng)
+         |SELECT s2.doc_id, COUNT(*) AS n_shingles,
+         |  COUNT(*) FILTER (WHERE df.dfc >= 2) AS n_shared,
+         |  (COUNT(*) FILTER (WHERE df.dfc >= 2) * 1000000) // COUNT(*) AS shared_ppm
+         |FROM sh s2 JOIN df USING (sng)
+         |GROUP BY s2.doc_id ORDER BY s2.doc_id""".stripMargin),
+
     // ---- blocklist term filter (the C4 badwords step): per-doc count of
     // flagged-term token hits, keep = zero hits. One narrow pass over the
     // token array — no explode, no shuffle. ----

@@ -257,4 +257,24 @@ class TextCoreSpec extends SparkSpec {
     for (m <- byBucket.getOrElse("middle", Nil); t <- byBucket.getOrElse("tail", Nil))
       assert(m >= t)
   }
+
+  test("boilerplate fraction: shared shingles count, unique ones don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown bear sleeps now"),
+      (3L, "completely different words entirely here today")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.F.shingles(col("text"), 3))).as("sng"))
+    val df2 = sh.groupBy(col("sng")).agg(count(lit(1)).as("c"))
+    val out = sh.join(df2, "sng").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("c") >= 2, lit(1))).as("shared"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1 and 2 share exactly the shingle "the quick brown"; doc 3 none
+    assert(out(1L)._2 == 1 && out(2L)._2 == 1 && out(3L)._2 == 0)
+    assert(out(1L)._1 == 4 && out(3L)._1 == 4)
+  }
 }
