@@ -381,9 +381,11 @@ final class Graft(val spark: SparkSession, basePath: String,
   }
 
   /** current commit watermark — capture before a batch of writes, then
-    * [[changesSince]] that value to get the delta */
+    * [[changesSince]] that value to get the delta. A freshly-created store
+    * has an empty commit log (max → NULL): return 0, which `asOf` treats
+    * as "before everything" (commitSeq values start at 1). */
   def currentVersion: Long =
-    frames.log.agg(max(col("commitSeq"))).head.getLong(0)
+    frames.log.agg(coalesce(max(col("commitSeq")), lit(0L))).head.getLong(0)
 
   /** snapshot delta vs an earlier commit: every live uri classified
     * added/removed/changed/unchanged (incremental-reprocessing input) */

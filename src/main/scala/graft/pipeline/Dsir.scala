@@ -76,11 +76,21 @@ object Dsir {
       .agg(sum(col("cnt")).as("cr"),
            sum(when(col("__isTarget"), col("cnt")).otherwise(lit(0L))).as("ct"))
     val tot = corpF.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    // The global factor Scale·(buckets+nr)/(buckets+nt) is decomposed as
+    // quotient·Scale + (remainder·Scale) DIV divisor — bit-identical to
+    // ((buckets+nr)*Scale) DIV (buckets+nt) for non-negative BIGINTs, but
+    // the only values multiplied by Scale are the remainder (< buckets+nt)
+    // and ct+1 (≤ nt+1), so the overflow bound is the TARGET bigram count
+    // (nt ≤ ~9.2e12), not the corpus count nr — a 100 TB corpus (~2.5e13
+    // bigrams) is safe whenever the quality target holds ≤ ~9e12 bigrams
+    // and nr/nt ≤ ~9e6 (the product term); both are documented in
+    // SCALE.md alongside the KnuthMult id bound.
     val ilr = corpF.crossJoin(broadcast(tot))
       .select(col("f"), expr(
         s"""((((ct + 1) * $Scale) DIV (cr + 1))
-           | * ((($buckets + nr) * $Scale) DIV ($buckets + nt))) DIV $Scale
-           | - $Scale""".stripMargin.replace("\n", " ")).as("ilr"))
+           | * ((($buckets + nr) DIV ($buckets + nt)) * $Scale
+           |    + ((($buckets + nr) % ($buckets + nt)) * $Scale) DIV ($buckets + nt)))
+           | DIV $Scale - $Scale""".stripMargin.replace("\n", " ")).as("ilr"))
     docF.join(broadcast(ilr), Seq("f"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt") * col("ilr")).as("weight"))

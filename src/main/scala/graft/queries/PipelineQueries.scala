@@ -348,7 +348,9 @@ object PipelineQueries {
          |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM corpf),
          |ilr AS (SELECT f, CAST(
          |          ((((ct + 1) * 1000000) // (cr + 1))
-         |           * (((1024 + nr) * 1000000) // (1024 + nt))) // 1000000
+         |           * (((1024 + nr) // (1024 + nt)) * 1000000
+         |              + (((1024 + nr) % (1024 + nt)) * 1000000) // (1024 + nt)))
+         |          // 1000000
          |          - 1000000 AS BIGINT) AS ilr
          |        FROM corpf, tot),
          |w AS (SELECT doc_id, CAST(SUM(cnt * ilr) AS BIGINT) AS weight

@@ -667,9 +667,13 @@ object TextSearch {
 
     // ---- term-association lift (PMI-style, fixed point): for adjacent
     // bigrams with support ≥ 5, lift = P(w1w2)/(P(w1)·P(w2)) held as
-    // (c12·10⁶) DIV max((c1·c2) DIV N, 1) — division order bounds the
-    // intermediates at web scale (c1·c2 first would overflow with 1e9+
-    // token corpora if multiplied by the scale too). Top 20 by lift. ----
+    // (c12·10⁶) DIV max((c1·c2) DIV N, 1) — dividing by N before applying
+    // the 10⁶ scale keeps the scale off the big product. Documented bound
+    // (the KnuthMult-convention style): c1·c2 must stay ≤ 2⁶³−1, i.e. no
+    // single token above ~3e9 occurrences — fine for topical vocabulary,
+    // but a 100 TB run must pre-drop stopword-frequency terms (they carry
+    // no lift signal: lift → 1) or shard the unigram counts; SCALE.md
+    // records the bound. Top 20 by lift. ----
     "text_term_assoc" -> QueryDef.sql(
       (s, d) => {
         val toks = Tables.documents(s, d)

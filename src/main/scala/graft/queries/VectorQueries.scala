@@ -574,7 +574,9 @@ object VectorQueries {
     // (the sanctioned bounded-top-k′ driver reduction, as in Ask fusion).
     // The oracle unrolls all 10 picks; every sim is the same index-ordered
     // double fold, ties break on id, so the whole greedy trajectory
-    // replays hash-exactly. ----
+    // replays hash-exactly. The redundancy coefficient is written
+    // (1.0 - 0.7) on BOTH sides — the literal 0.3 is a different double
+    // (1 ulp) and can flip a greedy argmax on near-tie data. ----
     "vec_mmr_diversify" -> QueryDef.sql(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -586,7 +588,7 @@ object VectorQueries {
         val rounds = (2 to 10).map { r =>
           val pk = r - 1
           s"""c$r AS (SELECT c.vec_id, c.v, c.rel,
-             |  0.7*c.rel - 0.3*(SELECT MAX(${duckCos("c.v", "pw.v")}) FROM pk$pk pw) AS mmr
+             |  0.7*c.rel - (1.0 - 0.7)*(SELECT MAX(${duckCos("c.v", "pw.v")}) FROM pk$pk pw) AS mmr
              |  FROM sh c WHERE c.vec_id NOT IN (SELECT vec_id FROM pk$pk)),
              |p$r AS MATERIALIZED (SELECT * FROM c$r ORDER BY mmr DESC, vec_id LIMIT 1),
              |pk$r AS MATERIALIZED (SELECT vec_id, v FROM pk$pk

@@ -64,10 +64,12 @@ object BM25 {
         (coalesce(col("df"), lit(0L)) + coalesce(col("__df_b"), lit(0L))).as("df"))
     val ca = a.agg(max(col("n_docs")).as("__na"), max(col("total_len")).as("__la"))
     val cb = b.agg(max(col("n_docs")).as("__nb"), max(col("total_len")).as("__lb"))
+    // coalesce: max() over an empty side (a plausible empty delta batch)
+    // is NULL, and NULL + n would silently null the whole merged index.
     terms.crossJoin(broadcast(ca)).crossJoin(broadcast(cb))
       .select(col("term"), col("df"),
-        (col("__na") + col("__nb")).as("n_docs"),
-        (col("__la") + col("__lb")).as("total_len"))
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).as("n_docs"),
+        (coalesce(col("__la"), lit(0L)) + coalesce(col("__lb"), lit(0L))).as("total_len"))
   }
 
   /** BM25 scores for `queryTerms`; returns (doc_id, score) ranked desc.

@@ -87,9 +87,6 @@ object StreamingIngest {
       s"r.$rightTs <= l.$leftTs + interval $within"))
   }
 
-  /** ST4 extension: tumbling-window event counts with a watermark for state
-    * cleanup (the reference has no event-time windows; `events` testdata
-    * lets us expose them as an engine extension). */
   /** One-shot STREAMING aggregation over a static parquet directory: the
     * same windowed count runs as a genuine Structured Streaming query
     * (readStream → watermark → window agg → memory sink, complete mode,
@@ -125,9 +122,17 @@ object StreamingIngest {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val out = spark.table(name).localCheckpoint()
+    // The checkpoint detached the result from the memory sink; drop the
+    // uniquely-named temp view so repeated Verify/bench rounds in one
+    // long-lived session don't accumulate complete-mode tables on the
+    // driver.
+    spark.catalog.dropTempView(name)
     out
   }
 
+  /** ST4 extension: tumbling-window event counts with a watermark for state
+    * cleanup (the reference has no event-time windows; `events` testdata
+    * lets us expose them as an engine extension). */
   def windowedEventCounts(events: DataFrame, windowDur: String,
                           watermark: String): DataFrame =
     events
