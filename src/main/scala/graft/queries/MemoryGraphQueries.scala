@@ -92,14 +92,14 @@ object MemoryGraphQueries {
     "graph_follow_2hop" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
-        // distinct on the raw long keys (16-byte shuffle rows), concat after:
-        // measurably cheaper than distinct-ing the already-concatenated strings
-        val edgesCS = Tables.orders(s, d)
-          .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
-          .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"))
-          .distinct()
-          .select(concat(lit("c"), $"ck").as("src"),
-                  concat(lit("s"), $"sk").as("dst"))
+        // the cached bipartite pairs (AnalyticsQueries.bipartitePairs)
+        // carry the distinct on raw long keys (16-byte shuffle rows);
+        // decode the 2c / 2s+1 id spaces back to keys and concat after —
+        // distinct-ing already-concatenated strings measured slower, and
+        // the pinned build is shared with the pagerank/LPA/HITS gates
+        val edgesCS = AnalyticsQueries.bipartitePairs(s, d)
+          .select(concat(lit("c"), expr("src DIV 2")).as("src"),
+                  concat(lit("s"), expr("(dst - 1) DIV 2")).as("dst"))
         // persist the symmetric edge table: both hops (and both sides of
         // the union) read it from cache instead of rebuilding the
         // orders⨝lineitem+distinct subtree per occurrence — halves the

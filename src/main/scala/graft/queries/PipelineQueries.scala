@@ -57,9 +57,15 @@ object PipelineQueries {
        |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
   }
 
+  /** SimHash near-dup pairs over `documents` — the edge list three CC
+    * gates consume. The sketch + banded self-join behind it is a full
+    * corpus pass, so it is built once per process and pinned
+    * (graph/EdgeCache.scala), like the graph gates' edge sources. */
   private def simhashPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    Dedup.simhashNearDuplicates(
-      Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), maxHamming = 2)
+    graft.graph.EdgeCache.cached(s, s"$d#simhashPairs") {
+      Dedup.simhashNearDuplicates(
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), maxHamming = 2)
+    }
 
   def defs: Map[String, QueryDef] = Map(
 
