@@ -88,6 +88,35 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall < 0.8")
   }
 
+  test("ivfSearchEmbedded: maxClusterSize sub-shards a deliberately skewed " +
+       "cluster — per-task bound holds and the merged result is exact") {
+    val emb = new graft.ask.HashEmbedder(16)
+    // worst case: ALL 1200 vectors land in ONE cluster (total skew)
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, emb.embed(s"skewed payload $i"), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, rows.head._2))
+    val assigned = VectorSearch.assignClusters(df, "embedding", cents)
+    // the bound: 1200-vector cluster at max 200 → 6 sub-shards, each a
+    // brute-force (< switchThreshold) group, so the merge is EXACT
+    assert(VectorSearch.subShardCounts(Map(0 -> 1200L), 200) == Map(0 -> 6))
+    assert(VectorSearch.subShardCounts(Map(0 -> 200L), 200) == Map(0 -> 1))
+    assert(VectorSearch.subShardCounts(Map(0 -> 201L), 200) == Map(0 -> 2))
+    val q = emb.embed("skewed probe")
+    val got = VectorSearch.ivfSearchEmbedded(assigned, "vec_id", "embedding",
+        cents, q, k = 10, nprobe = 1, maxClusterSize = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val truth = rows.map { case (id, v, _) =>
+      var d = 0.0; var j = 0
+      while (j < 16) { val t = v(j).toDouble - q(j).toDouble; d += t * t; j += 1 }
+      (id, math.sqrt(d))
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(got.map(_._1) == truth,
+      "sub-sharded groups fall under the brute-force threshold, so the " +
+      "merged top-k must equal the exact answer")
+  }
+
   test("ivfPqSearch: probed-cluster shortlist, exact re-rank equals brute l2") {
     // 32-dim so the 8-subspace PQ has 4-dim subspaces; 3 separated bands
     // of vectors so cluster probing is meaningful
