@@ -91,6 +91,37 @@ object MediaQueries {
     graft.multimodal.Video.encode(frames)
   }
 
+  /** Deterministic NER fixture text (X11's golden-gate fixture, same
+    * doc_id-only discipline as the WAV/PNG synthesizers): entity surface
+    * forms drawn by id so every doc yields different spans. */
+  def synthNerText(id: Long): String = {
+    val pers = Array("Alice Smith", "Bob Stone", "Carol King", "Dan Swift")
+    val orgs = Array("Acme Corp", "Globex Group", "Initech Labs")
+    val locs = Array("Paris", "Berlin Area", "Tokyo")
+    val p = pers((id % 4).toInt)
+    val o = orgs((id % 3).toInt)
+    val l = locs(((id / 3) % 3).toInt)
+    s"Report $id filed: $p of $o visited $l and $p signed notes."
+  }
+
+  /** WordPiece vocab whose ids are chosen so the deterministic
+    * FakeBackend (label = id mod 9 over NerInference.Labels) tags each
+    * word with the BIO label its role needs: given names ≡ 1 (B-PER),
+    * surnames ≡ 2 (I-PER), org heads ≡ 3 / tails ≡ 4, locations ≡ 5 / 6,
+    * filler ≡ 0 (O). "Initech" = "Init" + "##ech" exercises the
+    * first-subtoken label alignment; unknown words (ids, "signed") fall
+    * to unkId 0 ≡ O. */
+  val nerVocab: Map[String, Long] = Map(
+    "Alice" -> 1L, "Bob" -> 10L, "Carol" -> 19L, "Dan" -> 28L,
+    "Smith" -> 2L, "Stone" -> 11L, "King" -> 20L, "Swift" -> 29L,
+    "Acme" -> 3L, "Globex" -> 12L, "Init" -> 21L,
+    "Corp" -> 4L, "Group" -> 13L, "Labs" -> 22L,
+    "Paris" -> 5L, "Berlin" -> 14L, "Tokyo" -> 23L,
+    "Area" -> 6L,
+    "Report" -> 9L, "of" -> 18L, "visited" -> 27L, "and" -> 36L,
+    "filed" -> 45L, "notes" -> 54L,
+    "##ech" -> 8L)
+
   private def mediaRows(s: org.apache.spark.sql.SparkSession, d: String,
                         kind: String, synth: Long => Array[Byte]) = {
     import s.implicits._
@@ -150,5 +181,31 @@ object MediaQueries {
             col("meanR").as("mr"), col("meanG").as("mg"), col("meanB").as("mb"))
           .orderBy(col("media_id"), col("frame"))
       },
-      MediaGolden.frameSampleSql))
+      MediaGolden.frameSampleSql),
+
+    // ---- X11 batch NER: cased WordPiece tokenize → per-partition tagger
+    // (one backend per partition, the ner.rs:249 session-amortization
+    // shape) → first-subtoken label alignment → BIO span merge, over
+    // deterministic fixture text. The fake backend's label is a pure
+    // function of the token id, so the golden locks tokenization,
+    // sub-token alignment, span merging, char offsets, and the
+    // mapPartitions batch path — a real DistilBERT session drops in by
+    // swapping the backend (reference src/analysis/ner.rs:249,494). ----
+    "ner_extract_batch" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        import graft.graph.NerInference
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, synthNerText(id)))
+          .toDF("doc_id", "text")
+        NerInference.extractAll(docs, "doc_id", "text",
+            () => new NerInference.Tagger(
+              new NerInference.FakeBackend,
+              new NerInference.CasedTokenizer(nerVocab, unkId = 0L)))
+          .select(col("frameId").as("doc_id"), col("entity"), col("kind"),
+            col("offset"))
+          .orderBy(col("doc_id"), col("offset"))
+      },
+      MediaGolden.nerSql))
 }

@@ -48,6 +48,18 @@ ORDER BY media_id""")
  t(media_id, frame, w, h, mr, mg, mb)
 WHERE media_id IN (SELECT doc_id FROM documents)
 ORDER BY media_id, frame""")
+
+    val ner = defs("ner_extract_batch").fn(spark, sfDir).collect()
+    val nerVals = ner.map(r =>
+      s"(${r.getLong(0)},'${r.getString(1)}','${r.getString(2)}',${r.getInt(3)})")
+      .mkString(",\n  ")
+    println("=== nerSql ===")
+    println(
+      s"""SELECT doc_id, entity, kind, "offset" FROM (VALUES
+  $nerVals)
+ t(doc_id, entity, kind, "offset")
+WHERE doc_id IN (SELECT doc_id FROM documents)
+ORDER BY doc_id, "offset"""")
     spark.stop()
   }
 }
