@@ -237,5 +237,67 @@ object IngestQueries {
         |SELECT doc_id,
         |       trim(substr(text, st + 1, en - st),
         |            ' ' || chr(10) || chr(13) || chr(9)) AS snippet
-        |FROM sp ORDER BY doc_id""".stripMargin))
+        |FROM sp ORDER BY doc_id""".stripMargin),
+
+    // ---- X18 structural chunking, MULTI-chunk (chunker.rs:61-630): the
+    // store fixtures keep docs single-chunk by design, so this gate feeds
+    // long deterministic markdown (heading-scoped prose, a code block,
+    // a wide table) through Structure.chunk at maxChars=400 and locks the
+    // whole manifest: chunk_index/chunk_count, per-chunk size, the
+    // propagated heading line (every continuation chunk re-opens with its
+    // section heading), code-block integrity and table header
+    // re-propagation (both md5-locked via the chunk fingerprint). Golden
+    // oracle (GoldenGen) — the chunker is not SQL-expressible. ----
+    "ingest_chunk_manifest" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, synthChunkDoc(id)))
+          .toDF("doc_id", "text")
+        docs.as[(Long, String)].flatMap { case (id, text) =>
+            val cs = graft.ingest.Structure.chunk(text, maxChars = 400)
+            cs.map(c => (id, c.index, cs.length, c.text))
+          }
+          .toDF("doc_id", "chunk_index", "chunk_count", "ctext")
+          .select(col("doc_id"), col("chunk_index"), col("chunk_count"),
+            length(col("ctext")).as("n_chars"),
+            when(col("ctext").startsWith("#"),
+              split(col("ctext"), "\n").getItem(0)).otherwise(lit(""))
+              .as("header_line"),
+            md5(col("ctext")).as("fp"))
+          .orderBy(col("doc_id"), col("chunk_index"))
+      },
+      IngestGolden.chunkManifestSql))
+
+  /** Deterministic long markdown for the multi-chunk gate: ~2.5 kchars per
+    * doc — an intro section of id-varied sentences (forces sentence-bound
+    * paragraph splits), a code block that must stay whole, and a table
+    * wide enough to split with header re-propagation. */
+  def synthChunkDoc(id: Long): String = {
+    val intro = (0 until (24 + (id % 7).toInt)).map { j =>
+      s"Sentence $j of document $id explains step ${(j * 7 + id) % 13} in detail."
+    }.mkString(" ")
+    val code = (0 until 6).map(k => s"val x$k = ($id + $k) * ${k + 1}")
+      .mkString("\n")
+    val rows = (0 until (14 + (id % 5).toInt)).map { j =>
+      s"| row $j of doc $id | value ${id * 31 + j} |"
+    }.mkString("\n")
+    s"""# Guide $id
+       |
+       |$intro
+       |
+       |## Setup $id
+       |
+       |```scala
+       |$code
+       |```
+       |
+       |## Data $id
+       |
+       || name | value |
+       || --- | --- |
+       |$rows
+       |""".stripMargin
+  }
 }

@@ -60,6 +60,20 @@ ORDER BY media_id, frame""")
  t(doc_id, entity, kind, "offset")
 WHERE doc_id IN (SELECT doc_id FROM documents)
 ORDER BY doc_id, "offset"""")
+
+    val ch = graft.queries.IngestQueries.defs("ingest_chunk_manifest")
+      .fn(spark, sfDir).collect()
+    val chVals = ch.map(r =>
+      s"(${r.getLong(0)},${r.getInt(1)},${r.getInt(2)},${r.getInt(3)}," +
+      s"'${r.getString(4)}','${r.getString(5)}')")
+      .mkString(",\n  ")
+    println("=== chunkManifestSql ===")
+    println(
+      s"""SELECT doc_id, chunk_index, chunk_count, n_chars, header_line, fp FROM (VALUES
+  $chVals)
+ t(doc_id, chunk_index, chunk_count, n_chars, header_line, fp)
+WHERE doc_id IN (SELECT doc_id FROM documents)
+ORDER BY doc_id, chunk_index""")
     spark.stop()
   }
 }
