@@ -146,6 +146,96 @@ object MiscQueries {
            |ORDER BY seq""".stripMargin
       }),
 
+    // ---- ST6 second half: compare_sessions (engine.rs:542). Two recorded
+    // sessions — B reproduces three of A's searches exactly, re-runs one
+    // with a different input, answers one with a different action type,
+    // adds one action A never ran, and misses two of A's — every
+    // classification the reference emits (matches / differs /
+    // type_differs / only_in_a / only_in_b) appears, and the oracle
+    // recomputes every recorded result hash independently (the
+    // replay_match_rate md5-chain), so drift in hashing, the full-outer
+    // classification, or the fixed-point match-rate summary fails the
+    // gate. ----
+    "replay_compare_sessions" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        import graft.replay.Replay
+        val docs = Tables.documents(s, d)
+        def searchHash(t: String) = Replay.resultHash(
+          docs.filter(col("text").contains(t)).select(col("doc_id"), col("lang")))
+        def askHash(t: String) = Replay.resultHash(
+          docs.filter(col("text").contains(t)).select(col("doc_id")))
+        val shared = Seq("data", "spark", "join")
+        val a = shared.zipWithIndex.map { case (t, i) =>
+          Replay.Action("a", i.toLong, "search", t, searchHash(t), Nil, 0L)
+        } ++ Seq(
+          Replay.Action("a", 3L, "search", "stream", searchHash("stream"), Nil, 0L),
+          Replay.Action("a", 4L, "search", "window", searchHash("window"), Nil, 0L),
+          Replay.Action("a", 6L, "search", "batch", searchHash("batch"), Nil, 0L),
+          Replay.Action("a", 7L, "search", "quality", searchHash("quality"), Nil, 0L))
+        val b = shared.zipWithIndex.map { case (t, i) =>
+          Replay.Action("b", i.toLong, "search", t, searchHash(t), Nil, 0L)
+        } ++ Seq(
+          Replay.Action("b", 3L, "search", "shuffle", searchHash("shuffle"), Nil, 0L),
+          Replay.Action("b", 4L, "ask", "window", askHash("window"), Nil, 0L),
+          Replay.Action("b", 5L, "search", "filter", searchHash("filter"), Nil, 0L))
+        Replay.compareSessionsDetailed(
+            s.createDataset(a).toDF(), s.createDataset(b).toDF())
+          .orderBy(col("seq"))
+      },
+      {
+        def sh(t: String) =
+          s"""(SELECT md5(COALESCE(string_agg(h, '' ORDER BY h), ''))
+             | FROM (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || lang) AS h
+             |       FROM documents WHERE contains(text, '$t')) z)""".stripMargin
+            .replace("\n", " ")
+        def ah(t: String) =
+          s"""(SELECT md5(COALESCE(string_agg(h, '' ORDER BY h), ''))
+             | FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h
+             |       FROM documents WHERE contains(text, '$t')) z)""".stripMargin
+            .replace("\n", " ")
+        val aVals = Seq(
+          (0, "search", "data"), (1, "search", "spark"), (2, "search", "join"),
+          (3, "search", "stream"), (4, "search", "window"),
+          (6, "search", "batch"), (7, "search", "quality"))
+          .map { case (i, tp, t) =>
+            s"(CAST($i AS BIGINT), '$tp', '$t', ${sh(t)})" }.mkString(",\n")
+        val bVals = (Seq(
+          (0, "search", "data"), (1, "search", "spark"), (2, "search", "join"),
+          (3, "search", "shuffle"), (5, "search", "filter"))
+          .map { case (i, tp, t) =>
+            s"(CAST($i AS BIGINT), '$tp', '$t', ${sh(t)})" } :+
+          s"(CAST(4 AS BIGINT), 'ask', 'window', ${ah("window")})")
+          .mkString(",\n")
+        s"""WITH a AS (SELECT * FROM (VALUES
+           |$aVals) t(seq, type_a, input_a, hash_a)),
+           |b AS (SELECT * FROM (VALUES
+           |$bVals) t(seq, type_b, input_b, hash_b)),
+           |j AS (SELECT seq, type_a, input_a, hash_a, type_b, input_b, hash_b
+           |      FROM a FULL OUTER JOIN b USING (seq)),
+           |c AS (SELECT *, CASE
+           |        WHEN type_b IS NULL THEN 'only_in_a'
+           |        WHEN type_a IS NULL THEN 'only_in_b'
+           |        WHEN type_a != type_b THEN 'type_differs'
+           |        WHEN input_a != input_b OR hash_a != hash_b THEN 'differs'
+           |        ELSE 'matches' END AS status FROM j),
+           |s AS (SELECT
+           |  CAST(SUM(CASE WHEN status = 'matches' THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+           |  CAST(SUM(CASE WHEN status IN ('differs', 'type_differs') THEN 1 ELSE 0 END) AS BIGINT) AS n_differing,
+           |  CAST(SUM(CASE WHEN status = 'only_in_a' THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+           |  CAST(SUM(CASE WHEN status = 'only_in_b' THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+           |  CAST(SUM(CASE WHEN type_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |  CAST(SUM(CASE WHEN type_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           |  FROM c)
+           |SELECT seq, type_a, input_a, hash_a, type_b, input_b, hash_b, status,
+           |  n_matching, n_differing, n_only_a, n_only_b,
+           |  (n_matching * 1000) // greatest(na, 1) AS rate_a_pm,
+           |  (n_matching * 1000) // greatest(nb, 1) AS rate_b_pm,
+           |  (n_matching * 1000) // greatest(na, 1)
+           |    - (n_matching * 1000) // greatest(nb, 1) AS rate_delta_pm
+           |FROM c, s ORDER BY seq""".stripMargin
+      }),
+
     // ---- ask() end-to-end, hash-gated: the full facade runs (classify →
     // lexical/OR/vector/correction candidate lists → RRF → semantic
     // rerank → citations) and the oracle replays the SAME deterministic

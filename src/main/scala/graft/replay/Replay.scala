@@ -62,4 +62,45 @@ object Replay {
     l.join(r, Seq("seq"), "full_outer")
       .withColumn("matched", coalesce(col("hash_a") === col("hash_b"), lit(false)))
   }
+
+  /** Full session diff with the reference's per-action classification
+    * (compare_sessions, src/replay/engine.rs:542): every seq present in
+    * either session is classified `only_in_a` / `only_in_b` /
+    * `type_differs` (action types disagree) / `differs` (same type,
+    * input or output hash disagree) / `matches`. One full-outer join on
+    * seq — distributed, no driver diffing; session sizes are bounded by
+    * what a client recorded, but nothing here collects.
+    *
+    * The comparison header (matching/differing/only-in counts and the
+    * match-rate-per-session delta, engine.rs's SessionComparison summary)
+    * is attached as constant columns via a broadcast of the one-row
+    * aggregate: rate_x_pm = matching·1000 DIV |session x| (fixed-point
+    * per-mille, the replay family's integer-rate convention). */
+  def compareSessionsDetailed(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("seq"), col("actionType").as("type_a"),
+      col("input").as("input_a"), col("outputHash").as("hash_a"))
+    val r = b.select(col("seq"), col("actionType").as("type_b"),
+      col("input").as("input_b"), col("outputHash").as("hash_b"))
+    val cls = l.join(r, Seq("seq"), "full_outer")
+      .withColumn("status",
+        when(col("type_b").isNull, lit("only_in_a"))
+          .when(col("type_a").isNull, lit("only_in_b"))
+          .when(col("type_a") =!= col("type_b"), lit("type_differs"))
+          .when(col("input_a") =!= col("input_b") ||
+                col("hash_a") =!= col("hash_b"), lit("differs"))
+          .otherwise(lit("matches")))
+    val summary = cls.agg(
+      sum(when(col("status") === "matches", 1L).otherwise(0L)).as("n_matching"),
+      sum(when(col("status").isin("differs", "type_differs"), 1L)
+        .otherwise(0L)).as("n_differing"),
+      sum(when(col("status") === "only_in_a", 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(col("status") === "only_in_b", 1L).otherwise(0L)).as("n_only_b"),
+      sum(when(col("type_a").isNotNull, 1L).otherwise(0L)).as("__na"),
+      sum(when(col("type_b").isNotNull, 1L).otherwise(0L)).as("__nb"))
+    cls.crossJoin(broadcast(summary))
+      .withColumn("rate_a_pm", expr("(n_matching * 1000) DIV greatest(__na, 1)"))
+      .withColumn("rate_b_pm", expr("(n_matching * 1000) DIV greatest(__nb, 1)"))
+      .withColumn("rate_delta_pm", col("rate_a_pm") - col("rate_b_pm"))
+      .drop("__na", "__nb")
+  }
 }

@@ -43,6 +43,33 @@ class MiscOpsSpec extends SparkSpec {
     assert(diff.filter(!col("matched")).count() == 1)
   }
 
+  test("compareSessionsDetailed: every classification + per-mille rate summary") {
+    def act(sid: String, seq: Long, tp: String, in: String, h: String) =
+      Replay.Action(sid, seq, tp, in, h, Seq.empty, 0L)
+    val a = Seq(act("a", 0, "find", "x", "h0"), act("a", 1, "find", "y", "h1"),
+      act("a", 2, "find", "z", "h2"), act("a", 3, "ask", "w", "h3")).toDF()
+    val b = Seq(act("b", 0, "find", "x", "h0"),          // matches
+      act("b", 1, "find", "y", "DIFFERENT"),             // differs (hash)
+      act("b", 2, "stats", "z", "h2"),                   // type_differs
+      act("b", 4, "find", "extra", "h4")).toDF()         // only_in_b; seq 3 only_in_a
+    val out = Replay.compareSessionsDetailed(a, b)
+      .select("seq", "status", "n_matching", "n_differing", "n_only_a",
+        "n_only_b", "rate_a_pm", "rate_b_pm", "rate_delta_pm")
+      .orderBy("seq").collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(
+      0L -> "matches", 1L -> "differs", 2L -> "type_differs",
+      3L -> "only_in_a", 4L -> "only_in_b"))
+    val r0 = out.head
+    assert((r0.getLong(2), r0.getLong(3), r0.getLong(4), r0.getLong(5)) == ((1L, 2L, 1L, 1L)))
+    // 1 match of 4 actions per session → 250 pm each, delta 0
+    assert((r0.getLong(6), r0.getLong(7), r0.getLong(8)) == ((250L, 250L, 0L)))
+    // an empty side classifies everything only_in_a and divides safely
+    val empty = spark.emptyDataset[Replay.Action].toDF()
+    val onlyA = Replay.compareSessionsDetailed(a, empty).collect()
+    assert(onlyA.length == 4 && onlyA.forall(_.getAs[String]("status") == "only_in_a"))
+    assert(onlyA.forall(_.getAs[Long]("rate_b_pm") == 0L))
+  }
+
   test("product quantizer: asymmetric distance approximates L2, exact on centroids") {
     val rnd = new scala.util.Random(7)
     val dim = 16
