@@ -35,6 +35,20 @@ object IngestQueries {
   private val autoTagsUdf =
     udf((t: String) => graft.ingest.Enrich.autoTags(t))
 
+  /** S6 budgeted extraction with an injected deterministic clock: every
+    * clock() call advances exactly the 350 ms budget, so the slice parse
+    * "costs" the whole budget and the projected-full-parse decision
+    * reduces to the pure predicate `bytes > 64 KiB` — the timing policy
+    * becomes oracle-replayable without wall-clock flake. */
+  private val budgetedUdf = udf((payload: String) => {
+    var t = 0L
+    val clock = () => { t += 350000000L; t }
+    val doc = graft.ingest.Readers.extractBudgeted(
+      payload.getBytes("UTF-8"), graft.ingest.Readers.plaintext,
+      budgetMs = graft.ingest.Readers.DefaultBudgetMs, clock = clock)
+    (doc.skim, doc.text.length)
+  })
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- X10 auto-tagging: the 6 keyword rules applied on the data path,
@@ -238,6 +252,31 @@ object IngestQueries {
         |       trim(substr(text, st + 1, en - st),
         |            ' ' || chr(10) || chr(13) || chr(9)) AS snippet
         |FROM sp ORDER BY doc_id""".stripMargin),
+
+    // ---- S6 budgeted extraction (extract_budgeted.rs:21,102): payloads
+    // sized by n_chars·8 repeats of an id-tagged line put ~¼ of the corpus
+    // past the 64 KiB probe slice; with the deterministic clock the skim
+    // decision is exactly `n_bytes > 65536`, and a skimmed doc keeps the
+    // 65536-char slice while an in-budget doc parses fully — both facts
+    // hash-locked per document. ----
+    "ingest_budgeted_extract" -> QueryDef.sql(
+      (s, d) => Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          expr("repeat('doc ' || doc_id || ' payload line.', " +
+               "CAST(n_chars * 8 AS INT))").as("payload"))
+        .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+          budgetedUdf(col("payload")).as("r"))
+        .select(col("doc_id"), col("n_bytes"),
+          col("r._1").as("skim"), col("r._2").as("extracted_chars"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id, CAST(length(payload) AS BIGINT) AS n_bytes,
+        |  length(payload) > 65536 AS skim,
+        |  CAST(least(length(payload), 65536) AS INT) AS extracted_chars
+        |FROM (SELECT doc_id,
+        |        repeat('doc ' || doc_id || ' payload line.',
+        |               CAST(n_chars * 8 AS INT)) AS payload
+        |      FROM documents WHERE doc_id < 300) z
+        |ORDER BY doc_id""".stripMargin),
 
     // ---- X18 structural chunking, MULTI-chunk (chunker.rs:61-630): the
     // store fixtures keep docs single-chunk by design, so this gate feeds

@@ -329,6 +329,34 @@ object MiscQueries {
         |SELECT r_regionkey * 1048576, 0, 1, r_name FROM region
         |ORDER BY tableId, rowIdx, colIdx""".stripMargin),
 
+    // ---- S10 export round-trip (storage.rs:498,543): the nation dim is
+    // rendered as one markdown table, extracted (the S7/S8 path), then
+    // written through the SHARDED CSV sink (4 range-partitioned part
+    // files, each with a header, globally ordered by row index) and read
+    // back with Spark's CSV reader. The oracle replays the source rows
+    // directly, so a drop, reorder, mis-quote, or header mix-up anywhere
+    // in extract → export → re-read fails the hash. ----
+    "table_export_roundtrip" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val ns = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val md = "| key | name |\n| --- | --- |\n" +
+          ns.map { case (k, n) => s"| $k | $n |" }.mkString("\n")
+        val tables = ExtractedTables.extract(
+          Seq((9L, md)).toDF("id", "text"), "id", "text")
+        val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+        ExtractedTables.exportCsvSharded(tables, 9L * 1048576, dir, n = 4)
+        val back = s.read.option("header", "true").csv(dir)
+          .select(col("key").cast("long").as("key"), col("name"))
+          .orderBy(col("key"))
+          .localCheckpoint() // detach from the temp dir before it ages out
+        back
+      },
+      """SELECT n_nationkey AS key, n_name AS name
+        |FROM nation ORDER BY key""".stripMargin),
+
     // ---- S7 lattice-mode PDF table extraction + multi-page merge: a
     // deterministic two-page ruled-grid PDF is synthesized from the region
     // dim (PdfGen), page 2 repeats the header; the extractor must detect
