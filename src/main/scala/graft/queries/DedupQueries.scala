@@ -32,6 +32,12 @@ object DedupQueries {
     s"${dot(a, b)} / (sqrt(${nsq(a)}) * sqrt(${nsq(b)}))"
   }
 
+  /** candidate-pair feasibility budget for er_bounded_blocks (both
+    * engines carry the literal 500000000): ~what one levenshtein pass can
+    * absorb in minutes; 30×-soak primary blocking (1.2e9) refuses,
+    * bounded first-token blocking (1.6e8) runs. */
+  private val ErPairBudget = 500000000L
+
   private val minhashMins = (0 until Dedup.NumPerms).map(i =>
     s"CAST(min((${Dedup.PermA(i)}*h + ${Dedup.PermB(i)}) % 1000000007) AS BIGINT) AS m$i").mkString(", ")
   private val bandKeys = (0 until 4).map { b =>
@@ -355,6 +361,102 @@ object DedupQueries {
         |        FROM p LEFT JOIN comp c USING (id))
         |SELECT id AS p_partkey, canon_id,
         |  COUNT(*) OVER (PARTITION BY canon_id) AS cluster_size
-        |FROM lab ORDER BY p_partkey""".stripMargin)
+        |FROM lab ORDER BY p_partkey""".stripMargin),
+
+    // ---- the bounded-block ER contract, demonstrated (SCALE.md): the
+    // same linkage pipeline under the primary (brand, type) blocking and
+    // under the secondary first-token key, with the block-size histogram
+    // (n_blocks / max_block / Σ n·(n−1)/2 candidate pairs) that decides
+    // feasibility at crawl scale. The pair count collapses by ~the
+    // first-token fan-out while edges/components stay near-identical
+    // (an edit within the first word is the only recall loss). The gate
+    // also encodes the production rule the scaladoc teaches: read
+    // blockStats FIRST, and REFUSE a scheme whose candidate-pair count
+    // exceeds the budget (-1 sentinels) instead of launching a Θ(n²)
+    // join — at the 30× soak the primary scheme's 1.2e9 pairs trip the
+    // refusal while the bounded scheme's 1.6e8 run. ----
+    "er_bounded_blocks" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val parts = Tables.part(s, d)
+          .withColumn("__tok1", substring_index(col("p_name"), " ", 1))
+        def row(scheme: String, bc: Seq[String]) = {
+          val st = graft.dedup.RecordLinkage.blockStats(parts, bc).head
+          if (st.getLong(3) > ErPairBudget)
+            (scheme, st.getLong(0), st.getLong(1), st.getLong(2),
+              st.getLong(3), -1L, -1L, -1L)
+          else {
+            val edges = graft.dedup.RecordLinkage
+              .linkEdges(parts, "p_partkey", "p_name", bc, maxDist = 2)
+              .localCheckpoint() // edge set feeds a count AND components
+            val comp = graft.pipeline.Curation.connectedComponents(edges)
+              .localCheckpoint()
+            (scheme, st.getLong(0), st.getLong(1), st.getLong(2),
+              st.getLong(3), edges.count(),
+              comp.count(), comp.select("component").distinct().count())
+          }
+        }
+        Seq(row("brand_type", Seq("p_brand", "p_type")),
+            row("brand_type_tok1", Seq("p_brand", "p_type", "__tok1")))
+          .toDF("scheme", "n_records", "n_blocks", "max_block",
+            "candidate_pairs", "n_edges", "n_linked", "n_components")
+          .orderBy("scheme")
+      },
+      """WITH RECURSIVE
+        |p AS MATERIALIZED (SELECT p_partkey AS id, p_name AS nm, p_brand AS b,
+        |       p_type AS t, split_part(p_name, ' ', 1) AS tok1 FROM part),
+        |bs1 AS (SELECT COUNT(*) AS n FROM p GROUP BY b, t),
+        |st1 AS (SELECT CAST(SUM(n) AS BIGINT) AS n_records,
+        |         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |         CAST(MAX(n) AS BIGINT) AS max_block,
+        |         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+        |       FROM bs1),
+        |bs2 AS (SELECT COUNT(*) AS n FROM p GROUP BY b, t, tok1),
+        |st2 AS (SELECT CAST(SUM(n) AS BIGINT) AS n_records,
+        |         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |         CAST(MAX(n) AS BIGINT) AS max_block,
+        |         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+        |       FROM bs2),
+        |e1 AS MATERIALIZED (SELECT a.id AS doc_a, c.id AS doc_b
+        |       FROM p a JOIN p c ON a.b = c.b AND a.t = c.t AND a.id < c.id
+        |       WHERE (SELECT candidate_pairs FROM st1) <= 500000000
+        |         AND abs(length(a.nm) - length(c.nm)) <= 2
+        |         AND levenshtein(a.nm, c.nm) <= 2),
+        |e2 AS MATERIALIZED (SELECT a.id AS doc_a, c.id AS doc_b
+        |       FROM p a JOIN p c ON a.b = c.b AND a.t = c.t
+        |        AND a.tok1 = c.tok1 AND a.id < c.id
+        |       WHERE (SELECT candidate_pairs FROM st2) <= 500000000
+        |         AND abs(length(a.nm) - length(c.nm)) <= 2
+        |         AND levenshtein(a.nm, c.nm) <= 2),
+        |ed1 AS MATERIALIZED (SELECT doc_a AS ea, doc_b AS eb FROM e1
+        |       UNION ALL SELECT doc_b, doc_a FROM e1),
+        |nodes1 AS (SELECT doc_a AS id FROM e1 UNION SELECT doc_b FROM e1),
+        |reach1(id, r) AS (SELECT id, id FROM nodes1
+        |  UNION SELECT e.ea, r.r FROM ed1 e JOIN reach1 r ON r.id = e.eb),
+        |comp1 AS (SELECT id, MIN(r) AS component FROM reach1 GROUP BY id),
+        |ed2 AS MATERIALIZED (SELECT doc_a AS ea, doc_b AS eb FROM e2
+        |       UNION ALL SELECT doc_b, doc_a FROM e2),
+        |nodes2 AS (SELECT doc_a AS id FROM e2 UNION SELECT doc_b FROM e2),
+        |reach2(id, r) AS (SELECT id, id FROM nodes2
+        |  UNION SELECT e.ea, r.r FROM ed2 e JOIN reach2 r ON r.id = e.eb),
+        |comp2 AS (SELECT id, MIN(r) AS component FROM reach2 GROUP BY id)
+        |SELECT 'brand_type' AS scheme, st1.*,
+        |  CASE WHEN st1.candidate_pairs > 500000000 THEN -1
+        |       ELSE (SELECT COUNT(*) FROM e1) END AS n_edges,
+        |  CASE WHEN st1.candidate_pairs > 500000000 THEN -1
+        |       ELSE (SELECT COUNT(*) FROM comp1) END AS n_linked,
+        |  CASE WHEN st1.candidate_pairs > 500000000 THEN -1
+        |       ELSE (SELECT COUNT(DISTINCT component) FROM comp1) END AS n_components
+        |FROM st1
+        |UNION ALL
+        |SELECT 'brand_type_tok1', st2.*,
+        |  CASE WHEN st2.candidate_pairs > 500000000 THEN -1
+        |       ELSE (SELECT COUNT(*) FROM e2) END,
+        |  CASE WHEN st2.candidate_pairs > 500000000 THEN -1
+        |       ELSE (SELECT COUNT(*) FROM comp2) END,
+        |  CASE WHEN st2.candidate_pairs > 500000000 THEN -1
+        |       ELSE (SELECT COUNT(DISTINCT component) FROM comp2) END
+        |FROM st2
+        |ORDER BY scheme""".stripMargin)
   )
 }
