@@ -389,11 +389,11 @@ object DedupQueries {
             val edges = graft.dedup.RecordLinkage
               .linkEdges(parts, "p_partkey", "p_name", bc, maxDist = 2)
               .localCheckpoint() // edge set feeds a count AND components
-            val comp = graft.pipeline.Curation.connectedComponents(edges)
-              .localCheckpoint()
+            val c = graft.pipeline.Curation.connectedComponents(edges)
+              .agg(count(lit(1)).as("n_linked"),
+                countDistinct(col("component")).as("n_components")).head
             (scheme, st.getLong(0), st.getLong(1), st.getLong(2),
-              st.getLong(3), edges.count(),
-              comp.count(), comp.select("component").distinct().count())
+              st.getLong(3), edges.count(), c.getLong(0), c.getLong(1))
           }
         }
         Seq(row("brand_type", Seq("p_brand", "p_type")),
