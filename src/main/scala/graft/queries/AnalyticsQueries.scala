@@ -705,6 +705,54 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin),
 
+    // ---- ST1+ST2 end-to-end through the oracle gate: real text files on
+    // disk → Structured Streaming file source (AvailableNow, checkpointed)
+    // → parquet frame sink → anti-join enrichment stage, run TWICE to
+    // prove idempotence (second pass must find 0 un-enriched frames —
+    // emitted as a locked column). Fixture files carry the documents'
+    // single-lined text, so the oracle recomputes every token count and
+    // content hash straight from the table: a drop, re-ingest, or
+    // re-enrichment anywhere in the WAL→index→enrich chain breaks the
+    // hash. ----
+    "stream_ingest_enrich" -> QueryDef.sql(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-st1")
+        val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+        val fixture = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[\\n\\r]+", " ").as("line"))
+          .collect() // bounded: ≤ 40 rows, the media-gate fixture budget
+        fixture.foreach { r =>
+          java.nio.file.Files.writeString(
+            in.resolve(s"doc_${r.getLong(0)}.txt"), r.getString(1))
+        }
+        val frames = tmp.resolve("frames").toString
+        val q = graft.streaming.StreamingIngest.ingestFiles(
+          s, in.toString, frames, tmp.resolve("ck").toString)
+        q.awaitTermination()
+        val sk = tmp.resolve("sk").toString
+        val log = tmp.resolve("log").toString
+        graft.streaming.StreamingIngest.enrichIncrement(s, frames, sk, log)
+        val secondPass = // idempotence: the log anti-join leaves nothing
+          graft.streaming.StreamingIngest.enrichIncrement(s, frames, sk, log)
+        s.read.parquet(sk)
+          .select(regexp_extract(col("uri"), "doc_(\\d+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            size(col("tokens")).as("n_tok"),
+            col("contentHash").as("content_hash"),
+            lit(secondPass).as("second_pass_new"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // detach from the temp dirs
+      },
+      s"""SELECT doc_id,
+         |  CAST(len(${DedupQueries.duckToks.replace("text", "line")}) AS INT) AS n_tok,
+         |  ${DedupQueries.duckPoly("line")} AS content_hash,
+         |  CAST(0 AS BIGINT) AS second_pass_new
+         |FROM (SELECT doc_id,
+         |        regexp_replace(text, '[\\n\\r]+', ' ', 'g') AS line
+         |      FROM documents WHERE doc_id < 40) z
+         |ORDER BY doc_id""".stripMargin),
+
     // ---- first-order Markov transition matrix over per-user event
     // sequences: adjacent (event, next-event) pairs in timestamp order
     // (event_id tiebreak — a total order, so any engine sequences
