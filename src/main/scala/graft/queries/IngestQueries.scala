@@ -278,6 +278,31 @@ object IngestQueries {
         |      FROM documents WHERE doc_id < 300) z
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- X3 normalize/grapheme repair (text.rs:395, symspell_cleanup
+    // .rs:234,321): PDF-style fragmented words re-joined against a
+    // dictionary ("emp lo yee" → "employee") and grapheme-safe truncation
+    // over combining accents and surrogate-pair emoji — a cut landing
+    // inside a cluster retreats to the legacy-grapheme boundary: never a
+    // bare combining mark, never half a surrogate pair. Golden oracle builds
+    // the non-ASCII expectations from chr() codepoints, so both engines
+    // compare identical UTF-8. ----
+    "text_repair_graphemes" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dict = RepairWords.toSet
+        Tables.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val rep = graft.text.TextRepair.repairSplitWords(
+              synthRepairText(id), dict)
+            val tr = graft.text.TextRepair.truncateAtGrapheme(
+              synthGraphemeText(id), 6 + (id % 24).toInt)
+            (id, rep, tr, tr.codePointCount(0, tr.length))
+          }.toDF("doc_id", "repaired", "truncated", "n_codepoints")
+          .orderBy(col("doc_id"))
+      },
+      IngestGolden.graphemeRepairSql),
+
     // ---- X18 structural chunking, MULTI-chunk (chunker.rs:61-630): the
     // store fixtures keep docs single-chunk by design, so this gate feeds
     // long deterministic markdown (heading-scoped prose, a code block,
@@ -308,6 +333,32 @@ object IngestQueries {
           .orderBy(col("doc_id"), col("chunk_index"))
       },
       IngestGolden.chunkManifestSql))
+
+  // ---- X3 fixture helpers (text_repair_graphemes) ------------------
+
+  private val RepairWords = Array(
+    "employee", "supervisor", "acquaintance", "comfortable", "neighborhood")
+
+  /** id-varied PDF-style fragmentation: one dictionary word split into 2–3
+    * pieces ("emp lo yee") inside a sentence of non-dictionary filler. */
+  def synthRepairText(id: Long): String = {
+    val w = RepairWords((id % RepairWords.length).toInt)
+    val parts = 2 + (id % 2).toInt
+    val step = (w.length + parts - 1) / parts
+    val frags = w.grouped(step).toSeq
+    s"the ${frags.mkString(" ")} form was signed"
+  }
+
+  /** id-varied grapheme obstacle course: combining accents (e + U+0301,
+    * i + U+0308), precomposed é, and an emoji with a skin-tone
+    * modifier (two surrogate pairs). The gate's truncation bound lands
+    * inside clusters for many ids; legacy java.text.BreakIterator
+    * semantics apply — combining marks stay attached and surrogate
+    * pairs never split, but the modifier may separate from its base
+    * (pre-extended-grapheme-cluster rules; the golden locks exactly
+    * this). */
+  def synthGraphemeText(id: Long): String =
+    s"n$id cafe\u0301 nai\u0308ve r\u00e9sum\u00e9 \ud83d\udc4d\ud83c\udffd end"
 
   /** Deterministic long markdown for the multi-chunk gate: ~2.5 kchars per
     * doc — an intro section of id-varied sentences (forces sentence-bound

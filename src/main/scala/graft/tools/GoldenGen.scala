@@ -74,6 +74,34 @@ ORDER BY doc_id, "offset"""")
  t(doc_id, chunk_index, chunk_count, n_chars, header_line, fp)
 WHERE doc_id IN (SELECT doc_id FROM documents)
 ORDER BY doc_id, chunk_index""")
+
+    // non-ASCII-safe SQL string: ASCII runs stay literal, everything else
+    // (and quotes) becomes chr(codepoint) — the golden survives any stdout
+    // or source-file encoding because the SQL itself is pure ASCII
+    def sqlStr(str: String): String = {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      val sb = new StringBuilder
+      def flush(): Unit =
+        if (sb.nonEmpty) { parts += s"'${sb.toString}'"; sb.clear() }
+      str.codePoints().toArray.foreach { cp =>
+        if (cp >= 32 && cp < 127 && cp != '\'') sb.append(cp.toChar)
+        else { flush(); parts += s"chr($cp)" }
+      }
+      flush()
+      if (parts.isEmpty) "''" else parts.mkString(" || ")
+    }
+    val gr = graft.queries.IngestQueries.defs("text_repair_graphemes")
+      .fn(spark, sfDir).collect()
+    val grVals = gr.map(r =>
+      s"(${r.getLong(0)},${sqlStr(r.getString(1))},${sqlStr(r.getString(2))},${r.getInt(3)})")
+      .mkString(",\n  ")
+    println("=== graphemeRepairSql ===")
+    println(
+      s"""SELECT doc_id, repaired, truncated, n_codepoints FROM (VALUES
+  $grVals)
+ t(doc_id, repaired, truncated, n_codepoints)
+WHERE doc_id IN (SELECT doc_id FROM documents)
+ORDER BY doc_id""")
     spark.stop()
   }
 }
