@@ -63,9 +63,15 @@ object RecordLinkage {
     * linkage component (itself when unlinked) plus the component size.
     * @return (idCol, canon_id, cluster_size) */
   def resolve(records: DataFrame, idCol: String, nameCol: String,
-              blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val comp = Curation.connectedComponents(
+              blockCols: Seq[String], maxDist: Int): DataFrame =
+    resolveFromEdges(records, idCol,
       linkEdges(records, idCol, nameCol, blockCols, maxDist))
+
+  /** [[resolve]] over a pre-built candidate edge set — the entry point
+    * when the edges are shared (EdgeCache) or custom-generated. */
+  def resolveFromEdges(records: DataFrame, idCol: String,
+                       edges: DataFrame): DataFrame = {
+    val comp = Curation.connectedComponents(edges)
     val labeled = records.select(col(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -38,6 +38,17 @@ object DedupQueries {
     * bounded first-token blocking (1.6e8) runs. */
   private val ErPairBudget = 500000000L
 
+  /** (brand, type)-blocked candidate edges over `part` — the most
+    * expensive levenshtein join in the registry, shared by
+    * er_resolve_parts and er_bounded_blocks' primary scheme (EdgeCache,
+    * same build-once idiom as the graph gates' edge sources). */
+  private def erPrimaryEdges(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#erPrimaryEdges") {
+      graft.dedup.RecordLinkage.linkEdges(Tables.part(s, d),
+        "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 2)
+    }
+
   private val minhashMins = (0 until Dedup.NumPerms).map(i =>
     s"CAST(min((${Dedup.PermA(i)}*h + ${Dedup.PermB(i)}) % 1000000007) AS BIGINT) AS m$i").mkString(", ")
   private val bandKeys = (0 until 4).map { b =>
@@ -340,9 +351,8 @@ object DedupQueries {
     // so the oracle replays the edge set exactly and closes it with the
     // same recursive min-reachability CTE the components gates use. ----
     "er_resolve_parts" -> QueryDef.sql(
-      (s, d) => graft.dedup.RecordLinkage.resolve(
-          Tables.part(s, d), "p_partkey", "p_name",
-          blockCols = Seq("p_brand", "p_type"), maxDist = 2)
+      (s, d) => graft.dedup.RecordLinkage.resolveFromEdges(
+          Tables.part(s, d), "p_partkey", erPrimaryEdges(s, d))
         .orderBy(col("p_partkey")),
       """WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS nm, p_brand AS b, p_type AS t FROM part),
         |prs AS (SELECT a.id AS doc_a, b2.id AS doc_b
@@ -380,15 +390,20 @@ object DedupQueries {
         import s.implicits._
         val parts = Tables.part(s, d)
           .withColumn("__tok1", substring_index(col("p_name"), " ", 1))
-        def row(scheme: String, bc: Seq[String]) = {
+        def row(scheme: String, bc: Seq[String],
+                // thunk: the budget check must run BEFORE any edge build
+                prebuilt: Option[() => org.apache.spark.sql.DataFrame]) = {
           val st = graft.dedup.RecordLinkage.blockStats(parts, bc).head
           if (st.getLong(3) > ErPairBudget)
             (scheme, st.getLong(0), st.getLong(1), st.getLong(2),
               st.getLong(3), -1L, -1L, -1L)
           else {
-            val edges = graft.dedup.RecordLinkage
-              .linkEdges(parts, "p_partkey", "p_name", bc, maxDist = 2)
-              .localCheckpoint() // edge set feeds a count AND components
+            // primary-scheme edges come from the EdgeCache build shared
+            // with er_resolve_parts (already pinned/checkpointed)
+            val edges = prebuilt.map(_.apply()).getOrElse(
+              graft.dedup.RecordLinkage
+                .linkEdges(parts, "p_partkey", "p_name", bc, maxDist = 2)
+                .localCheckpoint()) // edge set feeds a count AND components
             val c = graft.pipeline.Curation.connectedComponents(edges)
               .agg(count(lit(1)).as("n_linked"),
                 countDistinct(col("component")).as("n_components")).head
@@ -396,8 +411,9 @@ object DedupQueries {
               st.getLong(3), edges.count(), c.getLong(0), c.getLong(1))
           }
         }
-        Seq(row("brand_type", Seq("p_brand", "p_type")),
-            row("brand_type_tok1", Seq("p_brand", "p_type", "__tok1")))
+        Seq(row("brand_type", Seq("p_brand", "p_type"),
+              Some(() => erPrimaryEdges(s, d))),
+            row("brand_type_tok1", Seq("p_brand", "p_type", "__tok1"), None))
           .toDF("scheme", "n_records", "n_blocks", "max_block",
             "candidate_pairs", "n_edges", "n_linked", "n_components")
           .orderBy("scheme")
