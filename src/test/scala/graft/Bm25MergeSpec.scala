@@ -30,4 +30,19 @@ class Bm25MergeSpec extends SparkSpec {
     // sanity on the absolute numbers
     assert(full("alpha") == ((3L, 5L, 12L))) // df=3 docs, N=5, total 12 tokens
   }
+
+  test("empty delta batch is a merge identity, not a NULL poison") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta")).toDF("doc_id", "text")
+    val idx = BM25.indexStats(
+      BM25.tokenTable(docs, "doc_id", "text", stemmed = false))
+    val empty = BM25.indexStats(
+      BM25.tokenTable(docs.limit(0), "doc_id", "text", stemmed = false))
+    // the r10 ADVICE finding: max() over an empty side is NULL and would
+    // null n_docs/total_len for every merged term without the coalesce
+    Seq(BM25.mergeIndexStats(idx, empty),
+        BM25.mergeIndexStats(empty, idx)).foreach { m =>
+      assert(stats(m) == stats(idx))
+      assert(m.filter(col("n_docs").isNull || col("total_len").isNull).isEmpty)
+    }
+  }
 }

@@ -79,6 +79,34 @@ class PipelineSpec extends SparkSpec {
     assert(star(200L) == 200L && star(201L) == 200L)
   }
 
+  test("property: both CC implementations match a driver union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val nNodes = 20 + rnd.nextInt(20)
+      val pairs = (0 until (nNodes * 3 / 2)).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      // reference answer: textbook union-find with min-id relabel
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = touched.map { n =>
+        val members = touched.filter(m => find(m.toInt) == find(n.toInt))
+        n -> members.min
+      }.toMap
+      val df = pairs.toDF("doc_a", "doc_b")
+      Seq(Curation.connectedComponents(df),
+          Curation.connectedComponentsStar(df)).foreach { cc =>
+        val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"trial $trial (${pairs.length} edges): $got vs $expect")
+      }
+    }
+  }
+
   test("star-contraction emits one row per node even when cut off early") {
     // maxIter = 1 leaves provisional minima on a deep chain; the final
     // groupBy-min must still yield exactly one label per node
