@@ -52,7 +52,7 @@ object EdgeCache {
     synchronized {
       val sk = sessionKey(spark)
       if (sk != currentSession) { // new context: old ids may alias — wipe
-        cache.clear(); pinnedIds.clear(); currentSession = sk
+        cache.clear(); pinnedIds.clear(); values.clear(); currentSession = sk
       }
       cache.get(key) match {
         case Some(e) => e.df
@@ -70,6 +70,25 @@ object EdgeCache {
     * cleanup sweeps must not unpersist it. */
   def isPinned(rddId: Int): Boolean = synchronized { pinnedIds.contains(rddId) }
 
+  private val values = scala.collection.mutable.Map.empty[String, (String, Any)]
+
+  /** Build-once cache for small DRIVER-side values derived from the data
+    * (trained centroids, looked-up query vectors): the vector gates each
+    * re-ran the same point-lookup jobs per gate. Same session-identity
+    * wipe as the frame cache; values must be immutable and bounded (a few
+    * KB — k·dim centroid arrays, never row sets). */
+  def cachedValue[T](spark: SparkSession, key: String)(build: => T): T =
+    synchronized {
+      val sk = sessionKey(spark)
+      values.get(key) match {
+        case Some((`sk`, v)) => v.asInstanceOf[T]
+        case _ =>
+          val v = build
+          values.put(key, (sk, v))
+          v
+      }
+    }
+
   /** Drop every cached table and unpin its blocks (test isolation).
     * localCheckpoint blocks live at the RDD layer (not the SQL cache
     * manager), so they are released through the context's persistent-RDD
@@ -81,6 +100,6 @@ object EdgeCache {
         .values.foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () } // context already stopped
     }
-    cache.clear(); pinnedIds.clear(); currentSession = ""
+    cache.clear(); pinnedIds.clear(); values.clear(); currentSession = ""
   }
 }
