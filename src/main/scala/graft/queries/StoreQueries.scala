@@ -85,5 +85,34 @@ object StoreQueries {
         |            WHEN doc_id IN (30, 31) THEN 'removed'
         |            WHEN doc_id >= 40 THEN 'added'
         |            ELSE 'unchanged' END AS status
-        |FROM base ORDER BY uri""".stripMargin))
+        |FROM base ORDER BY uri""".stripMargin),
+
+    // ---- S11 blob round-trip: the payload BINARY column through the
+    // store's append-only parquet log and latest-active view. put()
+    // stores the document's UTF-8 bytes as the payload, so the oracle
+    // recomputes the md5 and byte length straight from the text (DuckDB
+    // md5() hashes UTF-8; strlen() counts bytes, not codepoints) — any
+    // corruption, truncation, or re-encode of the binary column between
+    // write and read breaks the hash. ----
+    "store_blob_roundtrip" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://blob/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_blob_gate").toString
+        val store = new FrameStore(s, dir)
+        store.put(docs, chunkLargeDocs = false)
+        store.latestActive
+          .select(
+            regexp_extract(col("uri"), "mv2://blob/(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            md5(col("payload")).as("payload_md5"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // detach from the temp store before cleanup
+      },
+      """SELECT doc_id, md5(text) AS payload_md5,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin))
 }
