@@ -243,6 +243,61 @@ object PipelineQueries {
     // vocabulary, language mix, length distribution (exact fixed-point
     // mean/median), and exact-duplicate exposure. Everything a dataset
     // release README quotes, in one gate, all integers. ----
+    // ---- order-free per-source content digests (incremental-reprocess
+    // trigger): digest = bit_xor of per-doc polyHashes + doc count. XOR is
+    // commutative, associative, self-inverse, and overflow-free, so the
+    // digest is partition-order-independent, map-side combinable, and
+    // updatable in O(delta) (xor the changed docs' old and new hashes in).
+    // At 100 TB this is how a pipeline decides WHICH sources/partitions to
+    // reprocess: compare stored digests, touch only mismatches. The gate
+    // diffs the corpus against a mutated copy (every 7th doc edited, source
+    // src3 untouched) and locks both digests and the changed flag. ----
+    "pipe_dataset_digest" -> QueryDef.sql(
+      (s, d) => {
+        import graft.functions.F
+        F.ensureRegistered(s)
+        def digest(docs: org.apache.spark.sql.DataFrame) = docs
+          .select(col("source"), F.polyHash(col("text")).as("__h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("bit_xor(__h)").as("digest"),
+            sum(col("__h")).as("sum_h"))
+        val base = Tables.documents(s, d)
+        val edited = base.withColumn("text",
+          when(col("doc_id") % 7 === 0 && col("source") =!= "src3",
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        val a = digest(base)
+        val b = digest(edited)
+          .select(col("source"), col("n_docs").as("n_docs_b"),
+            col("digest").as("digest_b"), col("sum_h").as("sum_h_b"))
+        a.join(b, "source")
+          .withColumn("changed",
+            (col("digest") =!= col("digest_b") ||
+             col("sum_h") =!= col("sum_h_b") ||
+             col("n_docs") =!= col("n_docs_b")).cast("int"))
+          .select(col("source"), col("n_docs"), col("digest"),
+            col("digest_b"), col("changed"))
+          .orderBy(col("source"))
+      },
+      s"""WITH h AS (SELECT source, doc_id, ${DedupQueries.duckPoly("text")} AS h FROM documents),
+         |h2 AS (SELECT source, doc_id,
+         |         CASE WHEN doc_id % 7 = 0 AND source != 'src3'
+         |              THEN ${DedupQueries.duckPoly("text || ' v2'")}
+         |              ELSE h END AS h
+         |       FROM h JOIN documents USING (source, doc_id)),
+         |a AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(bit_xor(h) AS BIGINT) AS digest,
+         |        CAST(SUM(h) AS BIGINT) AS sum_h
+         |      FROM h GROUP BY source),
+         |b AS (SELECT source, COUNT(*) AS n_docs_b,
+         |        CAST(bit_xor(h) AS BIGINT) AS digest_b,
+         |        CAST(SUM(h) AS BIGINT) AS sum_h_b
+         |      FROM h2 GROUP BY source)
+         |SELECT source, a.n_docs, a.digest, b.digest_b,
+         |  CAST(a.digest != b.digest_b OR a.sum_h != b.sum_h_b
+         |       OR a.n_docs != b.n_docs_b AS INT) AS changed
+         |FROM a JOIN b USING (source) ORDER BY source""".stripMargin),
+
     "pipe_dataset_card" -> QueryDef.sql(
       (s, d) => {
         import graft.functions.F
