@@ -108,9 +108,14 @@ object Dedup {
   def incrementalNearDuplicates(seen: DataFrame, newBatch: DataFrame,
                                 idCol: String, textCol: String,
                                 threshold: Double = 0.7, shingleSize: Int = 3,
-                                roundDp: Int = 6): DataFrame = {
-    val shSeen = shingleSets(seen, idCol, textCol, shingleSize).persist()
-    val shNew = shingleSets(newBatch, idCol, textCol, shingleSize).persist()
+                                roundDp: Int = 6,
+                                shSeenOpt: Option[DataFrame] = None,
+                                shNewOpt: Option[DataFrame] = None): DataFrame = {
+    val (ownSeen, ownNew) = (shSeenOpt.isEmpty, shNewOpt.isEmpty)
+    val shSeen = shSeenOpt.getOrElse(
+      shingleSets(seen, idCol, textCol, shingleSize).persist())
+    val shNew = shNewOpt.getOrElse(
+      shingleSets(newBatch, idCol, textCol, shingleSize).persist())
     val pairs = bandKeyTable(minhashSignatures(shSeen))
       .withColumnRenamed("doc_id", "seen_id")
       .join(broadcast(bandKeyTable(minhashSignatures(shNew))
@@ -125,7 +130,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("new_id", "seen_id", "jaccard")
       .localCheckpoint()
-    shSeen.unpersist(); shNew.unpersist()
+    if (ownSeen) shSeen.unpersist()
+    if (ownNew) shNew.unpersist()
     out
   }
 
@@ -139,10 +145,14 @@ object Dedup {
     */
   def contaminationCheck(corpus: DataFrame, probe: DataFrame, idCol: String,
                          textCol: String, shingleSize: Int = 3,
-                         minShared: Int = 1): DataFrame = {
-    val c = shingleSets(corpus, idCol, textCol, shingleSize)
+                         minShared: Int = 1,
+                         corpusShinglesOpt: Option[DataFrame] = None,
+                         probeShinglesOpt: Option[DataFrame] = None): DataFrame = {
+    val c = corpusShinglesOpt
+      .getOrElse(shingleSets(corpus, idCol, textCol, shingleSize))
       .select(col("doc_id"), explode(col("shingles")).as("sng"))
-    val p = shingleSets(probe, idCol, textCol, shingleSize)
+    val p = probeShinglesOpt
+      .getOrElse(shingleSets(probe, idCol, textCol, shingleSize))
       .select(col("doc_id").as("probe_id"), explode(col("shingles")).as("sng"))
     // shingle arrays are distinct per doc, so each shared shingle joins once
     c.join(broadcast(p), "sng")
@@ -154,8 +164,14 @@ object Dedup {
   /** exact Jaccard verification over candidate pairs */
   def verifiedNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                              threshold: Double = 0.7, shingleSize: Int = 3,
-                             roundDp: Int = 6): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleSize).persist()
+                             roundDp: Int = 6,
+                             shinglesOpt: Option[DataFrame] = None): DataFrame = {
+    // shinglesOpt: a pre-built (pinned) shingle table — the r10 EdgeCache
+    // idiom lets several dedup gates share one corpus shingling pass; an
+    // owned table is persisted here and released before returning
+    val own = shinglesOpt.isEmpty
+    val sh = shinglesOpt.getOrElse(
+      shingleSets(docs, idCol, textCol, shingleSize).persist())
     val sig = minhashSignatures(sh)
     val pairs = lshCandidatePairs(sig)
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
@@ -169,7 +185,7 @@ object Dedup {
       // materialize the bounded verified-pair set, then release the shingle
       // cache — a long-lived session must not accumulate per-call blocks
       .localCheckpoint()
-    sh.unpersist()
+    if (own) sh.unpersist()
     out
   }
 
@@ -186,8 +202,11 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double = 0.75, shingleSize: Int = 3,
-                       roundDp: Int = 6): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, shingleSize).persist()
+                       roundDp: Int = 6,
+                       shinglesOpt: Option[DataFrame] = None): DataFrame = {
+    val own = shinglesOpt.isEmpty
+    val sh = shinglesOpt.getOrElse(
+      shingleSets(docs, idCol, textCol, shingleSize).persist())
     val pairs = lshCandidatePairs(minhashSignatures(sh))
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
@@ -200,7 +219,7 @@ object Dedup {
     val out = dirA.unionByName(dirB)
       .filter(col("containment") >= threshold)
       .localCheckpoint()
-    sh.unpersist()
+    if (own) sh.unpersist()
     out
   }
 
@@ -215,11 +234,15 @@ object Dedup {
     */
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, shingleSize: Int = 3,
-                            roundDp: Int = 6): DataFrame = {
+                            roundDp: Int = 6,
+                            shinglesOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // materialize the shingle "index" once — every downstream stage
-    // (dfreq, prefix, both join sides, verification) reuses it
-    val sets = shingleSets(docs, idCol, textCol, shingleSize).persist()
+    // (dfreq, prefix, both join sides, verification) reuses it; a shared
+    // pre-pinned table (shinglesOpt) skips the build AND the persist
+    val ownSets = shinglesOpt.isEmpty
+    val sets = shinglesOpt.getOrElse(
+      shingleSets(docs, idCol, textCol, shingleSize).persist())
     // all index stages (df count, prefix ranking, candidate self-join) run
     // on 8-byte shingle hashes, not ~20-byte strings — every shuffle key is
     // a long. Lossless: a hash collision merges two shingles, which can only
@@ -271,7 +294,7 @@ object Dedup {
       // caches (see repeatedSpans for the idiom)
       .localCheckpoint()
     prefix.unpersist()
-    sets.unpersist()
+    if (ownSets) sets.unpersist()
     out
   }
 

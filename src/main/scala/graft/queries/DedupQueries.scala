@@ -49,6 +49,15 @@ object DedupQueries {
         "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDist = 2)
     }
 
+  /** Distinct 3-token shingle sets over `documents` — the stage five
+    * dedup gates share (EdgeCache, build-once; filtered views serve the
+    * incremental/contamination splits). */
+  private def docShingles(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#docShingles3") {
+      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+    }
+
   private val minhashMins = (0 until Dedup.NumPerms).map(i =>
     s"CAST(min((${Dedup.PermA(i)}*h + ${Dedup.PermB(i)}) % 1000000007) AS BIGINT) AS m$i").mkString(", ")
   private val bandKeys = (0 until 4).map { b =>
@@ -71,7 +80,7 @@ object DedupQueries {
     // ---- MinHash + LSH + exact-Jaccard verification ----
     "dedup_minhash_lsh" -> QueryDef.sql(
       (s, d) => Dedup.verifiedNearDuplicates(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.5)
+          threshold = 0.5, shinglesOpt = Some(docShingles(s, d)))
         .orderBy(col("doc_a"), col("doc_b")),
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
@@ -101,10 +110,13 @@ object DedupQueries {
     "dedup_incremental" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
+        val sh = docShingles(s, d)
         Dedup.incrementalNearDuplicates(
             docs.filter(col("doc_id") % 10 =!= 0),
             docs.filter(col("doc_id") % 10 === 0),
-            "doc_id", "text", threshold = 0.5)
+            "doc_id", "text", threshold = 0.5,
+            shSeenOpt = Some(sh.filter(col("doc_id") % 10 =!= 0)),
+            shNewOpt = Some(sh.filter(col("doc_id") % 10 === 0)))
           .orderBy(col("new_id"), col("seen_id"))
       },
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
@@ -135,7 +147,7 @@ object DedupQueries {
     // so partial quotes surface at sf0.01. ----
     "dedup_containment" -> QueryDef.sql(
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.6)
+          threshold = 0.6, shinglesOpt = Some(docShingles(s, d)))
         .orderBy(col("sub_id"), col("super_id")),
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
@@ -191,7 +203,7 @@ object DedupQueries {
     // provably lossless at the threshold so results are identical. ----
     "dedup_ngram_jaccard" -> QueryDef.sql(
       (s, d) => Dedup.jaccardSimilarityJoin(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.7)
+          threshold = 0.7, shinglesOpt = Some(docShingles(s, d)))
         .orderBy("doc_a", "doc_b"),
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest($duckShingles) AS sng FROM toks
@@ -265,7 +277,10 @@ object DedupQueries {
         val docs = Tables.documents(s, d)
         val probe = docs.filter(col("doc_id") % 97 === 0)
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-        Dedup.contaminationCheck(corpus, probe, "doc_id", "text", minShared = 2)
+        val sh = docShingles(s, d)
+        Dedup.contaminationCheck(corpus, probe, "doc_id", "text", minShared = 2,
+          corpusShinglesOpt = Some(sh.filter(col("doc_id") % 97 =!= 0)),
+          probeShinglesOpt = Some(sh.filter(col("doc_id") % 97 === 0)))
           .orderBy(col("doc_id"), col("probe_id"))
       },
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
