@@ -99,11 +99,9 @@ object SearchQueries {
     "search_bm25_merge" -> QueryDef.sql(
       (s, d) => {
         import graft.search.BM25
-        val docs = Tables.documents(s, d)
-        val old = BM25.tokenTable(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", stemmed = false)
-        val delta = BM25.tokenTable(
-          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", stemmed = false)
+        val toks = TextSearch.bm25Tokens(s, d)
+        val old = toks.filter(col("doc_id") % 10 =!= 0)
+        val delta = toks.filter(col("doc_id") % 10 === 0)
         BM25.mergeIndexStats(BM25.indexStats(old), BM25.indexStats(delta))
           .orderBy(col("df").desc, col("term")).limit(30)
       },

@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextSearch {
 
+  /** Unstemmed BM25 token table over `documents` — shared by text_bm25
+    * and search_bm25_merge (EdgeCache build-once; the merge gate's
+    * standing/delta splits are filtered views). */
+  private[queries] def bm25Tokens(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#bm25Tokens") {
+      graft.search.BM25.tokenTable(Tables.documents(s, d),
+        "doc_id", "text", stemmed = false)
+    }
+
   /** oracle-side tokenizer fragment (must mirror F.tokens) */
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
@@ -109,7 +119,7 @@ object TextSearch {
     // ---- A3 BM25 (two-pass DF/TF/avgdl aggregation) ----
     "text_bm25" -> QueryDef.sql(
       (s, d) => {
-        val toks = BM25.tokenTable(Tables.documents(s, d), "doc_id", "text", stemmed = false)
+        val toks = bm25Tokens(s, d)
         BM25.score(s, toks, Seq("spark", "join", "window"), topK = 25)
           .drop("n_terms_matched")
       },
