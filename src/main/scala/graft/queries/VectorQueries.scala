@@ -319,7 +319,8 @@ object VectorQueries {
         val bq = graft.vector.BinaryQuant.search(
           graft.vector.BinaryQuant.encode(emb, "embedding"),
           "vec_id", "embedding", q, k = 15, shortlist = 40)
-        val (mins, scales) = graft.vector.ScalarQuant.calibrate(emb, "embedding", 64)
+        val (mins, scales) = graft.graph.EdgeCache.cachedValue(s, s"$d#sqCal64") {
+          graft.vector.ScalarQuant.calibrate(emb, "embedding", 64) }
         val sq = graft.vector.ScalarQuant.search(
           graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
           "vec_id", "embedding", q, mins, scales, k = 15, shortlist = 40)
@@ -641,7 +642,8 @@ object VectorQueries {
     "vec_scalar_quant" -> QueryDef.sql(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val (mins, scales) = graft.vector.ScalarQuant.calibrate(emb, "embedding", 64)
+        val (mins, scales) = graft.graph.EdgeCache.cachedValue(s, s"$d#sqCal64") {
+          graft.vector.ScalarQuant.calibrate(emb, "embedding", 64) }
         val q = queryVec(s, d, 5L)
         graft.vector.ScalarQuant.search(
           graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
