@@ -705,6 +705,31 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS value_e4
         |FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin),
 
+    // ---- STREAMING stream-stream interval join through the oracle gate
+    // (the F6 temporal-overlap join's streaming form, ST4+J-family): view
+    // events correlate with purchases by the same user within 10 minutes,
+    // as a GENUINE watermarked stream-stream join drained by AvailableNow
+    // — the append-mode result must hash-match DuckDB's batch interval
+    // join. Both watermarks bound the join state (left rows drop once the
+    // right watermark passes ts + within), so this is the plan a 100 TB
+    // event correlation runs unbounded. ----
+    "stream_interval_join" -> QueryDef.sql(
+      (s, d) => graft.streaming.StreamingIngest
+        .runCorrelateOnce(s, d, "events.parquet",
+          leftType = "view", rightType = "purchase",
+          within = "10 minutes", watermark = "1 day")
+        .select(col("l_id").as("view_id"), col("r_id").as("purchase_id"),
+          col("user_id"),
+          unix_micros(col("lts")).as("v_us"), unix_micros(col("rts")).as("p_us"))
+        .orderBy(col("view_id"), col("purchase_id")),
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id, epoch_us(v.ts) AS v_us, epoch_us(p.ts) AS p_us
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin),
+
     // ---- ST1+ST2 end-to-end through the oracle gate: real text files on
     // disk → Structured Streaming file source (AvailableNow, checkpointed)
     // → parquet frame sink → anti-join enrichment stage, run TWICE to

@@ -114,5 +114,46 @@ object StoreQueries {
       },
       """SELECT doc_id, md5(text) AS payload_md5,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
-        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin))
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
+
+    // ---- vacuum/compaction (reference vacuum, mutation.rs:2999): after
+    // put + supersede + tombstone mutations, vacuum() rewrites the log to
+    // the live view only. The gate locks BOTH invariants: the log
+    // physically shrinks to exactly the live row count (47 → 38: 40 puts
+    // + 5 update appends + 2 tombstone appends collapse to 33 untouched
+    // + 5 v2), and the latest-active view re-derived from the compacted
+    // log is unchanged — per-uri stored text lengths replay from the
+    // source table. ----
+    "store_vacuum_compact" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://vac/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_vacuum_gate").toString
+        val store = new FrameStore(s, dir)
+        val ids = store.put(docs, chunkLargeDocs = false)
+        docs.take(5).zip(ids.take(5)).foreach { case ((u, t), oldId) =>
+          store.update(oldId, t + " v2", u)
+        }
+        store.delete(ids(30)); store.delete(ids(31))
+        val before = store.log.count()
+        store.vacuum()
+        val after = store.log.count()
+        store.latestActive
+          .select(col("uri"), // octet/strlen: BYTE counts on both engines
+            octet_length(col("text")).cast("long").as("n_chars_stored"))
+          .withColumn("log_rows_before", lit(before))
+          .withColumn("log_rows_after", lit(after))
+          .orderBy(col("uri"))
+          .localCheckpoint() // detach from the temp store
+      },
+      """SELECT 'mv2://vac/' || doc_id AS uri,
+        |  CAST(strlen(text) + CASE WHEN doc_id < 5 THEN 3 ELSE 0 END
+        |       AS BIGINT) AS n_chars_stored,
+        |  CAST(47 AS BIGINT) AS log_rows_before,
+        |  CAST(38 AS BIGINT) AS log_rows_after
+        |FROM documents
+        |WHERE doc_id < 40 AND doc_id NOT IN (30, 31)
+        |ORDER BY uri""".stripMargin))
 }

@@ -130,6 +130,42 @@ object StreamingIngest {
     out
   }
 
+  /** One-shot STREAMING stream-stream interval join over a static parquet
+    * directory (the [[runWindowedOnce]] pattern applied to
+    * [[correlateStreams]]): both sides read from the same file stream,
+    * carry watermarks so the join state is bounded, and AvailableNow
+    * drains everything — the append-mode result equals the batch interval
+    * join by Structured Streaming's correctness contract, which the
+    * `stream_interval_join` gate proves per value against DuckDB. */
+  def runCorrelateOnce(spark: SparkSession, dir: String, glob: String,
+                       leftType: String, rightType: String,
+                       within: String, watermark: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val ev =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("lts"))
+    val r = ev.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id"), col("ts").as("rts"))
+    val joined = correlateStreams(l, "lts", r, "rts", "user_id", within,
+        watermark)
+      .select(col("l_id"), col("r_id"), col("l.user_id").as("user_id"),
+        col("lts"), col("rts"))
+    val name = "graft_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name) // same driver-hygiene as runWindowedOnce
+    out
+  }
+
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */
