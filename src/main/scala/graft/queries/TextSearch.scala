@@ -804,6 +804,50 @@ object TextSearch {
          |             ORDER BY dist, freq DESC, w) AS rk
          |         FROM cand)
          |SELECT doc_id, typo, corrected, dist, freq
-         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin)
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+
+    // ---- did-you-mean search (X15 ∘ A1): a misspelled query is corrected
+    // term-by-term against the live corpus dictionary (SymSpell, same
+    // (distance, freq desc, term) winner rule text_spell_repair locks),
+    // then the CORRECTED query runs through the lexical AND engine — the
+    // search-facing composition of the repair tier. The oracle re-derives
+    // the corrections by whole-dictionary damerau scan and scores with the
+    // corrected terms it found itself, so a drift in either stage (or in
+    // how they compose) fails the hash. ----
+    "search_did_you_mean" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val dict = graft.text.SpellRepair.corpusDictionary(docs, "text")
+        val typos = Seq((0L, "sparc"), (1L, "jion")).toDF("doc_id", "typo")
+        val corrected = graft.text.SpellRepair.repair(typos, dict, maxEdit = 1)
+          .toDF().orderBy(col("doc_id")).collect().map(_.getString(2))
+        val q = corrected.mkString(" ")
+        Lexical.search(docs, "doc_id", "text", q, topK = 25)
+          .withColumn("corrected_query", lit(q))
+          .orderBy(col("score").desc, col("doc_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |dict AS (SELECT t AS w, COUNT(*) AS freq
+         |         FROM (SELECT unnest(tk) AS t FROM toks) u
+         |         GROUP BY t HAVING COUNT(*) >= 2),
+         |ty AS (SELECT * FROM (VALUES (0, 'sparc'), (1, 'jion')) t(qid, typo)),
+         |cand AS (SELECT qid, w, freq, damerau_levenshtein(typo, w) AS dist
+         |         FROM ty, dict WHERE damerau_levenshtein(typo, w) <= 1),
+         |best AS (SELECT qid, w, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY dist, freq DESC, w) AS rk
+         |         FROM cand),
+         |q AS (SELECT MIN(CASE WHEN qid = 0 THEN w END) AS t1,
+         |             MIN(CASE WHEN qid = 1 THEN w END) AS t2,
+         |             string_agg(w, ' ' ORDER BY qid) AS cq
+         |      FROM best WHERE rk = 1)
+         |SELECT d.doc_id,
+         |  CAST(CAST((length(lower(d.text)) - length(replace(lower(d.text), q.t1, ''))) / length(q.t1) AS BIGINT)
+         |     + CAST((length(lower(d.text)) - length(replace(lower(d.text), q.t2, ''))) / length(q.t2) AS BIGINT) AS DOUBLE)
+         |   + (CASE WHEN contains(lower(d.text), q.t1 || ' ' || q.t2) THEN 1000.0 ELSE 0.0 END) AS score,
+         |  q.cq AS corrected_query
+         |FROM documents d, q
+         |WHERE contains(lower(d.text), q.t1) AND contains(lower(d.text), q.t2)
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)
   )
 }
