@@ -285,6 +285,49 @@ object GraphAlgos {
     out
   }
 
+  /** Bounded-hop WEIGHTED shortest paths — min-plus Bellman-Ford rounds:
+    * dist'(v) = min(dist(v), min over u→v of dist(u) + w(u, v)). Integer
+    * weights keep every relaxation deterministic (the BFS gate's
+    * discipline with + w instead of + 1), distances are monotone
+    * non-increasing, and `rounds` bounds hops — bounded rounds give
+    * exactly the best ≤rounds-hop path costs, which is both
+    * oracle-unrollable and the practical form (a crawl-graph trust
+    * propagation rarely needs paths past a few hops). Same plan shape as
+    * [[bfsLayers]]: edges repartitioned on src once and persisted, only
+    * node-sized (node, dist) rows move per round.
+    *
+    * @param edges (src, dst, weightCol) BIGINT columns; symmetrized
+    *              internally unless assumeSymmetric
+    * @return (node, dist) — min ≤rounds-hop weighted distance from any
+    *         seed; unreached nodes absent */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                    weightCol: String = "w",
+                    dedup: Boolean = true,
+                    assumeSymmetric: Boolean = false): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col(weightCol).cast("long").as("__w"))
+    val e0 = if (dedup) raw.distinct() else raw
+    val sym = if (assumeSymmetric) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"),
+        col("__w"))).distinct()
+    val e = sym.repartition(col("src")).persist()
+    var dist = seeds.select(col("node").cast("long"), lit(0L).as("dist"))
+    var i = 0
+    while (i < rounds) {
+      val next = dist.withColumnRenamed("node", "__n")
+        .join(e, col("__n") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("__w")).as("dist"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    val out = dist.localCheckpoint()
+    e.unpersist(false)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) in fixed point: per round,
     * hub(src) = Σ auth(dst) over out-edges and auth(dst) = Σ hub(src)
     * over in-edges, each renormalized to `scale` by an integer DIV of the

@@ -299,6 +299,45 @@ object AnalyticsQueries {
            |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
       }),
 
+    // ---- bounded-hop weighted shortest paths (GraphAlgos.shortestPaths,
+    // min-plus Bellman-Ford): integer pair weights 1 + (a+b) mod 5 on the
+    // sampled co-supplier graph, same seeds as the BFS gate, 3 relaxation
+    // rounds unrolled in the oracle — the weighted generalization of
+    // graph_bfs_layers, every relaxation replayed bit-exactly. ----
+    "graph_shortest_path" -> QueryDef.sql(
+      (s, d) => {
+        val pairs = coSupplierPairs(s, d)
+          .withColumn("w", lit(1L) + (col("a") + col("b")) % 5)
+        val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val seeds = sym.select(col("src").as("node")).distinct()
+          .filter(col("node") % 97 === 0)
+        GraphAlgos.shortestPaths(sym, seeds, rounds = 3,
+            dedup = false, assumeSymmetric = true)
+          .orderBy(col("node"))
+      },
+      {
+        def round(prev: String, cur: String) =
+          s"""d$cur AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+             |  SELECT node, dist FROM d$prev
+             |  UNION ALL
+             |  SELECT e.dst, d.dist + e.w FROM d$prev d JOIN e0 e ON e.src = d.node) u
+             |GROUP BY node)""".stripMargin
+        s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+           |raw AS (SELECT x.sk AS a, y.sk AS b
+           |        FROM ps x JOIN ps y ON x.p = y.p AND x.sk < y.sk),
+           |canon AS (SELECT DISTINCT a, b FROM raw WHERE $pairKeep),
+           |e0 AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst, 1 + (a + b) % 5 AS w FROM canon
+           |  UNION ALL SELECT b, a, 1 + (a + b) % 5 FROM canon),
+           |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           |       FROM e0 WHERE src % 97 = 0),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+      }),
+
     // ---- deterministic random walks (GraphAlgos.randomWalks): hash-
     // driven neighbor choice over the dst-sorted adjacency — DeepWalk-
     // style corpus generation with zero RNG state. The oracle rebuilds

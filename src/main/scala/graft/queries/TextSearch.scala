@@ -806,6 +806,24 @@ object TextSearch {
          |SELECT doc_id, typo, corrected, dist, freq
          |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin),
 
+    // ---- faceted search: exact per-facet counts (lang, source) over the
+    // FULL AND-match set of the query — the result-page aggregation every
+    // search UI needs, computed on the match predicate rather than the
+    // top-k cut. One filtered scan + one combinable group-by per facet. ----
+    "search_facets" -> QueryDef.sql(
+      (s, d) => Lexical.facets(Tables.documents(s, d), "text", "spark join",
+          Seq("lang", "source"))
+        .orderBy(col("facet"), col("n").desc, col("value")),
+      """WITH m AS (SELECT lang, source FROM documents
+        |           WHERE contains(lower(text), 'spark')
+        |             AND contains(lower(text), 'join'))
+        |SELECT facet, value, n FROM (
+        |  SELECT 'lang' AS facet, lang AS value, COUNT(*) AS n
+        |  FROM m GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source', source, COUNT(*) FROM m GROUP BY source) z
+        |ORDER BY facet, n DESC, value""".stripMargin),
+
     // ---- did-you-mean search (X15 ∘ A1): a misspelled query is corrected
     // term-by-term against the live corpus dictionary (SymSpell, same
     // (distance, freq desc, term) winner rule text_spell_repair locks),

@@ -35,6 +35,25 @@ object Lexical {
     * a multi-word query is also tried as an exact phrase (implicit AND —
     * reference parser.rs:288-301 + generate_performance_report.rs:138).
     */
+  /** Facet counts over the FULL match set of an AND query — the
+    * result-page aggregation a search UI renders next to the hits. Facets
+    * run on the match predicate, not the top-k cut, so the counts are
+    * exact; at scale this is one filtered scan + a map-side-combinable
+    * group-by per facet column (unioned), no joins.
+    * @return (facet, value, n) ordered by (facet, n desc, value) */
+  def facets(docs: DataFrame, textCol: String, query: String,
+             facetCols: Seq[String]): DataFrame = {
+    val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val textLower = lower(col(textCol))
+    val matches = docs.filter(
+      terms.map(t => textLower.contains(t)).reduce(_ && _))
+    facetCols.map { fc =>
+      matches.groupBy(col(fc).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(fc).as("facet"), col("value"), col("n"))
+    }.reduce(_ unionByName _)
+  }
+
   def search(docs: DataFrame, idCol: String, textCol: String, query: String,
              topK: Int = 10): DataFrame = {
     graft.functions.F.ensureRegistered(docs.sparkSession)

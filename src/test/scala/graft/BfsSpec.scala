@@ -28,4 +28,18 @@ class BfsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("weighted shortest paths: a longer-hop cheaper path beats the direct edge") {
+    // 1->2 costs 10 direct, but 1->3->2 costs 2+3=5; within 3 rounds the
+    // min-plus relaxation must find the cheaper 2-hop path
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L))
+      .toDF("src", "dst", "w")
+    val out = GraphAlgos.shortestPaths(edges, Seq(1L).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 2L))
+    // bounded rounds: with 1 round only the direct relaxations exist
+    val one = GraphAlgos.shortestPaths(edges, Seq(1L).toDF("node"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 10L, 3L -> 2L))
+  }
 }
