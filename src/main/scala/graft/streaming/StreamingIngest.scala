@@ -87,6 +87,20 @@ object StreamingIngest {
       s"r.$rightTs <= l.$leftTs + interval $within"))
   }
 
+  /** Scoped shuffle-partition override for the one-shot drains: a
+    * Structured Streaming query fixes its STATE-STORE partition count
+    * from the session conf at start(), and the drains' state is bounded
+    * (windowed counts / one interval join over one directory), so 32
+    * state stores are pure per-micro-batch overhead. Results are
+    * order-free aggregates/joins — partitioning cannot change values.
+    * The conf is restored in finally so batch queries are untouched. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** One-shot STREAMING aggregation over a static parquet directory: the
     * same windowed count runs as a genuine Structured Streaming query
     * (readStream → watermark → window agg → memory sink, complete mode,
@@ -118,10 +132,12 @@ object StreamingIngest {
         col("n"), col("value_e4"))
     val name = "graft_stream_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.table(name).localCheckpoint()
+    val out = withShufflePartitions(spark, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).localCheckpoint()
+    }
     // The checkpoint detached the result from the memory sink; drop the
     // uniquely-named temp view so repeated Verify/bench rounds in one
     // long-lived session don't accumulate complete-mode tables on the
@@ -158,10 +174,12 @@ object StreamingIngest {
         col("lts"), col("rts"))
     val name = "graft_stream_join_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.table(name).localCheckpoint()
+    val out = withShufflePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).localCheckpoint()
+    }
     spark.catalog.dropTempView(name) // same driver-hygiene as runWindowedOnce
     out
   }
