@@ -217,4 +217,37 @@ object Png {
     * for the pipeline; undecodable bytes throw and the row is skipped. */
   def clipPreprocessor(size: Int = 224): MediaInference.ImagePreprocessor =
     bytes => clipPreprocess(decode(bytes), size)
+
+  /** 64-bit difference hash (dHash) over the REAL decoded image: integer
+    * luma (Rec.601 weights), bilinear 9×8 grid through the same `sample`
+    * kernel the CLIP preprocessor uses, bit (y·8+x) set iff the cell is
+    * darker than its right neighbor. The standard perceptual
+    * image-dedup fingerprint — stable under resize/re-encode, compared
+    * by Hamming distance at scale (band a 64-bit hash exactly like
+    * SimHash64). Fully deterministic, so a golden oracle can carry the
+    * hash per fixture image. */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val img = decode(bytes)
+    val g = Array.ofDim[Double](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val sx = (x + 0.5) * img.width / 9.0 - 0.5
+        val sy = (y + 0.5) * img.height / 8.0 - 0.5
+        g(y)(x) = 0.299 * sample(img, sx, sy, 0) +
+          0.587 * sample(img, sx, sy, 1) +
+          0.114 * sample(img, sx, sy, 2)
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i / 8)(i % 8) < g(i / 8)(i % 8 + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 }

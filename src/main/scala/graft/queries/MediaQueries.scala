@@ -207,5 +207,29 @@ object MediaQueries {
             col("offset"))
           .orderBy(col("doc_id"), col("offset"))
       },
-      MediaGolden.nerSql))
+      MediaGolden.nerSql),
+
+    // ---- perceptual image dedup: REAL PNG decode → 64-bit dHash →
+    // hash-grouped duplicate clusters (the image-side exact dedup a
+    // multimodal training pipeline runs; near-dup scales by banding the
+    // same 64-bit hash like SimHash). Fixture: 40 media rows carrying
+    // only 8 distinct images (bytes keyed by doc_id mod 8), so the
+    // clusters are known — but the HASH values come from the real
+    // decode+luma+bilinear pipeline, golden-locked, and the grouping
+    // replays in SQL from those hashes. ----
+    "media_image_dedup" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id,
+            graft.multimodal.Png.dHash64(synthPngBytes(id % 8))))
+          .toDF("media_id", "dhash")
+          .groupBy(col("dhash"))
+          .agg(count(lit(1)).as("n"), min(col("media_id")).as("keep_id"),
+            concat_ws(",", sort_array(collect_list(col("media_id"))))
+              .as("member_ids"))
+          .orderBy(col("keep_id"))
+      },
+      MediaGolden.dhashSql))
 }

@@ -49,6 +49,20 @@ ORDER BY media_id""")
 WHERE media_id IN (SELECT doc_id FROM documents)
 ORDER BY media_id, frame""")
 
+    // the 8 distinct fixture hashes; the gate's grouping replays in SQL
+    val dh = (0 until 8).map(p => p -> graft.multimodal.Png.dHash64(
+      graft.queries.MediaQueries.synthPngBytes(p.toLong)))
+    val dhVals = dh.map { case (p, h) =>
+      s"($p, CAST($h AS BIGINT))" }.mkString(",\n  ")
+    println("=== dhashSql ===")
+    println(
+      s"""SELECT g.dhash, COUNT(*) AS n, MIN(doc_id) AS keep_id,
+  string_agg(doc_id, ',' ORDER BY doc_id) AS member_ids
+FROM documents JOIN (VALUES
+  $dhVals) g(p, dhash) ON doc_id % 8 = g.p
+WHERE doc_id < 40
+GROUP BY g.dhash ORDER BY keep_id""")
+
     val ner = defs("ner_extract_batch").fn(spark, sfDir).collect()
     val nerVals = ner.map(r =>
       s"(${r.getLong(0)},'${r.getString(1)}','${r.getString(2)}',${r.getInt(3)})")

@@ -146,6 +146,25 @@ class PngSpec extends SparkSpec {
     assert(g.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("dHash64: identical images collide, re-encoded resize stays near, inverse flips far") {
+    val a = Png.encode(gradient(16, 12))
+    val b = Png.encode(gradient(16, 12))
+    assert(Png.dHash64(a) == Png.dHash64(b), "same pixels must hash equal")
+    // the same gradient at a different resolution: perceptually identical,
+    // hash must be within a small Hamming distance (the dedup property)
+    val big = Png.encode(gradient(32, 24))
+    val dNear = java.lang.Long.bitCount(Png.dHash64(a) ^ Png.dHash64(big))
+    assert(dNear <= 8, s"resized gradient drifted $dNear bits")
+    // inverted gradient: every left<right comparison flips
+    val inv = {
+      val img = gradient(16, 12)
+      Png.encode(Png.Image(img.width, img.height,
+        img.rgb.map(v => (255 - (v & 0xff)).toByte)))
+    }
+    val dFar = java.lang.Long.bitCount(Png.dHash64(a) ^ Png.dHash64(inv))
+    assert(dFar >= 48, s"inverse only $dFar bits away")
+  }
+
   test("embedImages with real PNG decode: decodable rows embed, junk skips") {
     import spark.implicits._
     val pngBytes = Png.encode(gradient(12, 12))
