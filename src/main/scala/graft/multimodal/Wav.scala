@@ -88,6 +88,40 @@ object Wav {
   }
 
   /** serialize mono float PCM to a PCM16 WAV (test fixture generator) */
+  /** Energy-based voice-activity segmentation over the REAL parsed PCM:
+    * frame RMS energies (frameMs windows, no overlap), a frame is active
+    * iff its RMS exceeds `ratio` × the clip's mean RMS, and adjacent
+    * active frames merge into segments. The standard first pass a speech
+    * pipeline runs before transcription (skip silence, bound decoder
+    * work); deterministic double arithmetic end to end, so a golden
+    * oracle can carry per-clip segment tables.
+    * @return (startMs, endMs) active segments, end exclusive */
+  def vadSegments(pcm: Pcm, frameMs: Int = 25,
+                  ratio: Double = 0.5): Seq[(Long, Long)] = {
+    val frameLen = math.max(1, pcm.sampleRate * frameMs / 1000)
+    val nFrames = pcm.samples.length / frameLen
+    if (nFrames == 0) return Seq.empty
+    val rms = Array.tabulate(nFrames) { f =>
+      var s = 0.0
+      var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) { s += pcm.samples(i).toDouble * pcm.samples(i); i += 1 }
+      math.sqrt(s / frameLen)
+    }
+    val thresh = ratio * rms.sum / nFrames
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var f = 0
+    while (f < nFrames) {
+      if (rms(f) > thresh) {
+        var g = f + 1
+        while (g < nFrames && rms(g) > thresh) g += 1
+        out += ((f.toLong * frameMs, g.toLong * frameMs))
+        f = g
+      } else f += 1
+    }
+    out.toSeq
+  }
+
   def write(pcm: Pcm): Array[Byte] = {
     val n = pcm.samples.length
     val buf = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)

@@ -91,6 +91,33 @@ object MediaQueries {
     graft.multimodal.Video.encode(frames)
   }
 
+  /** Bursty PCM16 mono WAV at 8 kHz for the VAD gate: near-silence with
+    * 2–4 loud tone bursts at id-keyed offsets — all-integer synthesis, so
+    * the segment table is a pure function of the row id. */
+  def synthBurstWavBytes(id: Long): Array[Byte] = {
+    val n = 16000 // 2 s at 8 kHz
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + 2 * n); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(8000 * 2); bb.putShort(2); bb.putShort(16)
+    bb.putInt(0x61746164); bb.putInt(2 * n)
+    val nb = 2 + (id % 3).toInt
+    var i = 0
+    while (i < n) {
+      val inBurst = (0 until nb).exists { k =>
+        val st = (((id % 5) + k * 3).toInt) * 1600
+        i >= st && i < st + 1200
+      }
+      val v =
+        if (inBurst) ((((i * (id + 7) + 11) % 256) - 128) * 120).toShort
+        else (((i * 3 + 1) % 17) - 8).toShort
+      bb.putShort(v)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic NER fixture text (X11's golden-gate fixture, same
     * doc_id-only discipline as the WAV/PNG synthesizers): entity surface
     * forms drawn by id so every doc yields different spans. */
@@ -231,5 +258,27 @@ object MediaQueries {
               .as("member_ids"))
           .orderBy(col("keep_id"))
       },
-      MediaGolden.dhashSql))
+      MediaGolden.dhashSql),
+
+    // ---- energy VAD over the REAL WAV parse (the silence-skip pass a
+    // speech pipeline runs before transcription): frame RMS energies →
+    // mean-relative threshold → merged active segments. The fixture's
+    // burst layout is a pure function of the row id, but the segment
+    // boundaries come from the actual PCM parse + RMS arithmetic,
+    // golden-locked per clip. ----
+    "media_audio_vad" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val pcm = Wav.parse(synthBurstWavBytes(id))
+            Wav.vadSegments(pcm).zipWithIndex.map { case ((a, b), k) =>
+              (id, k, a, b)
+            }
+          }
+          .toDF("media_id", "seg", "start_ms", "end_ms")
+          .orderBy(col("media_id"), col("seg"))
+      },
+      MediaGolden.vadSql))
 }

@@ -63,6 +63,18 @@ FROM documents JOIN (VALUES
 WHERE doc_id < 40
 GROUP BY g.dhash ORDER BY keep_id""")
 
+    val vad = defs("media_audio_vad").fn(spark, sfDir).collect()
+    val vadVals = vad.map(r =>
+      s"(${r.getLong(0)},${r.getInt(1)},${r.getLong(2)},${r.getLong(3)})")
+      .mkString(",\n  ")
+    println("=== vadSql ===")
+    println(
+      s"""SELECT media_id, seg, start_ms, end_ms FROM (VALUES
+  $vadVals)
+ t(media_id, seg, start_ms, end_ms)
+WHERE media_id IN (SELECT doc_id FROM documents)
+ORDER BY media_id, seg""")
+
     val ner = defs("ner_extract_batch").fn(spark, sfDir).collect()
     val nerVals = ner.map(r =>
       s"(${r.getLong(0)},'${r.getString(1)}','${r.getString(2)}',${r.getInt(3)})")
