@@ -68,6 +68,19 @@ class MediaInferenceSpec extends SparkSpec {
     }
   }
 
+  test("vad: zero silence yields nothing, bursts segment at frame bounds, merge works") {
+    import graft.multimodal.Wav
+    // pure zeros: threshold 0, nothing strictly exceeds it
+    assert(Wav.vadSegments(Wav.Pcm(8000, new Array[Float](8000))).isEmpty)
+    // 8 kHz, 25 ms frames = 200 samples; loud frames 4..7 and 12..13
+    val samples = new Array[Float](4000)
+    def fill(fromFrame: Int, toFrame: Int): Unit =
+      ((fromFrame * 200) until (toFrame * 200)).foreach(i => samples(i) = 0.5f)
+    fill(4, 8); fill(12, 14)
+    val segs = Wav.vadSegments(Wav.Pcm(8000, samples))
+    assert(segs == Seq((100L, 200L), (300L, 350L)), segs.toString)
+  }
+
   test("distributed transcription: real wav→mel path, per-window segments") {
     val wav35s = Wav.write(Wav.Pcm(16000, sine(440, 35.0))) // 2 windows: 30 s + 5 s
     val badBytes = "definitely not a riff container".getBytes
