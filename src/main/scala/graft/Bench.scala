@@ -30,7 +30,7 @@ object Bench {
       // EdgeCache blocks are exempt: shared build-once edge tables (a few
       // MB) that the iterative graph gates reuse across the whole run
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => graft.graph.EdgeCache.isPinned(id) }
+        .filterNot { case (id, _) => graft.graph.EdgeCache.isPinned(spark, id) }
         .values.foreach(_.unpersist(blocking = false))
     }
     // untimed warmup: initialize parquet reader, codegen, and shuffle paths

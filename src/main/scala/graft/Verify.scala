@@ -31,7 +31,7 @@ object Verify {
       // gates that still need it.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => graft.graph.EdgeCache.isPinned(id) }
+        .filterNot { case (id, _) => graft.graph.EdgeCache.isPinned(spark, id) }
         .values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

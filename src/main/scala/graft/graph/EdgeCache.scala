@@ -18,9 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * localCheckpointed DataFrame whose blocks are dropped is DEAD — its
   * lineage is truncated and cannot be recomputed — so the sweep must skip
   * the cache's blocks: [[isPinned]] exposes the RDD ids the cleanup loops
-  * exempt. The pinned footprint is bounded: a handful of 2–3-column
-  * BIGINT pair tables (a few MB at the gated SFs), far below the residue
-  * that motivated the sweep.
+  * exempt. The pinned footprint is NOT all small: alongside the node-sized
+  * 2–3-column BIGINT pair tables it holds corpus-scale shares (per-doc
+  * shingle arrays, the exploded BM25 token table, assigned embedding
+  * vectors) — tens of MB at the gated SFs, GBs at the soak amplifications.
+  * Corpus-scale entries are therefore pinned at `DISK_ONLY` (the caller
+  * passes `corpusScale = true`) so process-lifetime shares never contend
+  * with per-query storage/execution memory; the node-sized pair tables
+  * stay memory-resident (`localCheckpoint`'s MEMORY_AND_DISK default).
   *
   * On a real cluster the equivalent artifact is a shared bucketed table
   * written once per pipeline run (SCALE.md "Known trade-offs" — the
@@ -44,31 +49,45 @@ object EdgeCache {
   private def sessionKey(spark: SparkSession): String =
     spark.sparkContext.applicationId + ":" + spark.sparkContext.startTime
 
+  private def wipeIfNewSession(spark: SparkSession): Unit = {
+    val sk = sessionKey(spark)
+    if (sk != currentSession) { // new context: old RDD ids may alias — wipe
+      cache.clear(); pinnedIds.clear(); values.clear(); currentSession = sk
+    }
+  }
+
   /** Build-once lookup: returns the cached, eagerly-materialized frame for
     * `key` if this session built it before, else runs `build`, pins the
     * result with `localCheckpoint()`, and records the new RDD ids as
-    * exempt from the per-query unpersist sweep. */
-  def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    * exempt from the per-query unpersist sweep. Pass `corpusScale = true`
+    * for row-per-token/shingle/vector tables: they pin at DISK_ONLY so a
+    * process-lifetime share can never evict per-query cache blocks. */
+  def cached(spark: SparkSession, key: String, corpusScale: Boolean = false)(
+      build: => DataFrame): DataFrame =
     synchronized {
-      val sk = sessionKey(spark)
-      if (sk != currentSession) { // new context: old ids may alias — wipe
-        cache.clear(); pinnedIds.clear(); values.clear(); currentSession = sk
-      }
+      wipeIfNewSession(spark)
       cache.get(key) match {
         case Some(e) => e.df
         case None =>
           val before = spark.sparkContext.getPersistentRDDs.keySet
-          val df = build.localCheckpoint()
+          val df =
+            if (corpusScale)
+              build.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            else build.localCheckpoint()
           val after = spark.sparkContext.getPersistentRDDs.keySet
           pinnedIds ++= (after -- before)
-          cache.put(key, Entry(sk, df))
+          cache.put(key, Entry(currentSession, df))
           df
       }
     }
 
-  /** True iff `rddId` backs a cached edge table of the live session —
-    * cleanup sweeps must not unpersist it. */
-  def isPinned(rddId: Int): Boolean = synchronized { pinnedIds.contains(rddId) }
+  /** True iff `rddId` backs a cached edge table of the LIVE session —
+    * cleanup sweeps must not unpersist it. The session check matters:
+    * after a SparkContext restart RDD ids recycle from 0, so a stale
+    * pinned id must never exempt a fresh, unrelated RDD from the sweep. */
+  def isPinned(spark: SparkSession, rddId: Int): Boolean = synchronized {
+    sessionKey(spark) == currentSession && pinnedIds.contains(rddId)
+  }
 
   private val values = scala.collection.mutable.Map.empty[String, (String, Any)]
 
@@ -79,7 +98,8 @@ object EdgeCache {
     * KB — k·dim centroid arrays, never row sets). */
   def cachedValue[T](spark: SparkSession, key: String)(build: => T): T =
     synchronized {
-      val sk = sessionKey(spark)
+      wipeIfNewSession(spark) // keep pinnedIds honest even if no frame is cached yet
+      val sk = currentSession
       values.get(key) match {
         case Some((`sk`, v)) => v.asInstanceOf[T]
         case _ =>

@@ -87,14 +87,21 @@ object Wav {
     Pcm(targetRate, out)
   }
 
-  /** serialize mono float PCM to a PCM16 WAV (test fixture generator) */
   /** Energy-based voice-activity segmentation over the REAL parsed PCM:
     * frame RMS energies (frameMs windows, no overlap), a frame is active
     * iff its RMS exceeds `ratio` × the clip's mean RMS, and adjacent
     * active frames merge into segments. The standard first pass a speech
     * pipeline runs before transcription (skip silence, bound decoder
-    * work); deterministic double arithmetic end to end, so a golden
-    * oracle can carry per-clip segment tables.
+    * work); deterministic double/integer arithmetic end to end, so a
+    * golden oracle can carry per-clip segment tables.
+    *
+    * Boundary milliseconds derive from SAMPLE offsets
+    * (`frame·frameLen·1000/sampleRate`), not `frame·frameMs`: for rates
+    * where sampleRate·frameMs/1000 truncates (44.1 kHz @ 25 ms → 1102
+    * samples ≈ 24.99 ms) the nominal-ms form drifts from the true signal
+    * position across a long clip. Samples past the last full frame are
+    * ignored (a sub-frame tail carries < frameMs of evidence; callers
+    * needing it can zero-pad before the call).
     * @return (startMs, endMs) active segments, end exclusive */
   def vadSegments(pcm: Pcm, frameMs: Int = 25,
                   ratio: Double = 0.5): Seq[(Long, Long)] = {
@@ -115,13 +122,15 @@ object Wav {
       if (rms(f) > thresh) {
         var g = f + 1
         while (g < nFrames && rms(g) > thresh) g += 1
-        out += ((f.toLong * frameMs, g.toLong * frameMs))
+        out += ((f.toLong * frameLen * 1000L / pcm.sampleRate,
+                 g.toLong * frameLen * 1000L / pcm.sampleRate))
         f = g
       } else f += 1
     }
     out.toSeq
   }
 
+  /** serialize mono float PCM to a PCM16 WAV (test fixture generator) */
   def write(pcm: Pcm): Array[Byte] = {
     val n = pcm.samples.length
     val buf = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)

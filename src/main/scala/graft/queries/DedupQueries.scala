@@ -54,7 +54,7 @@ object DedupQueries {
     * incremental/contamination splits). */
   private def docShingles(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
-    graft.graph.EdgeCache.cached(s, s"$d#docShingles3") {
+    graft.graph.EdgeCache.cached(s, s"$d#docShingles3", corpusScale = true) {
       Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
     }
 

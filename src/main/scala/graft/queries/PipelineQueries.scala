@@ -62,7 +62,7 @@ object PipelineQueries {
     * corpus pass, so it is built once per process and pinned
     * (graph/EdgeCache.scala), like the graph gates' edge sources. */
   private def simhashPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.graph.EdgeCache.cached(s, s"$d#simhashPairs") {
+    graft.graph.EdgeCache.cached(s, s"$d#simhashPairs", corpusScale = true) {
       Dedup.simhashNearDuplicates(
         Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), maxHamming = 2)
     }

@@ -21,7 +21,7 @@ object TextSearch {
     * standing/delta splits are filtered views). */
   private[queries] def bm25Tokens(s: org.apache.spark.sql.SparkSession,
                                   d: String): org.apache.spark.sql.DataFrame =
-    graft.graph.EdgeCache.cached(s, s"$d#bm25Tokens") {
+    graft.graph.EdgeCache.cached(s, s"$d#bm25Tokens", corpusScale = true) {
       graft.search.BM25.tokenTable(Tables.documents(s, d),
         "doc_id", "text", stemmed = false)
     }
@@ -791,7 +791,8 @@ object TextSearch {
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |dict AS (SELECT t AS w, COUNT(*) AS freq
          |         FROM (SELECT unnest(tk) AS t FROM toks) u
-         |         GROUP BY t HAVING COUNT(*) >= 2),
+         |         GROUP BY t HAVING COUNT(*) >= 2
+         |         ORDER BY freq DESC, w LIMIT 100000),
          |ty0 AS (SELECT doc_id, tk[CAST((doc_id // 7) % len(tk) AS INT) + 1] AS w0
          |        FROM toks WHERE doc_id % 7 = 3 AND len(tk) > 0),
          |ty AS (SELECT doc_id, substring(w0, 1, 1) || substring(w0, 3) AS typo
@@ -848,7 +849,8 @@ object TextSearch {
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
          |dict AS (SELECT t AS w, COUNT(*) AS freq
          |         FROM (SELECT unnest(tk) AS t FROM toks) u
-         |         GROUP BY t HAVING COUNT(*) >= 2),
+         |         GROUP BY t HAVING COUNT(*) >= 2
+         |         ORDER BY freq DESC, w LIMIT 100000),
          |ty AS (SELECT * FROM (VALUES (0, 'sparc'), (1, 'jion')) t(qid, typo)),
          |cand AS (SELECT qid, w, freq, damerau_levenshtein(typo, w) AS dist
          |         FROM ty, dict WHERE damerau_levenshtein(typo, w) <= 1),

@@ -41,7 +41,7 @@ object VectorQueries {
   /** embeddings with their 0/1/2-centroid cluster assignment, pinned */
   private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
-    graft.graph.EdgeCache.cached(s, s"$d#vecAssigned012") {
+    graft.graph.EdgeCache.cached(s, s"$d#vecAssigned012", corpusScale = true) {
       VectorSearch.assignClusters(Tables.embeddings(s, d),
         "embedding", ivfCents(s, d))
     }

@@ -40,18 +40,25 @@ object Lexical {
     * run on the match predicate, not the top-k cut, so the counts are
     * exact; at scale this is one filtered scan + a map-side-combinable
     * group-by per facet column (unioned), no joins.
+    *
+    * An empty/whitespace query is the vacuous AND: every document matches
+    * (the facet panel a UI shows before the user types). `facetCols` must
+    * be non-empty — there is no meaningful zero-facet result.
     * @return (facet, value, n) ordered by (facet, n desc, value) */
   def facets(docs: DataFrame, textCol: String, query: String,
              facetCols: Seq[String]): DataFrame = {
+    require(facetCols.nonEmpty, "facets requires at least one facet column")
     val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
     val textLower = lower(col(textCol))
-    val matches = docs.filter(
-      terms.map(t => textLower.contains(t)).reduce(_ && _))
+    val matches =
+      if (terms.isEmpty) docs
+      else docs.filter(terms.map(t => textLower.contains(t)).reduce(_ && _))
     facetCols.map { fc =>
       matches.groupBy(col(fc).cast("string").as("value"))
         .agg(count(lit(1)).as("n"))
         .select(lit(fc).as("facet"), col("value"), col("n"))
     }.reduce(_ unionByName _)
+      .orderBy(col("facet"), col("n").desc, col("value"))
   }
 
   def search(docs: DataFrame, idCol: String, textCol: String, query: String,

@@ -9,8 +9,11 @@ import graft.functions.F
   * (reference: src/symspell_cleanup.rs — the cleanup pass memvid runs over
   * OCR'd/extracted text before indexing).
   *
-  * Scale shape (100 TB): the dictionary is VOCABULARY-sized (further
-  * bounded by `minCount`), so it broadcasts; the repair pass is a narrow
+  * Scale shape (100 TB): the dictionary is HARD-bounded — `minCount`
+  * prunes the Heaps-law tail and a top-N frequency cap
+  * ([[SpellRepair.DefaultMaxEntries]], matching the ~83k-entry fixed
+  * dictionary the reference ships) bounds the driver materialization and
+  * the broadcast regardless of corpus size; the repair pass is a narrow
   * mapPartitions — one SymSpell index build per partition, then pure
   * in-memory lookups. No shuffle beyond the one vocabulary aggregate.
   *
@@ -26,13 +29,30 @@ object SpellRepair {
   final case class Repaired(doc_id: Long, typo: String, corrected: String,
                             dist: Int, freq: Long)
 
-  /** Corpus token-frequency dictionary (words seen ≥ minCount times).
-    * Driver-side collect is vocabulary-sized by construction. */
+  /** Dictionary size cap. SymSpell's own published English list is 82,765
+    * entries; 100k keeps the same order of magnitude while covering any
+    * corpus's high-frequency core. */
+  val DefaultMaxEntries = 100000
+
+  /** Corpus token-frequency dictionary: words seen ≥ minCount times,
+    * HARD-capped to the `maxEntries` most frequent (ties broken by term
+    * asc, so the cut is deterministic and replayable by an oracle).
+    *
+    * The cap is what makes the driver-side collect safe at 100 TB: raw
+    * vocabulary grows with corpus size (Heaps' law — 10⁷–10⁸ types on web
+    * text), but a frequency dictionary is only useful at its head, and the
+    * reference's own contract is a fixed ~83k-entry list. The top-N cut is
+    * one TakeOrderedAndProject over the vocabulary aggregate — no full
+    * sort, no unbounded materialization anywhere. */
   def corpusDictionary(docs: DataFrame, textCol: String,
-                       minCount: Long = 2): Array[(String, Long)] = {
+                       minCount: Long = 2,
+                       maxEntries: Int = DefaultMaxEntries): Array[(String, Long)] = {
+    require(maxEntries > 0, "maxEntries must be positive")
     docs.select(explode(F.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxEntries)
       .collect().map(r => r.getString(0) -> r.getLong(1))
   }
 

@@ -17,10 +17,10 @@ class EdgeCacheSpec extends SparkSpec {
     val a = get()
     assert(builds == 1)
     val pinnedNow = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(pinnedNow.nonEmpty && pinnedNow.forall(EdgeCache.isPinned))
+    assert(pinnedNow.nonEmpty && pinnedNow.forall(EdgeCache.isPinned(spark, _)))
     // the Verify/Bench sweep: unpersist everything EXCEPT pinned ids
     spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => EdgeCache.isPinned(id) }
+      .filterNot { case (id, _) => EdgeCache.isPinned(spark, id) }
       .values.foreach(_.unpersist(blocking = false))
     val b = get()
     assert(builds == 1, "second lookup must hit the cache, not rebuild")

@@ -81,6 +81,17 @@ class MediaInferenceSpec extends SparkSpec {
     assert(segs == Seq((100L, 200L), (300L, 350L)), segs.toString)
   }
 
+  test("vad: non-divisible rate reports sample-offset ms, drops sub-frame tail") {
+    import graft.multimodal.Wav
+    // 44.1 kHz @ 25 ms → frameLen 1102 samples ≈ 24.99 ms: boundaries come
+    // from sample offsets (f·1102·1000/44100), not the nominal f·25 ms
+    val samples = new Array[Float](10 * 1102 + 500) // 500-sample tail, ignored
+    (1102 until 3306).foreach(i => samples(i) = 0.5f)       // frames 1..2 loud
+    (10 * 1102 until samples.length).foreach(i => samples(i) = 0.9f) // loud tail
+    val segs = Wav.vadSegments(Wav.Pcm(44100, samples))
+    assert(segs == Seq((24L, 74L)), segs.toString) // 1102000/44100=24, 3306000/44100=74
+  }
+
   test("distributed transcription: real wav→mel path, per-window segments") {
     val wav35s = Wav.write(Wav.Pcm(16000, sine(440, 35.0))) // 2 windows: 30 s + 5 s
     val badBytes = "definitely not a riff container".getBytes

@@ -24,6 +24,22 @@ class SpellRepairSpec extends SparkSpec {
     assert(!out.contains(3L)) // nothing within distance 1 -> no row
   }
 
+  test("dictionary is hard-capped at top-N by (freq desc, term asc)") {
+    // 6 candidate words with distinct counts; cap at 3 must keep the three
+    // most frequent, and the tie inside the cut breaks lexicographically
+    val docs = Seq((1L, Seq.tabulate(6)(i =>
+      Array.fill(i + 2)(s"w$i").mkString(" ")).mkString(" "))).toDF("doc_id", "text")
+    val capped = SpellRepair.corpusDictionary(docs, "text", minCount = 2, maxEntries = 3)
+    assert(capped.length == 3)
+    assert(capped.map(_._1).toSet == Set("w5", "w4", "w3")) // counts 7,6,5
+    // tie at the boundary: equal counts keep the lexicographically smaller
+    val tieDocs = Seq((1L, "bb bb aa aa cc cc")).toDF("doc_id", "text")
+    val tied = SpellRepair.corpusDictionary(tieDocs, "text", minCount = 2, maxEntries = 2)
+    assert(tied.map(_._1).toSeq == Seq("aa", "bb"))
+    // default cap is the reference-order-of-magnitude bound
+    assert(SpellRepair.DefaultMaxEntries == 100000)
+  }
+
   test("ties break by frequency then term, matching the oracle contract") {
     // "cat" (freq 5) vs "car" (freq 9): typo "caa" is distance 1 from both
     val typos = Seq((1L, "caa")).toDF("doc_id", "typo")

@@ -42,18 +42,18 @@ zcat /usr/share/man/man{1,2,3,4,5,6,7,8}/*.gz 2>/dev/null \
 awk 'NF==2 {c[$1]+=$2} END {for (w in c) print c[w], w}' \
   "$here/frequency_supplement.txt" > "$tmp/supp.txt"
 
-# Exclusions: two ordinary English words that happen to be the leak
-# scanner's canary WORDS ("locomotive", "portcullis"). Their corpus-derived
-# counts here are legitimate, but any line containing them regex-trips the
-# scanner, so a builder-owned file would show hits forever. Dropping two
-# rare words has negligible repair-quality impact (SymSpellSpec stays
-# green) and keeps every remaining LEAKCHECK hit pointed at driver/judge
-# round artifacts only.
+# NOTE on leak-scanner canaries: earlier revisions filtered the scanner's
+# canary words out of the output. That was wrong — hard-filtering canaries
+# at artifact-generation time would silently delete the evidence if
+# reference/judge content ever DID flow into this build. The generator now
+# ships exactly what the corpus contains; the reviewed, auditable exemption
+# for legitimately corpus-derived canary lines lives in
+# tools/LEAKCHECK_ALLOWLIST.md (words identified there by sha256, so the
+# allowlist itself cannot trip the scanner).
 awk '{c[$2]+=$1} END {for (w in c) print c[w], w}' \
     "$tmp/code.txt" "$tmp/man.txt" "$tmp/supp.txt" \
   | awk '$2 ~ /[aeiouy]/ || $2=="a" || $2=="i"' \
   | awk '$1>=2' \
-  | awk '$2!="locomotive" && $2!="portcullis"' \
   | sort -k1,1rn -k2,2 \
   | awk '{print $2, $1}' > "$out"
 
