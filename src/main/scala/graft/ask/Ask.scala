@@ -24,9 +24,14 @@ object Ask {
                           correctionUriPrefix: String = "mv2://correction/")
 
   final case class Citation(index: Int, id: Long, score: Double, snippet: String)
+  /** @param sources names of the candidate lists that contributed ≥1 hit,
+    *        in ladder order (lex, or, expanded, proper_noun, timeline,
+    *        vector, correction) — the observable record of which fallback
+    *        rung(s) fired (reference ask.rs:131-210) */
   final case class Response(answer: String, citations: Seq[Citation],
                             engine: String, question: String,
-                            classification: Map[String, Boolean])
+                            classification: Map[String, Boolean],
+                            sources: Seq[String] = Seq.empty)
 
   def ask(spark: SparkSession, corpus: Corpus, question: String,
           embedder: Option[Embedder] = None, topK: Int = 5): Response = {
@@ -203,7 +208,8 @@ object Ask {
       if (citations.isEmpty) "No relevant memories found."
       else citations.take(3).map(c => s"${c.snippet} [${c.index}]").mkString(" ")
 
-    Response(answer, citations.toSeq, engine, question, classification(question))
+    Response(answer, citations.toSeq, engine, question, classification(question),
+      sources = collected.filter(_._2.nonEmpty).map(_._1))
   }
 
   /** A15 build_context (search/helpers.rs:77-150): group hits by base URI

@@ -817,6 +817,77 @@ object AnalyticsQueries {
          |      FROM documents WHERE doc_id < 40) z
          |ORDER BY doc_id""".stripMargin),
 
+    // ---- ST1 durability: checkpointed file-source stream KILLED mid-
+    // drain, resumed with AvailableNow, final sink hash-equal to the
+    // batch result (the streaming analogue of the reference's
+    // crash_recovery/doctor_recovery tests). 24 files with strictly
+    // increasing mtimes drain in three 8-file micro-batches; a poison
+    // hook detonates on the LAST file, so batches 0-1 are committed and
+    // batch 2 dies mid-write (task files may be orphaned in the sink
+    // dir — recovery must serve only the transaction log). 8 more files
+    // arrive during the outage; the disarmed restart replays the failed
+    // batch from the checkpoint and drains the arrivals. The oracle is
+    // the plain batch answer over all 32 docs, plus crashed=TRUE
+    // asserting the injection really fired: a duplicate row (orphan part
+    // file read), a lost row (offset skipped), or a crash-free first run
+    // all fail the hash. ----
+    "stream_restart_recovery" -> QueryDef.sql(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-st-recover")
+        val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+        val sink = tmp.resolve("sink").toString
+        val ck = tmp.resolve("ck").toString
+        val fixture = Tables.documents(s, d).filter(col("doc_id") < 32)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[\\n\\r]+", " ").as("line"))
+          .collect().sortBy(_.getLong(0))
+        def writeDoc(r: org.apache.spark.sql.Row): Unit = {
+          val p = in.resolve(f"doc_${r.getLong(0)}%03d.txt")
+          java.nio.file.Files.writeString(p, r.getString(1))
+          // mtime ladder fixes micro-batch composition (file source
+          // processes oldest-first): poison file lands in the LAST batch
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1700000000000L + r.getLong(0) * 2000))
+        }
+        fixture.take(24).foreach(writeDoc)
+        def run(): org.apache.spark.sql.streaming.StreamingQuery =
+          s.readStream.format("text").option("maxFilesPerTrigger", 8)
+            .load(in.toString)
+            .withColumn("uri", input_file_name())
+            .withColumn("text", graft.streaming.StreamingIngest
+              .poisonCheck(col("uri"), col("value")))
+            .drop("value")
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        graft.streaming.StreamingIngest.poisonUri = Some("doc_023")
+        val crashed =
+          try { run().awaitTermination(); false }
+          catch { case _: Throwable => true }
+        graft.streaming.StreamingIngest.poisonUri = None
+        fixture.drop(24).foreach(writeDoc) // arrivals during the outage
+        run().awaitTermination()
+        graft.functions.F.ensureRegistered(s)
+        s.read.parquet(sink) // batch read serves the sink's txn log only
+          .select(regexp_extract(col("uri"), "doc_(\\d+)\\.txt$", 1)
+              .cast("long").as("doc_id"),
+            size(graft.functions.F.tokens(col("text"))).as("n_tok"),
+            graft.functions.F.polyHash(col("text")).as("content_hash"))
+          .withColumn("crashed_mid_drain", lit(crashed))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // detach from the temp dirs
+      },
+      s"""SELECT doc_id,
+         |  CAST(len(${DedupQueries.duckToks.replace("text", "line")}) AS INT) AS n_tok,
+         |  ${DedupQueries.duckPoly("line")} AS content_hash,
+         |  TRUE AS crashed_mid_drain
+         |FROM (SELECT doc_id,
+         |        regexp_replace(text, '[\\n\\r]+', ' ', 'g') AS line
+         |      FROM documents WHERE doc_id < 32) z
+         |ORDER BY doc_id""".stripMargin),
+
     // ---- first-order Markov transition matrix over per-user event
     // sequences: adjacent (event, next-event) pairs in timestamp order
     // (event_id tiebreak — a total order, so any engine sequences

@@ -191,6 +191,76 @@ object MemoryGraphQueries {
         |  AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-13 00:00:00')
         |ORDER BY event_id""".stripMargin),
 
+    // ---- X7 normalizer phrase MATRIX (src/analysis/temporal.rs:92-793):
+    // 28 phrases spanning every resolver family — absolute ISO dates and
+    // ranges, month-day-year with ordinal/comma noise, month-year,
+    // early/mid/late month parts (with and without an explicit year),
+    // N-units-ago, week-start-sensitive this/last/next week, last/next/
+    // bare weekday, bare month nearest-past — resolved at a FIXED anchor
+    // (2024-06-19, a Wednesday) so every (start, end, confidence,
+    // relative, ambiguous) tuple is a calendar constant. The oracle
+    // carries goldens derived independently (proleptic-Gregorian epoch
+    // arithmetic, not this code), so coverage is measured, not assumed:
+    // dropping or misresolving any phrase family fails the hash. ----
+    "temporal_nl_matrix" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val anchor = java.time.LocalDate.of(2024, 6, 19)
+        val phrases = Seq(
+          "today", "yesterday", "tomorrow",
+          "this week", "last week", "next week",
+          "this month", "last month", "next month",
+          "this year", "last year",
+          "2024-03-05", "2024-03-05 to 2024-03-09",
+          "3 days ago", "2 weeks ago", "6 months ago", "1 year ago",
+          "March 5th, 2024", "March 2024",
+          "mid-March", "early March 2023", "late February 2024",
+          "last friday", "next friday", "friday", "wednesday",
+          "December", "May")
+        phrases.map { p =>
+          val r = graft.temporal.TemporalNormalizer.resolve(p, anchor).get
+          (p, r.startUtc, r.endUtc, math.round(r.confidence * 100),
+            r.relative, r.ambiguous)
+        }.toDF("phrase", "start_us", "end_us", "conf_pct",
+               "is_relative", "is_ambiguous")
+          .orderBy(col("phrase"))
+      },
+      """SELECT phrase, CAST(start_us AS BIGINT) AS start_us,
+        |       CAST(end_us AS BIGINT) AS end_us,
+        |       CAST(conf_pct AS BIGINT) AS conf_pct,
+        |       is_relative, is_ambiguous
+        |FROM (VALUES
+        |  ('1 year ago', 1687132800000000, 1687219200000000, 80, TRUE, FALSE),
+        |  ('2 weeks ago', 1717545600000000, 1717632000000000, 80, TRUE, FALSE),
+        |  ('2024-03-05', 1709596800000000, 1709683200000000, 100, FALSE, FALSE),
+        |  ('2024-03-05 to 2024-03-09', 1709596800000000, 1710028800000000, 100, FALSE, FALSE),
+        |  ('3 days ago', 1718496000000000, 1718582400000000, 80, TRUE, FALSE),
+        |  ('6 months ago', 1702944000000000, 1703030400000000, 80, TRUE, FALSE),
+        |  ('December', 1701388800000000, 1704067200000000, 60, TRUE, TRUE),
+        |  ('March 2024', 1709251200000000, 1711929600000000, 100, FALSE, FALSE),
+        |  ('March 5th, 2024', 1709596800000000, 1709683200000000, 100, FALSE, FALSE),
+        |  ('May', 1714521600000000, 1717200000000000, 60, TRUE, TRUE),
+        |  ('early March 2023', 1677628800000000, 1678492800000000, 70, FALSE, FALSE),
+        |  ('friday', 1718323200000000, 1718409600000000, 60, TRUE, TRUE),
+        |  ('last friday', 1718323200000000, 1718409600000000, 90, TRUE, FALSE),
+        |  ('last month', 1714521600000000, 1717200000000000, 90, TRUE, FALSE),
+        |  ('last week', 1717977600000000, 1718582400000000, 90, TRUE, FALSE),
+        |  ('last year', 1672531200000000, 1704067200000000, 90, TRUE, FALSE),
+        |  ('late February 2024', 1708473600000000, 1709251200000000, 70, FALSE, FALSE),
+        |  ('mid-March', 1710115200000000, 1710979200000000, 70, TRUE, TRUE),
+        |  ('next friday', 1718928000000000, 1719014400000000, 90, TRUE, FALSE),
+        |  ('next month', 1719792000000000, 1722470400000000, 90, TRUE, FALSE),
+        |  ('next week', 1719187200000000, 1719792000000000, 90, TRUE, FALSE),
+        |  ('this month', 1717200000000000, 1719792000000000, 90, TRUE, FALSE),
+        |  ('this week', 1718582400000000, 1719187200000000, 90, TRUE, FALSE),
+        |  ('this year', 1704067200000000, 1735689600000000, 90, TRUE, FALSE),
+        |  ('today', 1718755200000000, 1718841600000000, 100, TRUE, FALSE),
+        |  ('tomorrow', 1718841600000000, 1718928000000000, 100, TRUE, FALSE),
+        |  ('wednesday', 1718755200000000, 1718841600000000, 60, TRUE, TRUE),
+        |  ('yesterday', 1718668800000000, 1718755200000000, 100, TRUE, FALSE)
+        |) t(phrase, start_us, end_us, conf_pct, is_relative, is_ambiguous)
+        |ORDER BY phrase""".stripMargin),
+
     // ---- F6 interval-overlap (range) join on event windows ----
     "temporal_overlap" -> QueryDef.sql(
       (s, d) => {

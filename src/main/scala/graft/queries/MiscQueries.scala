@@ -309,6 +309,69 @@ object MiscQueries {
         |       ROUND(CAST(1 AS DOUBLE) / (61 + r), 9) AS score
         |FROM corr ORDER BY r LIMIT 5""".stripMargin),
 
+    // ---- ask() fallback ladder end-to-end (ask.rs:131-210): two dry-
+    // primary scenarios over one corpus, rung firing order locked via
+    // Response.sources. 'plural_expansion': "Customers merge?" — the AND
+    // primary is dry ('customers' occurs nowhere), the OR rung ranks
+    // merge-docs by id at AND-score 0, and the singular/plural rung
+    // "(customers OR customer) (merge OR merges)" adds customer∧merge
+    // docs; RRF fuses the two lists so docs on both rungs outrank
+    // either alone. 'timeline_last_resort': every lexical rung including
+    // the proper-noun pick ("gnarfle") is dry, so the ladder degrades to
+    // newest-frames sampling over the synthesized timestamps — the
+    // answer is "most recent context", never emptiness. The oracle
+    // replays both lists, the RRF sums, and the rung tags exactly. ----
+    "ask_fallback_ladder" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+          .withColumn("created", timestamp_micros(
+            lit(1700000000000000L) + (col("doc_id") * 37 % 1000) * 1000000L))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+          track = col("source"), timestamp = col("created"))
+        val corpus = Ask.Corpus(docs, "doc_id", f,
+          correctionUriPrefix = "doc://correction/")
+        Seq("plural_expansion" -> "Customers merge?",
+            "timeline_last_resort" -> "Gnarfle the blorp")
+          .flatMap { case (nm, q) =>
+            val r = Ask.ask(s, corpus, q)
+            r.citations.map(c =>
+              (nm, r.sources.mkString(","), c.index.toLong, c.id, c.score))
+          }
+          .toDF("scenario", "rungs", "citation_idx", "doc_id", "score")
+          .withColumn("score", round(col("score"), 9))
+          .orderBy(col("scenario"), col("citation_idx"))
+      },
+      """WITH orl AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |            FROM documents WHERE contains(lower(text), 'merge')
+        |            ORDER BY doc_id LIMIT 10),
+        |exl AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |        FROM documents
+        |        WHERE (contains(lower(text), 'customers') OR contains(lower(text), 'customer'))
+        |          AND (contains(lower(text), 'merge') OR contains(lower(text), 'merges'))
+        |        ORDER BY doc_id LIMIT 10),
+        |fused AS (SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
+        |            COALESCE(CAST(1 AS DOUBLE) / (60 + o.rn), 0)
+        |              + COALESCE(CAST(1 AS DOUBLE) / (60 + e.rn), 0) AS rrf
+        |          FROM orl o FULL OUTER JOIN exl e ON o.doc_id = e.doc_id),
+        |ctop AS (SELECT doc_id, rrf,
+        |           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        |         FROM fused ORDER BY rrf DESC, doc_id LIMIT 5),
+        |tl AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY (doc_id * 37) % 1000 DESC, doc_id) AS rn
+        |       FROM documents
+        |       ORDER BY (doc_id * 37) % 1000 DESC, doc_id LIMIT 5)
+        |SELECT scenario, rungs, citation_idx, doc_id, score FROM (
+        |  SELECT 'plural_expansion' AS scenario, 'or,expanded' AS rungs,
+        |         CAST(rn AS BIGINT) AS citation_idx, doc_id, ROUND(rrf, 9) AS score
+        |  FROM ctop
+        |  UNION ALL
+        |  SELECT 'timeline_last_resort', 'timeline', CAST(rn AS BIGINT), doc_id,
+        |         ROUND(CAST(1 AS DOUBLE) / (60 + rn), 9)
+        |  FROM tl) z
+        |ORDER BY scenario, citation_idx""".stripMargin),
+
     // ---- S7-S9: table extraction + cell model over synthetic markdown ----
     "table_extract_cells" -> QueryDef.sql(
       (s, d) => {
@@ -409,6 +472,54 @@ object MiscQueries {
         |    WHERE starts_with('doc://' || source || '/' || doc_id, r.pfx)
         |    ORDER BY length(r.pfx) DESC LIMIT 1), FALSE) AS acl_allowed
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- F9 ACL Enforce mode (acl.rs applied post-search at
+    // src/memvid/search/mod.rs:267-276; AclEnforcementMode at
+    // src/types/acl.rs:26-40): the SAME rule set runs in Audit and in
+    // Enforce over one search hit set ('merge' matches). Enforce must
+    // drop exactly the hits Audit marks disallowed — the gate locks the
+    // surviving hit set AND the audit/enforce row-count delta, so a
+    // default-allow drift, a prefix-specificity bug, or Enforce dropping
+    // the wrong side all fail the hash. Nested prefixes (doc://src1 allow
+    // vs doc://src12 deny) exercise most-specific-wins inside Enforce. ----
+    "acl_enforce" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        val hits = docs.filter(lower(col("text")).contains("merge"))
+          .select("doc_id", "uri")
+        val rules = Seq(
+          ("analyst", "doc://src1", true),
+          ("analyst", "doc://src12", false),
+          ("analyst", "doc://src3", true)).toDF("principal", "uriPrefix", "allow")
+        val audit = graft.acl.Acl(hits, col("uri"), rules,
+          "analyst", graft.acl.Acl.Audit)
+        val enforced = graft.acl.Acl(hits, col("uri"), rules,
+          "analyst", graft.acl.Acl.Enforce)
+        val counts = audit.agg(
+          count(lit(1)).as("n_audit"),
+          sum(when(col("acl_allowed"), 1L).otherwise(0L)).as("n_audit_allowed"))
+        enforced.select("doc_id").crossJoin(counts)
+          .withColumn("n_denied", col("n_audit") - col("n_audit_allowed"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH hits AS (
+        |  SELECT doc_id, 'doc://' || source || '/' || doc_id AS uri
+        |  FROM documents WHERE contains(lower(text), 'merge')),
+        |al AS (
+        |  SELECT doc_id, COALESCE((
+        |    SELECT r.allow FROM (VALUES ('doc://src1', TRUE), ('doc://src12', FALSE),
+        |                                ('doc://src3', TRUE)) r(pfx, allow)
+        |    WHERE starts_with(uri, r.pfx)
+        |    ORDER BY length(r.pfx) DESC LIMIT 1), FALSE) AS ok
+        |  FROM hits),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_audit,
+        |             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_audit_allowed
+        |      FROM al)
+        |SELECT doc_id, n_audit, n_audit_allowed,
+        |       n_audit - n_audit_allowed AS n_denied
+        |FROM al, c WHERE ok ORDER BY doc_id""".stripMargin),
 
     // ---- BM25-engine search through the full facade, hash-gated: the
     // oracle replays the Okapi formula (like text_bm25) PLUS the facade's

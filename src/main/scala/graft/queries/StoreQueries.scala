@@ -116,6 +116,50 @@ object StoreQueries {
         |  CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
 
+    // ---- O17 doctor integrity scan (reference doctor.rs:76-162 repair
+    // report): a store with three SEEDED inconsistencies — a chunked
+    // document whose parent is tombstoned (orphan chunks), one uri put
+    // twice with different payloads (duplicate live uris), and a card
+    // whose sourceFrameId never existed in the log (dangling card,
+    // planted by writing the cards table directly: doctor hunts
+    // corruption the facade itself would never produce). The remember()
+    // sentinel (-1) card must NOT count as dangling — the gate includes
+    // one to prove the exemption. Every counter is a literal the fixture
+    // construction implies; the big doc splits into exactly 2 chunks
+    // (two ~816-char paragraphs vs the 1200-char chunk budget). ----
+    "store_doctor_report" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://doc/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_doctor_gate").toString
+        val g = new graft.api.Graft(s, dir)
+        docs.foreach { case (u, t) => g.put(u, t) }
+        val para = "spark merge row scan value table. " * 24
+        val bigId = g.put("mv2://doc/big", para + "\n\n" + para).get
+        g.delete(bigId) // parent gone, chunks remain live → orphaned
+        g.put("mv2://dup/1", "alpha beta gamma one")
+        g.put("mv2://dup/1", "alpha beta gamma two")
+        Seq((424242L << 20, "ghost", "slot", "v", "fact", "sets",
+             new java.sql.Timestamp(1700000003000L), 424242L))
+          .toDF("cardId", "entity", "slot", "value", "kind", "relation",
+            "ts", "sourceFrameId")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$dir/cards")
+        g.remember("user", "color", "blue")
+        g.doctor.toSeq.toDF("metric", "value").orderBy(col("metric"))
+      },
+      """SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+        |  ('dangling_cards', 1),
+        |  ('duplicate_live_uris', 1),
+        |  ('live_frames', 14),
+        |  ('orphan_chunks', 2),
+        |  ('tombstoned', 1),
+        |  ('total_versions', 16)) t(metric, value)
+        |ORDER BY metric""".stripMargin),
+
     // ---- vacuum/compaction (reference vacuum, mutation.rs:2999): after
     // put + supersede + tombstone mutations, vacuum() rewrites the log to
     // the live view only. The gate locks BOTH invariants: the log

@@ -163,6 +163,85 @@ object VectorQueries {
          |WHERE score >= 0.7 * (SELECT max(score) FROM ranked)
          |ORDER BY score DESC, vec_id""".stripMargin),
 
+    // ---- A7 breadth: ALL FIVE cutoff strategies over ONE ranked list
+    // (src/types/adaptive.rs:141-203 — Absolute/Relative/ScoreCliff/
+    // Elbow/Combined). Each strategy's survivor COUNT, id-sum (set
+    // checksum), and boundary scores are locked; the oracle replays the
+    // windowed cliff/elbow cut arithmetic and Combined's sequential
+    // composition (absolute → relative-on-filtered → cliff-on-filtered),
+    // so a drift in any one strategy or in how they chain fails the
+    // hash. Ties never straddle a cut: cliff/elbow only cut on strictly
+    // decreasing scores, so tie order inside the window is immaterial. ----
+    "vec_cutoff_matrix" -> QueryDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = queryVec(s, d, 0L)
+        val ranked = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 50,
+          candidateFilter = Some(col("vec_id") =!= 0)).localCheckpoint()
+        val strategies: Seq[(String, AdaptiveCutoff.Strategy)] = Seq(
+          "absolute" -> AdaptiveCutoff.Absolute(0.25),
+          "cliff" -> AdaptiveCutoff.Cliff(0.08),
+          "combined" -> AdaptiveCutoff.Combined(0.25, 0.7, 0.08),
+          "elbow" -> AdaptiveCutoff.Elbow,
+          "relative" -> AdaptiveCutoff.Relative(0.7))
+        strategies.map { case (nm, st) =>
+          AdaptiveCutoff(ranked, "score", st).agg(
+              count(lit(1)).as("n_kept"),
+              coalesce(sum(col("vec_id")), lit(0L)).cast("long").as("id_sum"),
+              coalesce(min(col("score")), lit(0.0)).as("worst_score"),
+              coalesce(max(col("score")), lit(0.0)).as("best_score"))
+            .select(lit(nm).as("strategy"), col("n_kept"), col("id_sum"),
+              col("worst_score"), col("best_score"))
+        }.reduce(_ unionByName _).orderBy(col("strategy"))
+      },
+      s"""WITH ranked AS (
+         |  SELECT vec_id, ${duckCos(e, "q.qv")} AS score
+         |  FROM embeddings, (SELECT $qVec AS qv) q
+         |  WHERE vec_id != 0
+         |  ORDER BY score DESC, vec_id LIMIT 50),
+         |abs_k AS (SELECT * FROM ranked WHERE score >= 0.25),
+         |rel_k AS (SELECT * FROM ranked
+         |          WHERE score >= (SELECT max(score) FROM ranked) * 0.7),
+         |cl0 AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+         |          lag(score) OVER (ORDER BY score DESC, vec_id) AS prev
+         |        FROM ranked),
+         |cliff_k AS (SELECT vec_id, score FROM cl0
+         |  WHERE rn < COALESCE((SELECT min(rn) FROM cl0 c2
+         |    WHERE c2.prev IS NOT NULL AND c2.score < c2.prev * 0.92), 2147483647)),
+         |el0 AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+         |          COALESCE(lag(score) OVER (ORDER BY score DESC, vec_id) - score,
+         |                   -1.0) AS gap
+         |        FROM ranked),
+         |elbow_k AS (SELECT vec_id, score FROM el0
+         |  WHERE rn < COALESCE((SELECT min(rn) FROM el0 e2
+         |    WHERE e2.gap = (SELECT max(gap) FROM el0) AND e2.gap > 0), 2147483647)),
+         |co_b AS (SELECT * FROM abs_k
+         |         WHERE score >= (SELECT max(score) FROM abs_k) * 0.7),
+         |co0 AS (SELECT vec_id, score,
+         |          row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+         |          lag(score) OVER (ORDER BY score DESC, vec_id) AS prev
+         |        FROM co_b),
+         |comb_k AS (SELECT vec_id, score FROM co0
+         |  WHERE rn < COALESCE((SELECT min(rn) FROM co0 c2
+         |    WHERE c2.prev IS NOT NULL AND c2.score < c2.prev * 0.92), 2147483647))
+         |SELECT strategy, CAST(n_kept AS BIGINT) AS n_kept,
+         |       CAST(id_sum AS BIGINT) AS id_sum, worst_score, best_score
+         |FROM (
+         |  SELECT 'absolute' AS strategy, COUNT(*) AS n_kept,
+         |    COALESCE(SUM(vec_id), 0) AS id_sum, COALESCE(MIN(score), 0) AS worst_score,
+         |    COALESCE(MAX(score), 0) AS best_score FROM abs_k
+         |  UNION ALL SELECT 'cliff', COUNT(*), COALESCE(SUM(vec_id), 0),
+         |    COALESCE(MIN(score), 0), COALESCE(MAX(score), 0) FROM cliff_k
+         |  UNION ALL SELECT 'combined', COUNT(*), COALESCE(SUM(vec_id), 0),
+         |    COALESCE(MIN(score), 0), COALESCE(MAX(score), 0) FROM comb_k
+         |  UNION ALL SELECT 'elbow', COUNT(*), COALESCE(SUM(vec_id), 0),
+         |    COALESCE(MIN(score), 0), COALESCE(MAX(score), 0) FROM elbow_k
+         |  UNION ALL SELECT 'relative', COUNT(*), COALESCE(SUM(vec_id), 0),
+         |    COALESCE(MIN(score), 0), COALESCE(MAX(score), 0) FROM rel_k) z
+         |ORDER BY strategy""".stripMargin),
+
     // ---- IVF: nearest-centroid assignment (inverted-list build) ----
     "vec_ivf_assign" -> QueryDef.sql(
       (s, d) => {

@@ -35,6 +35,23 @@ object StreamingIngest {
       .start()
   }
 
+  /** Failure-injection hook for the restart-recovery gate: while armed
+    * with a uri fragment, [[poisonCheck]] throws when it processes a
+    * matching row, killing the stream mid-drain exactly once. In-process
+    * only (local master shares the JVM, so executors see the flag) —
+    * it is a correctness-harness control, not a production feature. */
+  @volatile var poisonUri: Option[String] = None
+
+  /** passthrough of the text column that detonates on the armed uri */
+  def poisonCheck: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((uri: String, text: String) => {
+      poisonUri match {
+        case Some(p) if uri != null && uri.contains(p) =>
+          throw new RuntimeException(s"injected crash at $p")
+        case _ => text
+      }
+    })
+
   /** Stage 2 — incremental enrichment: frames not yet in the enrichment log
     * get sketches (tokens/simhash-ready hashes) appended; idempotent via
     * left-anti join, exactly the manifest check of the reference. */

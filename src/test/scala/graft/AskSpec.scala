@@ -83,6 +83,18 @@ class AskSpec extends SparkSpec {
     // every lexical rung is dry -> newest frames are sampled as context
     assert(resp.citations.nonEmpty)
     assert(resp.citations.head.id == 6L) // newest frame first
+    assert(resp.sources == Seq("timeline"), resp.sources.toString)
+  }
+
+  test("ask: Response.sources records exactly the rungs that contributed") {
+    // primary AND is dry ('zzzqqq chess' matches nothing), the OR rung
+    // rescues chess frames, the plural expansion matches them too
+    val resp = Ask.ask(spark, corpus, "zzzqqq chess")
+    assert(resp.sources.contains("or"), resp.sources.toString)
+    assert(!resp.sources.contains("lex") && !resp.sources.contains("timeline"))
+    // a direct hit reports the primary lex rung and no fallback
+    val hit = Ask.ask(spark, corpus, "chess")
+    assert(hit.sources.contains("lex") && !hit.sources.contains("timeline"))
   }
 
   test("ask: disjunctive rescue keeps only frames matching the real term") {
