@@ -118,6 +118,75 @@ object IngestQueries {
         |       'x,"y"' || chr(10) || c_mktsegment AS gnarly, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // ---- S5 OOXML readers (docx/xlsx/pptx — reference src/reader/xlsx.rs
+    // + xlsx_ooxml.rs; docx/pptx via the same zip+XML surface): each
+    // nation row is packed into THREE real OOXML containers built
+    // in-executor (zip entries + part XML), dispatched by Readers.sniff
+    // (PK magic → part-layout sniffing, never the filename), and
+    // extracted by the real readers. Exercises paragraph-run joining
+    // (docx), shared-string resolution + cell-ref column placement +
+    // numeric cells + the tab/markdown sheet rendering (xlsx), and
+    // slide-ordered a:t runs (pptx). The oracle states the expected
+    // text per (nation, format) straight from the source table. ----
+    "ingest_ooxml_extract" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+          .as[(Long, String)]
+          .flatMap { case (k, nm) =>
+            def zip(entries: (String, String)*): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val z = new java.util.zip.ZipOutputStream(bos)
+              entries.foreach { case (name, content) =>
+                z.putNextEntry(new java.util.zip.ZipEntry(name))
+                z.write(content.getBytes("UTF-8")); z.closeEntry()
+              }
+              z.close(); bos.toByteArray
+            }
+            val docx = zip("word/document.xml" ->
+              s"""<?xml version="1.0"?><w:document xmlns:w="http://x"><w:body>
+                 |<w:p><w:r><w:t>Nation </w:t></w:r><w:r><w:t>$nm</w:t></w:r></w:p>
+                 |<w:p><w:r><w:t>Key $k</w:t></w:r></w:p>
+                 |</w:body></w:document>""".stripMargin)
+            val xlsx = zip(
+              "xl/workbook.xml" ->
+                """<?xml version="1.0"?><workbook><sheets><sheet name="Nation" sheetId="1"/></sheets></workbook>""",
+              "xl/sharedStrings.xml" ->
+                s"""<?xml version="1.0"?><sst><si><t>name</t></si><si><t>$nm</t></si></sst>""",
+              "xl/worksheets/sheet1.xml" ->
+                s"""<?xml version="1.0"?><worksheet><sheetData>
+                   |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+                   |<row r="2"><c r="A2"><v>$k</v></c></row>
+                   |</sheetData></worksheet>""".stripMargin)
+            val pptx = zip(
+              "ppt/slides/slide1.xml" ->
+                s"""<?xml version="1.0"?><p:sld xmlns:a="http://y" xmlns:p="http://z"><a:t>Nation $nm</a:t></p:sld>""",
+              "ppt/slides/slide2.xml" ->
+                s"""<?xml version="1.0"?><p:sld xmlns:a="http://y" xmlns:p="http://z"><a:t>Key</a:t><a:t>$k</a:t></p:sld>""")
+            Seq(docx, xlsx, pptx).map { bytes =>
+              val doc = graft.ingest.Readers.sniff(bytes)(bytes)
+              (k, doc.format, doc.text, doc.title.orNull)
+            }
+          }
+          .toDF("n_nationkey", "fmt", "text", "title")
+          .orderBy(col("n_nationkey"), col("fmt"))
+      },
+      """SELECT n_nationkey, fmt, text, title FROM (
+        |  SELECT n_nationkey, 'docx' AS fmt,
+        |    'Nation ' || n_name || chr(10) || 'Key ' || n_nationkey AS text,
+        |    NULL AS title FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'pptx',
+        |    'Nation ' || n_name || chr(10) || 'Key ' || n_nationkey, NULL
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, 'xlsx',
+        |    '## Nation' || chr(10) || 'name' || chr(9) || n_name
+        |      || chr(10) || CAST(n_nationkey AS VARCHAR), 'Nation'
+        |  FROM nation) z
+        |ORDER BY n_nationkey, fmt""".stripMargin),
+
     // ---- S5 JSONL reader: each document renders as one JSON line with
     // the reader's supported escapes (\" and \n; raw backslash/tab/CR are
     // stripped from the input first — the reference reader's unescape set

@@ -160,6 +160,88 @@ object StoreQueries {
         |  ('total_versions', 16)) t(metric, value)
         |ORDER BY metric""".stripMargin),
 
+    // ---- snapshot pin lifecycle (the read-optimized latest-active copy,
+    // lifecycle.rs open-for-read analogue): snapshotCurrent() pins the
+    // view to a parquet copy (count taken through the pin proves it
+    // serves), and a MUTATION must drop the pin — the final read carries
+    // the post-mutation texts, so a stale-pin bug (serving the copy after
+    // the log moved) fails the hash on the v2 rows. ----
+    "store_snapshot_pin" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://pin/${r.getLong(0)}", r.getString(1))).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pin_gate")
+        val store = new FrameStore(s, tmp.resolve("frames").toString)
+        val ids = store.put(docs, chunkLargeDocs = false)
+        store.snapshotCurrent(tmp.resolve("snap").toString)
+        val pinnedCount = store.latestActive.count() // served from the pin
+        docs.take(3).zip(ids.take(3)).foreach { case ((u, t), oldId) =>
+          store.update(oldId, t + " v2", u) // drops the pin
+        }
+        store.latestActive
+          .select(col("uri"),
+            octet_length(col("text")).cast("long").as("n_chars_stored"))
+          .withColumn("pinned_count", lit(pinnedCount))
+          .orderBy(col("uri"))
+          .localCheckpoint() // detach from the temp store
+      },
+      """SELECT 'mv2://pin/' || doc_id AS uri,
+        |  CAST(strlen(text) + CASE WHEN doc_id < 3 THEN 3 ELSE 0 END
+        |       AS BIGINT) AS n_chars_stored,
+        |  CAST(30 AS BIGINT) AS pinned_count
+        |FROM documents WHERE doc_id < 30 ORDER BY uri""".stripMargin),
+
+    // ---- O17 second half: repairCards index REBUILD (reference
+    // doctor.rs rebuild of corrupted derived indexes — here the cards
+    // table re-derives from the live frame log). Fixture: three frames
+    // minting known rule-extracted facts, one superseded (its facts must
+    // vanish and the new version's appear), one tombstoned (facts
+    // vanish), plus a GARBAGE card row appended directly to the cards
+    // table (the corruption doctor exists for). After repairCards(), the
+    // cards table must equal exactly the rules output over live frames —
+    // ids rebuilt on the same (frameId << 20) + idx stride, garbage and
+    // retract rows gone. The oracle is the literal expected card set;
+    // card_idx also locks the RULE ORDER (location fires before name in
+    // Enrich.defaultRules). ----
+    "store_repair_cards" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_repair_gate").toString
+        val g = new graft.api.Graft(s, dir)
+        val f1 = g.put("mv2://repair/1", "My name is Alice. I live in Paris.").get
+        val f2 = g.put("mv2://repair/2", "My email is bob@example.com").get
+        val f3 = g.put("mv2://repair/3", "I work at Initech.").get
+        g.update(f2, "My email is bob@corp.example", "mv2://repair/2")
+        g.delete(f3)
+        Seq((777777L << 20, "ghost", "slot", "v", "fact", "sets",
+             new java.sql.Timestamp(1700000003000L), 777777L))
+          .toDF("cardId", "entity", "slot", "value", "kind", "relation",
+            "ts", "sourceFrameId")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$dir/cards")
+        val total = g.repairCards()
+        g.cards
+          .join(g.frames.latestActive.select(col("id").as("sourceFrameId"),
+            col("uri")), "sourceFrameId")
+          .select(col("uri"),
+            (col("cardId") - shiftleft(col("sourceFrameId"), 20))
+              .cast("long").as("card_idx"),
+            col("entity"), col("slot"), col("value"))
+          .withColumn("n_cards_total", lit(total))
+          .orderBy(col("uri"), col("card_idx"))
+          .localCheckpoint() // detach from the temp store
+      },
+      """SELECT uri, CAST(card_idx AS BIGINT) AS card_idx, entity, slot,
+        |       value, CAST(3 AS BIGINT) AS n_cards_total
+        |FROM (VALUES
+        |  ('mv2://repair/1', 0, 'user', 'location', 'Paris'),
+        |  ('mv2://repair/1', 1, 'user', 'name', 'Alice'),
+        |  ('mv2://repair/2', 0, 'user', 'email', 'bob@corp.example')
+        |) t(uri, card_idx, entity, slot, value)
+        |ORDER BY uri, card_idx""".stripMargin),
+
     // ---- vacuum/compaction (reference vacuum, mutation.rs:2999): after
     // put + supersede + tombstone mutations, vacuum() rewrites the log to
     // the live view only. The gate locks BOTH invariants: the log
