@@ -372,6 +372,53 @@ object MiscQueries {
         |  FROM tl) z
         |ORDER BY scenario, citation_idx""".stripMargin),
 
+    // ---- A16 session diversification (ask.rs:1300-1334) end-to-end: an
+    // AGGREGATION-classified question ("list all ...") widens the fetch
+    // (×5 multiplier → 50-row OR list) and then divides each candidate's
+    // RRF score by its rank WITHIN its base-uri session (5 synthetic
+    // sessions via doc_id % 5), so no single session floods the answer.
+    // The oracle replays the OR ranking, the 1/(61+r) RRF, the per-
+    // session row_number division, and the final top-5 — wrong session
+    // grouping, a missing multiplier, or dividing by the wrong rank all
+    // fail the hash. ----
+    "ask_diversify_sessions" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://s"), col("doc_id") % 5,
+            lit("/"), col("doc_id")))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+          track = col("source"))
+        val corpus = Ask.Corpus(docs, "doc_id", f,
+          correctionUriPrefix = "doc://correction/")
+        val r = Ask.ask(s, corpus, "list all merge notes")
+        r.citations.map(c => (c.index.toLong, c.id, c.score))
+          .toDF("citation_idx", "doc_id", "score")
+          .withColumn("score", round(col("score"), 9))
+          .orderBy(col("citation_idx"))
+      },
+      s"""WITH toked AS (SELECT doc_id, ${DedupQueries.duckToks} AS tk
+         |              FROM documents),
+        |orl AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM toked
+        |  WHERE list_contains(tk, 'list') OR list_contains(tk, 'all')
+        |     OR list_contains(tk, 'merge') OR list_contains(tk, 'notes')
+        |  ORDER BY doc_id LIMIT 50),
+        |rrf AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rn) AS s,
+        |               doc_id % 5 AS sess
+        |        FROM orl),
+        |div AS (SELECT doc_id,
+        |          s / row_number() OVER (PARTITION BY sess
+        |                                 ORDER BY s DESC, doc_id) AS adj
+        |        FROM rrf),
+        |top AS (SELECT doc_id, adj,
+        |          row_number() OVER (ORDER BY adj DESC, doc_id) AS rn2
+        |        FROM div ORDER BY adj DESC, doc_id LIMIT 5)
+        |SELECT CAST(rn2 AS BIGINT) AS citation_idx, doc_id,
+        |       ROUND(adj, 9) AS score
+        |FROM top ORDER BY citation_idx""".stripMargin),
+
     // ---- S7-S9: table extraction + cell model over synthetic markdown ----
     "table_extract_cells" -> QueryDef.sql(
       (s, d) => {

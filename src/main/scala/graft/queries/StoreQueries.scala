@@ -136,7 +136,10 @@ object StoreQueries {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_doctor_gate").toString
         val g = new graft.api.Graft(s, dir)
-        docs.foreach { case (u, t) => g.put(u, t) }
+        // one batch append for the healthy corpus — ten per-doc facade
+        // puts cost ten write jobs for identical doctor counts (the
+        // facade put only adds card minting, which no counter reads)
+        g.frames.put(docs)
         val para = "spark merge row scan value table. " * 24
         val bigId = g.put("mv2://doc/big", para + "\n\n" + para).get
         g.delete(bigId) // parent gone, chunks remain live → orphaned
