@@ -419,6 +419,53 @@ object MiscQueries {
         |       ROUND(adj, 9) AS score
         |FROM top ORDER BY citation_idx""".stripMargin),
 
+    // ---- W3 temporal-extremes promotion (ask.rs:1500-1575) end-to-end:
+    // a recency+update question ("latest merge update?") doubles the
+    // fetch (×2 multiplier → 20-row OR list) and must add +1.0 to the
+    // NEWEST candidate — which sits mid-list by lexical rank, so the
+    // promotion visibly reorders citation 1. Timestamps are synthesized
+    // ((doc_id·37)%1000 seconds past a fixed epoch) so "newest" is a
+    // pure function both engines compute; ties break (ts desc, id). ----
+    "ask_recency_promotion" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+          .withColumn("created", timestamp_micros(
+            lit(1700000000000000L) + (col("doc_id") * 37 % 1000) * 1000000L))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+          track = col("source"), timestamp = col("created"))
+        val corpus = Ask.Corpus(docs, "doc_id", f,
+          correctionUriPrefix = "doc://correction/")
+        val r = Ask.ask(s, corpus, "latest merge update?")
+        r.citations.map(c => (c.index.toLong, c.id, c.score))
+          .toDF("citation_idx", "doc_id", "score")
+          .withColumn("score", round(col("score"), 9))
+          .orderBy(col("citation_idx"))
+      },
+      s"""WITH toked AS (SELECT doc_id, ${DedupQueries.duckToks} AS tk
+         |              FROM documents),
+        |orl AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM toked
+        |  WHERE list_contains(tk, 'latest') OR list_contains(tk, 'merge')
+        |     OR list_contains(tk, 'update')
+        |  ORDER BY doc_id LIMIT 20),
+        |sc AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rn) AS s,
+        |              (doc_id * 37) % 1000 AS tkey
+        |       FROM orl),
+        |promoted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN row_number() OVER (ORDER BY tkey DESC, doc_id) = 1
+        |         THEN s + CAST(1 AS DOUBLE) ELSE s END AS s2
+        |  FROM sc),
+        |top AS (SELECT doc_id, s2,
+        |          row_number() OVER (ORDER BY s2 DESC, doc_id) AS rn2
+        |        FROM promoted ORDER BY s2 DESC, doc_id LIMIT 5)
+        |SELECT CAST(rn2 AS BIGINT) AS citation_idx, doc_id,
+        |       ROUND(s2, 9) AS score
+        |FROM top ORDER BY citation_idx""".stripMargin),
+
     // ---- S7-S9: table extraction + cell model over synthetic markdown ----
     "table_extract_cells" -> QueryDef.sql(
       (s, d) => {

@@ -71,6 +71,33 @@ object SearchQueries {
         |       OR lang = 'merge' OR source = 'merge')
         |ORDER BY score DESC, id LIMIT 30""".stripMargin),
 
+    // ---- W6 cursor pagination through the search facade
+    // (fallback.rs:88-196): same ranked list as search_ranked but page 2
+    // (offset 10, topK 10) — the facade over-fetches offset+topK via
+    // TakeOrderedAndProject, then trims by row_number. The oracle ranks
+    // the whole list and slices rows 11..20, so an off-by-one at either
+    // edge, a re-sort between pages, or an over-fetch short of the page
+    // boundary all fail the hash. ----
+    "search_cursor_page" -> QueryDef.sql(
+      (s, d) => Search.search(Tables.documents(s, d), "doc_id", frameCols(s),
+          "spark merge", Search.Options(topK = 10, offset = 10,
+            withSnippets = false))
+        .drop("snippets"),
+      s"""WITH ranked AS (
+         |  SELECT doc_id AS id,
+         |    CAST(CAST((length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT)
+         |       + CAST((length(lower(text)) - length(replace(lower(text), 'merge', ''))) / 5 AS BIGINT) AS DOUBLE)
+         |       + (CASE WHEN contains(lower(text), 'spark merge') THEN 1000.0 ELSE 0.0 END) AS score
+         |  FROM documents
+         |  WHERE (list_contains($duckToks, 'spark') OR lang = 'spark' OR source = 'spark')
+         |    AND (list_contains($duckToks, 'merge') OR lang = 'merge' OR source = 'merge')
+         |  ORDER BY score DESC, id LIMIT 20),
+         |paged AS (SELECT id, score,
+         |            row_number() OVER (ORDER BY score DESC, id) AS rn
+         |          FROM ranked)
+         |SELECT id, score FROM paged WHERE rn > 10
+         |ORDER BY score DESC, id""".stripMargin),
+
     // ---- NEAR/k proximity: both terms within 5 tokens, scored by MIN
     // token distance — one narrow indexed-transform pass, no explode, no
     // shuffle; the oracle rebuilds positions and the pairwise min with
