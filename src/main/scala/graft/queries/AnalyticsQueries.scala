@@ -817,6 +817,28 @@ object AnalyticsQueries {
          |      FROM documents WHERE doc_id < 40) z
          |ORDER BY doc_id""".stripMargin),
 
+    // ---- streaming exact dedup drained vs batch DISTINCT (the streaming
+    // form of the ingest dedup short-circuit, mutation.rs:3300-3316,
+    // previously StreamingSpec-only): the documents table — which
+    // CONTAINS duplicate texts by construction — streams through a
+    // watermarked dropDuplicates(contentHash) and the surviving hash set
+    // must equal DuckDB's batch DISTINCT; n_source on every row locks
+    // that real duplicates were dropped (survivors < source rows). ----
+    "stream_dedup_drain" -> QueryDef.sql(
+      (s, d) => {
+        val srcCount = Tables.documents(s, d).count()
+        graft.streaming.StreamingIngest
+          .runDedupOnce(s, d, "documents.parquet", "text", "doc_id")
+          .select(col("contentHash").as("content_hash"))
+          .withColumn("n_source", lit(srcCount))
+          .orderBy(col("content_hash"))
+      },
+      s"""WITH h AS (SELECT ${DedupQueries.duckPoly("text")} AS content_hash
+         |           FROM documents),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_source FROM h)
+         |SELECT DISTINCT content_hash, n_source FROM h, c
+         |ORDER BY content_hash""".stripMargin),
+
     // ---- ST1 durability: checkpointed file-source stream KILLED mid-
     // drain, resumed with AvailableNow, final sink hash-equal to the
     // batch result (the streaming analogue of the reference's

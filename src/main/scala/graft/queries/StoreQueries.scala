@@ -213,9 +213,14 @@ object StoreQueries {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_repair_gate").toString
         val g = new graft.api.Graft(s, dir)
-        val f1 = g.put("mv2://repair/1", "My name is Alice. I live in Paris.").get
-        val f2 = g.put("mv2://repair/2", "My email is bob@example.com").get
-        val f3 = g.put("mv2://repair/3", "I work at Initech.").get
+        // one batch append (ids come back in order); rebuild-from-log
+        // doesn't read the put-time cards, so skipping their minting
+        // changes nothing the gate locks
+        val ids = g.frames.put(Seq(
+          "mv2://repair/1" -> "My name is Alice. I live in Paris.",
+          "mv2://repair/2" -> "My email is bob@example.com",
+          "mv2://repair/3" -> "I work at Initech."))
+        val (f2, f3) = (ids(1), ids(2))
         g.update(f2, "My email is bob@corp.example", "mv2://repair/2")
         g.delete(f3)
         Seq((777777L << 20, "ghost", "slot", "v", "fact", "sets",

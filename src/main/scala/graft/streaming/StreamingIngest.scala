@@ -201,6 +201,38 @@ object StreamingIngest {
     out
   }
 
+  /** One-shot STREAMING exact-dedup drain over a static parquet directory
+    * (the [[runWindowedOnce]] pattern applied to [[dedupStream]]): the
+    * first-seen row per content hash survives, watermark bounds the dedup
+    * state, AvailableNow drains everything. Row CHOICE within a hash
+    * group is batch-order-dependent, so the caller should project only
+    * hash-determined columns (the `stream_dedup_drain` gate projects the
+    * hash itself) — that projection is exactly the batch DISTINCT, which
+    * the DuckDB oracle replays. `tsFromIdCol` synthesizes an event-time
+    * column from a numeric id so the watermark path is exercised even on
+    * tables without timestamps. */
+  def runDedupOnce(spark: SparkSession, dir: String, glob: String,
+                   textCol: String, tsFromIdCol: String): DataFrame = {
+    F.ensureRegistered(spark)
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val ev = raw.withColumn("__ts", timestamp_micros(
+      lit(1700000000000000L) + (col(tsFromIdCol) % 1000) * 1000000L))
+    val dd = dedupStream(ev, "__ts", textCol, "1 hour")
+      .select(col("contentHash"))
+    val name = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val out = withShufflePartitions(spark, 8) {
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).localCheckpoint()
+    }
+    spark.catalog.dropTempView(name) // same driver-hygiene as runWindowedOnce
+    out
+  }
+
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */
