@@ -137,6 +137,57 @@ object SearchQueries {
          |n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
          |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tt GROUP BY term)
          |SELECT term, df, n_docs, total_len FROM df, n
-         |ORDER BY df DESC, term LIMIT 30""".stripMargin)
+         |ORDER BY df DESC, term LIMIT 30""".stripMargin),
+
+    // ---- second-stage reranker (types/reranker.rs trait, BM25 kind,
+    // RerankerConfig defaults 50/10): lexical-AND stage-1 candidates with
+    // original_rank, then BM25 rescore whose statistics come from the
+    // candidate POOL only (the pool is the reranker's whole world) —
+    // new_rank reorders, top_k cuts. The oracle rebuilds both stages:
+    // stage-1 occurrence arithmetic, then pool-local BM25 with the
+    // fixed-order per-term sum. Rank inversions between original_rank and
+    // new_rank are the gate's point: length normalization demotes
+    // long docs the raw occurrence count promoted. ----
+    "search_rerank_bm25" -> QueryDef.sql(
+      (s, d) => graft.search.Rerank.bm25(
+        Tables.documents(s, d), "doc_id", "text",
+        TextSearch.bm25Tokens(s, d), "spark join"),
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |    CAST(CAST((length(lower(text)) - length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT)
+         |       + CAST((length(lower(text)) - length(replace(lower(text), 'join', ''))) / 4 AS BIGINT) AS DOUBLE)
+         |       + (CASE WHEN contains(lower(text), 'spark join') THEN 1000.0 ELSE 0.0 END) AS lexs
+         |  FROM documents
+         |  WHERE contains(lower(text), 'spark') AND contains(lower(text), 'join')
+         |  ORDER BY lexs DESC, doc_id LIMIT 50),
+         |cand AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY lexs DESC, doc_id) AS original_rank
+         |  FROM lex),
+         |toks AS (SELECT d.doc_id, unnest($duckToks) AS term
+         |         FROM documents d JOIN cand ON d.doc_id = cand.doc_id),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS c
+         |  FROM tf JOIN df ON tf.term = df.term
+         |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |agg AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN term = 'spark' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0) AS score
+         |  FROM contrib GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT a.doc_id, cand.original_rank, ROUND(a.score, 6) AS score,
+         |    row_number() OVER (ORDER BY ROUND(a.score, 6) DESC, a.doc_id) AS new_rank
+         |  FROM agg a JOIN cand ON a.doc_id = cand.doc_id)
+         |SELECT doc_id, original_rank, new_rank, score FROM ranked
+         |WHERE new_rank <= 10 ORDER BY new_rank""".stripMargin)
   )
 }
