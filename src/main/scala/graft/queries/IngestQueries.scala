@@ -401,7 +401,75 @@ object IngestQueries {
             md5(col("ctext")).as("fp"))
           .orderBy(col("doc_id"), col("chunk_index"))
       },
-      IngestGolden.chunkManifestSql))
+      IngestGolden.chunkManifestSql),
+
+    // ---- S4 segment planning (planner.rs:17-74): chunk streams packed
+    // into token/page-budgeted segment plans with global token offsets.
+    // The fixture derives a chunk table arithmetically from doc_id (5–11
+    // chunks per doc; token estimates 0..1099 so the max(1) guard fires;
+    // inverted page ranges so the page_span guard fires; both the token
+    // and the page budget trigger resets at 2048/4). The oracle replays
+    // the per-frame greedy loop as a recursive CTE and the two-phase
+    // global numbering as ordered prefix sums. ----
+    "ingest_segment_plan" -> QueryDef.sql(
+      (s, d) => {
+        val chunks = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            explode(sequence(lit(0),
+              (col("doc_id") % 7 + 4).cast("int"))).as("ci"))
+          .select(col("doc_id").as("frame_id"), col("ci").as("chunk_index"),
+            when((col("doc_id") * 37 + col("ci") * 113) % 11 === 0, lit(0L))
+              .otherwise(lit(200L) + (col("doc_id") * 37 + col("ci") * 113) % 900)
+              .as("token_estimate"),
+            col("ci").cast("long").as("page_start"),
+            when((col("doc_id") + col("ci")) % 5 === 0,
+                col("ci").cast("long") - 1)
+              .otherwise(col("ci") + (col("doc_id") + col("ci")) % 3)
+              .as("page_end"))
+        graft.ingest.SegmentPlanner.plan(chunks)
+      },
+      """WITH RECURSIVE ch AS (
+        |  SELECT doc_id AS frame_id, CAST(i AS INT) AS ci,
+        |    CASE WHEN (doc_id*37 + i*113) % 11 = 0 THEN 0
+        |         ELSE 200 + ((doc_id*37 + i*113) % 900) END AS te,
+        |    CAST(i AS BIGINT) AS ps,
+        |    CASE WHEN (doc_id + i) % 5 = 0 THEN i - 1
+        |         ELSE i + ((doc_id + i) % 3) END AS pe
+        |  FROM (SELECT doc_id, unnest(range(doc_id % 7 + 5)) AS i
+        |        FROM documents WHERE doc_id < 40) z),
+        |cc AS MATERIALIZED (
+        |  SELECT frame_id, ci, GREATEST(te, 1) AS tok,
+        |    GREATEST(CASE WHEN pe >= ps THEN pe - ps + 1 ELSE 1 END, 1) AS pg
+        |  FROM ch),
+        |g AS (
+        |  SELECT frame_id, ci, tok, pg, tok AS acc_t, pg AS acc_p, 1 AS seg
+        |  FROM cc WHERE ci = 0
+        |  UNION ALL
+        |  SELECT c.frame_id, c.ci, c.tok, c.pg,
+        |    CASE WHEN g.acc_t + c.tok > 2048 OR g.acc_p + c.pg > 4
+        |         THEN c.tok ELSE g.acc_t + c.tok END,
+        |    CASE WHEN g.acc_t + c.tok > 2048 OR g.acc_p + c.pg > 4
+        |         THEN c.pg ELSE g.acc_p + c.pg END,
+        |    CASE WHEN g.acc_t + c.tok > 2048 OR g.acc_p + c.pg > 4
+        |         THEN g.seg + 1 ELSE g.seg END
+        |  FROM g JOIN cc c ON c.frame_id = g.frame_id AND c.ci = g.ci + 1),
+        |base AS (SELECT frame_id, MAX(seg) AS n_segs,
+        |                CAST(SUM(tok) AS BIGINT) AS f_toks
+        |         FROM g GROUP BY frame_id),
+        |off AS (SELECT frame_id,
+        |    CAST(SUM(n_segs) OVER (ORDER BY frame_id) - n_segs AS BIGINT) AS seg_base,
+        |    CAST(SUM(f_toks) OVER (ORDER BY frame_id) - f_toks AS BIGINT) AS tok_base
+        |  FROM base),
+        |w AS (SELECT g.frame_id, g.ci, g.tok, g.pg,
+        |    CAST(g.seg + o.seg_base AS BIGINT) AS seg_id,
+        |    o.tok_base + CAST(SUM(g.tok) OVER (PARTITION BY g.frame_id ORDER BY g.ci) AS BIGINT) - g.tok AS token_start
+        |  FROM g JOIN off o ON g.frame_id = o.frame_id)
+        |SELECT seg_id, frame_id, COUNT(*) AS chunk_count,
+        |  CAST(SUM(tok) AS BIGINT) AS est_tokens,
+        |  CAST(SUM(pg) AS BIGINT) AS est_pages,
+        |  CAST(MIN(token_start) AS BIGINT) AS token_start,
+        |  CAST(MAX(token_start + tok) AS BIGINT) AS token_end
+        |FROM w GROUP BY seg_id, frame_id ORDER BY seg_id""".stripMargin))
 
   // ---- X3 fixture helpers (text_repair_graphemes) ------------------
 
