@@ -289,5 +289,54 @@ object StoreQueries {
         |  CAST(38 AS BIGINT) AS log_rows_after
         |FROM documents
         |WHERE doc_id < 40 AND doc_id NOT IN (30, 31)
-        |ORDER BY uri""".stripMargin))
+        |ORDER BY uri""".stripMargin),
+
+    // ---- stats report (ticket.rs:8-60): the store's (metric, value)
+    // accounting block over a log carrying live, superseded, and
+    // tombstoned versions — live vs log bytes, the reclaimable delta
+    // vacuum would free, round2 fixed-point percentage, DIV average.
+    // The oracle rebuilds every metric from the fixture's construction
+    // (60 puts + 5 supersedes + 5 tombstones). ----
+    "store_stats_report" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://stats/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_store_stats").toString
+        val store = new FrameStore(s, dir)
+        val ids = store.put(docs)
+        docs.take(5).zip(ids.take(5)).foreach { case ((u, t), oldId) =>
+          store.update(oldId, t + " v2", u)
+        }
+        (40 to 44).foreach(i => store.delete(ids(i)))
+        graft.store.StoreStats.report(store).localCheckpoint()
+      },
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        |rows_log AS MATERIALIZED (
+        |  SELECT strlen(text) AS b FROM base
+        |  UNION ALL SELECT strlen(text || ' v2') FROM base WHERE doc_id < 5
+        |  UNION ALL SELECT 0 FROM base WHERE doc_id BETWEEN 40 AND 44),
+        |live AS MATERIALIZED (
+        |  SELECT CASE WHEN doc_id < 5 THEN strlen(text || ' v2')
+        |              ELSE strlen(text) END AS b
+        |  FROM base WHERE doc_id NOT BETWEEN 40 AND 44),
+        |m AS MATERIALIZED (SELECT
+        |  (SELECT COUNT(*) FROM rows_log) AS log_rows,
+        |  (SELECT CAST(SUM(b) AS BIGINT) FROM rows_log) AS log_bytes,
+        |  (SELECT COUNT(*) FROM live) AS active_frames,
+        |  (SELECT CAST(SUM(b) AS BIGINT) FROM live) AS payload_bytes)
+        |SELECT 'active_frames' AS metric, active_frames AS value FROM m
+        |UNION ALL SELECT 'avg_payload', payload_bytes // active_frames FROM m
+        |UNION ALL SELECT 'log_bytes', log_bytes FROM m
+        |UNION ALL SELECT 'log_rows', log_rows FROM m
+        |UNION ALL SELECT 'payload_bytes', payload_bytes FROM m
+        |UNION ALL SELECT 'reclaim_pct_e2',
+        |  CAST(floor((log_bytes - payload_bytes) * 10000.0 / log_bytes + 0.5)
+        |       AS BIGINT) FROM m
+        |UNION ALL SELECT 'reclaimable_bytes', log_bytes - payload_bytes FROM m
+        |UNION ALL SELECT 'superseded_versions', CAST(5 AS BIGINT) FROM m
+        |UNION ALL SELECT 'tombstoned_ids', CAST(5 AS BIGINT) FROM m
+        |ORDER BY metric""".stripMargin))
 }

@@ -339,4 +339,28 @@ class StoreSpec extends SparkSpec {
     assert(g.getCurrent("user", "name").contains("Alice"))
     assert(g.getCurrent("user", "employer").contains("Initech"))
   }
+
+  test("stats report: empty store yields zeros, lifecycle counts add up") {
+    val dir = Files.createTempDirectory("graft-stats").toString
+    val store = new FrameStore(spark, dir)
+    val empty = graft.store.StoreStats.report(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty.values.forall(_ == 0L), "empty store is all zeros")
+
+    val ids = store.put(Seq(("u/1", "aaaa"), ("u/2", "bbbbbbbb")))
+    store.update(ids.head, "aaaa v2", "u/1")
+    store.delete(ids(1))
+    val m = graft.store.StoreStats.report(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("log_rows") == 4L)
+    assert(m("active_frames") == 1L)
+    assert(m("payload_bytes") == 7L)           // "aaaa v2"
+    assert(m("log_bytes") == 4L + 8L + 7L)     // tombstone stores nothing
+    assert(m("reclaimable_bytes") == 12L)
+    assert(m("avg_payload") == 7L)
+    assert(m("superseded_versions") == 1L)
+    assert(m("tombstoned_ids") == 1L)
+    // round2 fixed point: 12/19*10000 + .5 floor = 6316
+    assert(m("reclaim_pct_e2") == math.floor(12.0 * 10000 / 19 + 0.5).toLong)
+  }
 }
