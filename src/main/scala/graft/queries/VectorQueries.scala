@@ -815,6 +815,85 @@ object VectorQueries {
          |  ROUND(MIN(sqrt(${duckNormSq(e)})), 6) AS min_norm,
          |  ROUND(MAX(sqrt(${duckNormSq(e)})), 6) AS max_norm,
          |  ROUND(AVG(sqrt(${duckNormSq(e)})), 6) AS avg_norm
-         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
+
+    // ---- embedding vector-space identity (embedding_identity.rs): the
+    // per-frame metadata parse (trim/lowercase/empty-filter provider,
+    // case-preserving model, u32-range dimension with the >0 filter,
+    // the true/1/yes | false/0/no normalized map) plus the identity-count
+    // summary. The fixture sweeps every parse edge via doc_id residues —
+    // padded/empty/missing strings, '0', 'abc', a u32 overflow, '+256' —
+    // built as a REAL metadata map column (map_filter drops the absent
+    // keys); the oracle re-derives the parse from the same residues. ----
+    "vec_embedding_identity" -> QueryDef.sql(
+      (s, d) => {
+        import graft.vector.EmbeddingIdentityCols.{ProviderKey, ModelKey,
+          DimensionKey, NormalizedKey}
+        val pRaw = (col("doc_id") % 6)
+        val frames = graft.Tables.documents(s, d).filter(col("doc_id") < 120)
+          .select(col("doc_id"),
+            map_filter(
+              map(
+                lit(ProviderKey),
+                when(pRaw === 0, lit(" OpenAI "))
+                  .when(pRaw === 1, lit("openai"))
+                  .when(pRaw === 2, lit(""))
+                  .when(pRaw === 4, lit("Cohere"))
+                  .when(pRaw === 5, lit("openai")),
+                lit(ModelKey),
+                when(col("doc_id") % 5 === 0, lit("text-embedding-3-small "))
+                  .when(col("doc_id") % 5 === 2, lit("BGE-Large"))
+                  .when(col("doc_id") % 5 === 3, lit(""))
+                  .when(col("doc_id") % 5 === 4, lit("text-embedding-3-small")),
+                lit(DimensionKey),
+                when(col("doc_id") % 7 === 0, lit("1536"))
+                  .when(col("doc_id") % 7 === 1, lit(" 768 "))
+                  .when(col("doc_id") % 7 === 2, lit("0"))
+                  .when(col("doc_id") % 7 === 3, lit("abc"))
+                  .when(col("doc_id") % 7 === 4, lit("99999999999"))
+                  .when(col("doc_id") % 7 === 5, lit("+256")),
+                lit(NormalizedKey),
+                when(col("doc_id") % 4 === 0, lit("TRUE"))
+                  .when(col("doc_id") % 4 === 1, lit("1"))
+                  .when(col("doc_id") % 4 === 2, lit("no"))
+                  .when(col("doc_id") % 4 === 3, lit("maybe"))),
+              (_, v) => v.isNotNull).as("extraMetadata"))
+        graft.vector.EmbeddingIdentityCols.summary(frames, "extraMetadata")
+      },
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN ' OpenAI ' WHEN 1 THEN 'openai'
+        |         WHEN 2 THEN '' WHEN 4 THEN 'Cohere' WHEN 5 THEN 'openai'
+        |         END AS p_raw,
+        |    CASE doc_id % 5 WHEN 0 THEN 'text-embedding-3-small '
+        |         WHEN 2 THEN 'BGE-Large' WHEN 3 THEN ''
+        |         WHEN 4 THEN 'text-embedding-3-small' END AS m_raw,
+        |    CASE doc_id % 7 WHEN 0 THEN '1536' WHEN 1 THEN ' 768 '
+        |         WHEN 2 THEN '0' WHEN 3 THEN 'abc'
+        |         WHEN 4 THEN '99999999999' WHEN 5 THEN '+256' END AS d_raw,
+        |    CASE doc_id % 4 WHEN 0 THEN 'TRUE' WHEN 1 THEN '1'
+        |         WHEN 2 THEN 'no' WHEN 3 THEN 'maybe' END AS n_raw
+        |  FROM documents WHERE doc_id < 120),
+        |parsed AS (
+        |  SELECT
+        |    lower(nullif(trim(p_raw), '')) AS provider,
+        |    nullif(trim(m_raw), '') AS model,
+        |    CASE WHEN regexp_matches(trim(d_raw), '^\+?[0-9]+$')
+        |         AND TRY_CAST(trim(d_raw) AS BIGINT) BETWEEN 1 AND 4294967295
+        |         THEN TRY_CAST(trim(d_raw) AS BIGINT) END AS dimension,
+        |    CASE lower(trim(n_raw))
+        |         WHEN 'true' THEN true WHEN '1' THEN true WHEN 'yes' THEN true
+        |         WHEN 'false' THEN false WHEN '0' THEN false WHEN 'no' THEN false
+        |         END AS normalized
+        |  FROM raw),
+        |g AS MATERIALIZED (
+        |  SELECT provider, model, dimension, normalized, COUNT(*) AS n
+        |  FROM parsed WHERE provider IS NOT NULL OR model IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4),
+        |k AS (SELECT CASE WHEN COUNT(*) = 1 THEN 'single' ELSE 'mixed' END
+        |        AS summary_kind FROM g)
+        |SELECT provider, model, dimension, normalized, n, summary_kind
+        |FROM g, k
+        |ORDER BY provider, model, dimension, normalized""".stripMargin)
   )
 }
