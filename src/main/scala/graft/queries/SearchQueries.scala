@@ -188,6 +188,75 @@ object SearchQueries {
          |    row_number() OVER (ORDER BY ROUND(a.score, 6) DESC, a.doc_id) AS new_rank
          |  FROM agg a JOIN cand ON a.doc_id = cand.doc_id)
          |SELECT doc_id, original_rank, new_rank, score FROM ranked
-         |WHERE new_rank <= 10 ORDER BY new_rank""".stripMargin)
+         |WHERE new_rank <= 10 ORDER BY new_rank""".stripMargin),
+
+    // ---- full sketch-track entry + multi-signal scoring
+    // (sketch_track.rs generate_sketch + QuerySketch::score_entry):
+    // capped-TF weighted SimHash, the 3-probe 256-bit term filter's
+    // overlap rejection, top-4 u32 term matching, and the
+    // 0.5/0.4/0.1-weighted score with the length-bucket penalty. The
+    // oracle rebuilds the entire pipeline — including the query's own
+    // sketch — from the same poly-hash substitution the other sketch
+    // gates use. Fixture bounded to 2000 docs (the 60-bit weighted
+    // aggregation explodes rows × bits on the oracle side). ----
+    "search_sketch_score" -> QueryDef.sql(
+      (s, d) => graft.search.SketchScore.score(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        "doc_id", "text", "spark join performance tuning"),
+      {
+        val poly = DedupQueries.duckPoly _
+        val h = s"${poly("t")} * 2147483647 + ${poly("t || '!'")}"
+        s"""WITH tk AS (SELECT doc_id,
+           |    list_filter($duckToks, x -> length(x) >= 2) AS tk
+           |  FROM documents WHERE doc_id < 2000),
+           |tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+           |tc AS (SELECT doc_id, COUNT(*) AS token_count FROM tok GROUP BY doc_id),
+           |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+           |hw AS MATERIALIZED (SELECT doc_id, $h AS h,
+           |    CAST(LEAST(tf, 3) * 100 AS BIGINT) AS w FROM tf),
+           |q AS (SELECT unnest(['spark','join','performance','tuning']) AS t),
+           |qh AS MATERIALIZED (SELECT $h AS h, CAST(100 AS BIGINT) AS w FROM q),
+           |qbs AS (SELECT j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS sgn
+           |        FROM qh, (SELECT unnest(range(60)) AS j) js GROUP BY j),
+           |qsim AS MATERIALIZED (SELECT CAST(SUM(CASE WHEN sgn > 0
+           |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS qs
+           |  FROM qbs),
+           |qbits AS MATERIALIZED (SELECT DISTINCT b FROM (
+           |  SELECT unnest([h % 256, (h >> 16) % 256, (h >> 32) % 256]) AS b FROM qh) z),
+           |qtop AS MATERIALIZED (SELECT xor(h, h >> 32) & 4294967295 AS t32 FROM (
+           |  SELECT h, w, row_number() OVER (ORDER BY w DESC, h) AS rn FROM qh) z
+           |  WHERE rn <= 4),
+           |bits AS (SELECT doc_id, j,
+           |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS sgn
+           |  FROM hw, (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+           |sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0
+           |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+           |  FROM bits GROUP BY doc_id),
+           |ovl AS (SELECT DISTINCT doc_id FROM (
+           |  SELECT doc_id, unnest([h % 256, (h >> 16) % 256, (h >> 32) % 256]) AS b
+           |  FROM hw) db JOIN qbits USING (b)),
+           |dtop AS (SELECT doc_id, xor(h, h >> 32) & 4294967295 AS t32 FROM (
+           |  SELECT doc_id, h, w,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, h) AS rn
+           |  FROM hw) z WHERE rn <= 4),
+           |tm AS (SELECT doc_id, COUNT(*) AS term_overlap
+           |  FROM dtop JOIN qtop USING (t32) WHERE t32 != 0 GROUP BY doc_id),
+           |scored AS (
+           |  SELECT s.doc_id,
+           |    CAST(bit_count(xor(s.simhash, (SELECT qs FROM qsim))) AS BIGINT) AS hamming,
+           |    CAST(COALESCE(tm.term_overlap, 0) AS BIGINT) AS term_overlap,
+           |    tc.token_count
+           |  FROM sim s JOIN ovl o ON s.doc_id = o.doc_id
+           |    JOIN tc ON s.doc_id = tc.doc_id
+           |    LEFT JOIN tm ON s.doc_id = tm.doc_id)
+           |SELECT doc_id, hamming, term_overlap,
+           |  CAST(floor((0.5 * (term_overlap / 4.0)
+           |    + 0.4 * (1.0 - hamming / 64.0)
+           |    + 0.1 * (1.0 / (1.0
+           |        + abs(0.0 - CAST(LEAST(token_count // 10, 255) AS DOUBLE)) * 0.1)))
+           |    * 1000000.0 + 0.5) AS BIGINT) AS score_e6
+           |FROM scored WHERE hamming <= 32
+           |ORDER BY score_e6 DESC, doc_id LIMIT 50""".stripMargin
+      })
   )
 }
