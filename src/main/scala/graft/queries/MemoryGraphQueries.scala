@@ -383,6 +383,46 @@ object MemoryGraphQueries {
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(MAX(n_events) AS BIGINT) AS largest_session,
         |  CAST(MAX(span_us) AS BIGINT) AS longest_span_us
-        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- enrichment manifest (memories_track.rs:125-250): the versioned
+    // O(delta) reprocessing trigger. Stamp table built arithmetically
+    // (rules-v1@1.0.0 ran on id%3!=0, rules-v1@2.0.0 on id%5==0,
+    // ner@1.0.0 on id%2==0); three needing-probes run as REAL anti-joins
+    // against it — a version bump re-queues exactly the frames the old
+    // version covered, never-enriched frames are needing by definition,
+    // and the ner probe is untouched by the rules engine's history. The
+    // oracle states each needing set in closed form from the residues. ----
+    "mem_enrich_manifest" -> QueryDef.sql(
+      (s, d) => {
+        val frames = Tables.documents(s, d).filter(col("doc_id") < 300)
+        def stampsFor(pred: org.apache.spark.sql.Column, kind: String,
+                      ver: String, tsBase: Long) =
+          frames.filter(pred).select(
+            col("doc_id").cast("long").as("frame_id"),
+            lit(kind).as("engine_kind"), lit(ver).as("engine_version"),
+            (lit(tsBase) + col("doc_id")).as("enriched_at"),
+            (col("doc_id") % 4).cast("long").as("n_cards"))
+        val stamps = stampsFor(col("doc_id") % 3 =!= 0, "rules-v1", "1.0.0", 1000L)
+          .unionByName(stampsFor(col("doc_id") % 5 === 0, "rules-v1", "2.0.0", 2000L))
+          .unionByName(stampsFor(col("doc_id") % 2 === 0, "ner", "1.0.0", 1500L))
+        def probe(kind: String, ver: String) =
+          graft.memory.EnrichManifest
+            .framesNeeding(frames, "doc_id", stamps, kind, ver)
+            .select(lit(kind).as("engine_kind"), lit(ver).as("engine_version"),
+              col("frame_id"))
+        probe("rules-v1", "1.0.0")
+          .unionByName(probe("rules-v1", "2.0.0"))
+          .unionByName(probe("ner", "1.0.0"))
+          .orderBy(col("engine_kind"), col("engine_version"), col("frame_id"))
+      },
+      """WITH f AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+        |SELECT 'ner' AS engine_kind, '1.0.0' AS engine_version,
+        |       doc_id AS frame_id FROM f WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT 'rules-v1', '1.0.0', doc_id FROM f WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 'rules-v1', '2.0.0', doc_id FROM f WHERE doc_id % 5 != 0
+        |ORDER BY engine_kind, engine_version, frame_id""".stripMargin)
   )
 }

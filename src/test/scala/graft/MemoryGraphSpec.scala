@@ -169,4 +169,26 @@ class MemoryGraphSpec extends SparkSpec {
     assert(fallback.map(_.getLong(0)).toSeq == Seq(12L))
     assert(fallback.head.getDouble(2) == 0.0) // no graph score on fallback
   }
+
+  test("enrichment manifest: version bump re-queues, summary totals") {
+    import graft.memory.EnrichManifest
+    val frames = Seq(1L, 2L, 3L, 4L).toDF("frame_id")
+    val stamps = Seq(
+      (1L, "rules", "1.0.0", 100L, 2L),
+      (2L, "rules", "1.0.0", 101L, 0L),
+      (1L, "rules", "2.0.0", 200L, 3L),
+      (2L, "ner", "1.0.0", 150L, 1L))
+      .toDF("frame_id", "engine_kind", "engine_version", "enriched_at",
+        "n_cards")
+    def need(k: String, v: String) =
+      EnrichManifest.framesNeeding(frames, "frame_id", stamps, k, v)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(need("rules", "1.0.0") == Seq(3L, 4L)) // never stamped
+    assert(need("rules", "2.0.0") == Seq(2L, 3L, 4L)) // bump re-queues 2
+    assert(need("ner", "1.0.0") == Seq(1L, 3L, 4L)) // cross-engine isolated
+    val sm = EnrichManifest.summary(stamps).head
+    assert(sm.getLong(0) == 2L) // distinct frames enriched
+    assert(sm.getLong(1) == 6L) // cards
+    assert(sm.getLong(2) == 200L)
+  }
 }
