@@ -688,6 +688,89 @@ object MiscQueries {
         graft.memory.MemoryCards.entities(cards).orderBy(col("entity"))
       },
       """SELECT DISTINCT 'user:' || user_id AS entity
-        |FROM events ORDER BY entity""".stripMargin)
+        |FROM events ORDER BY entity""".stripMargin),
+
+    // ---- ASCII space-aligned table detection (detector.rs:417-589):
+    // the non-markdown structure detector — ≥2-space column starts,
+    // ±3-char tolerance row matching, header-anchored cell split, blank-
+    // line termination, ≥2 consistent lines. The fixture synthesizes an
+    // obstacle course per doc_id: a 2–4-col table with 2–5 data rows
+    // (shifted-by-one-space rows exercise the tolerance), prose lines
+    // that must NOT trigger, a single consistent line that must be
+    // rejected, and a second table that must get its own counter id.
+    // The oracle rebuilds headers and the raw-text md5 from the same
+    // arithmetic (nested list_transform + rpad). ----
+    "table_detect_ascii" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, synthAsciiDoc(id))).toDF("doc_id", "text")
+        docs.as[(Long, String)].flatMap { case (id, text) =>
+            graft.tables.AsciiTables.detect(text).map(t =>
+              (id, t.tableId, t.headers.length.toLong,
+                t.dataRows.length.toLong, t.headers.mkString("|"), t.rawText))
+          }
+          .toDF("doc_id", "table_id", "n_cols", "n_data_rows", "headers", "raw")
+          .select(col("doc_id"), col("table_id"), col("n_cols"),
+            col("n_data_rows"), col("headers"), md5(col("raw")).as("fp"))
+          .orderBy(col("doc_id"), col("table_id"))
+      },
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m3, doc_id % 4 AS m4,
+        |    doc_id % 6 AS m6, doc_id % 7 AS m7
+        |  FROM documents WHERE doc_id < 40),
+        |t1 AS (
+        |  SELECT doc_id, 'ascii_tbl_0001' AS table_id,
+        |    CAST(2 + m3 AS BIGINT) AS n_cols,
+        |    CAST(2 + m4 AS BIGINT) AS n_data_rows,
+        |    array_to_string(list_transform(range(2 + m3), jj -> 'h' || jj), '|') AS headers,
+        |    md5(
+        |      array_to_string(list_transform(range(2 + m3), jj ->
+        |        CASE WHEN jj < 1 + m3 THEN rpad('h' || jj, 10, ' ')
+        |             ELSE 'h' || jj END), '')
+        |      || chr(10) ||
+        |      array_to_string(list_transform(range(2 + m4), ii ->
+        |        (CASE WHEN m6 = 0 THEN ' ' ELSE '' END) ||
+        |        array_to_string(list_transform(range(2 + m3), jj ->
+        |          CASE WHEN jj < 1 + m3 THEN rpad('r' || ii || 'c' || jj, 10, ' ')
+        |               ELSE 'r' || ii || 'c' || jj END), '')), chr(10))
+        |    ) AS fp
+        |  FROM d),
+        |t2 AS (
+        |  SELECT doc_id, 'ascii_tbl_0002' AS table_id,
+        |    CAST(2 AS BIGINT) AS n_cols, CAST(2 AS BIGINT) AS n_data_rows,
+        |    'x0|x1' AS headers,
+        |    md5('x0        x1' || chr(10) || 's0c0      s0c1' || chr(10)
+        |        || 's1c0      s1c1') AS fp
+        |  FROM d WHERE m7 = 0)
+        |SELECT doc_id, table_id, n_cols, n_data_rows, headers, fp FROM t1
+        |UNION ALL
+        |SELECT doc_id, table_id, n_cols, n_data_rows, headers, fp FROM t2
+        |ORDER BY doc_id, table_id""".stripMargin)
   )
+
+  /** ASCII-table obstacle course for table_detect_ascii: a parameterized
+    * main table (10-wide cells, last cell unpadded; data rows lead with
+    * one space when id%6==0 to exercise the ±3 tolerance), prose that
+    * must not trigger, a single consistent line (rejected: <2 lines),
+    * and a second table when id%7==0. */
+  def synthAsciiDoc(id: Long): String = {
+    val ncols = 2 + (id % 3).toInt
+    val nrows = 2 + (id % 4).toInt
+    def line(cells: Seq[String], lead: String): String =
+      lead + cells.zipWithIndex.map { case (c, j) =>
+        if (j < cells.length - 1) c.padTo(10, ' ') else c
+      }.mkString
+    val lead = if (id % 6 == 0) " " else ""
+    val hdr = line((0 until ncols).map(j => s"h$j"), "")
+    val data = (0 until nrows).map(i =>
+      line((0 until ncols).map(j => s"r${i}c$j"), lead))
+    val parts = Seq(s"Intro line for document $id.", "", hdr) ++ data ++
+      Seq("", "Trailing prose here.") ++
+      (if (id % 5 == 0) Seq("", "a1  b2  c3") else Nil) ++
+      (if (id % 7 == 0) Seq("", line(Seq("x0", "x1"), ""),
+        line(Seq("s0c0", "s0c1"), ""), line(Seq("s1c0", "s1c1"), ""))
+       else Nil)
+    parts.mkString("\n")
+  }
 }
