@@ -746,7 +746,53 @@ object MiscQueries {
         |SELECT doc_id, table_id, n_cols, n_data_rows, headers, fp FROM t1
         |UNION ALL
         |SELECT doc_id, table_id, n_cols, n_data_rows, headers, fp FROM t2
-        |ORDER BY doc_id, table_id""".stripMargin)
+        |ORDER BY doc_id, table_id""".stripMargin),
+
+    // ---- ST6 checkpoint-resume replay (engine.rs:137-209): a session
+    // of 8 actions with a checkpoint at sequence 4 — only seq >= 4
+    // replays; the range holds one clean search (matched), one 'put'
+    // skipped by config without executing, one action whose RECORDED
+    // hash is corrupted (the mismatch path no other replay gate
+    // exercises), and one more clean search. The ReplayResult counters
+    // ride as constant columns; the oracle recomputes the two live
+    // hashes and states the rest. ----
+    "replay_from_checkpoint" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        import graft.replay.Replay
+        val docs = Tables.documents(s, d)
+        def run(t: String) = docs.filter(col("text").contains(t))
+          .select(col("doc_id"), col("lang"))
+        def sh(t: String) = Replay.resultHash(run(t))
+        val acts = Seq("data", "spark", "join", "stream").zipWithIndex.map {
+          case (t, i) => Replay.Action("ck", i.toLong, "search", t, sh(t), Nil, 0L)
+        } ++ Seq(
+          Replay.Action("ck", 4L, "search", "window", sh("window"), Nil, 0L),
+          Replay.Action("ck", 5L, "put", "doc upload", "n/a", Nil, 0L),
+          Replay.Action("ck", 6L, "search", "batch", "deadbeef", Nil, 0L),
+          Replay.Action("ck", 7L, "search", "quality", sh("quality"), Nil, 0L))
+        Replay.replayFrom(s, s.createDataset(acts).toDF(), "ck",
+          fromSeq = Some(4L), exec = run, skipTypes = Set("put"))
+      },
+      {
+        def sh(t: String) =
+          s"""(SELECT md5(COALESCE(string_agg(h, '' ORDER BY h), ''))
+             | FROM (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || lang) AS h
+             |       FROM documents WHERE contains(text, '$t')) z)""".stripMargin
+            .replace("\n", " ")
+        s"""SELECT * FROM (
+           |  SELECT CAST(4 AS BIGINT) AS seq, 'search' AS action_type,
+           |    'window' AS input, 'matched' AS status, ${sh("window")} AS actual_hash
+           |  UNION ALL SELECT 5, 'put', 'doc upload', 'skipped', NULL
+           |  UNION ALL SELECT 6, 'search', 'batch', 'mismatched', ${sh("batch")}
+           |  UNION ALL SELECT 7, 'search', 'quality', 'matched', ${sh("quality")}
+           |) a CROSS JOIN (
+           |  SELECT CAST(4 AS BIGINT) AS total_actions,
+           |    CAST(2 AS BIGINT) AS matched_actions,
+           |    CAST(1 AS BIGINT) AS mismatched_actions,
+           |    CAST(1 AS BIGINT) AS skipped_actions) b
+           |ORDER BY seq""".stripMargin
+      })
   )
 
   /** ASCII-table obstacle course for table_detect_ascii: a parameterized

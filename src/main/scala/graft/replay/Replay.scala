@@ -55,6 +55,50 @@ object Replay {
     (df, rate)
   }
 
+  /** Checkpoint-resume replay (reference replay_session_from,
+    * src/replay/engine.rs:137-180): only actions with seq >= the
+    * checkpoint's at_sequence re-execute — earlier ones are covered by
+    * the restored state snapshot and are NOT part of the result counts.
+    * Action types in `skipTypes` are counted skipped without executing
+    * (the reference's skip_puts/skip_finds config, engine.rs:189-209).
+    * Result rows carry the reference's ReplayResult counters as constant
+    * columns (total/matched/mismatched/skipped over the replayed range).
+    * @return (seq, action_type, input, status, actual_hash,
+    *         total_actions, matched_actions, mismatched_actions,
+    *         skipped_actions) ordered by seq
+    */
+  def replayFrom(spark: SparkSession, recorded: DataFrame, sessionId: String,
+                 fromSeq: Option[Long], exec: String => DataFrame,
+                 skipTypes: Set[String] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val base = recorded.filter(col("sessionId") === sessionId)
+    val actions = fromSeq.fold(base)(f => base.filter(col("seq") >= f))
+      .orderBy(col("seq")).collect()
+    val rows = actions.map { r =>
+      val seq = r.getAs[Long]("seq")
+      val tpe = r.getAs[String]("actionType")
+      val input = r.getAs[String]("input")
+      val expected = r.getAs[String]("outputHash")
+      if (skipTypes.contains(tpe))
+        (seq, tpe, input, "skipped", Option.empty[String])
+      else {
+        val actual = resultHash(exec(input))
+        (seq, tpe, input,
+          if (actual == expected) "matched" else "mismatched", Some(actual))
+      }
+    }.toSeq
+    val total = rows.size.toLong
+    val nm = rows.count(_._4 == "matched").toLong
+    val nx = rows.count(_._4 == "mismatched").toLong
+    val ns = rows.count(_._4 == "skipped").toLong
+    rows.toDF("seq", "action_type", "input", "status", "actual_hash")
+      .withColumn("total_actions", lit(total))
+      .withColumn("matched_actions", lit(nm))
+      .withColumn("mismatched_actions", lit(nx))
+      .withColumn("skipped_actions", lit(ns))
+      .orderBy(col("seq"))
+  }
+
   /** diff two recorded sessions on (seq): mismatched output hashes */
   def compareSessions(a: DataFrame, b: DataFrame): DataFrame = {
     val l = a.select(col("seq"), col("actionType"), col("outputHash").as("hash_a"))

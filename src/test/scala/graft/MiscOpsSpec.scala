@@ -120,4 +120,28 @@ class MiscOpsSpec extends SparkSpec {
       assert(QueryParser.parse(s"NOT $a") == QExpr.Not(QExpr.Word(a)))
     }
   }
+
+  test("replayFrom: checkpoint bounds the range, skips and mismatches " +
+      "counted per the reference") {
+    import graft.replay.Replay
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    def run(t: String) = docs.filter(col("text").contains(t)).select(col("doc_id"))
+    def h(t: String) = Replay.resultHash(run(t))
+    val acts = Seq(
+      Replay.Action("s", 0L, "search", "alpha", h("alpha"), Nil, 0L),
+      Replay.Action("s", 1L, "search", "beta", h("beta"), Nil, 0L),
+      Replay.Action("s", 2L, "put", "x", "n/a", Nil, 0L),
+      Replay.Action("s", 3L, "search", "gamma", "wrong", Nil, 0L))
+    val out = Replay.replayFrom(spark, spark.createDataset(acts).toDF(), "s",
+      fromSeq = Some(1L), exec = run, skipTypes = Set("put")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // seq 0 restored
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("matched", "skipped", "mismatched"))
+    val r = out.head
+    assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+      ((3L, 1L, 1L, 1L)))
+    // no checkpoint: the whole session replays
+    assert(Replay.replayFrom(spark, spark.createDataset(acts).toDF(), "s",
+      None, run, Set("put")).count() == 4)
+  }
 }
