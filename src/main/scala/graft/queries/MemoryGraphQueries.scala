@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object MemoryGraphQueries {
 
+  /** constant phrase paragraph for temporal_enrich_doc (seven relative
+    * forms; both engines read the same literal) */
+  private val TemporalPara =
+    "We met yesterday and three days ago; last week was busy. " +
+    "Next month we ship, in two weeks we test, last Friday we argued. " +
+    "Goals for this year."
+  private val TemporalParaSqlLit = s"'$TemporalPara'"
+
+  /** per-doc anchor obstacle course for temporal_enrich_doc */
+  def synthTemporalDoc(id: Long): String = {
+    val dd = (1 + id % 28).toInt
+    val blk = (id % 4).toInt match {
+      case 0 => s"Session 7 (January $dd, 2024)"
+      case 1 => f"[DATE: 2024-03-$dd%02d]"
+      case 2 => "Deal closed 1/5/99.\n" + f"Updated 2023-11-$dd%02d." +
+        "\nLegacy 2/6/88."
+      case _ => "No dates here at all."
+    }
+    blk + "\n" + TemporalPara
+  }
+
   /** events → memory cards view (same derivation in every query + oracle) */
   private def cards(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
@@ -260,6 +281,85 @@ object MemoryGraphQueries {
         |  ('yesterday', 1718668800000000, 1718755200000000, 100, TRUE, FALSE)
         |) t(phrase, start_us, end_us, conf_pct, is_relative, is_ambiguous)
         |ORDER BY phrase""".stripMargin),
+
+    // ---- document-anchored temporal enrichment (temporal_enrich.rs):
+    // the corpus-side twin of the query normalizer. Each doc carries an
+    // anchor block chosen by residue — session header (conf .95),
+    // [DATE:] header (.95), a slash date later OVERRIDDEN by a
+    // higher-confidence ISO inline with a second slash date that must
+    // NOT override (.9), or no anchor at all — followed by a constant
+    // paragraph holding seven relative phrases (day/ago/week-range/
+    // month/future/weekday/year forms). The oracle re-derives every
+    // resolution with DuckDB date arithmetic against the same anchors
+    // (Monday-start weeks via isodow, the last-Friday offset rule,
+    // 'YYYY-MM' month grain) and every char offset via strpos over the
+    // same construction. Anchor-less docs lock the unresolved path. ----
+    "temporal_enrich_doc" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 80)
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, synthTemporalDoc(id))).toDF("doc_id", "text")
+        docs.as[(Long, String)].flatMap { case (id, text) =>
+            val e = graft.temporal.TemporalEnrich.enrichDoc(text, None)
+            e.phrases.map { p =>
+              (id, p.text, p.offset.toLong,
+                p.resolved.map(_.iso).orNull,
+                e.anchor.map(_.date.toString).orNull,
+                e.anchor.map(a => math.round(a.confidence * 100)).getOrElse(0L))
+            }
+          }
+          .toDF("doc_id", "phrase", "char_offset", "resolved_iso",
+            "anchor_iso", "anchor_conf_e2")
+          .orderBy(col("doc_id"), col("char_offset"))
+      },
+      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS r,
+         |    CAST(1 + doc_id % 28 AS INT) AS dd
+         |  FROM documents WHERE doc_id < 80),
+         |a AS (SELECT doc_id,
+         |    CASE r WHEN 0 THEN 'Session 7 (January ' || dd || ', 2024)'
+         |           WHEN 1 THEN '[DATE: 2024-03-' || lpad(CAST(dd AS VARCHAR), 2, '0') || ']'
+         |           WHEN 2 THEN 'Deal closed 1/5/99.' || chr(10)
+         |                || 'Updated 2023-11-' || lpad(CAST(dd AS VARCHAR), 2, '0') || '.'
+         |                || chr(10) || 'Legacy 2/6/88.'
+         |           ELSE 'No dates here at all.' END AS blk,
+         |    CASE r WHEN 0 THEN make_date(2024, 1, dd)
+         |           WHEN 1 THEN make_date(2024, 3, dd)
+         |           WHEN 2 THEN make_date(2023, 11, dd) END AS anc,
+         |    CASE r WHEN 0 THEN 95 WHEN 1 THEN 95 WHEN 2 THEN 90
+         |           ELSE 0 END AS conf
+         |  FROM d),
+         |p AS (SELECT * FROM (VALUES ('yesterday'), ('three days ago'),
+         |    ('last week'), ('Next month'), ('in two weeks'),
+         |    ('last Friday'), ('this year')) t(ph)),
+         |para AS (SELECT $TemporalParaSqlLit AS s)
+         |SELECT a.doc_id, p.ph AS phrase,
+         |  CAST(strlen(a.blk) + strpos(para.s, p.ph) AS BIGINT) AS char_offset,
+         |  CASE WHEN a.anc IS NULL THEN NULL
+         |    WHEN p.ph = 'yesterday'
+         |      THEN strftime(CAST(a.anc - INTERVAL 1 DAY AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'three days ago'
+         |      THEN strftime(CAST(a.anc - INTERVAL 3 DAY AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'last week'
+         |      THEN strftime(CAST(a.anc - (6 + isodow(a.anc)) * INTERVAL '1 day' AS DATE), '%Y-%m-%d')
+         |        || '/' ||
+         |        strftime(CAST(a.anc - (isodow(a.anc)) * INTERVAL '1 day' AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'Next month'
+         |      THEN CAST((year(a.anc) * 12 + month(a.anc)) // 12 AS VARCHAR)
+         |        || '-' || lpad(CAST((year(a.anc) * 12 + month(a.anc)) % 12 + 1 AS VARCHAR), 2, '0')
+         |    WHEN p.ph = 'in two weeks'
+         |      THEN strftime(CAST(a.anc + INTERVAL 14 DAY AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'last Friday'
+         |      THEN strftime(CAST(a.anc + (CASE WHEN 5 - isodow(a.anc) >= 0
+         |          THEN 5 - isodow(a.anc) - 7 ELSE 5 - isodow(a.anc) END)
+         |          * INTERVAL '1 day' AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'this year' THEN CAST(year(a.anc) AS VARCHAR)
+         |    END AS resolved_iso,
+         |  CASE WHEN a.anc IS NULL THEN NULL
+         |       ELSE strftime(a.anc, '%Y-%m-%d') END AS anchor_iso,
+         |  CAST(a.conf AS BIGINT) AS anchor_conf_e2
+         |FROM a CROSS JOIN p CROSS JOIN para
+         |ORDER BY doc_id, char_offset""".stripMargin),
 
     // ---- F6 interval-overlap (range) join on event windows ----
     "temporal_overlap" -> QueryDef.sql(
