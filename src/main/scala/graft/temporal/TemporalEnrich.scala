@@ -200,12 +200,17 @@ object TemporalEnrich {
 
   /** enrich one document (single chunk): line-scan anchors with the
     * higher-confidence/explicit-header update rule, then detect + resolve
-    * phrases against the final... per the reference, the anchor visible
-    * to phrases is the tracker's state after processing ALL lines of the
-    * chunk (enrich_chunk:656-698). */
+    * phrases against the tracker's state after processing ALL lines of
+    * the chunk (enrich_chunk, temporal_enrich.rs:656-698). */
   def enrichDoc(text: String, docDate: Option[LocalDate]): Enrichment = {
-    var anchor: Option[Anchor] =
-      docDate.map(Anchor(_, "document_metadata", 0.7))
+    val seed = docDate.map(Anchor(_, "document_metadata", 0.7))
+    val (e, _) = enrichStep(text, seed)
+    e
+  }
+
+  private def enrichStep(text: String,
+                         start: Option[Anchor]): (Enrichment, Option[Anchor]) = {
+    var anchor = start
     text.split("\n", -1).foreach { line =>
       detectAnchorInLine(line).foreach { cand =>
         val update = anchor.isEmpty ||
@@ -218,6 +223,22 @@ object TemporalEnrich {
       Phrase(p, off, len,
         anchor.flatMap(a => resolveRelativePhrase(p, a.date)))
     }
-    Enrichment(anchor, phrases)
+    (Enrichment(anchor, phrases), anchor)
+  }
+
+  /** batch chunk enrichment with the SLIDING anchor (enrich_chunks,
+    * temporal_enrich.rs:750-770): the tracker's state carries forward
+    * across chunk boundaries, so a chunk with no date of its own
+    * inherits the previous chunk's anchor — exactly how a later page of
+    * a dated session resolves "yesterday" against the session header. */
+  def enrichChunks(chunks: Seq[String],
+                   docDate: Option[LocalDate]): Seq[Enrichment] = {
+    var anchor: Option[Anchor] =
+      docDate.map(Anchor(_, "document_metadata", 0.7))
+    chunks.map { c =>
+      val (e, next) = enrichStep(c, anchor)
+      anchor = next
+      e
+    }
   }
 }

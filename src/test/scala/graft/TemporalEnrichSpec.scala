@@ -61,4 +61,18 @@ class TemporalEnrichSpec extends AnyFunSuite {
       Some(LocalDate.of(2024, 6, 10)))
     assert(over.phrases.head.resolved.get.iso == "2024-01-04")
   }
+
+  test("enrichChunks: the anchor slides forward across chunk boundaries") {
+    val chunks = Seq(
+      "=== Session 1 (May 7, 2023) ===\nIntro.",
+      "we met yesterday",                 // inherits May 7 anchor
+      "[DATE: 2023-06-01]\nnew section", // header re-anchors
+      "we ship tomorrow")                 // inherits June 1
+    val es = TemporalEnrich.enrichChunks(chunks, None)
+    assert(es(1).phrases.head.resolved.get.iso == "2023-05-06")
+    assert(es(3).phrases.head.resolved.get.iso == "2023-06-02")
+    // without any anchor the later chunks stay unresolved
+    val bare = TemporalEnrich.enrichChunks(Seq("plain", "yesterday"), None)
+    assert(bare(1).phrases.head.resolved.isEmpty)
+  }
 }
