@@ -361,6 +361,77 @@ object MemoryGraphQueries {
          |FROM a CROSS JOIN p CROSS JOIN para
          |ORDER BY doc_id, char_offset""".stripMargin),
 
+    // ---- sliding-anchor CHUNK enrichment (enrich_chunks,
+    // temporal_enrich.rs:750-770): the same anchors and paragraph as
+    // temporal_enrich_doc, but the anchor block and the phrase paragraph
+    // arrive as SEPARATE chunks — every resolution in chunk 1 exists
+    // only because the tracker state slid across the boundary (a doc
+    // whose residue has no anchor proves the inheritance is real, not a
+    // re-scan). Offsets are chunk-local, which the oracle states by
+    // dropping the block-length term. ----
+    "temporal_enrich_chunks" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 80)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val full = synthTemporalDoc(id)
+            val blk = full.substring(0, full.lastIndexOf('\n'))
+            (id, blk, TemporalPara)
+          }.toDF("doc_id", "blk", "para")
+        docs.as[(Long, String, String)].flatMap { case (id, blk, para) =>
+            val es = graft.temporal.TemporalEnrich
+              .enrichChunks(Seq(blk, para), None)
+            val e = es(1) // the paragraph chunk — anchor only by sliding
+            e.phrases.map { p =>
+              (id, p.text, p.offset.toLong,
+                p.resolved.map(_.iso).orNull,
+                e.anchor.map(_.date.toString).orNull)
+            }
+          }
+          .toDF("doc_id", "phrase", "char_offset", "resolved_iso",
+            "anchor_iso")
+          .orderBy(col("doc_id"), col("char_offset"))
+      },
+      s"""WITH d AS (SELECT doc_id, doc_id % 4 AS r,
+         |    CAST(1 + doc_id % 28 AS INT) AS dd
+         |  FROM documents WHERE doc_id < 80),
+         |a AS (SELECT doc_id,
+         |    CASE r WHEN 0 THEN make_date(2024, 1, dd)
+         |           WHEN 1 THEN make_date(2024, 3, dd)
+         |           WHEN 2 THEN make_date(2023, 11, dd) END AS anc
+         |  FROM d),
+         |p AS (SELECT * FROM (VALUES ('yesterday'), ('three days ago'),
+         |    ('last week'), ('Next month'), ('in two weeks'),
+         |    ('last Friday'), ('this year')) t(ph)),
+         |para AS (SELECT $TemporalParaSqlLit AS s)
+         |SELECT a.doc_id, p.ph AS phrase,
+         |  CAST(strpos(para.s, p.ph) - 1 AS BIGINT) AS char_offset,
+         |  CASE WHEN a.anc IS NULL THEN NULL
+         |    WHEN p.ph = 'yesterday'
+         |      THEN strftime(CAST(a.anc - INTERVAL 1 DAY AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'three days ago'
+         |      THEN strftime(CAST(a.anc - INTERVAL 3 DAY AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'last week'
+         |      THEN strftime(CAST(a.anc - (6 + isodow(a.anc)) * INTERVAL '1 day' AS DATE), '%Y-%m-%d')
+         |        || '/' ||
+         |        strftime(CAST(a.anc - (isodow(a.anc)) * INTERVAL '1 day' AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'Next month'
+         |      THEN CAST((year(a.anc) * 12 + month(a.anc)) // 12 AS VARCHAR)
+         |        || '-' || lpad(CAST((year(a.anc) * 12 + month(a.anc)) % 12 + 1 AS VARCHAR), 2, '0')
+         |    WHEN p.ph = 'in two weeks'
+         |      THEN strftime(CAST(a.anc + INTERVAL 14 DAY AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'last Friday'
+         |      THEN strftime(CAST(a.anc + (CASE WHEN 5 - isodow(a.anc) >= 0
+         |          THEN 5 - isodow(a.anc) - 7 ELSE 5 - isodow(a.anc) END)
+         |          * INTERVAL '1 day' AS DATE), '%Y-%m-%d')
+         |    WHEN p.ph = 'this year' THEN CAST(year(a.anc) AS VARCHAR)
+         |    END AS resolved_iso,
+         |  CASE WHEN a.anc IS NULL THEN NULL
+         |       ELSE strftime(a.anc, '%Y-%m-%d') END AS anchor_iso
+         |FROM a CROSS JOIN p CROSS JOIN para
+         |ORDER BY doc_id, char_offset""".stripMargin),
+
     // ---- F6 interval-overlap (range) join on event windows ----
     "temporal_overlap" -> QueryDef.sql(
       (s, d) => {
