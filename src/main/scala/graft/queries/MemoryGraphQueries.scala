@@ -109,6 +109,93 @@ object MemoryGraphQueries {
          |                 AND NOT regexp_matches(CAST(num_value AS VARCHAR), '^-?[0-9]*\\.[0-9]+$$') THEN 1 ELSE 0 END) AS BIGINT) AS n_string
          |FROM $duckCards c GROUP BY slot ORDER BY slot""".stripMargin),
 
+    // ---- predicate-schema VALIDATION (schema.rs:440-474 + ValueType
+    // matching :52-68) — A12's enforcement half. A 6-schema registry
+    // (string+domain, number, datetime, boolean, entity_ref+domain,
+    // case-insensitive enum) validates a residue-derived card stream in
+    // BOTH strict and lenient modes; the fixture hits every status and
+    // the precedence chain (domain error outranks range on the same
+    // card; unknown predicate flips ok↔error with the mode). The oracle
+    // replays the generic validation over the same VALUES registry. ----
+    "mem_schema_validate" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val slots = Seq("employer", "age", "born", "active", "spouse",
+          "color", "mystery")
+        val c7 = col("doc_id") % 7
+        val c3 = col("doc_id") % 3
+        val cardsDf = Tables.documents(s, d).filter(col("doc_id") < 140)
+          .select(col("doc_id").as("card_id"),
+            element_at(typedlit(slots), (c7 + 1).cast("int")).as("slot"),
+            when(c7 === 0, lit("Initech"))
+              .when(c7 === 1, when(c3 === 0, "42").when(c3 === 1, "3.14")
+                .otherwise("12x"))
+              .when(c7 === 2, when(c3 === 0, "1700000000")
+                .when(c3 === 1, "2023-05-07").otherwise("someday"))
+              .when(c7 === 3, when(c3 === 0, "YES").when(c3 === 1, "0")
+                .otherwise("maybe"))
+              .when(c7 === 4, when(c3 === 0, "Alice").when(c3 === 1, "Bob")
+                .otherwise(""))
+              .when(c7 === 5, when(c3 === 0, "RED").when(c3 === 1, "blue")
+                .otherwise("purple"))
+              .otherwise(lit("anything")).as("value"),
+            when(col("doc_id") % 2 === 0, "person").otherwise("organization")
+              .as("entity_kind"))
+        val schemas = Seq(
+          ("employer", "string", Seq.empty[String], Seq("person")),
+          ("age", "number", Seq.empty[String], Seq.empty[String]),
+          ("born", "datetime", Seq.empty[String], Seq.empty[String]),
+          ("active", "boolean", Seq.empty[String], Seq.empty[String]),
+          ("spouse", "entity_ref", Seq.empty[String], Seq("person")),
+          ("color", "enum", Seq("red", "green", "blue"), Seq.empty[String]))
+          .toDF("predicate", "range_type", "enum_vals", "domain")
+        def run(mode: String, strict: Boolean) =
+          graft.memory.SchemaValidate.validate(cardsDf, schemas, strict)
+            .select(lit(mode).as("mode"), col("card_id"), col("slot"),
+              col("status"))
+        run("strict", strict = true).unionByName(run("lenient", strict = false))
+          .orderBy(col("mode"), col("card_id"))
+      },
+      """WITH c AS (SELECT doc_id AS card_id,
+        |    ['employer','age','born','active','spouse','color','mystery'][CAST(doc_id % 7 AS INT) + 1] AS slot,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'Initech'
+        |      WHEN 1 THEN CASE doc_id % 3 WHEN 0 THEN '42' WHEN 1 THEN '3.14' ELSE '12x' END
+        |      WHEN 2 THEN CASE doc_id % 3 WHEN 0 THEN '1700000000' WHEN 1 THEN '2023-05-07' ELSE 'someday' END
+        |      WHEN 3 THEN CASE doc_id % 3 WHEN 0 THEN 'YES' WHEN 1 THEN '0' ELSE 'maybe' END
+        |      WHEN 4 THEN CASE doc_id % 3 WHEN 0 THEN 'Alice' WHEN 1 THEN 'Bob' ELSE '' END
+        |      WHEN 5 THEN CASE doc_id % 3 WHEN 0 THEN 'RED' WHEN 1 THEN 'blue' ELSE 'purple' END
+        |      ELSE 'anything' END AS value,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'person' ELSE 'organization' END AS entity_kind
+        |  FROM documents WHERE doc_id < 140),
+        |s(predicate, range_type, enum_vals, domain) AS (VALUES
+        |  ('employer', 'string', CAST(NULL AS VARCHAR[]), ['person']),
+        |  ('age', 'number', NULL, CAST([] AS VARCHAR[])),
+        |  ('born', 'datetime', NULL, CAST([] AS VARCHAR[])),
+        |  ('active', 'boolean', NULL, CAST([] AS VARCHAR[])),
+        |  ('spouse', 'entity_ref', NULL, ['person']),
+        |  ('color', 'enum', ['red','green','blue'], CAST([] AS VARCHAR[]))),
+        |m(mode) AS (VALUES ('strict'), ('lenient')),
+        |v AS (SELECT m.mode, c.card_id, c.slot,
+        |  CASE WHEN s.predicate IS NULL
+        |         THEN CASE WHEN m.mode = 'strict' THEN 'unknown_predicate' ELSE 'ok' END
+        |       WHEN len(s.domain) > 0 AND NOT list_contains(s.domain, c.entity_kind)
+        |         THEN 'invalid_domain'
+        |       WHEN NOT (CASE s.range_type
+        |          WHEN 'string' THEN true
+        |          WHEN 'number' THEN TRY_CAST(c.value AS DOUBLE) IS NOT NULL
+        |          WHEN 'datetime' THEN TRY_CAST(c.value AS BIGINT) IS NOT NULL
+        |               OR contains(c.value, 'T') OR contains(c.value, '-')
+        |          WHEN 'boolean' THEN lower(c.value) IN ('true','false','yes','no','1','0')
+        |          WHEN 'entity_ref' THEN c.value != ''
+        |          WHEN 'enum' THEN len(list_filter(s.enum_vals, e -> lower(e) = lower(c.value))) > 0
+        |          END)
+        |         THEN 'invalid_range'
+        |       ELSE 'ok' END AS status
+        |  FROM m CROSS JOIN c LEFT JOIN s ON c.slot = s.predicate)
+        |SELECT mode, card_id, slot, status FROM v
+        |ORDER BY mode, card_id""".stripMargin),
+
     // ---- J6 multi-hop graph traversal (2 hops over cust—supp edges) ----
     "graph_follow_2hop" -> QueryDef.sql(
       (s, d) => {

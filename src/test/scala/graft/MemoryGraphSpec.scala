@@ -191,4 +191,28 @@ class MemoryGraphSpec extends SparkSpec {
     assert(sm.getLong(1) == 6L) // cards
     assert(sm.getLong(2) == 200L)
   }
+
+  test("schema validation: precedence, modes, and the six range rules") {
+    import graft.memory.SchemaValidate
+    val schemas = Seq(
+      ("age", "number", Seq.empty[String], Seq.empty[String]),
+      ("spouse", "entity_ref", Seq.empty[String], Seq("person")),
+      ("color", "enum", Seq("red", "blue"), Seq.empty[String]))
+      .toDF("predicate", "range_type", "enum_vals", "domain")
+    val cards = Seq(
+      (1L, "age", "42", "person"),       // ok
+      (2L, "age", "x", "person"),        // invalid_range
+      (3L, "spouse", "", "organization"),// domain outranks empty-value range
+      (4L, "color", "RED", "person"),    // enum is case-insensitive
+      (5L, "ghost", "v", "person"))      // unknown: mode-dependent
+      .toDF("card_id", "slot", "value", "entity_kind")
+    def st(strict: Boolean) = SchemaValidate.validate(cards, schemas, strict)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val s1 = st(true)
+    assert(s1(1L) == "ok" && s1(2L) == "invalid_range")
+    assert(s1(3L) == "invalid_domain")
+    assert(s1(4L) == "ok")
+    assert(s1(5L) == "unknown_predicate")
+    assert(st(false)(5L) == "ok")
+  }
 }
