@@ -68,10 +68,9 @@ object StoreQueries {
         val ids1 = store.put(docs.take(40))
         val seq1 = store.log.agg(max(col("commitSeq"))).head.getLong(0)
         store.put(docs.drop(40))
-        docs.take(5).zip(ids1.take(5)).foreach { case ((u, t), oldId) =>
-          store.update(oldId, t + " v2", u)
-        }
-        Seq(30, 31).foreach(i => store.delete(ids1(i)))
+        store.updateMany(docs.take(5).zip(ids1.take(5))
+          .map { case ((u, t), oldId) => (oldId, t + " v2", u) })
+        store.deleteMany(Seq(30, 31).map(ids1(_)))
         graft.store.SnapshotDiff.diff(
             store.asOf(seq1), store.latestActive, "uri", "text")
           .select(col("key").as("uri"), col("status"))
@@ -179,9 +178,8 @@ object StoreQueries {
         val ids = store.put(docs, chunkLargeDocs = false)
         store.snapshotCurrent(tmp.resolve("snap").toString)
         val pinnedCount = store.latestActive.count() // served from the pin
-        docs.take(3).zip(ids.take(3)).foreach { case ((u, t), oldId) =>
-          store.update(oldId, t + " v2", u) // drops the pin
-        }
+        store.updateMany(docs.take(3).zip(ids.take(3))
+          .map { case ((u, t), oldId) => (oldId, t + " v2", u) }) // drops pin
         store.latestActive
           .select(col("uri"),
             octet_length(col("text")).cast("long").as("n_chars_stored"))
@@ -267,10 +265,9 @@ object StoreQueries {
           .createTempDirectory("graft_vacuum_gate").toString
         val store = new FrameStore(s, dir)
         val ids = store.put(docs, chunkLargeDocs = false)
-        docs.take(5).zip(ids.take(5)).foreach { case ((u, t), oldId) =>
-          store.update(oldId, t + " v2", u)
-        }
-        store.delete(ids(30)); store.delete(ids(31))
+        store.updateMany(docs.take(5).zip(ids.take(5))
+          .map { case ((u, t), oldId) => (oldId, t + " v2", u) })
+        store.deleteMany(Seq(ids(30), ids(31)))
         val before = store.log.count()
         store.vacuum()
         val after = store.log.count()
@@ -306,10 +303,9 @@ object StoreQueries {
           .createTempDirectory("graft_store_stats").toString
         val store = new FrameStore(s, dir)
         val ids = store.put(docs)
-        docs.take(5).zip(ids.take(5)).foreach { case ((u, t), oldId) =>
-          store.update(oldId, t + " v2", u)
-        }
-        (40 to 44).foreach(i => store.delete(ids(i)))
+        store.updateMany(docs.take(5).zip(ids.take(5))
+          .map { case ((u, t), oldId) => (oldId, t + " v2", u) })
+        store.deleteMany((40 to 44).map(ids(_)))
         graft.store.StoreStats.report(store).localCheckpoint()
       },
       """WITH base AS MATERIALIZED (

@@ -98,23 +98,40 @@ final class FrameStore(spark: SparkSession, path: String) {
 
   /** update = append a superseding version (new id, supersedes old id) */
   def update(oldId: Long, newText: String, uri: String,
-             ts: Timestamp = new Timestamp(1700000001000L)): Long = {
-    val (idBase, seqBase) = nextIds(1)
-    val f = Frame(idBase + 1, seqBase + 1, ts, None, None, Some(uri), None,
-      newText.getBytes("UTF-8"), Some(newText), Nil, Nil, Map.empty,
-      graft.ingest.Enrich.contentDates(newText), "document", None, None, None,
-      Frame.Active, Some(oldId), Some(sha(newText)))
-    appendFrames(Seq(f))
-    f.id
+             ts: Timestamp = new Timestamp(1700000001000L)): Long =
+    updateMany(Seq((oldId, newText, uri)), ts).head
+
+  /** batch supersede: N updates in ONE log append (one commit). The
+    * per-call form costs one parquet write job per update; a curation
+    * pass rewriting thousands of documents wants them as one commit —
+    * same appended rows, same latest-active result, one write. */
+  def updateMany(updates: Seq[(Long, String, String)], // (oldId, text, uri)
+                 ts: Timestamp = new Timestamp(1700000001000L)): Seq[Long] = {
+    if (updates.isEmpty) return Nil
+    val (idBase, seqBase) = nextIds(updates.size)
+    val frames = updates.zipWithIndex.map { case ((oldId, newText, uri), i) =>
+      Frame(idBase + i + 1, seqBase + 1, ts, None, None, Some(uri), None,
+        newText.getBytes("UTF-8"), Some(newText), Nil, Nil, Map.empty,
+        graft.ingest.Enrich.contentDates(newText), "document", None, None,
+        None, Frame.Active, Some(oldId), Some(sha(newText)))
+    }
+    appendFrames(frames)
+    frames.map(_.id)
   }
 
   /** delete = append a tombstone version of the same id */
-  def delete(id: Long, ts: Timestamp = new Timestamp(1700000002000L)): Unit = {
+  def delete(id: Long, ts: Timestamp = new Timestamp(1700000002000L)): Unit =
+    deleteMany(Seq(id), ts)
+
+  /** batch tombstone: N deletes in ONE log append (one commit) */
+  def deleteMany(ids: Seq[Long],
+                 ts: Timestamp = new Timestamp(1700000002000L)): Unit = {
+    if (ids.isEmpty) return
     val (_, seqBase) = nextIds(0)
-    val f = Frame(id, seqBase + 1, ts, None, None, None, None,
-      Array.empty[Byte], None, Nil, Nil, Map.empty, Nil,
-      "document", None, None, None, Frame.Tombstoned, None, None)
-    appendFrames(Seq(f))
+    appendFrames(ids.map(id =>
+      Frame(id, seqBase + 1, ts, None, None, None, None,
+        Array.empty[Byte], None, Nil, Nil, Map.empty, Nil,
+        "document", None, None, None, Frame.Tombstoned, None, None)))
   }
 
   /** When set, `latestActive` serves this read-optimized parquet copy

@@ -363,4 +363,23 @@ class StoreSpec extends SparkSpec {
     // round2 fixed point: 12/19*10000 + .5 floor = 6316
     assert(m("reclaim_pct_e2") == math.floor(12.0 * 10000 / 19 + 0.5).toLong)
   }
+
+  test("updateMany/deleteMany: one commit each, same rows as per-call") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = Files.createTempDirectory("graft-batchmut").toString
+    val store = new FrameStore(spark, dir)
+    val ids = store.put(Seq(("b/1", "one"), ("b/2", "two"), ("b/3", "three")))
+    val newIds = store.updateMany(Seq(
+      (ids(0), "one v2", "b/1"), (ids(1), "two v2", "b/2")))
+    assert(newIds.length == 2 && newIds.distinct.length == 2)
+    store.deleteMany(Seq(ids(2)))
+    // batched mutations share one commitSeq per batch: 3 commits total
+    assert(store.log.select(countDistinct(col("commitSeq"))).head.getLong(0) == 3L)
+    val live = store.latestActive.select("uri", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(live == Map("b/1" -> "one v2", "b/2" -> "two v2"))
+    assert(store.updateMany(Nil).isEmpty) // empty batches are no-ops
+    store.deleteMany(Nil)
+    assert(store.log.count() == 6L)
+  }
 }
