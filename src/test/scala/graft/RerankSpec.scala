@@ -57,4 +57,12 @@ class RerankSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     out.foreach(r => assert(r.getDouble(3) == expect))
   }
+
+  test("no stage-1 matches yields an empty rerank, not a crash") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Rerank.bm25(docs, "doc_id", "text", toks(docs),
+      "zzz qqq")
+    assert(out.isEmpty)
+  }
 }
