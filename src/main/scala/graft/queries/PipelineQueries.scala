@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** DuckDB L2 fold (mirrors VectorKernels; same fragment as the vec
+    * gates) */
+  private def duckL2pub(a: String, b: String) =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))), (x,y)->x+y))"
+
   /** hash expression both engines compute identically */
   private val duckHash = s"(doc_id * ${Curation.KnuthMult}) % ${Curation.HashMod}"
 
@@ -502,6 +507,41 @@ object PipelineQueries {
          |  UNION ALL SELECT 1, 'c4', (SELECT COUNT(*) FROM s1)
          |  UNION ALL SELECT 2, 'gopher', (SELECT COUNT(*) FROM surv)
          |  UNION ALL SELECT 3, 'lm_tail_cut', (SELECT COUNT(*) FROM s3)
-         |) ORDER BY stage""".stripMargin)
+         |) ORDER BY stage""".stripMargin),
+
+    // ---- cluster-balanced subsampling (topic balance): embeddings
+    // assigned to the shared 0/1/2 IVF centroids, then every cluster
+    // capped at 200 keepers chosen by the deterministic Fibonacci-hash
+    // shuffle — over-represented topics can't dominate the mixture.
+    // The summary locks counts AND the kept-set identity (order-free
+    // sum + xor digests), so a different selection with the right count
+    // still hash-fails. Reuses the EdgeCache-shared assignment table;
+    // the oracle replays assignment + shuffle order + cap. ----
+    "pipe_cluster_balance" -> QueryDef.sql(
+      (s, d) => {
+        val assigned = graft.queries.VectorQueries.sharedAssigned(s, d)
+          .select(col("vec_id"), col("cluster"))
+        graft.pipeline.ClusterBalance.summary(assigned, "vec_id", 200)
+      },
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |assigned AS (
+         |  SELECT e.vec_id,
+         |    (SELECT c.cid FROM cents c
+         |     ORDER BY ${duckL2pub("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+         |     LIMIT 1) AS cluster
+         |  FROM embeddings e),
+         |ranked AS (
+         |  SELECT vec_id, cluster,
+         |    (vec_id * 2654435761) % 4294967296 AS shuffle_key,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+         |  FROM assigned)
+         |SELECT cluster, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN rn <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rn <= 200 THEN vec_id END) AS BIGINT) AS kept_id_sum,
+         |  bit_xor(CASE WHEN rn <= 200 THEN vec_id END) AS kept_id_xor
+         |FROM ranked GROUP BY cluster ORDER BY cluster""".stripMargin)
   )
 }

@@ -38,7 +38,11 @@ object VectorQueries {
         "vec_id", "embedding", id)
     }
 
-  /** embeddings with their 0/1/2-centroid cluster assignment, pinned */
+  /** embeddings with their 0/1/2-centroid cluster assignment, pinned;
+    * shared with pipe_cluster_balance */
+  private[queries] def sharedAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = ivfAssigned(s, d)
+
   private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
                           d: String): org.apache.spark.sql.DataFrame =
     graft.graph.EdgeCache.cached(s, s"$d#vecAssigned012", corpusScale = true) {

@@ -203,4 +203,24 @@ class PipelineSpec extends SparkSpec {
     assert(nBig == 100 && tBig == 400000L)
     assert(kBig < 100 && kBig > 0) // genuinely downsampled, hash-decided
   }
+
+  test("cluster balance: caps bite only above maxPerCluster, keepers " +
+      "are a deterministic pseudo-shuffle") {
+    import graft.pipeline.ClusterBalance
+    val assigned = ((1L to 30L).map(i => (i, 0)) ++ (31L to 35L).map(i => (i, 1)))
+      .toDF("vec_id", "cluster")
+    val sm = ClusterBalance.summary(assigned, "vec_id", 10).collect()
+    val big = sm.find(_.getInt(0) == 0).get
+    assert(big.getLong(1) == 30L && big.getLong(2) == 10L)
+    val small = sm.find(_.getInt(0) == 1).get
+    assert(small.getLong(1) == 5L && small.getLong(2) == 5L) // under cap
+    // determinism: two runs elect the same keeper set
+    val k1 = ClusterBalance.cap(assigned, "vec_id", 10)
+      .filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val k2 = ClusterBalance.cap(assigned, "vec_id", 10)
+      .filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2 && k1.size == 15)
+    // and it is NOT just the lowest ids (a real shuffle happened)
+    assert(k1.intersect((1L to 10L).toSet).size < 10)
+  }
 }
