@@ -382,4 +382,22 @@ class StoreSpec extends SparkSpec {
     store.deleteMany(Nil)
     assert(store.log.count() == 6L)
   }
+
+  test("stats after vacuum: reclaimable space drops to zero") {
+    val dir = Files.createTempDirectory("graft-statsvac").toString
+    val store = new FrameStore(spark, dir)
+    val ids = store.put(Seq(("v/1", "aaaa"), ("v/2", "bbbb"), ("v/3", "cc")))
+    store.update(ids.head, "aaaa v2", "v/1")
+    store.delete(ids(1))
+    val before = graft.store.StoreStats.report(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before("reclaimable_bytes") > 0L)
+    store.vacuum()
+    val after = graft.store.StoreStats.report(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("reclaimable_bytes") == 0L && after("reclaim_pct_e2") == 0L)
+    assert(after("active_frames") == before("active_frames"))
+    assert(after("payload_bytes") == before("payload_bytes"))
+    assert(after("log_rows") == before("active_frames"))
+  }
 }
