@@ -260,6 +260,41 @@ object Ask {
     s"$header\nClassification: $cls\n\nAnswer: ${r.answer}\n\nSources:\n$sources\n"
   }
 
+  /** X20 audit report, row form: one row per SourceSpan (reference:
+    * SourceSpan src/types/audit.rs:17-59 — 1-based index, frame id, uri,
+    * chunk byte range, score — rendered per to_text/to_markdown at
+    * audit.rs:134,274 with the reference default include_snippets=false).
+    * Frames are whole documents in this corpus model, so chunk_range is
+    * [0, octet_length(text)). The citation list is top-k-sized and
+    * broadcast to the corpus scan — one narrow pass at any corpus size. */
+  def auditRows(docs: DataFrame, idCol: String, uriCol: Column,
+                textCol: Column, r: Response): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cites = r.citations.map(c => (c.index.toLong, c.id, c.score))
+      .toDF("citation_idx", "cit_doc_id", "score")
+    docs.select(col(idCol).as("doc_id"), uriCol.as("uri"),
+        octet_length(textCol).cast("long").as("byte_end"))
+      .join(broadcast(cites), col("doc_id") === col("cit_doc_id"))
+      // 9-place score stabilization BEFORE rendering: the %.4f in the
+      // rendered lines must be a pure function of the stabilized value,
+      // never of sub-1e-9 float noise (determinism convention)
+      .withColumn("score", round(col("score"), 9))
+      .withColumn("byte_start", lit(0L))
+      .withColumn("txt_line", format_string(
+        "[%d] %s | frame=%d score=%.4f bytes=%d-%d",
+        col("citation_idx"), col("uri"), col("doc_id"), col("score"),
+        col("byte_start"), col("byte_end")))
+      .withColumn("md_line", format_string(
+        "- [%d] %s (frame %d, score %.4f, bytes %d-%d)",
+        col("citation_idx"), col("uri"), col("doc_id"), col("score"),
+        col("byte_start"), col("byte_end")))
+      .select(col("citation_idx"), col("doc_id"), col("uri"),
+        col("byte_start"), col("byte_end"), col("score"),
+        col("txt_line"), col("md_line"))
+      .orderBy(col("citation_idx"))
+  }
+
   def classification(q: String): Map[String, Boolean] = Map(
     "update" -> Classify.isUpdate(q),
     "aggregation" -> Classify.isAggregation(q),

@@ -40,7 +40,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EdgeCache {
 
-  private final case class Entry(sessionKey: String, df: DataFrame)
+  private final case class Entry(sessionKey: String, df: DataFrame,
+                                 corpusScale: Boolean)
 
   private val cache = scala.collection.mutable.Map.empty[String, Entry]
   private val pinnedIds = scala.collection.mutable.Set.empty[Int]
@@ -67,7 +68,15 @@ object EdgeCache {
     synchronized {
       wipeIfNewSession(spark)
       cache.get(key) match {
-        case Some(e) => e.df
+        case Some(e) =>
+          // the storage level was fixed by whoever built the entry; a
+          // mismatched flag means two call sites disagree about the
+          // table's footprint class — a programming error, not a race
+          // to tolerate silently (r11 ADVICE)
+          require(e.corpusScale == corpusScale,
+            s"EdgeCache key '$key' built with corpusScale=${e.corpusScale} " +
+              s"but requested with corpusScale=$corpusScale")
+          e.df
         case None =>
           val before = spark.sparkContext.getPersistentRDDs.keySet
           val df =
@@ -76,7 +85,7 @@ object EdgeCache {
             else build.localCheckpoint()
           val after = spark.sparkContext.getPersistentRDDs.keySet
           pinnedIds ++= (after -- before)
-          cache.put(key, Entry(currentSession, df))
+          cache.put(key, Entry(currentSession, df, corpusScale))
           df
       }
     }

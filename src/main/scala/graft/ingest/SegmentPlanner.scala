@@ -27,10 +27,17 @@ import org.apache.spark.sql.functions._
   *
   * Global numbering stays global: segment ids and token_start/token_end
   * offsets accumulate across frames in (frame_id, chunk_index) order via
-  * the two-phase prefix idiom — per-frame totals (one row per frame) get
-  * an ordered prefix sum, then broadcast back as per-frame bases so the
-  * chunk-sized cumsum runs partitioned by frame. The only unpartitioned
-  * window therefore runs over frame-count rows, not chunk-count rows.
+  * a DISTRIBUTED prefix sum — no unpartitioned window anywhere, at any
+  * row count. Per-frame totals (one row per frame) are range-partitioned
+  * by frame_id and pinned (localCheckpoint, so the partition identity is
+  * stable across the two consumers); per-PARTITION partial sums are
+  * collected to the driver (P rows, P = shuffle partition count — bounded
+  * by config, not data), turned into exclusive cumulative bases, and
+  * shipped back as a broadcast map literal; the frame-grained running sum
+  * then runs under Window.partitionBy(partition id). The chunk-sized
+  * cumsum runs partitioned by frame as before, and the bases join back to
+  * the chunk table by frame_id with no forced broadcast (frame count can
+  * exceed driver memory; AQE picks broadcast when the side is small).
   */
 object SegmentPlanner {
 
@@ -77,17 +84,47 @@ object SegmentPlanner {
         }
       }.toDF()
 
-    // two-phase global prefix: per-frame totals -> ordered bases
+    // distributed global prefix: per-frame totals, range-partitioned so
+    // partition order == frame_id order. localCheckpoint pins partition
+    // identity — the partials job and the running-sum window below MUST
+    // see the same spark_partition_id assignment (AQE could otherwise
+    // re-coalesce between the two compilations).
     val perFrame = packed.groupBy(col("frame_id")).agg(
-      max(col("seg_ordinal")).as("n_segs"), sum(col("tok")).as("f_toks"))
-    val frameW = Window.orderBy(col("frame_id"))
+        max(col("seg_ordinal")).as("n_segs"), sum(col("tok")).as("f_toks"))
+      .repartitionByRange(col("frame_id"))
+      .sortWithinPartitions(col("frame_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+
+    // phase 1: per-partition partials -> driver (P rows, P = partition
+    // count) -> exclusive cumulative bases per partition.
+    val partials = perFrame.groupBy(col("pid"))
+      .agg(sum(col("n_segs")).as("p_segs"), sum(col("f_toks")).as("p_toks"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accS = 0L; var accT2 = 0L
+    val segBaseByPid = scala.collection.mutable.Map.empty[Int, Long]
+    val tokBaseByPid = scala.collection.mutable.Map.empty[Int, Long]
+    partials.foreach { case (pid, s, t) =>
+      segBaseByPid(pid) = accS; tokBaseByPid(pid) = accT2
+      accS += s; accT2 += t
+    }
+
+    // phase 2: within-partition running sums + the broadcast bases. Both
+    // windows are partitioned; nothing here funnels through one task.
+    val pidW = Window.partitionBy(col("pid")).orderBy(col("frame_id"))
     val bases = perFrame
-      .withColumn("seg_base", sum(col("n_segs")).over(frameW) - col("n_segs"))
-      .withColumn("tok_base", sum(col("f_toks")).over(frameW) - col("f_toks"))
+      .withColumn("seg_base",
+        element_at(typedlit(segBaseByPid.toMap), col("pid")) +
+          sum(col("n_segs")).over(pidW) - col("n_segs"))
+      .withColumn("tok_base",
+        element_at(typedlit(tokBaseByPid.toMap), col("pid")) +
+          sum(col("f_toks")).over(pidW) - col("f_toks"))
       .select(col("frame_id"), col("seg_base"), col("tok_base"))
 
     val chunkW = Window.partitionBy(col("frame_id")).orderBy(col("chunk_index"))
-    val withOffsets = packed.join(broadcast(bases), Seq("frame_id"))
+    val withOffsets = packed.join(bases, Seq("frame_id"))
       .withColumn("seg_id", (col("seg_base") + col("seg_ordinal")).cast("long"))
       .withColumn("token_start",
         col("tok_base") + sum(col("tok")).over(chunkW) - col("tok"))

@@ -885,9 +885,18 @@ object AnalyticsQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
         graft.streaming.StreamingIngest.poisonUri = Some("doc_023")
+        // only the INJECTED failure counts as the crash under test; an
+        // unrelated first-run failure must surface, not masquerade as
+        // the poison (r11 ADVICE)
+        def isInjected(t: Throwable): Boolean =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
+            .exists(c => Option(c.getMessage).exists(_.contains("injected crash at")))
         val crashed =
           try { run().awaitTermination(); false }
-          catch { case _: Throwable => true }
+          catch {
+            case t: Throwable if isInjected(t) => true
+            case t: Throwable => throw t
+          }
         graft.streaming.StreamingIngest.poisonUri = None
         fixture.drop(24).foreach(writeDoc) // arrivals during the outage
         run().awaitTermination()

@@ -31,7 +31,10 @@ object MiscQueries {
   private val AskQuestion = "how do spark joins merge batches"
   private val AskTerms = Seq("spark", "joins", "merge", "batches")
 
-  private def askCitationsOracle: String = {
+  /** the shared CTE chain replaying ask()'s ranking pipeline (OR list +
+    * vector list → RRF → semantic boost) up to `fin(doc_id, score)`;
+    * ask_citations and ask_audit_report both build on it. */
+  private def askRankingCtes: String = {
     val qv = new HashEmbedder(64).embed(AskQuestion)
       .map(f => f.toDouble.toString).mkString("[", ", ", "]")
     val anyTerm = AskTerms.map(t => s"contains(tl, '$t')").mkString(" OR ")
@@ -59,11 +62,14 @@ object MiscQueries {
        |fin AS (
        |  SELECT r.doc_id, r.rrf * (1.0 + COALESCE(s.cos, 0.0)) AS score
        |  FROM rrf r JOIN documents dd ON dd.doc_id = r.doc_id
-       |  LEFT JOIN sem s ON s.doc_id = r.doc_id)
+       |  LEFT JOIN sem s ON s.doc_id = r.doc_id)""".stripMargin
+  }
+
+  private def askCitationsOracle: String =
+    s"""$askRankingCtes
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS citation_idx,
        |       doc_id, ROUND(score, 9) AS score
        |FROM fin ORDER BY score DESC, doc_id LIMIT 5""".stripMargin
-  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -263,6 +269,48 @@ object MiscQueries {
           .withColumn("score", round(col("score"), 9))
       },
       askCitationsOracle),
+
+    // ---- X20 audit report rows, hash-gated (SourceSpan audit.rs:17-59;
+    // to_text/to_markdown audit.rs:134,274 at the reference default
+    // include_snippets=false): the full ask() pipeline runs on the same
+    // corpus/question as ask_citations, then each citation becomes a
+    // SourceSpan row — 1-based index, frame id, uri, whole-frame byte
+    // range, 9-place-stabilized score — plus BOTH rendered line forms.
+    // The oracle reuses the ranking CTEs and rebuilds the rendered
+    // strings with printf (Java %.4f and DuckDB printf agree on doubles:
+    // decimal midpoints at the 4th place are non-dyadic, so the exact
+    // binary value is never a tie and both round to nearest). ----
+    "ask_audit_report" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+                          track = col("source"))
+        val vectors = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+        val corpus = Ask.Corpus(docs, "doc_id", f, embeddings = Some(vectors),
+                                correctionUriPrefix = "doc://correction/")
+        val resp = Ask.ask(s, corpus, AskQuestion, Some(new HashEmbedder(64)))
+        Ask.auditRows(docs, "doc_id", col("uri"), col("text"), resp)
+      },
+      s"""$askRankingCtes,
+         |cit AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS citation_idx,
+         |         doc_id, ROUND(score, 9) AS score
+         |  FROM fin ORDER BY score DESC, doc_id LIMIT 5),
+         |sp AS (
+         |  SELECT c.citation_idx, c.doc_id,
+         |         'doc://' || dd.source || '/' || dd.doc_id AS uri,
+         |         CAST(0 AS BIGINT) AS byte_start,
+         |         CAST(strlen(dd.text) AS BIGINT) AS byte_end,
+         |         c.score
+         |  FROM cit c JOIN documents dd ON dd.doc_id = c.doc_id)
+         |SELECT citation_idx, doc_id, uri, byte_start, byte_end, score,
+         |  printf('[%d] %s | frame=%d score=%.4f bytes=%d-%d',
+         |         citation_idx, uri, doc_id, score, byte_start, byte_end) AS txt_line,
+         |  printf('- [%d] %s (frame %d, score %.4f, bytes %d-%d)',
+         |         citation_idx, uri, doc_id, score, byte_start, byte_end) AS md_line
+         |FROM sp ORDER BY citation_idx""".stripMargin),
 
     // ---- ask() correction-promotion rung end-to-end (ask.rs:1437-1498):
     // the corpus is the documents table PLUS deterministic corrections

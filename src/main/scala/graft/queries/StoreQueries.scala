@@ -302,7 +302,10 @@ object StoreQueries {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_store_stats").toString
         val store = new FrameStore(s, dir)
-        val ids = store.put(docs)
+        // chunkLargeDocs=false: the oracle counts exactly one frame per
+        // document; do not depend on every fixture text staying <1200
+        // chars (r11 ADVICE).
+        val ids = store.put(docs, chunkLargeDocs = false)
         store.updateMany(docs.take(5).zip(ids.take(5))
           .map { case ((u, t), oldId) => (oldId, t + " v2", u) })
         store.deleteMany((40 to 44).map(ids(_)))

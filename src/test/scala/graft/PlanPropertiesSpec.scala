@@ -99,6 +99,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("segment planner has no unpartitioned window at any row count") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // r12: the global prefix is a distributed prefix-sum (per-partition
+    // partials -> driver bases over P rows -> broadcast map). Both the
+    // logical plan of the gate AND the physical plan must be free of a
+    // single-task WindowExec; the localCheckpoint truncates the upstream
+    // lineage, so this covers everything that executes per-row.
+    val df = Registry.all("ingest_segment_plan").fn(spark, sfDir)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "segment numbering must not use a global window")
+    val phys = df.queryExecution.executedPlan.toString
+    phys.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(!l.contains("windowspecdefinition()"), s"unpartitioned WindowExec:\n$l")
+    }
+  }
+
   test("rollup expands in one pass: a single Expand node, one agg shuffle") {
     val p = plan("rel_rollup_status_priority")
     assert(p.linesIterator.count(_.contains("Expand [")) == 1, p)
