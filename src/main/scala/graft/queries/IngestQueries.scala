@@ -35,6 +35,68 @@ object IngestQueries {
   private val autoTagsUdf =
     udf((t: String) => graft.ingest.Enrich.autoTags(t))
 
+  /** DuckDB replay of the XLSX chunker fixture: row rendering (empty-cell
+    * skip + float cleanup), the greedy never-split-a-row packing as a
+    * recursive CTE, global chunk numbering across the two sheets, and
+    * md5 over every reconstructed chunk text. Prefix lengths are computed
+    * HERE from the same strings the chunker builds, never hand-counted. */
+  private def xlsxChunksOracle: String = {
+    val prefixA = "[Sheet: Alpha] [Table: Table1]\nname | qty | price\n"
+    val pa = prefixA.length // ASCII fixture: chars == bytes
+    val prefixASql = "'[Sheet: Alpha] [Table: Table1]' || chr(10) || 'name | qty | price' || chr(10)"
+    val prefixBSql = "'[Sheet: Beta] [Table: Table1]' || chr(10) || 'k | v' || chr(10)"
+    s"""WITH RECURSIVE rowsA AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    'name: item-' || doc_id || '-' || i ||
+       |    CASE WHEN (doc_id + i) % 5 = 0 THEN ''
+       |         ELSE ' | qty: ' || ((doc_id*31 + i*17) % 1000) END ||
+       |    ' | price: ' ||
+       |    CASE WHEN i % 4 = 1 THEN ((doc_id*13 + i*7) % 500) || '.5'
+       |         ELSE CAST((doc_id*13 + i*7) % 500 AS VARCHAR) END AS rowtext
+       |  FROM (SELECT doc_id, unnest(range(doc_id % 7 + 8)) AS i
+       |        FROM documents WHERE doc_id < 25) z),
+       |g AS (
+       |  SELECT doc_id, i, rowtext,
+       |         $pa + strlen(rowtext) + 1 AS acc, 1 AS ck
+       |  FROM rowsA WHERE i = 0
+       |  UNION ALL
+       |  SELECT r.doc_id, r.i, r.rowtext,
+       |    CASE WHEN g.acc + strlen(r.rowtext) + 1 > 160
+       |         THEN $pa + strlen(r.rowtext) + 1
+       |         ELSE g.acc + strlen(r.rowtext) + 1 END,
+       |    CASE WHEN g.acc + strlen(r.rowtext) + 1 > 160
+       |         THEN g.ck + 1 ELSE g.ck END
+       |  FROM g JOIN rowsA r ON r.doc_id = g.doc_id AND r.i = g.i + 1),
+       |ca AS MATERIALIZED (
+       |  SELECT doc_id, ck,
+       |         string_agg(rowtext, chr(10) ORDER BY i) AS body
+       |  FROM g GROUP BY doc_id, ck),
+       |caT AS MATERIALIZED (
+       |  SELECT doc_id, MAX(ck) AS total FROM ca GROUP BY doc_id),
+       |alpha AS (
+       |  SELECT ca.doc_id, CAST(ca.ck - 1 AS INT) AS chunk_index,
+       |    'Alpha:Table1' AS table_id, CAST(ca.ck AS INT) AS part,
+       |    CAST(t.total AS INT) AS total_parts,
+       |    $prefixASql || ca.body AS text
+       |  FROM ca JOIN caT t USING (doc_id)),
+       |rowsB AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |    'k: k' || i || ' | v: ' || (doc_id + i) AS rowtext
+       |  FROM (SELECT doc_id, unnest(range(3)) AS i
+       |        FROM documents WHERE doc_id < 25) z),
+       |beta AS (
+       |  SELECT b.doc_id, CAST(t.total AS INT) AS chunk_index,
+       |    'Beta:Table1' AS table_id, CAST(1 AS INT) AS part,
+       |    CAST(1 AS INT) AS total_parts,
+       |    $prefixBSql || string_agg(b.rowtext, chr(10) ORDER BY b.i) AS text
+       |  FROM rowsB b JOIN caT t USING (doc_id)
+       |  GROUP BY b.doc_id, t.total),
+       |allc AS (SELECT * FROM alpha UNION ALL SELECT * FROM beta)
+       |SELECT doc_id, chunk_index, table_id, part, total_parts,
+       |  CAST(strlen(text) AS INT) AS n_chars, md5(text) AS fp
+       |FROM allc ORDER BY doc_id, chunk_index""".stripMargin
+  }
+
   /** S6 budgeted extraction with an injected deterministic clock: every
     * clock() call advances exactly the 350 ms budget, so the slice parse
     * "costs" the whole budget and the projected-full-parse decision
@@ -402,6 +464,77 @@ object IngestQueries {
           .orderBy(col("doc_id"), col("chunk_index"))
       },
       IngestGolden.chunkManifestSql),
+
+    // ---- S5/X18 XLSX row-window semantic chunking (xlsx_chunker.rs:225
+    // chunk_workbook; chunk_table :130-222; format_cell_value :41-72):
+    // each doc_id < 25 builds a REAL two-sheet workbook in-executor (zip
+    // + sheet XML, inline strings + numeric cells + omitted cells), the
+    // real reader parses it, and the chunker packs `Header: Value | ...`
+    // rows under the per-chunk `[Sheet: s] [Table: Table1]` + header-line
+    // prefix at maxChars=160 — so sheet Alpha splits into parts with the
+    // prefix RE-PROPAGATED per part and sheet Beta stays single-chunk
+    // (part=1/1). The oracle re-derives row rendering (empty-cell skip,
+    // float cleanup 39.0→39), the greedy never-split-a-row packing
+    // (recursive CTE), global chunk numbering across sheets, and the
+    // md5 of every full chunk text. ----
+    "ingest_xlsx_chunks" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).filter(col("doc_id") < 25)
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            def zip(entries: (String, String)*): Array[Byte] = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val z = new java.util.zip.ZipOutputStream(bos)
+              entries.foreach { case (name, content) =>
+                z.putNextEntry(new java.util.zip.ZipEntry(name))
+                z.write(content.getBytes("UTF-8")); z.closeEntry()
+              }
+              z.close(); bos.toByteArray
+            }
+            def is(ref: String, v: String) =
+              s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+            def num(ref: String, v: String) = s"""<c r="$ref"><v>$v</v></c>"""
+            val nA = (id % 7 + 8).toInt
+            val alphaRows = (0 until nA).map { i =>
+              val r = i + 2
+              val qty =
+                if ((id + i) % 5 == 0) ""
+                else num(s"B$r", ((id * 31 + i * 17) % 1000).toString)
+              val price =
+                if (i % 4 == 1) num(s"C$r", s"${(id * 13 + i * 7) % 500}.5")
+                else num(s"C$r", s"${(id * 13 + i * 7) % 500}.0")
+              s"""<row r="$r">${is(s"A$r", s"item-$id-$i")}$qty$price</row>"""
+            }.mkString("\n")
+            val betaRows = (0 until 3).map { i =>
+              val r = i + 2
+              s"""<row r="$r">${is(s"A$r", s"k$i")}${num(s"B$r", (id + i).toString)}</row>"""
+            }.mkString("\n")
+            val xlsx = zip(
+              "xl/workbook.xml" ->
+                """<?xml version="1.0"?><workbook><sheets><sheet name="Alpha" sheetId="1"/><sheet name="Beta" sheetId="2"/></sheets></workbook>""",
+              "xl/worksheets/sheet1.xml" ->
+                s"""<?xml version="1.0"?><worksheet><sheetData>
+                   |<row r="1">${is("A1", "name")}${is("B1", "qty")}${is("C1", "price")}</row>
+                   |$alphaRows
+                   |</sheetData></worksheet>""".stripMargin,
+              "xl/worksheets/sheet2.xml" ->
+                s"""<?xml version="1.0"?><worksheet><sheetData>
+                   |<row r="1">${is("A1", "k")}${is("B1", "v")}</row>
+                   |$betaRows
+                   |</sheetData></worksheet>""".stripMargin)
+            val res = graft.ingest.XlsxChunker.chunkWorkbook(
+              graft.ingest.Ooxml.xlsxSheets(xlsx), maxChars = 160)
+            res.chunks.map(c =>
+              (id, c.chunkIndex, c.tableId, c.part, c.totalParts, c.text))
+          }
+          .toDF("doc_id", "chunk_index", "table_id", "part", "total_parts", "text")
+          .select(col("doc_id"), col("chunk_index"), col("table_id"),
+            col("part"), col("total_parts"),
+            octet_length(col("text")).as("n_chars"), md5(col("text")).as("fp"))
+          .orderBy(col("doc_id"), col("chunk_index"))
+      },
+      xlsxChunksOracle),
 
     // ---- S4 segment planning (planner.rs:17-74): chunk streams packed
     // into token/page-budgeted segment plans with global token offsets.

@@ -804,6 +804,107 @@ object MiscQueries {
     // exercises), and one more clean search. The ReplayResult counters
     // ride as constant columns; the oracle recomputes the two live
     // hashes and states the rest. ----
+    // ---- ST6 recording lifecycle (replay_ops.rs:24-210, ActiveSession
+    // mod.rs:67-130): two sessions recorded through the facade. Session 1
+    // ("ingest", auto-checkpoint every 3): 20 puts — the interval rule
+    // the reference actually implements (the checkpoint ACTION counts
+    // toward the next interval) puts checkpoint actions at seq 3k, so 20
+    // puts yield 9 checkpoints / 29 actions. Session 2 ("search"): 5
+    // finds whose affected_count is the REAL number of matching docs,
+    // one ask, one manual checkpoint. The injected clock ticks once per
+    // event, so every ts/created/ended/duration is exact; the oracle
+    // re-derives the interleaved sequence numbering arithmetically and
+    // the find counts from the documents table. ----
+    "replay_record_sessions" -> QueryDef.sql(
+      (s, d) => {
+        import graft.replay.Replay
+        val docs = Tables.documents(s, d)
+        val terms = Seq("spark", "join", "data", "stream", "quality")
+        val cRow = docs.agg(
+          sum(when(lower(col("text")).contains(terms.head), 1L).otherwise(0L)).as(terms.head),
+          terms.tail.map(t =>
+            sum(when(lower(col("text")).contains(t), 1L).otherwise(0L)).as(t)): _*).head
+        val nByTerm = terms.zipWithIndex.map { case (t, i) => t -> cRow.getLong(i) }.toMap
+
+        val rec = new Replay.Recorder()
+        rec.startSession("ingest", autoCheckpointInterval = 3)
+        (0 until 20).foreach(i => rec.recordPut(i.toLong, i + 1L, i.toLong))
+        rec.endSession()
+        rec.startSession("search")
+        terms.foreach(t => rec.recordFind(t, "lex", (1L to nByTerm(t)).toSeq))
+        rec.recordAsk("what changed last week", "prov", "model-x", 42L, Seq(1L, 2L, 3L))
+        rec.createCheckpoint(frameCount = 20L, walSequence = 19L)
+        rec.endSession()
+
+        val acts = rec.actionsDF(s)
+        val typeCounts = acts.groupBy(col("sessionId").as("tc_sid")).agg(
+          sum(when(col("actionType") === "put", 1L).otherwise(0L)).as("n_put"),
+          sum(when(col("actionType") === "find", 1L).otherwise(0L)).as("n_find"),
+          sum(when(col("actionType") === "ask", 1L).otherwise(0L)).as("n_ask"),
+          sum(when(col("actionType") === "checkpoint", 1L).otherwise(0L)).as("n_checkpoint"))
+        acts
+          .join(broadcast(rec.summariesDF(s)), Seq("sessionId"))
+          .join(broadcast(typeCounts), col("sessionId") === col("tc_sid"))
+          .select(col("sessionId").as("session_id"), col("seq"),
+            col("actionType").as("action_type"), col("input"),
+            col("affectedCount").as("affected_count"),
+            col("durationMs").as("duration_ms"), col("tsSecs").as("ts_secs"),
+            col("actionCount").as("action_count"),
+            col("checkpointCount").as("checkpoint_count"),
+            col("createdSecs").as("created_secs"),
+            col("endedSecs").as("ended_secs"),
+            col("durationSecs").as("duration_secs"),
+            col("n_put"), col("n_find"), col("n_ask"), col("n_checkpoint"))
+          .orderBy(col("session_id"), col("seq"))
+      },
+      """WITH s1put AS (
+        |  SELECT 'sess-001' AS session_id,
+        |    CAST(doc_id + GREATEST(0, (doc_id - 1) // 2) AS BIGINT) AS seq,
+        |    'put' AS action_type, 'frame:' || doc_id AS input,
+        |    1 AS affected_count, CAST(0 AS BIGINT) AS duration_ms
+        |  FROM documents WHERE doc_id < 20),
+        |s1cp AS (
+        |  SELECT 'sess-001', CAST(3 * k AS BIGINT), 'checkpoint',
+        |    'checkpoint:' || (k - 1), 0, CAST(0 AS BIGINT)
+        |  FROM (SELECT unnest(range(1, 10)) AS k)),
+        |t2 AS (SELECT * FROM (VALUES
+        |  (0, 'spark'), (1, 'join'), (2, 'data'), (3, 'stream'),
+        |  (4, 'quality')) v(i, term)),
+        |s2find AS (
+        |  SELECT 'sess-002', CAST(t.i AS BIGINT), 'find', 'lex:' || t.term,
+        |    CAST((SELECT COUNT(*) FROM documents d
+        |          WHERE contains(lower(d.text), t.term)) AS INT),
+        |    CAST(0 AS BIGINT)
+        |  FROM t2 t),
+        |s2rest AS (
+        |  SELECT 'sess-002', CAST(5 AS BIGINT), 'ask',
+        |    'prov/model-x:what changed last week', 3, CAST(42 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'sess-002', CAST(6 AS BIGINT), 'checkpoint', 'checkpoint:0',
+        |    0, CAST(0 AS BIGINT)),
+        |acts AS (
+        |  SELECT * FROM s1put UNION ALL SELECT * FROM s1cp
+        |  UNION ALL SELECT * FROM s2find UNION ALL SELECT * FROM s2rest),
+        |summ AS (SELECT * FROM (VALUES
+        |  ('sess-001', CAST(29 AS BIGINT), CAST(9 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(31 AS BIGINT), CAST(30 AS BIGINT),
+        |   CAST(20 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(9 AS BIGINT)),
+        |  ('sess-002', CAST(7 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(32 AS BIGINT), CAST(40 AS BIGINT), CAST(8 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(1 AS BIGINT))) v(session_id, action_count,
+        |   checkpoint_count, created_secs, ended_secs, duration_secs,
+        |   n_put, n_find, n_ask, n_checkpoint))
+        |SELECT a.session_id, a.seq, a.action_type, a.input,
+        |  a.affected_count, a.duration_ms,
+        |  CAST(s.created_secs + 1 + a.seq AS BIGINT) AS ts_secs,
+        |  s.action_count, s.checkpoint_count, s.created_secs,
+        |  s.ended_secs, s.duration_secs, s.n_put, s.n_find, s.n_ask,
+        |  s.n_checkpoint
+        |FROM acts a JOIN summ s USING (session_id)
+        |ORDER BY a.session_id, a.seq""".stripMargin),
+
     "replay_from_checkpoint" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._

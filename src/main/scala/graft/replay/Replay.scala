@@ -147,4 +147,140 @@ object Replay {
       .withColumn("rate_delta_pm", col("rate_a_pm") - col("rate_b_pm"))
       .drop("__na", "__nb")
   }
+
+  // ---------------------------------------------------------------------
+  // ST6 recording lifecycle (reference: start/end/record/checkpoint
+  // src/memvid/replay_ops.rs:24-210; ActiveSession src/replay/mod.rs:
+  // 67-130; ReplaySession/SessionSummary src/replay/types.rs:295-379)
+  // ---------------------------------------------------------------------
+
+  final case class RecordedAction(sessionId: String, seq: Long,
+                                  actionType: String, input: String,
+                                  affectedCount: Int, durationMs: Long,
+                                  tsSecs: Long)
+  final case class RecordedCheckpoint(sessionId: String, checkpointId: Long,
+                                      atSequence: Long, frameCount: Long,
+                                      walSequence: Long)
+  final case class SessionSummary(sessionId: String, name: String,
+                                  createdSecs: Long, endedSecs: Long,
+                                  actionCount: Long, checkpointCount: Long,
+                                  durationSecs: Long)
+
+  /** Replay RECORDING, the reference's ActiveSession state machine with
+    * an injected clock (ticks once per recorded event) and deterministic
+    * session ids — real wall time and UUIDs would defeat the oracle.
+    *
+    * Semantics mirrored exactly:
+    *  - one active session at a time; start while active / end while idle
+    *    are errors (replay_ops.rs:33,55);
+    *  - sequences are last+1 from 0 per session (types.rs:333);
+    *  - createCheckpoint stamps at_sequence = next_sequence-1 (the LAST
+    *    recorded action), THEN records the Checkpoint action itself,
+    *    which counts toward the NEXT auto-checkpoint interval
+    *    (replay_ops.rs:108-115, mod.rs:105-115);
+    *  - auto-checkpoint fires after a put when actions-since-checkpoint
+    *    reaches the interval (record_put_action, replay_ops.rs:130-134);
+    *  - maxActionsPerSession is carried but unenforced, as in the
+    *    reference (mod.rs:62 is never read).
+    *
+    * Recording is inherently sequential per client — this is driver-side
+    * state like the reference's in-memory Memvid fields; the RECORDED
+    * tables (actions, checkpoints, summaries) are the distributed data.
+    */
+  final class Recorder {
+    private var clockSecs = 0L
+    private def tick(): Long = { clockSecs += 1; clockSecs }
+
+    private final case class Active(
+        sessionId: String, name: String, createdSecs: Long,
+        interval: Long, maxActions: Option[Long]) {
+      var nextCheckpointId = 0L
+      var sinceCheckpoint = 0L
+      val actions = scala.collection.mutable.ListBuffer.empty[RecordedAction]
+      val checkpoints = scala.collection.mutable.ListBuffer.empty[RecordedCheckpoint]
+      def nextSequence: Long = actions.lastOption.fold(0L)(_.seq + 1)
+    }
+
+    private var active: Option[Active] = None
+    private var nSessions = 0
+    private val completed = scala.collection.mutable.ListBuffer
+      .empty[(SessionSummary, Seq[RecordedAction], Seq[RecordedCheckpoint])]
+
+    def isRecording: Boolean = active.isDefined
+    def activeSessionId: Option[String] = active.map(_.sessionId)
+
+    def startSession(name: String, autoCheckpointInterval: Long = 0L,
+                     maxActionsPerSession: Option[Long] = None): String = {
+      require(active.isEmpty,
+        "A session is already active. End it before starting a new one.")
+      nSessions += 1
+      val a = Active(f"sess-$nSessions%03d", name, tick(),
+        autoCheckpointInterval, maxActionsPerSession)
+      active = Some(a)
+      a.sessionId
+    }
+
+    private def record(a: Active, tpe: String, input: String,
+                       affected: Int, durationMs: Long): Unit = {
+      a.actions += RecordedAction(a.sessionId, a.nextSequence, tpe, input,
+        affected, durationMs, tick())
+      a.sinceCheckpoint += 1
+    }
+
+    def recordPut(frameId: Long, frameCount: Long, walSequence: Long): Unit =
+      active.foreach { a =>
+        record(a, "put", s"frame:$frameId", affected = 1, durationMs = 0L)
+        if (a.interval > 0 && a.sinceCheckpoint >= a.interval)
+          createCheckpoint(frameCount, walSequence)
+      }
+
+    def recordFind(query: String, mode: String, resultFrames: Seq[Long]): Unit =
+      active.foreach { a =>
+        record(a, "find", s"$mode:$query", resultFrames.length, 0L) }
+
+    def recordAsk(query: String, provider: String, model: String,
+                  durationMs: Long, retrievedFrames: Seq[Long]): Unit =
+      active.foreach { a =>
+        record(a, "ask", s"$provider/$model:$query",
+          retrievedFrames.length, durationMs) }
+
+    def createCheckpoint(frameCount: Long, walSequence: Long): Long = {
+      val a = active.getOrElse(
+        throw new IllegalStateException("No active session for checkpoint"))
+      val id = a.nextCheckpointId
+      a.checkpoints += RecordedCheckpoint(a.sessionId, id,
+        math.max(a.nextSequence - 1, 0L), frameCount, walSequence)
+      a.nextCheckpointId += 1
+      a.sinceCheckpoint = 0
+      record(a, "checkpoint", s"checkpoint:$id", 0, 0L)
+      id
+    }
+
+    def endSession(): SessionSummary = {
+      val a = active.getOrElse(
+        throw new IllegalStateException("No active session to end"))
+      val ended = tick()
+      val s = SessionSummary(a.sessionId, a.name, a.createdSecs, ended,
+        a.actions.length.toLong, a.checkpoints.length.toLong,
+        math.max(ended - a.createdSecs, 0L))
+      completed += ((s, a.actions.toSeq, a.checkpoints.toSeq))
+      active = None
+      s
+    }
+
+    def listSessions: Seq[SessionSummary] = completed.map(_._1).toSeq
+
+    def actionsDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      completed.flatMap(_._2).toSeq.toDF()
+    }
+    def checkpointsDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      completed.flatMap(_._3).toSeq.toDF()
+    }
+    def summariesDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      listSessions.toDF()
+    }
+  }
 }
