@@ -101,7 +101,7 @@ object Wav {
     * samples ≈ 24.99 ms) the nominal-ms form drifts from the true signal
     * position across a long clip. Samples past the last full frame are
     * ignored (a sub-frame tail carries < frameMs of evidence; callers
-    * needing it can zero-pad before the call).
+    * needing it zero-pad with [[padToFrame]] before the call).
     * @return (startMs, endMs) active segments, end exclusive */
   def vadSegments(pcm: Pcm, frameMs: Int = 25,
                   ratio: Double = 0.5): Seq[(Long, Long)] = {
@@ -128,6 +128,22 @@ object Wav {
       } else f += 1
     }
     out.toSeq
+  }
+
+  /** Zero-pad a clip so its length is a whole number of `frameMs` VAD
+    * frames — the helper [[vadSegments]]' tail-drop doc points callers
+    * to: a loud sub-frame tail (< frameMs of audio after the last full
+    * frame) is otherwise invisible to segmentation. Padding with silence
+    * DILUTES the tail frame's RMS (energy spread over frameLen samples)
+    * but never creates energy, so a genuinely loud tail still crosses a
+    * mean-relative threshold while silence stays silent. No-op when the
+    * clip already tiles exactly. */
+  def padToFrame(pcm: Pcm, frameMs: Int = 25): Pcm = {
+    val frameLen = math.max(1, pcm.sampleRate * frameMs / 1000)
+    val rem = pcm.samples.length % frameLen
+    if (rem == 0) pcm
+    else Pcm(pcm.sampleRate,
+      pcm.samples ++ Array.fill(frameLen - rem)(0.0f))
   }
 
   /** serialize mono float PCM to a PCM16 WAV (test fixture generator) */

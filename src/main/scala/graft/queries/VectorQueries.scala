@@ -38,6 +38,19 @@ object VectorQueries {
         "vec_id", "embedding", id)
     }
 
+  /** the brute-force cosine truth set (top-15 vec_ids for query vec 5) —
+    * the most expensive shared input of the recall gates: vec_ivf_recall
+    * and all four vec_ann_dashboard rows measure against the SAME truth,
+    * so one process computes the full-corpus TakeOrdered exactly once.
+    * 15 longs — squarely inside cachedValue's bounded-value contract. */
+  private def bruteTruth15(s: org.apache.spark.sql.SparkSession,
+                           d: String): Seq[Long] =
+    graft.graph.EdgeCache.cachedValue(s, s"$d#bruteTruth15") {
+      VectorSearch.knn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryVec(s, d, 5L), k = 15)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    }
+
   /** embeddings with their 0/1/2-centroid cluster assignment, pinned;
     * shared with pipe_cluster_balance */
   private[queries] def sharedAssigned(s: org.apache.spark.sql.SparkSession,
@@ -339,14 +352,13 @@ object VectorQueries {
     // Both sides are deterministic, so even the recall NUMBER replays. ----
     "vec_ivf_recall" -> QueryDef.sql(
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
         val cents = ivfCents(s, d)
         val assigned = ivfAssigned(s, d)
         val q = queryVec(s, d, 5L)
         val ivf = VectorSearch.ivfSearch(assigned, "vec_id", "embedding",
           cents, q, k = 15, nprobe = 2).select("vec_id")
-        val brute = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 15)
-          .select("vec_id")
+        import s.implicits._
+        val brute = bruteTruth15(s, d).toDF("vec_id")
         ivf.join(brute, "vec_id")
           .agg(count(lit(1)).as("n_overlap"))
           .select(lit(15L).as("k"), col("n_overlap"),
@@ -386,10 +398,11 @@ object VectorQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val q = queryVec(s, d, 5L)
-        // 15-row truth set, referenced by all four overlap joins —
-        // checkpoint so the brute TakeOrdered scan runs once, not 4×
-        val brute = VectorSearch.knn(emb, "vec_id", "embedding", q, k = 15)
-          .select("vec_id").localCheckpoint()
+        import s.implicits._
+        // 15-row truth set, referenced by all four overlap joins AND by
+        // vec_ivf_recall: cachedValue computes the brute TakeOrdered once
+        // per process; here it is a 15-row local relation (broadcast side)
+        val brute = bruteTruth15(s, d).toDF("vec_id")
         def row(ids: org.apache.spark.sql.DataFrame, name: String) =
           ids.select("vec_id").join(brute, "vec_id")
             .agg(count(lit(1)).as("n_overlap"))

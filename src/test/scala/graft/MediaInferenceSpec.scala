@@ -92,6 +92,24 @@ class MediaInferenceSpec extends SparkSpec {
     assert(segs == Seq((24L, 74L)), segs.toString) // 1102000/44100=24, 3306000/44100=74
   }
 
+  test("vad: padToFrame recovers a loud sub-frame tail; exact clips are no-ops") {
+    import graft.multimodal.Wav
+    // same clip as the tail-drop test: the 500-sample 0.9f tail is
+    // invisible above, visible after zero-padding to a whole frame
+    val samples = new Array[Float](10 * 1102 + 500)
+    (1102 until 3306).foreach(i => samples(i) = 0.5f)
+    (10 * 1102 until samples.length).foreach(i => samples(i) = 0.9f)
+    val padded = Wav.padToFrame(Wav.Pcm(44100, samples))
+    assert(padded.samples.length == 11 * 1102)
+    assert(padded.samples.drop(samples.length).forall(_ == 0.0f))
+    val segs = Wav.vadSegments(padded)
+    // frames 1..2 loud as before, plus the padded tail frame 10
+    assert(segs == Seq((24L, 74L), (249L, 274L)), segs.toString)
+    // exact tiling: the SAME array comes back, no copy
+    val exact = Wav.Pcm(8000, new Array[Float](4000))
+    assert(Wav.padToFrame(exact) eq exact)
+  }
+
   test("distributed transcription: real wav→mel path, per-window segments") {
     val wav35s = Wav.write(Wav.Pcm(16000, sine(440, 35.0))) // 2 windows: 30 s + 5 s
     val badBytes = "definitely not a riff container".getBytes
