@@ -176,19 +176,50 @@ object GraphAlgos {
     * min(struct(-cnt, label)) — two map-side-combinable aggregations of
     * node-sized data, no windows, no sorts. Lineage cut every 5th round.
     *
+    * Round-cost mitigation at duplicate-densified scale (`degreeCap`):
+    * every LPA round shuffles edge-sized vote rows, so a corpus whose
+    * pair graph densifies (hubs with 10⁴+ neighbors) pays the
+    * densification once per round. With `degreeCap = Some(c)` each node
+    * keeps only its c smallest-id neighbors before iteration, and the
+    * kept arcs are re-symmetrized by union — deterministic, every node
+    * retains at least its own cap-set (no node is isolated), and the
+    * capped edge count is ≤ 2·c·|V| regardless of how dense the raw pair
+    * graph grew, so every round's scatter+vote cost is linear in node
+    * count, not raw edge count. (The mutual-kNN intersection variant
+    * bounds per-node degree harder but was measured to ISOLATE most
+    * nodes of a dense bipartite graph — union keeps coverage.) This
+    * changes the operator (votes run on the capped graph), so it is
+    * opt-in; SCALE.md carries the 100× A/B. The cap's row_number window
+    * is partitioned by src — never global.
+    *
     * @param edges undirected edges (src, dst); symmetrized internally
     *              unless assumeSymmetric
+    * @param degreeCap mutual per-node neighbor cap applied before
+    *                  iteration (None = exact LPA on the full graph)
     * @return (node BIGINT, community BIGINT) — the round-`iterations` label
     */
   def labelPropagation(edges: DataFrame, iterations: Int,
                        dedup: Boolean = true,
                        assumeSymmetric: Boolean = false,
-                       release: Boolean = true): DataFrame = {
+                       release: Boolean = true,
+                       degreeCap: Option[Int] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(degreeCap.forall(_ >= 1), "degreeCap must be >= 1")
     val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val e0 = if (dedup) raw.distinct() else raw
-    val sym = if (assumeSymmetric) e0
+    val sym0 = if (assumeSymmetric) e0
       else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val sym = degreeCap.fold(sym0) { cap =>
+      val byNode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))
+      val ranked = sym0
+        .withColumn("__rn", row_number().over(byNode))
+        .filter(col("__rn") <= cap).drop("__rn")
+      // union re-symmetrization: (a,b) survives if EITHER endpoint kept
+      // it — symmetric, ≤ 2·cap·|V| edges, no node loses its cap-set
+      ranked.union(
+        ranked.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
     val ed = sym.repartition(col("src")).persist()
     var labels = ed.select(col("src").as("node")).dropDuplicates("node")
       .withColumn("label", col("node"))

@@ -321,6 +321,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L) != out(10L), s"communities merged: $out")
   }
 
+  test("labelPropagation degreeCap: no-op when cap covers all degrees; bounded and deterministic when it bites") {
+    import graft.graph.GraphAlgos
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                    (10L, 11L), (10L, 12L), (11L, 12L),
+                    (3L, 10L)).toDF("src", "dst")
+    // cap >= max degree: identical to exact LPA
+    val exact = GraphAlgos.labelPropagation(edges, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val wide = GraphAlgos.labelPropagation(edges, iterations = 3,
+        degreeCap = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(exact.sameElements(wide))
+    // a star + ring: hub 0 touches all 20 spokes; cap=2 keeps every node
+    // (union re-symmetrization never isolates) and is partition-invariant
+    val star = ((1L to 20L).map(i => (0L, i)) ++
+      (1L until 20L).map(i => (i, i + 1))).toDF("src", "dst")
+    val c1 = GraphAlgos.labelPropagation(star, iterations = 3,
+        degreeCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val c2 = GraphAlgos.labelPropagation(star.repartition(13), iterations = 3,
+        degreeCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(c1.sameElements(c2))
+    assert(c1.map(_._1).toSet == (0L to 20L).toSet, "cap isolated a node")
+  }
+
   test("kcorePeel: pendant chain peels over successive rounds, K4 core survives with full degree") {
     import graft.graph.GraphAlgos
     // K4 on {1,2,3,4} plus a chain 4-5-6 (5 and 6 below k=2 once the tail goes)
