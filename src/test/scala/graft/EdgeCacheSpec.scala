@@ -40,4 +40,20 @@ class EdgeCacheSpec extends SparkSpec {
     assert(x.head.getLong(0) == 1L && y.head.getLong(0) == 2L)
     EdgeCache.reset()
   }
+
+  test("cached: a corpusScale flag mismatch on a cache hit is rejected") {
+    EdgeCache.reset()
+    EdgeCache.cached(spark, "spec#cs", corpusScale = false) {
+      Seq((1L, 1L)).toDF("s", "d") }
+    // same flag: served from cache
+    EdgeCache.cached(spark, "spec#cs", corpusScale = false) {
+      fail("must not rebuild"); null }
+    // mismatched flag: the storage-level class was fixed at build time —
+    // a disagreeing call site is a programming error, not a silent race
+    intercept[IllegalArgumentException] {
+      EdgeCache.cached(spark, "spec#cs", corpusScale = true) {
+        Seq((9L, 9L)).toDF("s", "d") }
+    }
+    EdgeCache.reset()
+  }
 }
