@@ -424,7 +424,8 @@ object VectorQueries {
         // the unit sphere IS cosine order, so the same integer shortlist
         // becomes angle-faithful (raw-SQ is a MIPS index; compare rows)
         val normEmb = graft.vector.ScalarQuant.normalize(emb, "embedding", "embn")
-        val (minsN, scalesN) = graft.vector.ScalarQuant.calibrate(normEmb, "embn", 64)
+        val (minsN, scalesN) = graft.graph.EdgeCache.cachedValue(s, s"$d#sqCalNorm64") {
+          graft.vector.ScalarQuant.calibrate(normEmb, "embn", 64) }
         val qn = {
           val n = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
           if (n > 0) q.map(_.toDouble / n) else q.map(_ => 0.0)
