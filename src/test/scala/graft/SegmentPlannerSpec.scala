@@ -37,6 +37,11 @@ class SegmentPlannerSpec extends SparkSpec {
     assert((cc, et, ep, ts, te) == ((2L, 2L, 2L, 0L, 2L)))
   }
 
+  test("empty input yields an empty plan (no partials, empty base maps)") {
+    val out = SegmentPlanner.plan(chunksDF(Seq.empty))
+    assert(out.collect().isEmpty)
+  }
+
   test("a single oversized chunk still forms its own segment") {
     val out = SegmentPlanner.plan(chunksDF(Seq(
       (9L, 0, 9999L, 0L, 0L), (9L, 1, 10L, 1L, 1L))))
