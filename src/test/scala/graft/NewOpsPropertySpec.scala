@@ -91,4 +91,38 @@ class NewOpsPropertySpec extends SparkSpec {
       assert(AsciiTables.detect(prose).isEmpty)
     }
   }
+
+  test("property: xlsx chunk packing never splits or drops a row, " +
+      "respects the budget, and re-propagates the prefix (seeded random)") {
+    import graft.ingest.XlsxChunker
+    val rnd = new scala.util.Random(12)
+    (1 to 5).foreach { trial =>
+      val nCols = 1 + rnd.nextInt(4)
+      val headers = (0 until nCols).map(i => s"h$i")
+      val rows = (0 until 5 + rnd.nextInt(40)).map { r =>
+        (0 until nCols).map { c =>
+          if (rnd.nextInt(5) == 0) "" // empty cells skipped in rendering
+          else s"v${r}_${c}_" + ("x" * rnd.nextInt(30))
+        }
+      }
+      val maxChars = 80 + rnd.nextInt(200)
+      val res = XlsxChunker.chunkWorkbook(
+        Seq(("S", headers +: rows)), maxChars = maxChars)
+      val prefix = s"[Sheet: S] [Table: Table1]\n${headers.mkString(" | ")}\n"
+      val expected = rows.map(XlsxChunker.formatRow(headers, _)).filter(_.nonEmpty)
+      // every chunk re-opens with the fixed prefix
+      assert(res.chunks.forall(_.text.startsWith(prefix)))
+      // rows appear exactly once, in order, never split across chunks
+      val got = res.chunks.flatMap(_.text.stripPrefix(prefix).split("\n", -1))
+      assert(got == expected, s"trial $trial: row multiset/order drift")
+      // budget: any chunk over maxChars must be a single unsplittable row
+      res.chunks.filter(_.nChars > maxChars).foreach { c =>
+        assert(c.text.stripPrefix(prefix).split("\n", -1).length == 1,
+          s"trial $trial: multi-row chunk exceeds budget")
+      }
+      // parts are 1..total and consistent
+      val total = res.chunks.head.totalParts
+      assert(res.chunks.map(_.part) == (1 to total))
+    }
+  }
 }
