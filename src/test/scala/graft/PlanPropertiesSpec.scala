@@ -99,6 +99,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("audit rows broadcast the citation list to the corpus scan") {
+    val p = plan("ask_audit_report")
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-k citation side must broadcast — never shuffle the corpus")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "audit row assembly must not shuffle corpus-sized data")
+  }
+
   test("segment planner has no unpartitioned window at any row count") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // r12: the global prefix is a distributed prefix-sum (per-partition
