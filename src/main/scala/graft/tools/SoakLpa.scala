@@ -31,8 +31,11 @@ object SoakLpa {
     val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    // corpus-scale pin at DISK_ONLY (the EdgeCache corpusScale rule): at
+    // 300× the symmetrized table is 350M+ rows and a heap-resident pin
+    // OOMs the 48g single JVM
     val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nEdges = sym.count()
     val maxDeg = sym.groupBy("src").count().agg(max("count")).head.getLong(0)
 
