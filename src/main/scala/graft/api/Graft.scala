@@ -31,6 +31,17 @@ final class Graft(val spark: SparkSession, basePath: String,
     labels = col("labels"),
     timestamp = col("timestamp"))
 
+  // ---- replay recording (reference: Memvid::start_session/end_session +
+  // auto record_put/find/ask while a session is active,
+  // src/memvid/replay_ops.rs:24-210) ----
+  val recorder = new graft.replay.Replay.Recorder()
+  def startSession(name: String, autoCheckpointInterval: Long = 0L): String =
+    recorder.startSession(name, autoCheckpointInterval)
+  def endSession(): graft.replay.Replay.SessionSummary = recorder.endSession()
+  def isRecording: Boolean = recorder.isRecording
+  def listSessions: Seq[graft.replay.Replay.SessionSummary] =
+    recorder.listSessions
+
   // ---- ingest ----
   def put(uri: String, text: String, track: Option[String] = None,
           tags: Seq[String] = Nil,
@@ -38,6 +49,9 @@ final class Graft(val spark: SparkSession, basePath: String,
     val ids = frames.put(Seq((uri, text)), track = track, tags = tags, ts = ts)
     // rules-engine enrichment mints memory cards (enrichment stage ST2)
     ids.foreach(mintCards(_, text, ts))
+    // checkpoint-snapshot args are by-name — only paid if one fires
+    ids.foreach(id => recorder.recordPut(id,
+      frames.latestActive.count(), currentVersion))
     ids.headOption
   }
 
@@ -112,13 +126,23 @@ final class Graft(val spark: SparkSession, basePath: String,
   def releaseSnapshot(): Unit = frames.releaseSnapshot()
 
   // ---- query ----
-  def search(query: String, topK: Int = 10): DataFrame =
-    Search.search(frames.latestActive, "id", frameCols, query,
+  def search(query: String, topK: Int = 10): DataFrame = {
+    val hits = Search.search(frames.latestActive, "id", frameCols, query,
       Search.Options(topK = topK))
+    if (recorder.isRecording) // result list is topK-bounded — cheap collect
+      recorder.recordFind(query, "lex",
+        hits.select(col("id")).collect().map(_.getLong(0)).toSeq)
+    hits
+  }
 
-  def ask(question: String, topK: Int = 5): Ask.Response =
-    Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols), question,
-      embedder, topK)
+  def ask(question: String, topK: Int = 5): Ask.Response = {
+    val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols),
+      question, embedder, topK)
+    if (recorder.isRecording)
+      recorder.recordAsk(question, "local", "graft-extractive", 0L,
+        resp.citations.map(_.id))
+    resp
+  }
 
   /** A18/T3 timeline: time-ordered frames with preview */
   def timeline(since: Option[Timestamp] = None, until: Option[Timestamp] = None,

@@ -227,7 +227,11 @@ object Replay {
       a.sinceCheckpoint += 1
     }
 
-    def recordPut(frameId: Long, frameCount: Long, walSequence: Long): Unit =
+    /** frameCount/walSequence are by-name: they feed the checkpoint
+      * SNAPSHOT and are only evaluated when an auto-checkpoint actually
+      * fires (they may be cluster jobs — don't pay them per put). */
+    def recordPut(frameId: Long, frameCount: => Long,
+                  walSequence: => Long): Unit =
       active.foreach { a =>
         record(a, "put", s"frame:$frameId", affected = 1, durationMs = 0L)
         if (a.interval > 0 && a.sinceCheckpoint >= a.interval)

@@ -47,6 +47,35 @@ class RecorderSpec extends SparkSpec {
     assert(rec.listSessions.map(_.actionCount) == Seq(1L, 1L))
   }
 
+  test("facade auto-records put/find/ask while a session is active (replay_ops wiring)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rec-api").toString
+    val g = new graft.api.Graft(spark, dir)
+    g.put("mv2://pre/0", "before recording - never recorded")
+    assert(!g.isRecording)
+    g.startSession("agent-run", autoCheckpointInterval = 2)
+    g.put("mv2://a/1", "spark merges batches quickly")
+    g.put("mv2://a/2", "joins shuffle on their keys")
+    // 2 puts -> auto-checkpoint fires with REAL snapshot values
+    g.search("spark")
+    g.ask("how do spark joins work?")
+    val s = g.endSession()
+    assert(s.actionCount == 5) // 2 puts + 1 checkpoint + find + ask
+    assert(s.checkpointCount == 1)
+    val acts = g.recorder.actionsDF(spark).collect()
+      .map(r => (r.getAs[Long]("seq"), r.getAs[String]("actionType")))
+      .sortBy(_._1)
+    assert(acts.map(_._2).toSeq ==
+      Seq("put", "put", "checkpoint", "find", "ask"))
+    val cp = g.recorder.checkpointsDF(spark).head
+    assert(cp.getAs[Long]("frameCount") == 3L) // pre-put + 2 recorded
+    assert(cp.getAs[Long]("walSequence") >= 1L)
+    // find recorded the real hit list; ask the real citation list
+    val find = g.recorder.actionsDF(spark)
+      .filter(org.apache.spark.sql.functions.col("actionType") === "find").head
+    assert(find.getAs[String]("input") == "lex:spark")
+    assert(find.getAs[Int]("affectedCount") >= 1)
+  }
+
   test("injected clock: created/ended/duration and per-action ts are exact") {
     val rec = new Replay.Recorder()
     rec.startSession("s") // tick 1
