@@ -93,6 +93,14 @@ object XlsxChunker {
     (out.toSeq, fixedPrefix)
   }
 
+  /** the reader-path entry point (reference ReaderOutput carries the
+    * structured chunks alongside the flat text): parse the workbook
+    * bytes with the real reader, then chunk. */
+  def chunkBytes(xlsxBytes: Array[Byte],
+                 maxChars: Int = DefaultMaxChars,
+                 maxChunks: Int = DefaultMaxChunks): Result =
+    chunkWorkbook(Ooxml.xlsxSheets(xlsxBytes), maxChars, maxChunks)
+
   /** chunk_workbook (xlsx_chunker.rs:225-266) over xlsxSheets output:
     * every sheet with any non-empty cell is one auto-named table. */
   def chunkWorkbook(sheets: Seq[(String, Seq[Seq[String]])],

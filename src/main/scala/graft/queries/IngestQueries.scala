@@ -523,8 +523,7 @@ object IngestQueries {
                    |<row r="1">${is("A1", "k")}${is("B1", "v")}</row>
                    |$betaRows
                    |</sheetData></worksheet>""".stripMargin)
-            val res = graft.ingest.XlsxChunker.chunkWorkbook(
-              graft.ingest.Ooxml.xlsxSheets(xlsx), maxChars = 160)
+            val res = graft.ingest.XlsxChunker.chunkBytes(xlsx, maxChars = 160)
             res.chunks.map(c =>
               (id, c.chunkIndex, c.tableId, c.part, c.totalParts, c.text))
           }
