@@ -123,6 +123,28 @@ object VectorQueries {
        |FROM codes ORDER BY pq_dist, vec_id LIMIT 15""".stripMargin
   }
 
+  /** shared oracle: IVF nprobe=2 / k=15 search for query vec 5 — used by
+    * vec_ivf_search (in-session index) and vec_ivf_persisted (the same
+    * index written to parquet and reopened); both must match it exactly. */
+  private def ivfSearchOracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+       |probed AS (
+       |  SELECT c.cid FROM cents c, q
+       |  ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
+       |assigned AS (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+       |    (SELECT c.cid FROM cents c
+       |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
+       |     LIMIT 1) AS cluster
+       |  FROM embeddings e)
+       |SELECT a.vec_id, ROUND(${duckCos("a.ev", "q.qv")}, 6) AS score
+       |FROM assigned a, q
+       |WHERE a.cluster IN (SELECT cid FROM probed)
+       |ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // ---- A4 brute-force cosine top-k ----
@@ -294,23 +316,30 @@ object VectorQueries {
             k = 15, nprobe = 2)
           .withColumn("score", round(col("score"), 6))
       },
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
-         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
-         |probed AS (
-         |  SELECT c.cid FROM cents c, q
-         |  ORDER BY ${duckL2("c.cv", "q.qv")}, c.cid LIMIT 2),
-         |assigned AS (
-         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
-         |    (SELECT c.cid FROM cents c
-         |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
-         |     LIMIT 1) AS cluster
-         |  FROM embeddings e)
-         |SELECT a.vec_id, ROUND(${duckCos("a.ev", "q.qv")}, 6) AS score
-         |FROM assigned a, q
-         |WHERE a.cluster IN (SELECT cid FROM probed)
-         |ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15""".stripMargin),
+      ivfSearchOracle),
+
+    // ---- persisted IVF index (the durable build-once artifact): the
+    // index is WRITTEN to disk — assigned table partitioned by cluster +
+    // centroid codebook — re-OPENED as a later process would open it,
+    // and the nprobe search runs over the persisted form, where the
+    // cluster-IN-probed predicate is a PARTITION filter: unprobed
+    // cluster directories are never read (plan-locked in
+    // PlanPropertiesSpec). Same fixture and oracle as vec_ivf_search —
+    // persistence must not change a single bit of the answer. ----
+    "vec_ivf_persisted" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString
+        val idx = graft.vector.IvfIndex.write(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dir, ivfCents(s, d))
+        idx.search("vec_id", "embedding", queryVec(s, d, 5L),
+            k = 15, nprobe = 2)
+          .withColumn("score", round(col("score"), 6))
+          .localCheckpoint() // detach from the temp dir
+      },
+      ivfSearchOracle),
 
     // ---- A6 IVF + embedded per-cluster index (the HNSW wiring): vectors
     // shuffle once keyed by cluster, each cluster is answered locally by

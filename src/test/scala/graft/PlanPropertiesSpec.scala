@@ -99,6 +99,21 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("persisted IVF search prunes unprobed clusters at the partition level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
+    val emb = Tables.embeddings(spark, sfDir).select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    val cents = Seq(0L, 1L, 2L).map(i => (i.toInt,
+      graft.vector.VectorSearch.queryVector(emb, "vec_id", "embedding", i)))
+    val idx = graft.vector.IvfIndex.write(emb, "vec_id", "embedding", dir, cents)
+    val q = graft.vector.VectorSearch.queryVector(emb, "vec_id", "embedding", 5L)
+    val p = idx.search("vec_id", "embedding", q, k = 15, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"cluster IN must prune partitions at the persisted scan:\n$p")
+  }
+
   test("audit rows broadcast the citation list to the corpus scan") {
     val p = plan("ask_audit_report")
     assert(p.contains("BroadcastHashJoin"),
