@@ -30,6 +30,33 @@ object TextSearch {
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
 
+  /** shared BM25 oracle (spark/join/window @ k=25) — text_bm25 (in-session
+    * token table) and search_bm25_persisted (the same corpus through the
+    * persisted bucketed postings table) must both match it exactly. */
+  private def bm25SparkJoinWindowOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+       |       WHERE term IN ('spark','join','window') GROUP BY term),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       |       WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS c
+       |  FROM tf JOIN df ON tf.term = df.term
+       |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
+       |agg AS (
+       |  SELECT doc_id,
+       |    COALESCE(SUM(CASE WHEN term = 'spark' THEN c END), 0)
+       |    + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+       |    + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0) AS score
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, ROUND(score, 6) AS score FROM agg
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   /** Unrolled BPE-training oracle: each round = pair counts → argmax with
     * (cnt desc, l, r2) tie-break → run-parity leftmost-greedy merge (a
     * consumed right symbol can't start another merge, so overlapping runs
@@ -123,28 +150,27 @@ object TextSearch {
         BM25.score(s, toks, Seq("spark", "join", "window"), topK = 25)
           .drop("n_terms_matched")
       },
-      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-         |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
-         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
-         |       WHERE term IN ('spark','join','window') GROUP BY term),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
-         |       WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
-         |contrib AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
-         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS c
-         |  FROM tf JOIN df ON tf.term = df.term
-         |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
-         |agg AS (
-         |  SELECT doc_id,
-         |    COALESCE(SUM(CASE WHEN term = 'spark' THEN c END), 0)
-         |    + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
-         |    + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0) AS score
-         |  FROM contrib GROUP BY doc_id)
-         |SELECT doc_id, ROUND(score, 6) AS score FROM agg
-         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin),
+      bm25SparkJoinWindowOracle),
+
+    // ---- persisted BM25 index (search/Bm25Index): the tf-aggregated
+    // postings table is WRITTEN as a parquet table bucketed+sorted by
+    // doc_id, re-opened through the catalog as a later process would,
+    // and scored over the persisted form — where the doc-keyed
+    // aggregation reads pre-co-located buckets, so the query plans zero
+    // data-sized exchanges (plan-locked in PlanPropertiesSpec). Same
+    // query and oracle as text_bm25: persistence must not change a
+    // single bit of the ranking. ----
+    "search_bm25_persisted" -> QueryDef.sql(
+      (s, d) => {
+        graft.search.Bm25Index.write(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", "bm25_persisted_gate", stemmed = false)
+        graft.search.Bm25Index.search(s, "bm25_persisted_gate",
+            Seq("spark", "join", "window"), topK = 25)
+          .drop("n_terms_matched")
+          .localCheckpoint() // detach from the warehouse table
+      },
+      bm25SparkJoinWindowOracle),
 
     // ---- quality scoring (training-data pipeline) ----
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1) over synthesized

@@ -72,19 +72,47 @@ object BM25 {
         (coalesce(col("__la"), lit(0L)) + coalesce(col("__lb"), lit(0L))).as("total_len"))
   }
 
+  /** tf-aggregated postings (doc_id, term, tf) — the persistable form of
+    * the token table; sum(tf) per doc ≡ dl, so nothing is lost. */
+  def postings(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
   /** BM25 scores for `queryTerms`; returns (doc_id, score) ranked desc.
     * Terms are stemmed iff the corpus table was stemmed.
     */
   def score(spark: SparkSession, tokens: DataFrame, queryTerms: Seq[String],
             topK: Int = 10, roundDp: Int = 6): DataFrame = {
     val terms = queryTerms.map(_.toLowerCase).distinct
-    // Index-based column names (tf_0, df_0, ...) so arbitrary term strings
-    // (containing '.', backticks, ...) never enter column-name parsing.
     val idx = terms.indices
     // one aggregation pass: doc length + per-query-term TF per doc
     val perDoc = tokens.groupBy("doc_id").agg(
       count(lit(1)).as("dl"),
       idx.map(i => sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"tf_$i")): _*)
+    rank(perDoc, terms, topK, roundDp)
+  }
+
+  /** [[score]] over a tf-aggregated postings table (doc_id, term, tf) —
+    * identical math and output (the gates share one oracle); the per-doc
+    * aggregation sums tf instead of counting occurrence rows, so a
+    * postings table BUCKETED by doc_id plans it with ZERO data-sized
+    * exchanges (see [[Bm25Index]]). */
+  def scorePostings(postings: DataFrame, queryTerms: Seq[String],
+                    topK: Int = 10, roundDp: Int = 6): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val idx = terms.indices
+    val perDoc = postings.groupBy("doc_id").agg(
+      sum(col("tf")).as("dl"),
+      idx.map(i => sum(when(col("term") === terms(i), col("tf"))
+        .otherwise(0L)).as(s"tf_$i")): _*)
+    rank(perDoc, terms, topK, roundDp)
+  }
+
+  /** shared ranking tail over a perDoc(dl, tf_i...) frame. Index-based
+    * column names (tf_0, df_0, ...) so arbitrary term strings (containing
+    * '.', backticks, ...) never enter column-name parsing. */
+  private def rank(perDoc: DataFrame, terms: Seq[String],
+                   topK: Int, roundDp: Int): DataFrame = {
+    val idx = terms.indices
     // corpus stats as a 1-row broadcast (no driver action): N, Σdl, per-term DF
     val statsCols = count(lit(1)).as("n_docs") +:
       sum(col("dl")).as("total_len") +:

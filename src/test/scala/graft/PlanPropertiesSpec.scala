@@ -99,6 +99,20 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("persisted BM25 search reads co-located buckets: zero data-sized exchanges") {
+    graft.search.Bm25Index.write(
+      Tables.documents(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text", "bm25_plan_spec", stemmed = false)
+    val df = graft.search.Bm25Index.search(spark, "bm25_plan_spec",
+      Seq("spark", "join"), topK = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"doc-keyed aggregation must be satisfied by the bucketed scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("persisted IVF search prunes unprobed clusters at the partition level") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-plan").toString
     val emb = Tables.embeddings(spark, sfDir).select(
