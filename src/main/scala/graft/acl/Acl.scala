@@ -19,6 +19,13 @@ object Acl {
   /** drop disallowed hits */
   case object Enforce extends Mode
 
+  /** Per-request caller context the `Graft` facade threads through
+    * search()/ask() (reference: AclContext + AclEnforcementMode carried on
+    * the request, src/types/acl.rs:26-58; applied post-retrieval at
+    * src/memvid/search/mod.rs:267-276 and src/memvid/ask.rs:372-380). */
+  final case class Request(rules: DataFrame, principal: String, mode: Mode,
+                           defaultAllow: Boolean = false)
+
   /** most-specific-prefix wins; no matching rule → defaultAllow */
   def apply(hits: DataFrame, uriCol: Column, rules: DataFrame, principal: String,
             mode: Mode, defaultAllow: Boolean = false): DataFrame = {

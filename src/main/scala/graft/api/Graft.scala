@@ -126,18 +126,44 @@ final class Graft(val spark: SparkSession, basePath: String,
   def releaseSnapshot(): Unit = frames.releaseSnapshot()
 
   // ---- query ----
-  def search(query: String, topK: Int = 10): DataFrame = {
-    val hits = Search.search(frames.latestActive, "id", frameCols, query,
+  /** @param acl optional per-caller ACL context, applied post-ranking over
+    *        the bounded hit page exactly where the reference applies it
+    *        (src/memvid/search/mod.rs:267-276): Enforce drops disallowed
+    *        hits (the page may shrink below topK, as there), Audit keeps
+    *        them annotated with `acl_allowed`. Rules are broadcast-tiny;
+    *        the join touches only the topK hits. */
+  def search(query: String, topK: Int = 10,
+             acl: Option[graft.acl.Acl.Request] = None): DataFrame = {
+    val ranked = Search.search(frames.latestActive, "id", frameCols, query,
       Search.Options(topK = topK))
-    if (recorder.isRecording) // result list is topK-bounded — cheap collect
+    val hits = acl match {
+      case None => ranked
+      case Some(req) =>
+        val withUri = ranked.join(
+          frames.latestActive.select(col("id"), col("uri").as("__acl_uri")),
+          Seq("id"), "left")
+        graft.acl.Acl(withUri, col("__acl_uri"), req.rules, req.principal,
+            req.mode, req.defaultAllow)
+          .drop("__acl_uri")
+          .orderBy(col("score").desc, col("id"))
+    }
+    if (recorder.isRecording) {
+      // materialize ONCE (topK-bounded): the recorded id list and the
+      // returned frame come from the same execution — the search job
+      // doesn't run twice and an unstable tie can't diverge. Recording
+      // happens AFTER ACL, like the reference (mod.rs:282-291 records
+      // the post-ACL response hits).
+      val pinned = hits.localCheckpoint()
       recorder.recordFind(query, "lex",
-        hits.select(col("id")).collect().map(_.getLong(0)).toSeq)
-    hits
+        pinned.select(col("id")).collect().map(_.getLong(0)).toSeq)
+      pinned
+    } else hits
   }
 
-  def ask(question: String, topK: Int = 5): Ask.Response = {
+  def ask(question: String, topK: Int = 5,
+          acl: Option[graft.acl.Acl.Request] = None): Ask.Response = {
     val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols),
-      question, embedder, topK)
+      question, embedder, topK, acl)
     if (recorder.isRecording)
       recorder.recordAsk(question, "local", "graft-extractive", 0L,
         resp.citations.map(_.id))

@@ -23,7 +23,12 @@ object Ask {
                           embeddings: Option[DataFrame] = None, // (id, vector)
                           correctionUriPrefix: String = "mv2://correction/")
 
-  final case class Citation(index: Int, id: Long, score: Double, snippet: String)
+  /** @param aclAllowed Some(verdict) when the request carried an ACL
+    *        context (Audit mode annotates without blocking — the
+    *        reference's deny-signal collection; Enforce-mode survivors
+    *        are always Some(true)); None when no ACL was requested */
+  final case class Citation(index: Int, id: Long, score: Double, snippet: String,
+                            aclAllowed: Option[Boolean] = None)
   /** @param sources names of the candidate lists that contributed ≥1 hit,
     *        in ladder order (lex, or, expanded, proper_noun, timeline,
     *        vector, correction) — the observable record of which fallback
@@ -34,7 +39,8 @@ object Ask {
                             sources: Seq[String] = Seq.empty)
 
   def ask(spark: SparkSession, corpus: Corpus, question: String,
-          embedder: Option[Embedder] = None, topK: Int = 5): Response = {
+          embedder: Option[Embedder] = None, topK: Int = 5,
+          acl: Option[graft.acl.Acl.Request] = None): Response = {
     val terms = Classify.contentTokens(question)
     val effectiveK = topK * Classify.topKMultiplier(question)
     val docs = corpus.docs
@@ -187,9 +193,31 @@ object Ask {
     // correction promotion LAST (ask.rs:1437-1498), then final order
     def isCorr(i2: Long): Boolean =
       uriOf.getOrElse(i2, "").startsWith(corpus.correctionUriPrefix)
-    val topIds = candIds
-      .sortBy(i2 => (!isCorr(i2), -rrf(i2), i2))
-      .take(topK)
+    val rankedIds = candIds.sortBy(i2 => (!isCorr(i2), -rrf(i2), i2))
+
+    // per-request ACL exactly where the reference applies it (ask.rs:
+    // 372-380 — after every rerank, before context/citations): the SAME
+    // Acl operator runs over the bounded candidate pool's (id, uri) rows;
+    // Enforce drops denied candidates BEFORE the top-k cut (a denied hit
+    // never consumes a citation slot — allowed hits backfill), Audit only
+    // annotates. The pool is top-k'-bounded, so the collect is bounded.
+    val aclVerdict: Map[Long, Boolean] = acl match {
+      case None => Map.empty
+      case Some(req) =>
+        import spark.implicits._
+        val pool = rankedIds.map(i2 => (i2, uriOf.getOrElse(i2, "")))
+          .toDF("id", "__uri")
+        graft.acl.Acl(pool, col("__uri"), req.rules, req.principal,
+            graft.acl.Acl.Audit, req.defaultAllow)
+          .select("id", "acl_allowed").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    val filteredIds = acl match {
+      case Some(req) if req.mode == graft.acl.Acl.Enforce =>
+        rankedIds.filter(i2 => aclVerdict.getOrElse(i2, req.defaultAllow))
+      case _ => rankedIds
+    }
+    val topIds = filteredIds.take(topK)
 
     // final small query: text + sentence-aware snippets for the top-k only
     val snipRows = docs.filter(col(id).isin(topIds: _*))
@@ -202,7 +230,8 @@ object Ask {
     val citations = topIds.zipWithIndex.map { case (docId, i) =>
       val (snips, text) = snipRows.getOrElse(docId, (Seq.empty[String], ""))
       val snippet = if (snips.nonEmpty) snips.head else text.take(160)
-      Citation(i + 1, docId, rrf(docId), snippet.replaceAll("\\s+", " ").trim)
+      Citation(i + 1, docId, rrf(docId), snippet.replaceAll("\\s+", " ").trim,
+        aclAllowed = if (acl.isDefined) aclVerdict.get(docId) else None)
     }
     val answer =
       if (citations.isEmpty) "No relevant memories found."

@@ -39,8 +39,12 @@ object XlsxChunker {
     val t = raw.trim
     if (t.exists(c => c == '.' || c == 'e' || c == 'E')) {
       t.toDoubleOption match {
-        case Some(d) if math.abs(d - math.rint(d)) < 1e-10 &&
-          math.abs(d) < 9.007199254740992e15 => math.rint(d).toLong.toString
+        // the reference's rule is fract().abs() < 1e-10 — FRACTIONAL PART
+        // near zero, not distance-to-nearest-integer: 40.00000000001 cleans
+        // to 40, but 39.99999999999 (fract ≈ 0.999…) renders unchanged.
+        // d.toLong is trunc for |d| < 2^53, matching Rust `as i64` here.
+        case Some(d) if math.abs(d - d.toLong) < 1e-10 &&
+          math.abs(d) < 9.007199254740992e15 => d.toLong.toString
         case _ => t
       }
     } else t
@@ -128,8 +132,13 @@ object XlsxChunker {
         }
         idx += total
         if (chunks.length >= maxChunks) {
-          warnings += s"Hit max chunk limit ($maxChunks) - remaining tables skipped"
-          chunks.dropRightInPlace(math.max(0, chunks.length - maxChunks))
+          val dropped = chunks.length - maxChunks
+          // warn only when something was actually lost: chunks cut by the
+          // cap, or remaining sheets with content that will never be read
+          // (a cap landing exactly on the last table is not a skip)
+          if (dropped > 0 || it.exists(_._2.exists(_.exists(_.nonEmpty))))
+            warnings += s"Hit max chunk limit ($maxChunks) - remaining tables skipped"
+          chunks.dropRightInPlace(math.max(0, dropped))
           capped = true
         }
       }

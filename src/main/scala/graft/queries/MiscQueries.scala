@@ -312,6 +312,68 @@ object MiscQueries {
          |         citation_idx, uri, doc_id, score, byte_start, byte_end) AS md_line
          |FROM sp ORDER BY citation_idx""".stripMargin),
 
+    // ---- F9 ACL through the ask() facade end-to-end (apply point
+    // ask.rs:372-380: AFTER every rerank, BEFORE the top-k cut and
+    // citations). Same corpus/question as ask_citations; the rule set
+    // allows everything under doc://src, denies the doc://src1 prefix
+    // (src1 + src10..src19 — half the corpus), and re-allows doc://src12
+    // (nested longest-prefix exception INSIDE a denied range). Two full
+    // facade runs: Audit's top-5 equals ask_citations' with per-hit
+    // acl_allowed annotations; Enforce's top-5 is the filter-then-rank
+    // page — denied candidates never consume a citation slot, allowed
+    // ones BACKFILL (top5-then-filter would hash-differ whenever a
+    // denied doc ranks top-5, which the half-denied rule set forces).
+    // The oracle replays the shared ranking CTEs + longest-prefix ACL. ----
+    "ask_acl_enforce" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+                          track = col("source"))
+        val vectors = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+        val corpus = Ask.Corpus(docs, "doc_id", f, embeddings = Some(vectors),
+                                correctionUriPrefix = "doc://correction/")
+        val rules = Seq(
+          ("analyst", "doc://src", true),
+          ("analyst", "doc://src1", false),
+          ("analyst", "doc://src12", true)).toDF("principal", "uriPrefix", "allow")
+        def run(mode: graft.acl.Acl.Mode) =
+          Ask.ask(s, corpus, AskQuestion, Some(new HashEmbedder(64)), topK = 5,
+            acl = Some(graft.acl.Acl.Request(rules, "analyst", mode)))
+        val audit = run(graft.acl.Acl.Audit)
+        val enforced = run(graft.acl.Acl.Enforce)
+        val rows =
+          audit.citations.map(c =>
+            ("audit", c.index.toLong, c.id, c.score, c.aclAllowed.getOrElse(false))) ++
+          enforced.citations.map(c =>
+            ("enforce", c.index.toLong, c.id, c.score, c.aclAllowed.getOrElse(false)))
+        rows.toDF("mode", "citation_idx", "doc_id", "score", "acl_allowed")
+          .withColumn("score", round(col("score"), 9))
+          .orderBy(col("mode"), col("citation_idx"))
+      },
+      s"""$askRankingCtes,
+         |u AS (SELECT f.doc_id, f.score,
+         |        'doc://' || dd.source || '/' || dd.doc_id AS uri
+         |      FROM fin f JOIN documents dd USING (doc_id)),
+         |al AS (SELECT doc_id, score, COALESCE((
+         |        SELECT r.allow FROM (VALUES ('doc://src', TRUE),
+         |          ('doc://src1', FALSE), ('doc://src12', TRUE)) r(pfx, allow)
+         |        WHERE starts_with(uri, r.pfx)
+         |        ORDER BY length(r.pfx) DESC LIMIT 1), FALSE) AS ok
+         |      FROM u),
+         |aud AS (SELECT 'audit' AS mode,
+         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS citation_idx,
+         |        doc_id, ROUND(score, 9) AS score, ok AS acl_allowed
+         |        FROM al ORDER BY score DESC, doc_id LIMIT 5),
+         |enf AS (SELECT 'enforce' AS mode,
+         |        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS citation_idx,
+         |        doc_id, ROUND(score, 9) AS score, TRUE AS acl_allowed
+         |        FROM al WHERE ok ORDER BY score DESC, doc_id LIMIT 5)
+         |SELECT * FROM aud UNION ALL SELECT * FROM enf
+         |ORDER BY mode, citation_idx""".stripMargin),
+
     // ---- ask() correction-promotion rung end-to-end (ask.rs:1437-1498):
     // the corpus is the documents table PLUS deterministic corrections
     // (every doc_id % 29 == 3 spawns "correction: spark guidance <id>"

@@ -64,6 +64,11 @@ object VectorQueries {
     }
 
 
+  private[queries] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** DuckDB fold fragments mirroring VectorKernels */
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), p -> p[1]*p[2])), (x,y)->x+y)"
@@ -334,10 +339,14 @@ object VectorQueries {
         val idx = graft.vector.IvfIndex.write(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", dir, ivfCents(s, d))
-        idx.search("vec_id", "embedding", queryVec(s, d, 5L),
+        val out = idx.search("vec_id", "embedding", queryVec(s, d, 5L),
             k = 15, nprobe = 2)
           .withColumn("score", round(col("score"), 6))
           .localCheckpoint() // detach from the temp dir
+        // result is detached — remove the artifact so repeated bench/soak
+        // runs don't accumulate temp parquet directories
+        deleteRecursively(new java.io.File(dir))
+        out
       },
       ivfSearchOracle),
 

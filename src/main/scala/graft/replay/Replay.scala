@@ -186,6 +186,9 @@ object Replay {
     * Recording is inherently sequential per client — this is driver-side
     * state like the reference's in-memory Memvid fields; the RECORDED
     * tables (actions, checkpoints, summaries) are the distributed data.
+    * All mutators are `synchronized` (trivial per-event cost) so facade
+    * misuse from multiple threads degrades to serialized recording
+    * instead of corrupting sequence numbers and the injected clock.
     */
   final class Recorder {
     private var clockSecs = 0L
@@ -206,11 +209,11 @@ object Replay {
     private val completed = scala.collection.mutable.ListBuffer
       .empty[(SessionSummary, Seq[RecordedAction], Seq[RecordedCheckpoint])]
 
-    def isRecording: Boolean = active.isDefined
-    def activeSessionId: Option[String] = active.map(_.sessionId)
+    def isRecording: Boolean = synchronized { active.isDefined }
+    def activeSessionId: Option[String] = synchronized { active.map(_.sessionId) }
 
     def startSession(name: String, autoCheckpointInterval: Long = 0L,
-                     maxActionsPerSession: Option[Long] = None): String = {
+                     maxActionsPerSession: Option[Long] = None): String = synchronized {
       require(active.isEmpty,
         "A session is already active. End it before starting a new one.")
       nSessions += 1
@@ -231,24 +234,25 @@ object Replay {
       * SNAPSHOT and are only evaluated when an auto-checkpoint actually
       * fires (they may be cluster jobs — don't pay them per put). */
     def recordPut(frameId: Long, frameCount: => Long,
-                  walSequence: => Long): Unit =
+                  walSequence: => Long): Unit = synchronized {
       active.foreach { a =>
         record(a, "put", s"frame:$frameId", affected = 1, durationMs = 0L)
         if (a.interval > 0 && a.sinceCheckpoint >= a.interval)
           createCheckpoint(frameCount, walSequence)
       }
+    }
 
     def recordFind(query: String, mode: String, resultFrames: Seq[Long]): Unit =
-      active.foreach { a =>
-        record(a, "find", s"$mode:$query", resultFrames.length, 0L) }
+      synchronized { active.foreach { a =>
+        record(a, "find", s"$mode:$query", resultFrames.length, 0L) } }
 
     def recordAsk(query: String, provider: String, model: String,
                   durationMs: Long, retrievedFrames: Seq[Long]): Unit =
-      active.foreach { a =>
+      synchronized { active.foreach { a =>
         record(a, "ask", s"$provider/$model:$query",
-          retrievedFrames.length, durationMs) }
+          retrievedFrames.length, durationMs) } }
 
-    def createCheckpoint(frameCount: Long, walSequence: Long): Long = {
+    def createCheckpoint(frameCount: Long, walSequence: Long): Long = synchronized {
       val a = active.getOrElse(
         throw new IllegalStateException("No active session for checkpoint"))
       val id = a.nextCheckpointId
@@ -260,7 +264,7 @@ object Replay {
       id
     }
 
-    def endSession(): SessionSummary = {
+    def endSession(): SessionSummary = synchronized {
       val a = active.getOrElse(
         throw new IllegalStateException("No active session to end"))
       val ended = tick()
@@ -272,15 +276,15 @@ object Replay {
       s
     }
 
-    def listSessions: Seq[SessionSummary] = completed.map(_._1).toSeq
+    def listSessions: Seq[SessionSummary] = synchronized { completed.map(_._1).toSeq }
 
     def actionsDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      completed.flatMap(_._2).toSeq.toDF()
+      synchronized { completed.flatMap(_._2).toSeq }.toDF()
     }
     def checkpointsDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      completed.flatMap(_._3).toSeq.toDF()
+      synchronized { completed.flatMap(_._3).toSeq }.toDF()
     }
     def summariesDF(spark: SparkSession): DataFrame = {
       import spark.implicits._

@@ -149,6 +149,41 @@ class StoreSpec extends SparkSpec {
     assert(g.getCurrent("user", "location").isEmpty)
   }
 
+  test("graft facade: per-request ACL on search and ask (mod.rs:267, ask.rs:372)") {
+    import spark.implicits._
+    val dir = tmpDir
+    val g = new Graft(spark, dir)
+    g.put("mv2://open/1", "the cabin by the lake")
+    g.put("mv2://secret/2", "the cabin blueprints")
+    g.put("mv2://open/3", "cabin weather report")
+    val rules = Seq(("bob", "mv2://open/", true))
+      .toDF("principal", "uriPrefix", "allow")
+    // no ACL: all three hits
+    assert(g.search("cabin").count() == 3)
+    // Enforce: the denied-by-default secret frame drops from the page
+    val enforced = g.search("cabin",
+      acl = Some(graft.acl.Acl.Request(rules, "bob", graft.acl.Acl.Enforce)))
+    assert(enforced.count() == 2)
+    assert(!enforced.columns.contains("acl_allowed"))
+    // Audit: all hits kept, annotated
+    val audited = g.search("cabin",
+      acl = Some(graft.acl.Acl.Request(rules, "bob", graft.acl.Acl.Audit)))
+      .select("id", "acl_allowed").collect()
+    assert(audited.length == 3 && audited.count(!_.getBoolean(1)) == 1)
+    // ask Enforce: citations exclude the denied uri end-to-end
+    val resp = g.ask("cabin blueprints",
+      acl = Some(graft.acl.Acl.Request(rules, "bob", graft.acl.Acl.Enforce)))
+    assert(resp.citations.nonEmpty)
+    assert(resp.citations.forall(_.aclAllowed.contains(true)))
+    val secretId = g.search("blueprints").select("id").head.getLong(0)
+    assert(!resp.citations.exists(_.id == secretId))
+    // ask Audit: denied citation present but flagged
+    val audResp = g.ask("cabin blueprints",
+      acl = Some(graft.acl.Acl.Request(rules, "bob", graft.acl.Acl.Audit)))
+    assert(audResp.citations.exists(c => c.id == secretId &&
+      c.aclAllowed.contains(false)))
+  }
+
   test("dedup-by-content skips duplicate payloads (mutation.rs:3300)") {
     val dir = tmpDir
     val store = new FrameStore(spark, s"$dir/frames")

@@ -52,6 +52,11 @@ class XlsxChunkerSpec extends AnyFunSuite {
     assert(XlsxChunker.formatCell("1e3") == "1000")
     assert(XlsxChunker.formatCell("item-3.5-x") == "item-3.5-x")
     assert(XlsxChunker.formatCell("42") == "42")
+    // the reference rule is fract().abs() < 1e-10, NOT distance-to-nearest:
+    // near-integer-from-below keeps its digits, from-above cleans (trunc)
+    assert(XlsxChunker.formatCell("39.99999999999") == "39.99999999999")
+    assert(XlsxChunker.formatCell("40.00000000001") == "40")
+    assert(XlsxChunker.formatCell("-3.00000000000001") == "-3")
   }
 
   test("max chunk cap truncates and warns; remaining tables skipped") {
@@ -62,6 +67,19 @@ class XlsxChunkerSpec extends AnyFunSuite {
     assert(res.chunks.length == 5)
     assert(res.warnings.exists(_.contains("max chunk limit")))
     assert(!res.chunks.exists(_.tableId.startsWith("Next")))
+  }
+
+  test("cap landing exactly on the last chunk of the last table does not warn") {
+    // one sheet, one chunk, maxChunks = 1: nothing dropped, no sheets left
+    val res = XlsxChunker.chunkWorkbook(
+      Seq(sheet("Only", Seq(Seq("h"), Seq("v")))), maxChunks = 1)
+    assert(res.chunks.length == 1)
+    assert(res.warnings.isEmpty)
+    // a remaining EMPTY sheet is not content either — still no warning
+    val res2 = XlsxChunker.chunkWorkbook(
+      Seq(sheet("Only", Seq(Seq("h"), Seq("v"))), sheet("Empty", Seq(Seq("", "")))),
+      maxChunks = 1)
+    assert(res2.warnings.isEmpty)
   }
 
   test("leading/trailing all-empty rows trim before header detection") {
