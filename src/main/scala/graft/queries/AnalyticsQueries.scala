@@ -153,6 +153,27 @@ object AnalyticsQueries {
       },
       pagerankOracle(3, weighted = false)),
 
+    // ---- PageRank over the PERSISTED edge table (graph/EdgeIndex —
+    // the graph family's durable build-once artifact, same lifecycle as
+    // Bm25Index/IvfIndex): the symmetrized, deduped, out-weighted edge
+    // table is WRITTEN bucketed+sorted by src, re-opened through the
+    // catalog as a later process would, and the identical fixed-point
+    // iteration runs where every round's scatter join reads bucket-
+    // co-located edges off the scan — zero edge-sized exchanges per
+    // round (plan-locked in PlanPropertiesSpec). Same oracle as
+    // graph_pagerank: persistence must not change a single bit. ----
+    "graph_pagerank_persisted" -> QueryDef.sql(
+      (s, d) => {
+        val e = bipartitePairs(s, d)
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.EdgeIndex.write(sym, "pagerank_edges_gate", dedup = false)
+        graft.graph.EdgeIndex.pageRank(s, "pagerank_edges_gate",
+            iterations = 3, scale = Scale, release = false)
+          .orderBy(col("rank_fp").desc, col("node")).limit(20)
+          .localCheckpoint() // detach from the warehouse table
+      },
+      pagerankOracle(3, weighted = false)),
+
     // ---- weighted PageRank: the random surfer follows order VOLUME.
     // Same fixed-point arithmetic with contribution rank*w DIV Σw; the
     // pre-aggregated (pair, count) edge list IS the dedup ----

@@ -967,6 +967,95 @@ object MiscQueries {
         |FROM acts a JOIN summ s USING (session_id)
         |ORDER BY a.session_id, a.seq""".stripMargin),
 
+    // ---- FACADE CAPSTONE: the whole reference lifecycle through one
+    // Graft handle (tests/replay_integrity.rs + tests/search.rs:9-80
+    // shape) — put → search → ask → record → auto-checkpoint → replay →
+    // compare. A fresh store ingests 12 documents under a recording
+    // session (auto-checkpoint every 4: the interval rule puts cp
+    // actions at seq 4/8/12 — the checkpoint action counts toward the
+    // next interval), three facade searches and one ask record, the
+    // session ends, and the recorded searches REPLAY against the live
+    // store via the hash chain (replayAndCompare re-executes g.search).
+    // Locked: per-replay result hashes + matched, the session summary
+    // (19 actions / 3 checkpoints / injected-clock timestamps), per-type
+    // action counts, and the fixed-point match rate. The oracle
+    // re-derives frame ids from the store's 8-per-put id reservation
+    // (id = 8k+1), replays token-membership search, and recomputes every
+    // md5 result hash; topK=12 ≥ corpus so the hash is pure set
+    // semantics (no rank cut to replay). Search terms are outside the
+    // auto-tag vocabulary, so the Word predicate reduces to tokens. ----
+    "replay_e2e_session" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        import graft.replay.Replay
+        val fixture = Tables.documents(s, d).filter(col("doc_id") < 12)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_e2e_gate").toString
+        val g = new graft.api.Graft(s, dir)
+        g.startSession("e2e", autoCheckpointInterval = 4)
+        fixture.foreach { case (id, text) => g.put(s"mv2://e2e/$id", text) }
+        val terms = Seq("data", "spark", "join")
+        // record the hash chain off the SAME pinned page the recorder
+        // logged (g.search localCheckpoints while recording)
+        val recorded = terms.zipWithIndex.map { case (t, i) =>
+          Replay.Action("e2e", i.toLong, "search", t,
+            Replay.resultHash(g.search(t, topK = 12).select("id")), Nil, 0L)
+        }
+        g.ask("how do spark joins merge batches")
+        val summary = g.endSession()
+        // replay: re-execute each recorded search through the facade
+        val (cmp, _) = Replay.replayAndCompare(s,
+          s.createDataset(recorded).toDF(), "e2e",
+          t => g.search(t, topK = 12).select("id"))
+        val matchedN = cmp.filter(col("matched")).count()
+        val totalN = cmp.count()
+        val tc = g.recorder.actionsDF(s).agg(
+          sum(when(col("actionType") === "put", 1L).otherwise(0L)).as("n_put"),
+          sum(when(col("actionType") === "find", 1L).otherwise(0L)).as("n_find"),
+          sum(when(col("actionType") === "ask", 1L).otherwise(0L)).as("n_ask"),
+          sum(when(col("actionType") === "checkpoint", 1L).otherwise(0L))
+            .as("n_checkpoint")).head
+        val out = cmp
+          .select(col("seq"), col("input"),
+            col("actualHash").as("result_hash"), col("matched"))
+          .withColumn("session_id", lit(summary.sessionId))
+          .withColumn("action_count", lit(summary.actionCount))
+          .withColumn("checkpoint_count", lit(summary.checkpointCount))
+          .withColumn("created_secs", lit(summary.createdSecs))
+          .withColumn("ended_secs", lit(summary.endedSecs))
+          .withColumn("duration_secs", lit(summary.durationSecs))
+          .withColumn("n_put", lit(tc.getLong(0)))
+          .withColumn("n_find", lit(tc.getLong(1)))
+          .withColumn("n_ask", lit(tc.getLong(2)))
+          .withColumn("n_checkpoint", lit(tc.getLong(3)))
+          .withColumn("match_rate_pm",
+            lit(if (totalN == 0) 1000L else matchedN * 1000L / totalN))
+          .orderBy(col("seq"))
+          .localCheckpoint() // detach before deleting the store
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH t AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'data'),
+         |  (CAST(1 AS BIGINT), 'spark'), (CAST(2 AS BIGINT), 'join')) v(seq, input)),
+         |h AS (SELECT seq, input,
+         |  (SELECT md5(COALESCE(string_agg(x, '' ORDER BY x), ''))
+         |   FROM (SELECT md5(CAST(8 * doc_id + 1 AS VARCHAR)) AS x
+         |         FROM documents
+         |         WHERE doc_id < 12 AND list_contains($duckToks, input)) z)
+         |    AS result_hash
+         |  FROM t)
+         |SELECT seq, input, result_hash, TRUE AS matched,
+         |  'sess-001' AS session_id, CAST(19 AS BIGINT) AS action_count,
+         |  CAST(3 AS BIGINT) AS checkpoint_count,
+         |  CAST(1 AS BIGINT) AS created_secs, CAST(21 AS BIGINT) AS ended_secs,
+         |  CAST(20 AS BIGINT) AS duration_secs,
+         |  CAST(12 AS BIGINT) AS n_put, CAST(3 AS BIGINT) AS n_find,
+         |  CAST(1 AS BIGINT) AS n_ask, CAST(3 AS BIGINT) AS n_checkpoint,
+         |  CAST(1000 AS BIGINT) AS match_rate_pm
+         |FROM h ORDER BY seq""".stripMargin),
+
     "replay_from_checkpoint" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._

@@ -172,6 +172,28 @@ object TextSearch {
       },
       bm25SparkJoinWindowOracle),
 
+    // ---- incremental maintenance OF THE PERSISTED index (Tantivy
+    // segment-merge contract, engine.rs): the index is built from the
+    // standing 90% of the corpus, then the doc_id % 10 == 0 delta batch
+    // is APPENDED into the same bucketed postings layout (new files per
+    // bucket — no rebuild, no corpus re-scan), and the query runs over
+    // the merged artifact. The oracle IS the full-corpus rebuild
+    // (identical to text_bm25/search_bm25_persisted): a lost delta term,
+    // a double-counted tf, or a bucket-spec drift hash-fails. ----
+    "search_bm25_append" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        graft.search.Bm25Index.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", "bm25_append_gate", stemmed = false)
+        graft.search.Bm25Index.append(docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", "bm25_append_gate", stemmed = false)
+        graft.search.Bm25Index.search(s, "bm25_append_gate",
+            Seq("spark", "join", "window"), topK = 25)
+          .drop("n_terms_matched")
+          .localCheckpoint() // detach from the warehouse table
+      },
+      bm25SparkJoinWindowOracle),
+
     // ---- quality scoring (training-data pipeline) ----
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1) over synthesized
     // structure: deterministic bullets / ellipses / symbols / numeric runs

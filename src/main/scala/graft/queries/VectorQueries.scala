@@ -350,6 +350,83 @@ object VectorQueries {
       },
       ivfSearchOracle),
 
+    // ---- drift-triggered RE-TRAIN of the persisted IVF index
+    // (IvfIndex.retrain; reference upkeep contract: k-means retraining
+    // src/vec_pq.rs:106-150 + MV2_SPEC.md index rebuild — vec_ivf_drift
+    // computes the signal, this executes it): build the persisted index
+    // from the 0/1/2 seed centroids, run ONE Lloyd update from the
+    // persisted assignments (exact-DECIMAL per-dim means → 6dp doubles,
+    // empty clusters keep their centroid), re-assign everything in
+    // double, and REWRITE the cluster-partitioned layout + codebook via
+    // the FS-rename swap. The gate locks per-cluster populations BEFORE
+    // and AFTER (the drifted cluster re-balances) plus each centroid's
+    // shift_l2, all read back from the REWRITTEN artifact; the oracle
+    // replays assign → means → re-assign with the vec_kmeans_lloyd CTE
+    // chain seeded by the IVF assignment. ----
+    "vec_ivf_retrain" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        F.ensureRegistered(s)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_retrain").toString
+        val idx = graft.vector.IvfIndex.write(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dir, ivfCents(s, d))
+        // bounded (k rows): populations of the gen-0 artifact, collected
+        // BEFORE the rewrite replaces the directory
+        val nBefore = idx.assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val oldCents = idx.centroids
+        val idx2 = graft.vector.IvfIndex.retrain(s, dir, "vec_id", "embedding")
+        val shifts = oldCents.map { case (cid, c0) =>
+          val c1 = idx2.centroids.find(_._1 == cid).get._2
+          val l2 = math.sqrt(
+            c0.zip(c1).map { case (a, b) => (a - b) * (a - b) }.sum)
+          (cid, nBefore.getOrElse(cid, 0L),
+            math.BigDecimal(l2)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        val out = s.createDataFrame(shifts)
+          .toDF("cluster", "n_before", "shift_l2")
+          .join(idx2.assigned.groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n_after")), Seq("cluster"), "left")
+          .select(col("cluster"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"), col("shift_l2"))
+          .orderBy(col("cluster"))
+          .localCheckpoint() // detach from the temp dir before deleting it
+        deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH c0 AS (SELECT CAST(vec_id AS INT) AS cid, $e AS cv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |ev AS (SELECT vec_id, $e AS v FROM embeddings),
+         |a0 AS MATERIALIZED (SELECT ev.vec_id, ev.v,
+         |    (SELECT c.cid FROM c0 c
+         |     ORDER BY ${duckL2("ev.v", "c.cv")}, c.cid LIMIT 1) AS cluster
+         |  FROM ev),
+         |m AS (SELECT a0.cluster, dd.d,
+         |    ROUND(CAST(SUM(CAST(v[CAST(dd.d AS INT)+1] AS DECIMAL(38,12)))
+         |      / COUNT(*) AS DOUBLE), 6) AS mv
+         |  FROM a0, (SELECT unnest(range(64)) AS d) dd
+         |  GROUP BY a0.cluster, dd.d),
+         |ml AS (SELECT cluster, list(mv ORDER BY d) AS l FROM m GROUP BY cluster),
+         |c1 AS MATERIALIZED (SELECT c0.cid, COALESCE(ml.l, c0.cv) AS cv
+         |  FROM c0 LEFT JOIN ml ON ml.cluster = c0.cid),
+         |a1 AS (SELECT ev.vec_id,
+         |    (SELECT c.cid FROM c1 c
+         |     ORDER BY ${duckL2sq("c.cv", "ev.v")}, c.cid LIMIT 1) AS cluster
+         |  FROM ev),
+         |nb AS (SELECT cluster, COUNT(*) AS n_before FROM a0 GROUP BY cluster),
+         |na AS (SELECT cluster, COUNT(*) AS n_after FROM a1 GROUP BY cluster),
+         |sh AS (SELECT c0.cid AS cluster,
+         |    ROUND(sqrt(${duckL2sq("c0.cv", "c1.cv")}), 6) AS shift_l2
+         |  FROM c0 JOIN c1 ON c1.cid = c0.cid)
+         |SELECT s2.cluster, COALESCE(nb.n_before, 0) AS n_before,
+         |  COALESCE(na.n_after, 0) AS n_after, s2.shift_l2
+         |FROM sh s2 LEFT JOIN nb USING (cluster) LEFT JOIN na USING (cluster)
+         |ORDER BY s2.cluster""".stripMargin),
+
     // ---- A6 IVF + embedded per-cluster index (the HNSW wiring): vectors
     // shuffle once keyed by cluster, each cluster is answered locally by
     // Hnsw.searchAuto, per-cluster top-k merge in one bounded TakeOrdered.

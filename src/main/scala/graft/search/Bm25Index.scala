@@ -28,6 +28,32 @@ object Bm25Index {
     graft.ops.Bucketing.writeBucketed(postings, tableName, nBuckets, Seq("doc_id"))
   }
 
+  /** Incremental maintenance: append a DELTA batch's postings INTO the
+    * same bucketed layout — the path that makes the persisted index a
+    * living artifact instead of a rebuild-per-ingest one (the reference's
+    * Tantivy segment merge, src/search/tantivy/engine.rs: new segments
+    * join the index; a merge is bookkeeping, never a corpus re-scan).
+    *
+    * Cost is |delta| tokenization + one delta-sized bucket shuffle. The
+    * delta lands as new files per bucket; Spark verifies the bucket spec
+    * matches at write time, and a bucketed read over multiple files per
+    * bucket still satisfies the doc_id distribution — scoring after any
+    * number of appends plans the same ZERO data-sized exchanges.
+    *
+    * Contract (same as [[BM25.mergeIndexStats]]): the delta's doc ids are
+    * DISJOINT from what's indexed — re-ingesting a doc would double-count
+    * its term frequencies. `search_bm25_append` gates build(A)+append(B)
+    * against the full A∪B rebuild, hash-exact. */
+  def append(delta: DataFrame, idCol: String, textCol: String,
+             tableName: String, stemmed: Boolean = false,
+             nBuckets: Int = 16): Unit = {
+    val postings = BM25.postings(BM25.tokenTable(delta, idCol, textCol, stemmed))
+    postings.write
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .mode("append").format("parquet")
+      .saveAsTable(tableName)
+  }
+
   /** score a query against a persisted index (see [[BM25.scorePostings]]) */
   def search(spark: SparkSession, tableName: String, queryTerms: Seq[String],
              topK: Int = 10): DataFrame =

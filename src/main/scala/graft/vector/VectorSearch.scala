@@ -164,6 +164,17 @@ object VectorSearch {
     centroids.sortBy { case (cid, c) => (l2Local(c, query), cid) }
       .take(nprobe).map(_._1)
 
+  /** double-codebook probe (persisted-index generations) — identical
+    * arithmetic to [[probeClusters]], whose float path already
+    * accumulates in double, so a float-origin codebook probes the same */
+  private[vector] def probeClustersD(centroids: Seq[(Int, Array[Double])],
+                            query: Array[Double], nprobe: Int): Seq[Int] =
+    centroids.sortBy { case (cid, c) =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { val dd = c(i) - query(i); s += dd * dd; i += 1 }
+      (math.sqrt(s), cid)
+    }.take(nprobe).map(_._1)
+
   /** IVF index-maintenance signal: per-cluster population and distortion
     * (L2 distance to the assigned centroid). A growing mean or a lopsided
     * population tells an operator the centroids no longer fit the data and

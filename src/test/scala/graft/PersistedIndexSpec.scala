@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the three durable build-once artifacts: BM25 postings
+  * append (Tantivy segment-merge contract), IVF drift re-train (vec_pq.rs
+  * k-means upkeep), and the persisted symmetric edge table's pageRank. */
+class PersistedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Bm25Index.append: build(A) + append(B) scores exactly like write(A∪B)") {
+    val docs = Seq(
+      (1L, "spark joins shuffle data"),
+      (2L, "window functions rank rows"),
+      (3L, "spark window aggregation"),
+      (4L, "broadcast joins avoid shuffle"),
+      (5L, "spark spark spark everywhere"),
+      (6L, "the quick brown fox")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_full")
+    graft.search.Bm25Index.write(docs.filter($"doc_id" <= 4), "doc_id", "text",
+      "bm25_life_inc")
+    graft.search.Bm25Index.append(docs.filter($"doc_id" > 4), "doc_id", "text",
+      "bm25_life_inc")
+    val full = graft.search.Bm25Index.search(spark, "bm25_life_full",
+      Seq("spark", "window"), topK = 10).collect().toSeq
+    val inc = graft.search.Bm25Index.search(spark, "bm25_life_inc",
+      Seq("spark", "window"), topK = 10).collect().toSeq
+    assert(inc == full, s"append must be bit-equal to the rebuild:\n$inc\n$full")
+    spark.sql("DROP TABLE IF EXISTS bm25_life_full")
+    spark.sql("DROP TABLE IF EXISTS bm25_life_inc")
+  }
+
+  test("IvfIndex.retrain: codebook becomes the Lloyd update, layout rewrites, populations rebalance") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-retrain-spec").toString
+    // two tight blobs with seeds OFF-center: the update must pull each
+    // centroid to its blob mean and assignments must stay/rebalance
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) 0f else 10f
+      (i.toLong, Array(base + (i % 10) * 0.1f, base))
+    }.toDF("vec_id", "embedding")
+    val seeds = Seq(0 -> Array(-1f, 0f), 1 -> Array(8f, 0f))
+    val idx0 = graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", dir, seeds)
+    assert(idx0.centroids.map(_._2.toSeq) == seeds.map(_._2.map(_.toDouble).toSeq),
+      "gen-0 codebook round-trips floats exactly through the double schema")
+    val idx1 = graft.vector.IvfIndex.retrain(spark, dir, "vec_id", "embedding")
+    // new centroids are the per-cluster means (6dp): blob0 mean x = 0.45
+    val c0 = idx1.centroids.find(_._1 == 0).get._2
+    assert(math.abs(c0(0) - 0.45) < 1e-9 && c0(1) == 0.0, c0.toSeq.toString)
+    // the rewritten artifact is what a later process opens
+    val reopened = graft.vector.IvfIndex.read(spark, dir)
+    assert(reopened.centroids.map(_._2.toSeq) == idx1.centroids.map(_._2.toSeq))
+    val pops = reopened.assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pops == Map(0 -> 10L, 1 -> 10L), pops.toString)
+    // search over the retrained generation still prunes + ranks
+    val hits = reopened.search("vec_id", "embedding", Array(10f, 10f),
+      k = 3, nprobe = 1, metric = "l2").collect().map(_.getLong(0))
+    assert(hits.length == 3 && hits.forall(_ >= 10L), hits.toSeq.toString)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
+  test("EdgeIndex.pageRank over the persisted table is bit-equal to GraphAlgos.pageRank") {
+    val pairs = (1L to 300L).map(i => (i % 23, (i * 11) % 29 + 50))
+      .distinct.toDF("src", "dst")
+    val sym = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    graft.graph.EdgeIndex.write(sym, "edge_life_spec", nBuckets = 4)
+    val persisted = graft.graph.EdgeIndex.pageRank(spark, "edge_life_spec",
+        iterations = 4)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inProcess = graft.graph.GraphAlgos.pageRank(sym, iterations = 4,
+        assumeSymmetric = true)
+      .orderBy($"node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted == inProcess)
+    spark.sql("DROP TABLE IF EXISTS edge_life_spec")
+  }
+}

@@ -111,6 +111,55 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"doc-keyed aggregation must be satisfied by the bucketed scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
+    // append a delta batch into the same layout: multiple files per bucket
+    // must still satisfy the doc_id distribution — the scoring plan stays
+    // exchange-free after any number of appends
+    import org.apache.spark.sql.functions.col
+    graft.search.Bm25Index.append(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id") + 1000000L as "doc_id", col("text")),
+      "doc_id", "text", "bm25_plan_spec", stemmed = false)
+    val df2 = graft.search.Bm25Index.search(spark, "bm25_plan_spec",
+      Seq("spark", "join"), topK = 10)
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange hashpartitioning"),
+      s"post-append scoring must stay exchange-free:\n$p2")
+  }
+
+  test("persisted edge table: per-round scatter reads co-located buckets") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val pairs = (1L to 400L).map(i => (i % 37, (i * 7) % 41 + 100))
+      .distinct.toDF("src", "dst")
+    val sym = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.EdgeIndex.write(sym, "edge_plan_spec", nBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val pr = graft.graph.EdgeIndex.pageRank(spark, "edge_plan_spec",
+        iterations = 1, release = false)
+      val p = pr.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        s"the scatter join must read the bucketed scan:\n$p")
+      val bucketed = graft.ops.Bucketing.shuffleExchangeCount(pr)
+      // counterfactual: the SAME step over a plain parquet copy of the
+      // prepared table pays one extra exchange — the edge-sized one the
+      // bucketed layout eliminates from every round
+      val tmp = java.nio.file.Files.createTempDirectory("edge-plain").toString
+      spark.table("edge_plan_spec").write.mode("overwrite").parquet(tmp)
+      val edPlain = spark.read.parquet(tmp)
+      val nodes = edPlain.select(col("src").as("node"))
+        .dropDuplicates("node").localCheckpoint()
+      val ranks = nodes.withColumn("rank_fp", lit(100L))
+      val step = graft.graph.GraphAlgos.prStep(edPlain, nodes, ranks, 1L)
+      val plain = graft.ops.Bucketing.shuffleExchangeCount(step)
+      assert(plain == bucketed + 1,
+        s"bucketed scatter must save exactly the edge-sized exchange " +
+          s"(bucketed=$bucketed, plain=$plain)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS edge_plan_spec")
+    }
   }
 
   test("persisted IVF search prunes unprobed clusters at the partition level") {
