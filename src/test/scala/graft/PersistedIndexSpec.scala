@@ -30,6 +30,20 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_inc")
   }
 
+  test("Bm25Index.append with a mismatched bucket count is rejected, not silently corrupting") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_guard",
+      nBuckets = 8)
+    intercept[Exception] {
+      graft.search.Bm25Index.append(
+        Seq((3L, "delta")).toDF("doc_id", "text"),
+        "doc_id", "text", "bm25_life_guard", nBuckets = 4)
+    }
+    // the artifact is still the pre-append index
+    assert(spark.table("bm25_life_guard").count() == 4) // 4 postings rows
+    spark.sql("DROP TABLE IF EXISTS bm25_life_guard")
+  }
+
   test("IvfIndex.retrain: codebook becomes the Lloyd update, layout rewrites, populations rebalance") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-retrain-spec").toString
     // two tight blobs with seeds OFF-center: the update must pull each
