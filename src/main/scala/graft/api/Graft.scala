@@ -43,10 +43,14 @@ final class Graft(val spark: SparkSession, basePath: String,
     recorder.listSessions
 
   // ---- ingest ----
+  /** @param metadata frame policy/extra metadata (e.g. the ACL contract
+    *        keys, src/types/acl.rs:6-19); chunks inherit it */
   def put(uri: String, text: String, track: Option[String] = None,
           tags: Seq[String] = Nil,
-          ts: Timestamp = new Timestamp(1700000000000L)): Option[Long] = {
-    val ids = frames.put(Seq((uri, text)), track = track, tags = tags, ts = ts)
+          ts: Timestamp = new Timestamp(1700000000000L),
+          metadata: Map[String, String] = Map.empty): Option[Long] = {
+    val ids = frames.put(Seq((uri, text)), track = track, tags = tags, ts = ts,
+      metadata = metadata)
     // rules-engine enrichment mints memory cards (enrichment stage ST2)
     ids.foreach(mintCards(_, text, ts))
     // checkpoint-snapshot args are by-name — only paid if one fires
@@ -126,25 +130,40 @@ final class Graft(val spark: SparkSession, basePath: String,
   def releaseSnapshot(): Unit = frames.releaseSnapshot()
 
   // ---- query ----
-  /** @param acl optional per-caller ACL context, applied post-ranking over
+  /** @param acl optional per-caller ACL check, applied post-ranking over
     *        the bounded hit page exactly where the reference applies it
     *        (src/memvid/search/mod.rs:267-276): Enforce drops disallowed
     *        hits (the page may shrink below topK, as there), Audit keeps
-    *        them annotated with `acl_allowed`. Rules are broadcast-tiny;
-    *        the join touches only the topK hits. */
+    *        them annotated. Either model: [[graft.acl.Acl.Request]]
+    *        (rule table) or [[graft.acl.Acl.MetadataCheck]] (the
+    *        reference's per-frame policy-metadata contract — evaluated
+    *        against the frames' `extraMetadata`, deny-by-default on a
+    *        missing/invalid policy; Enforce re-ranks survivors densely
+    *        as `acl_rank`). Both touch only the topK hits. */
   def search(query: String, topK: Int = 10,
-             acl: Option[graft.acl.Acl.Request] = None): DataFrame = {
+             acl: Option[graft.acl.Acl.Check] = None): DataFrame = {
     val ranked = Search.search(frames.latestActive, "id", frameCols, query,
       Search.Options(topK = topK))
     val hits = acl match {
       case None => ranked
-      case Some(req) =>
+      case Some(req: graft.acl.Acl.Request) =>
         val withUri = ranked.join(
           frames.latestActive.select(col("id"), col("uri").as("__acl_uri")),
           Seq("id"), "left")
         graft.acl.Acl(withUri, col("__acl_uri"), req.rules, req.principal,
             req.mode, req.defaultAllow)
           .drop("__acl_uri")
+          .orderBy(col("score").desc, col("id"))
+      case Some(mc: graft.acl.Acl.MetadataCheck) =>
+        // a hit with no metadata row degrades to NULL policy → the
+        // evaluator's missing_metadata deny (reference frame_by_id Err
+        // → deny_missing_metadata, acl.rs:118-121)
+        val withMeta = ranked.join(
+          frames.latestActive.select(col("id"),
+            col("extraMetadata").as("__acl_meta")), Seq("id"), "left")
+        graft.acl.Acl.applyMetadata(withMeta, col("__acl_meta"), mc.ctx,
+            mc.mode, rankBy = Seq(col("score").desc, col("id")))
+          .drop("__acl_meta")
           .orderBy(col("score").desc, col("id"))
     }
     if (recorder.isRecording) {
@@ -161,8 +180,9 @@ final class Graft(val spark: SparkSession, basePath: String,
   }
 
   def ask(question: String, topK: Int = 5,
-          acl: Option[graft.acl.Acl.Request] = None): Ask.Response = {
-    val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols),
+          acl: Option[graft.acl.Acl.Check] = None): Ask.Response = {
+    val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols,
+        meta = Some(col("extraMetadata"))),
       question, embedder, topK, acl)
     if (recorder.isRecording)
       recorder.recordAsk(question, "local", "graft-extractive", 0L,

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Ask {
 
+  /** @param meta optional binding for the frames' policy/extra metadata
+    *        (map&lt;string,string&gt;) — required when asking with an
+    *        [[graft.acl.Acl.MetadataCheck]] */
   final case class Corpus(docs: DataFrame, idCol: String, f: FrameCols,
                           embeddings: Option[DataFrame] = None, // (id, vector)
-                          correctionUriPrefix: String = "mv2://correction/")
+                          correctionUriPrefix: String = "mv2://correction/",
+                          meta: Option[Column] = None)
 
   /** @param aclAllowed Some(verdict) when the request carried an ACL
     *        context (Audit mode annotates without blocking — the
@@ -40,7 +44,7 @@ object Ask {
 
   def ask(spark: SparkSession, corpus: Corpus, question: String,
           embedder: Option[Embedder] = None, topK: Int = 5,
-          acl: Option[graft.acl.Acl.Request] = None): Response = {
+          acl: Option[graft.acl.Acl.Check] = None): Response = {
     val terms = Classify.contentTokens(question)
     val effectiveK = topK * Classify.topKMultiplier(question)
     val docs = corpus.docs
@@ -203,7 +207,7 @@ object Ask {
     // annotates. The pool is top-k'-bounded, so the collect is bounded.
     val aclVerdict: Map[Long, Boolean] = acl match {
       case None => Map.empty
-      case Some(req) =>
+      case Some(req: graft.acl.Acl.Request) =>
         import spark.implicits._
         val pool = rankedIds.map(i2 => (i2, uriOf.getOrElse(i2, "")))
           .toDF("id", "__uri")
@@ -211,10 +215,25 @@ object Ask {
             graft.acl.Acl.Audit, req.defaultAllow)
           .select("id", "acl_allowed").collect()
           .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      case Some(mc: graft.acl.Acl.MetadataCheck) =>
+        // metadata model: evaluate the contract on the bounded candidate
+        // pool's policy metadata (one small lookup, like the ts/uri one)
+        val metaBinding = corpus.meta.getOrElse(throw new IllegalArgumentException(
+          "ask(): Acl.MetadataCheck requires the Corpus.meta binding"))
+        val pool = docs.filter(col(id).isin(rankedIds: _*))
+          .select(col(id).cast("long").as("id"), metaBinding.as("__meta"))
+        graft.acl.Acl.applyMetadata(pool, col("__meta"), mc.ctx,
+            graft.acl.Acl.Audit, rankBy = Seq(col("id")))
+          .select("id", "acl_allowed").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     }
     val filteredIds = acl match {
-      case Some(req) if req.mode == graft.acl.Acl.Enforce =>
-        rankedIds.filter(i2 => aclVerdict.getOrElse(i2, req.defaultAllow))
+      case Some(c) if c.mode == graft.acl.Acl.Enforce =>
+        val default = c match {
+          case r: graft.acl.Acl.Request => r.defaultAllow
+          case _ => false // metadata contract: deny-by-default
+        }
+        rankedIds.filter(i2 => aclVerdict.getOrElse(i2, default))
       case _ => rankedIds
     }
     val topIds = filteredIds.take(topK)

@@ -725,6 +725,130 @@ object MiscQueries {
         |       n_audit - n_audit_allowed AS n_denied
         |FROM al, c WHERE ok ORDER BY doc_id""".stripMargin),
 
+    // ---- F9 deep form: the reference's ACTUAL metadata-contract ACL
+    // (src/memvid/acl.rs:60-258; keys src/types/acl.rs:6-19) — per-frame
+    // policy metadata (tenant, visibility, JSON role/group/principal
+    // allow-lists) evaluated against the caller context. Synthesized
+    // metadata covers EVERY branch: absent tenant key and an invalid
+    // visibility (→ missing_metadata, deny-by-default), a malformed
+    // non-JSON list ('eng,ops' → missing_metadata — acl.rs's own unit
+    // fixture), cross-tenant denial, legacy JSON-quoted + mixed-case
+    // scalars ('"Tenant-A"' → tenant-a, the normalize_scalar unwrap),
+    // public short-circuit, and restricted allows via each of principal
+    // ('["User-123"]' vs subject user-123 — case normalization), role
+    // (analyst) and group (eng) intersections. Audit annotates all
+    // rows; Enforce's dense re-rank (hit.rank = index+1, acl.rs:129-133)
+    // rides as acl_rank; the AclFilterStats counters ride as constants.
+    // The oracle replays normalization with DuckDB's JSON functions. ----
+    "acl_metadata_enforce" -> QueryDef.sql(
+      (s, d) => {
+        import graft.acl.Acl
+        val id = col("doc_id")
+        val meta = map_filter(map(
+          lit(Acl.TenantKey),
+          when(id % 23 === 0, lit(null).cast("string"))
+            .when(id % 17 === 0, lit("\"Tenant-A\""))
+            .when(id % 3 === 0, lit("tenant-a"))
+            .otherwise(lit("tenant-b")),
+          lit(Acl.VisibilityKey),
+          when(id % 19 === 0, lit("secret"))
+            .when(id % 29 === 0, lit("\"Public\""))
+            .when(id % 2 === 0, lit("public"))
+            .otherwise(lit("restricted")),
+          lit(Acl.ReadRolesKey),
+          when(id % 13 === 0, lit("eng,ops"))
+            .when(id % 5 < 2, lit("[\"admin\",\"analyst\"]"))
+            .otherwise(lit(null).cast("string")),
+          lit(Acl.ReadPrincipalsKey),
+          when(id % 7 === 0, lit("[\"User-123\"]"))
+            .otherwise(lit(null).cast("string")),
+          lit(Acl.ReadGroupsKey),
+          when(id % 11 === 0, lit("[\"eng\"]"))
+            .otherwise(lit(null).cast("string"))
+        ), (_, v) => v.isNotNull)
+        val hits = Tables.documents(s, d).filter(id < 200)
+          .select(id, meta.as("__meta"))
+        val ctx = Acl.Context("tenant-a", subjectId = Some("user-123"),
+          roles = Seq("viewer", "analyst"), groupIds = Seq("ENG "))
+        val audit = Acl.applyMetadata(hits, col("__meta"), ctx, Acl.Audit,
+          rankBy = Seq(col("doc_id")))
+        val enforced = Acl.applyMetadata(hits, col("__meta"), ctx, Acl.Enforce,
+            rankBy = Seq(col("doc_id")))
+          .select(col("doc_id"), col("acl_rank"))
+        val stats = audit.agg(
+          sum(when(col("acl_allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("acl_allowed"), 1L).otherwise(0L)).as("n_denied"),
+          sum(when(col("acl_decision") === "cross_tenant", 1L).otherwise(0L))
+            .as("n_cross_tenant"),
+          sum(when(col("acl_decision") === "missing_metadata", 1L).otherwise(0L))
+            .as("n_missing"))
+        audit.join(enforced, Seq("doc_id"), "left")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("acl_decision"), col("acl_allowed"),
+            col("acl_rank").cast("long").as("acl_rank"),
+            col("n_allowed"), col("n_denied"), col("n_cross_tenant"),
+            col("n_missing"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val norm = (x: String) =>
+          s"NULLIF(lower(trim(COALESCE(CASE WHEN json_valid(trim($x)) THEN json_extract_string(trim($x), '$$') END, trim($x)))), '')"
+        // TRY_CAST guards: DuckDB's AND does not short-circuit, so every
+        // json function must see NULL (not raw invalid text) on bad rows
+        val listOk = (x: String) =>
+          s"($x IS NULL OR COALESCE(json_type(TRY_CAST($x AS JSON)) = 'ARRAY', FALSE))"
+        val listNorm = (x: String) =>
+          s"CASE WHEN $x IS NULL THEN CAST([] AS VARCHAR[]) ELSE list_transform(TRY_CAST(json_extract(TRY_CAST($x AS JSON), '$$') AS VARCHAR[]), e -> ${norm("e")}) END"
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 23 = 0 THEN NULL
+           |         WHEN doc_id % 17 = 0 THEN '"Tenant-A"'
+           |         WHEN doc_id % 3 = 0 THEN 'tenant-a'
+           |         ELSE 'tenant-b' END AS t_raw,
+           |    CASE WHEN doc_id % 19 = 0 THEN 'secret'
+           |         WHEN doc_id % 29 = 0 THEN '"Public"'
+           |         WHEN doc_id % 2 = 0 THEN 'public'
+           |         ELSE 'restricted' END AS v_raw,
+           |    CASE WHEN doc_id % 13 = 0 THEN 'eng,ops'
+           |         WHEN doc_id % 5 < 2 THEN '["admin","analyst"]' END AS r_raw,
+           |    CASE WHEN doc_id % 7 = 0 THEN '["User-123"]' END AS p_raw,
+           |    CASE WHEN doc_id % 11 = 0 THEN '["eng"]' END AS g_raw
+           |  FROM documents WHERE doc_id < 200),
+           |n AS (
+           |  SELECT doc_id, ${norm("t_raw")} AS tenant, ${norm("v_raw")} AS vis,
+           |    ${listOk("r_raw")} AND ${listOk("g_raw")} AND ${listOk("p_raw")} AS lists_ok,
+           |    ${listNorm("r_raw")} AS roles, ${listNorm("p_raw")} AS principals,
+           |    ${listNorm("g_raw")} AS groups
+           |  FROM d),
+           |dec AS (
+           |  SELECT doc_id, CASE
+           |    WHEN tenant IS NULL OR vis IS NULL OR vis NOT IN ('public', 'restricted')
+           |         OR NOT lists_ok THEN 'missing_metadata'
+           |    WHEN tenant != 'tenant-a' THEN 'cross_tenant'
+           |    WHEN vis = 'public' THEN 'allow'
+           |    WHEN list_contains(principals, 'user-123')
+           |         OR list_has_any(roles, ['viewer', 'analyst'])
+           |         OR list_has_any(groups, ['eng']) THEN 'allow'
+           |    ELSE 'restricted' END AS acl_decision
+           |  FROM n),
+           |rk AS (
+           |  SELECT doc_id,
+           |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS acl_rank
+           |  FROM dec WHERE acl_decision = 'allow'),
+           |st AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN acl_decision = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           |    CAST(SUM(CASE WHEN acl_decision != 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_denied,
+           |    CAST(SUM(CASE WHEN acl_decision = 'cross_tenant' THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_tenant,
+           |    CAST(SUM(CASE WHEN acl_decision = 'missing_metadata' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+           |  FROM dec)
+           |SELECT dec.doc_id, dec.acl_decision,
+           |  dec.acl_decision = 'allow' AS acl_allowed, rk.acl_rank,
+           |  st.n_allowed, st.n_denied, st.n_cross_tenant, st.n_missing
+           |FROM dec LEFT JOIN rk USING (doc_id), st
+           |ORDER BY dec.doc_id""".stripMargin
+      }),
+
     // ---- BM25-engine search through the full facade, hash-gated: the
     // oracle replays the Okapi formula (like text_bm25) PLUS the facade's
     // steps — stemmed tokenization, ×4 over-fetch to top-80 on the

@@ -62,7 +62,8 @@ final class FrameStore(spark: SparkSession, path: String) {
           track: Option[String] = None, kind: Option[String] = None,
           ts: Timestamp = new Timestamp(1700000000000L),
           tags: Seq[String] = Nil, dedup: Boolean = true,
-          enrich: Boolean = true, chunkLargeDocs: Boolean = true): Seq[Long] = {
+          enrich: Boolean = true, chunkLargeDocs: Boolean = true,
+          metadata: Map[String, String] = Map.empty): Seq[Long] = {
     val hashed = texts.map { case (u, t) => (u, t, sha(t)) }
     val fresh: Seq[(String, String)] =
       if (dedup && logExists) {
@@ -81,12 +82,15 @@ final class FrameStore(spark: SparkSession, path: String) {
         if (chunkLargeDocs && text.length > 1200) graft.ingest.Structure.chunk(text)
         else Seq(graft.ingest.Structure.Chunk(0, text))
       val doc = Frame(docId, seqBase + 1, ts, kind, track, Some(uri), None,
-        text.getBytes("UTF-8"), Some(text), docTags, Nil, Map.empty, dates,
+        text.getBytes("UTF-8"), Some(text), docTags, Nil, metadata, dates,
         "document", None, None, Some(chunks.size), Frame.Active, None, Some(sha(text)))
+      // chunks INHERIT the document's metadata: an ACL policy on the
+      // parent must govern its chunk hits too, or a restricted document
+      // leaks through chunk-level retrieval
       val children = if (chunks.size > 1) chunks.map { c =>
         id += 1
         Frame(id, seqBase + 1, ts, kind, track, Some(s"$uri#${c.index}"), None,
-          Array.empty[Byte], Some(c.text), docTags, Nil, Map.empty, Nil,
+          Array.empty[Byte], Some(c.text), docTags, Nil, metadata, Nil,
           "chunk", Some(docId), Some(c.index), Some(chunks.size),
           Frame.Active, None, None)
       } else Nil
