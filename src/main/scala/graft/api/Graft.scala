@@ -101,8 +101,9 @@ final class Graft(val spark: SparkSession, basePath: String,
     * version asserted that the new one no longer does — getCurrent then
     * serves the new facts, not the superseded frame's. */
   def update(id: Long, newText: String, uri: String,
-             ts: Timestamp = new Timestamp(1700000001000L)): Long = {
-    val newId = frames.update(id, newText, uri, ts)
+             ts: Timestamp = new Timestamp(1700000001000L),
+             metadata: Map[String, String] = Map.empty): Long = {
+    val newId = frames.update(id, newText, uri, ts, metadata)
     val asserted = mintCards(newId, newText, ts)
     retractCards(id, asserted, ts)
     newId

@@ -61,11 +61,14 @@ object EdgeIndex {
     * every per-row decision is BIGINT), but the loop-invariant edge table
     * comes from the bucketed scan instead of a per-session persist. The
     * node set (src column of the symmetric table) is node-sized and
-    * pinned once for the loop.
+    * pinned once for the loop — persist(), not localCheckpoint, so the
+    * release path can drop it (lineage stays recomputable), mirroring
+    * GraphAlgos' cache discipline.
     *
     * @param release as in GraphAlgos.pageRank: eagerly checkpoint the
-    *        final iteration; pass false when the caller consumes the
-    *        result immediately in a sweep-isolated context. */
+    *        final iteration and drop the node pin; pass false when the
+    *        caller consumes the result immediately in a sweep-isolated
+    *        context (Verify/Bench clear per query). */
   def pageRank(spark: SparkSession, tableName: String, iterations: Int,
                scale: Long = 1000000000000L,
                release: Boolean = true): DataFrame = {
@@ -74,9 +77,13 @@ object EdgeIndex {
     // symmetric contract: every node appears as src; dropDuplicates on the
     // bucket key is satisfied by the scan's distribution (no exchange)
     val nodes = ed.select(col("src").as("node"))
-      .dropDuplicates("node").localCheckpoint()
+      .dropDuplicates("node").persist()
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank_fp", lit(0L)).limit(0)
+    if (n == 0) {
+      val empty = nodes.withColumn("rank_fp", lit(0L)).limit(0).localCheckpoint()
+      nodes.unpersist()
+      return empty
+    }
     val init = scale / n
     val teleport = (15L * scale) / (100L * n)
     var ranks = nodes.withColumn("rank_fp", lit(init))
@@ -87,6 +94,7 @@ object EdgeIndex {
           (i == iterations - 1 && release)) ranks = ranks.localCheckpoint()
       i += 1
     }
+    if (release) nodes.unpersist()
     ranks
   }
 }

@@ -100,22 +100,28 @@ final class FrameStore(spark: SparkSession, path: String) {
     frames.filter(_.role == "document").map(_.id)
   }
 
-  /** update = append a superseding version (new id, supersedes old id) */
+  /** update = append a superseding version (new id, supersedes old id).
+    * `metadata` is the NEW version's policy/extra metadata — NOT
+    * inherited from the superseded frame: under the ACL metadata
+    * contract an omitted policy denies by default (the safe direction),
+    * so a caller maintaining restricted content must re-supply it. */
   def update(oldId: Long, newText: String, uri: String,
-             ts: Timestamp = new Timestamp(1700000001000L)): Long =
-    updateMany(Seq((oldId, newText, uri)), ts).head
+             ts: Timestamp = new Timestamp(1700000001000L),
+             metadata: Map[String, String] = Map.empty): Long =
+    updateMany(Seq((oldId, newText, uri)), ts, metadata).head
 
   /** batch supersede: N updates in ONE log append (one commit). The
     * per-call form costs one parquet write job per update; a curation
     * pass rewriting thousands of documents wants them as one commit —
     * same appended rows, same latest-active result, one write. */
   def updateMany(updates: Seq[(Long, String, String)], // (oldId, text, uri)
-                 ts: Timestamp = new Timestamp(1700000001000L)): Seq[Long] = {
+                 ts: Timestamp = new Timestamp(1700000001000L),
+                 metadata: Map[String, String] = Map.empty): Seq[Long] = {
     if (updates.isEmpty) return Nil
     val (idBase, seqBase) = nextIds(updates.size)
     val frames = updates.zipWithIndex.map { case ((oldId, newText, uri), i) =>
       Frame(idBase + i + 1, seqBase + 1, ts, None, None, Some(uri), None,
-        newText.getBytes("UTF-8"), Some(newText), Nil, Nil, Map.empty,
+        newText.getBytes("UTF-8"), Some(newText), Nil, Nil, metadata,
         graft.ingest.Enrich.contentDates(newText), "document", None, None,
         None, Frame.Active, Some(oldId), Some(sha(newText)))
     }

@@ -122,6 +122,18 @@ class AclMetadataSpec extends SparkSpec {
     assert(g.ask("cabin blueprints",
         acl = Some(Acl.MetadataCheck(analyst, Acl.Enforce)))
       .citations.exists(_.id == secretId))
+    // update: the superseding version's metadata is NOT inherited — an
+    // omitted policy denies by default (safe direction); re-supplying it
+    // maintains access
+    val openId = g.search("solar").select("id").head.getLong(0)
+    val v2 = g.update(openId, "solar cabin heating notes v2", "mv2://open/1")
+    assert(g.search("cabin",
+      acl = Some(Acl.MetadataCheck(nobody, Acl.Enforce))).count() == 0,
+      "an update without metadata must drop to deny-by-default")
+    g.update(v2, "solar cabin heating notes v3", "mv2://open/1",
+      metadata = Map(Acl.TenantKey -> "tenant-a", Acl.VisibilityKey -> "public"))
+    assert(g.search("cabin",
+      acl = Some(Acl.MetadataCheck(nobody, Acl.Enforce))).count() == 1)
     // chunk inheritance: a long restricted doc's CHUNK hits are governed
     val longText = (1 to 80).map(i =>
       s"quantum reactor maintenance step $i with many details").mkString(". ")

@@ -141,18 +141,21 @@ class PlanPropertiesSpec extends SparkSpec {
       val p = pr.queryExecution.executedPlan.toString
       assert(p.contains("Bucketed: true"),
         s"the scatter join must read the bucketed scan:\n$p")
-      val bucketed = graft.ops.Bucketing.shuffleExchangeCount(pr)
-      // counterfactual: the SAME step over a plain parquet copy of the
-      // prepared table pays one extra exchange — the edge-sized one the
-      // bucketed layout eliminates from every round
+      // counterfactual, apples-to-apples: ONE prStep with the SAME
+      // (pinned) node/rank inputs, over the bucketed scan vs a plain
+      // parquet copy — the plain side pays exactly one extra exchange,
+      // the edge-sized one the bucketed layout eliminates every round
       val tmp = java.nio.file.Files.createTempDirectory("edge-plain").toString
       spark.table("edge_plan_spec").write.mode("overwrite").parquet(tmp)
       val edPlain = spark.read.parquet(tmp)
-      val nodes = edPlain.select(col("src").as("node"))
+      val nodes = spark.table("edge_plan_spec").select(col("src").as("node"))
         .dropDuplicates("node").localCheckpoint()
       val ranks = nodes.withColumn("rank_fp", lit(100L))
-      val step = graft.graph.GraphAlgos.prStep(edPlain, nodes, ranks, 1L)
-      val plain = graft.ops.Bucketing.shuffleExchangeCount(step)
+      val stepB = graft.graph.GraphAlgos.prStep(
+        spark.table("edge_plan_spec"), nodes, ranks, 1L)
+      val stepP = graft.graph.GraphAlgos.prStep(edPlain, nodes, ranks, 1L)
+      val bucketed = graft.ops.Bucketing.shuffleExchangeCount(stepB)
+      val plain = graft.ops.Bucketing.shuffleExchangeCount(stepP)
       assert(plain == bucketed + 1,
         s"bucketed scatter must save exactly the edge-sized exchange " +
           s"(bucketed=$bucketed, plain=$plain)")
