@@ -75,6 +75,11 @@ object Acl {
     when(c.isNull || lowered === "", lit(null).cast("string")).otherwise(lowered)
   }
 
+  /** anchored match for "JSON array whose elements are all strings" —
+    * only meaningful on text already known to parse as a JSON array */
+  private val AllStringElementsRe =
+    """^\s*\[\s*(("([^"\\]|\\.)*")(\s*,\s*"([^"\\]|\\.)*")*)?\s*\]\s*$"""
+
   private def normScalarS(s: String): Option[String] = {
     val t = if (s == null) "" else s.trim
     val un = if (t.length >= 2 && t.head == '"' && t.last == '"')
@@ -104,11 +109,20 @@ object Acl {
       from_json(listRaw(key), org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))
     // a missing key is an empty list; a present key must parse as a JSON
-    // string array whose every element normalizes non-empty (acl.rs:
-    // parse_acl_list — any failure is a metadata error, not an empty set)
+    // STRING array whose every element normalizes non-empty (acl.rs:
+    // parse_acl_list = serde from_str::<Vec<String>> — any failure is a
+    // metadata error, not an empty set). from_json alone is too lenient:
+    // it coerces [1,2] to ["1","2"] and objects to their JSON text, which
+    // the reference rejects — a fail-open divergence. For a VALID JSON
+    // array (listArr non-null guarantees that), "every element is a
+    // string" is a regular property of the raw text: each element is a
+    // quoted token whose interior is (non-quote-non-backslash | escape)*,
+    // so the rlike below is exact, not a heuristic.
     def listValid(key: String): Column =
       listRaw(key).isNull ||
-        (listArr(key).isNotNull && !exists(listArr(key), e => normScalar(e).isNull))
+        (listArr(key).isNotNull &&
+          listRaw(key).rlike(AllStringElementsRe) &&
+          !exists(listArr(key), e => normScalar(e).isNull))
     def listNorm(key: String): Column =
       when(listRaw(key).isNull, array().cast("array<string>"))
         .otherwise(transform(listArr(key), e => normScalar(e)))

@@ -44,7 +44,11 @@ final class Graft(val spark: SparkSession, basePath: String,
 
   // ---- ingest ----
   /** @param metadata frame policy/extra metadata (e.g. the ACL contract
-    *        keys, src/types/acl.rs:6-19); chunks inherit it */
+    *        keys, src/types/acl.rs:6-19); chunks inherit it.
+    *        Content-hash dedup ignores metadata: re-putting existing
+    *        content returns None and leaves the existing frame's policy
+    *        in force — change a policy via [[update]], never a re-put
+    *        (see [[graft.store.FrameStore.put]]). */
   def put(uri: String, text: String, track: Option[String] = None,
           tags: Seq[String] = Nil,
           ts: Timestamp = new Timestamp(1700000000000L),

@@ -757,6 +757,7 @@ object MiscQueries {
             .otherwise(lit("restricted")),
           lit(Acl.ReadRolesKey),
           when(id % 13 === 0, lit("eng,ops"))
+            .when(id % 31 === 0, lit("[1, 2]")) // valid JSON, non-string elems
             .when(id % 5 < 2, lit("[\"admin\",\"analyst\"]"))
             .otherwise(lit(null).cast("string")),
           lit(Acl.ReadPrincipalsKey),
@@ -794,9 +795,14 @@ object MiscQueries {
         val norm = (x: String) =>
           s"NULLIF(lower(trim(COALESCE(CASE WHEN json_valid(trim($x)) THEN json_extract_string(trim($x), '$$') END, trim($x)))), '')"
         // TRY_CAST guards: DuckDB's AND does not short-circuit, so every
-        // json function must see NULL (not raw invalid text) on bad rows
+        // json function must see NULL (not raw invalid text) on bad rows.
+        // The regexp mirrors Acl.AllStringElementsRe: serde's
+        // Vec<String> rejects non-string elements ([1,2]) that json
+        // casts would coerce — a valid array is all-strings iff the raw
+        // text is a sequence of quoted tokens.
         val listOk = (x: String) =>
-          s"($x IS NULL OR COALESCE(json_type(TRY_CAST($x AS JSON)) = 'ARRAY', FALSE))"
+          s"($x IS NULL OR (COALESCE(json_type(TRY_CAST($x AS JSON)) = 'ARRAY', FALSE)" +
+            s""" AND regexp_matches($x, '^\\s*\\[\\s*(("([^"\\\\]|\\\\.)*")(\\s*,\\s*"([^"\\\\]|\\\\.)*")*)?\\s*\\]\\s*$$')))"""
         val listNorm = (x: String) =>
           s"CASE WHEN $x IS NULL THEN CAST([] AS VARCHAR[]) ELSE list_transform(TRY_CAST(json_extract(TRY_CAST($x AS JSON), '$$') AS VARCHAR[]), e -> ${norm("e")}) END"
         s"""WITH d AS (
@@ -810,6 +816,7 @@ object MiscQueries {
            |         WHEN doc_id % 2 = 0 THEN 'public'
            |         ELSE 'restricted' END AS v_raw,
            |    CASE WHEN doc_id % 13 = 0 THEN 'eng,ops'
+           |         WHEN doc_id % 31 = 0 THEN '[1, 2]'
            |         WHEN doc_id % 5 < 2 THEN '["admin","analyst"]' END AS r_raw,
            |    CASE WHEN doc_id % 7 = 0 THEN '["User-123"]' END AS p_raw,
            |    CASE WHEN doc_id % 11 = 0 THEN '["eng"]' END AS g_raw

@@ -194,6 +194,44 @@ object TextSearch {
       },
       bm25SparkJoinWindowOracle),
 
+    // ---- segment-merge COMPACTION of the persisted index — the third
+    // phase of build→serve→maintain (Tantivy's merge policy,
+    // src/search/tantivy/engine.rs: small segments fold into one;
+    // without it every append leaves delta files per bucket forever).
+    // Fixture: build from 90%, two appends land the two delta residues
+    // as extra per-bucket files, compact rewrites to ONE file per
+    // bucket. Locked observables: the scoring page stays hash-exact vs
+    // the same full-corpus rebuild oracle as search_bm25_append (a
+    // lost/duplicated posting fails the hash), the file count SHRANK,
+    // and the compacted table is bounded by one file per bucket. The
+    // zero-data-sized-exchange scoring plan is re-locked POST-compaction
+    // in PlanPropertiesSpec. ----
+    "search_bm25_compact" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        graft.search.Bm25Index.write(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", "bm25_compact_gate", stemmed = false)
+        graft.search.Bm25Index.append(
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", "bm25_compact_gate", stemmed = false)
+        graft.search.Bm25Index.append(
+          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0),
+          "doc_id", "text", "bm25_compact_gate", stemmed = false)
+        val before = graft.search.Bm25Index.dataFileCount(s, "bm25_compact_gate")
+        graft.search.Bm25Index.compact(s, "bm25_compact_gate")
+        val after = graft.search.Bm25Index.dataFileCount(s, "bm25_compact_gate")
+        graft.search.Bm25Index.search(s, "bm25_compact_gate",
+            Seq("spark", "join", "window"), topK = 25)
+          .drop("n_terms_matched")
+          .withColumn("files_shrank", lit(before > after))
+          .withColumn("files_after_bounded", lit(after <= 16L))
+          .localCheckpoint() // detach from the warehouse table
+      },
+      s"""SELECT doc_id, score, TRUE AS files_shrank,
+         |  TRUE AS files_after_bounded
+         |FROM ($bm25SparkJoinWindowOracle) q
+         |ORDER BY score DESC, doc_id""".stripMargin),
+
     // ---- quality scoring (training-data pipeline) ----
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1) over synthesized
     // structure: deterministic bullets / ellipses / symbols / numeric runs

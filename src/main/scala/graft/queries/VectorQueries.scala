@@ -350,6 +350,37 @@ object VectorQueries {
       },
       ivfSearchOracle),
 
+    // ---- incremental vector APPEND into the persisted IVF index
+    // (IvfIndex.append; the other half of the upkeep contract —
+    // MV2_SPEC.md index rebuild + src/vec.rs:57-60: new vectors join the
+    // standing index, a full retrain waits for the drift signal): the
+    // index is built from the vec_id % 10 != 0 majority, the delta batch
+    // is assigned against the SAME gen-0 codebook with the SAME float
+    // kernel write() used and lands as new files inside the existing
+    // cluster partitions — |delta| work, no corpus re-scan — and the
+    // nprobe search runs over the merged artifact. The oracle IS the
+    // full-corpus build (identical to vec_ivf_search/vec_ivf_persisted):
+    // a lost delta vector, a kernel drift, or a partition misroute
+    // hash-fails. ----
+    "vec_ivf_append" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_append").toString
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        graft.vector.IvfIndex.write(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", dir, ivfCents(s, d))
+        val idx = graft.vector.IvfIndex.append(s, dir,
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        val out = idx.search("vec_id", "embedding", queryVec(s, d, 5L),
+            k = 15, nprobe = 2)
+          .withColumn("score", round(col("score"), 6))
+          .localCheckpoint() // detach from the temp dir
+        deleteRecursively(new java.io.File(dir))
+        out
+      },
+      ivfSearchOracle),
+
     // ---- drift-triggered RE-TRAIN of the persisted IVF index
     // (IvfIndex.retrain; reference upkeep contract: k-means retraining
     // src/vec_pq.rs:106-150 + MV2_SPEC.md index rebuild — vec_ivf_drift

@@ -54,6 +54,49 @@ object Bm25Index {
       .saveAsTable(tableName)
   }
 
+  /** Segment-merge compaction — the missing third of build→serve→
+    * maintain (the reference's Tantivy merge policy continuously folds
+    * small segments into larger ones, src/search/tantivy/engine.rs;
+    * without it [[append]] accumulates delta files per bucket forever
+    * and scan-open cost creeps). Rewrites the postings into ONE file per
+    * bucket: `repartition(nBuckets, doc_id)` uses the SAME
+    * pmod(murmur3, n) formula as the bucket-id assignment, so each task
+    * holds exactly one bucket and the bucketed write emits exactly one
+    * file for it. The (doc_id, term) re-aggregation makes compaction
+    * idempotent and heals a double-ingested delta's split tf rows; under
+    * the disjoint-doc append contract it is value-neutral — sum over one
+    * row. Scoring after compaction still plans ZERO data-sized exchanges
+    * and is hash-exact vs the full rebuild (`search_bm25_compact`).
+    *
+    * Swap is catalog-level: the compacted table materializes under a
+    * temp name (never reading and replacing the same storage), then
+    * DROP + RENAME. A crash between the two leaves the compacted table
+    * under `<table>__compact` — re-runnable, never a torn index. */
+  def compact(spark: SparkSession, tableName: String,
+              nBuckets: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val merged = spark.table(tableName)
+      .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
+      .repartition(nBuckets, col("doc_id"))
+    val tmpName = tableName + "__compact"
+    graft.ops.Bucketing.writeBucketed(merged, tmpName, nBuckets, Seq("doc_id"))
+    spark.sql(s"DROP TABLE `$tableName`")
+    spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+  }
+
+  /** number of data files currently backing the index table — the
+    * observable compaction shrinks (bounded: one FS listing) */
+  def dataFileCount(spark: SparkSession, tableName: String): Long = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** score a query against a persisted index (see [[BM25.scorePostings]]) */
   def search(spark: SparkSession, tableName: String, queryTerms: Seq[String],
              topK: Int = 10): DataFrame =

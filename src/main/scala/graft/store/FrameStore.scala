@@ -57,7 +57,17 @@ final class FrameStore(spark: SparkSession, path: String) {
       Seq("sourceSha256"), "left_anti")
 
   /** ingest texts; content-hash dedup skips payloads already in the log
-    * (reference BLAKE3 dedup short-circuit, mutation.rs:3300-3316). */
+    * (reference BLAKE3 dedup short-circuit, mutation.rs:3300-3316).
+    *
+    * Dedup identity is the CONTENT hash only — `metadata` (and tags/
+    * track/kind) play no part, exactly like the reference, whose
+    * short-circuit fires before metadata is examined. Consequence: a
+    * re-put of existing content with a new or changed ACL policy is a
+    * no-op and the OLD policy stays in force (no error is raised; the
+    * returned ids omit the skipped texts). Policy changes must go
+    * through [[update]], which supersedes the old version and applies
+    * the new metadata; alternatively pass `dedup = false` to force a
+    * new version. */
   def put(texts: Seq[(String, String)], // (uri, text)
           track: Option[String] = None, kind: Option[String] = None,
           ts: Timestamp = new Timestamp(1700000000000L),

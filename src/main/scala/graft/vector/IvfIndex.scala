@@ -1,5 +1,6 @@
 package graft.vector
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,7 +19,8 @@ import org.apache.spark.sql.types.DecimalType
   * container and reopens it per process (MV2_SPEC.md §indexes); the
   * Spark-native equivalent is a directory layout, not bytes in a file.
   * Index REBUILD on drift is the reference's upkeep contract (k-means
-  * retraining, src/vec_pq.rs:106-150) — [[retrain]] below.
+  * retraining, src/vec_pq.rs:106-150) — [[retrain]] below; incremental
+  * vector ingest against the standing codebook is [[append]].
   *
   * Codebook precision: stored as ARRAY<DOUBLE> in all generations. A
   * gen-0 codebook written from float vectors upcasts exactly (and the
@@ -27,32 +29,136 @@ import org.apache.spark.sql.types.DecimalType
   * generation's centroids are true doubles (the Lloyd-update convention
   * of [[VectorSearch.kmeansLloyd]] — exact-DECIMAL means rounded to 6dp).
   *
-  * Layout: `<path>/centroids` (cid, centroid DOUBLE[]), `<path>/assigned`
-  * (…, cluster=N/ partitions).
+  * Crash-safe layout (generation pointer, the WAL-less analogue of the
+  * reference's header→TOC pointer swap, src/memvid/doctor.rs header
+  * healing): each generation is a SELF-CONTAINED directory
+  * `<path>/gen-N/{assigned,centroids,meta,_GRAFT_COMMITTED}` and
+  * `<path>/CURRENT` names the live one. [[retrain]] writes the ENTIRE
+  * new generation (marker last), then swaps the pointer — a crash at any
+  * step leaves either the old or the new generation fully intact:
+  * before the marker, CURRENT still names the old gen; a torn pointer
+  * swap recovers to the highest COMMITTED generation. The superseded gen
+  * dir is deleted after the swap (a crash there leaves garbage, never
+  * corruption). Legacy flat layouts (`<path>/{assigned,centroids}`) are
+  * still readable; the first retrain migrates them.
   */
 object IvfIndex {
 
-  /** Train (or take) centroids, assign, and persist. Returns the loaded
-    * handle so callers search what a later process would open. */
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** resolve the live generation directory: CURRENT pointer first; if it
+    * is missing/torn, the highest committed gen; else the legacy flat
+    * layout rooted at `path` itself. */
+  private def liveGenDir(spark: SparkSession, path: String): String = {
+    val fs = fsOf(spark, path)
+    val cur = new Path(s"$path/CURRENT")
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s"$path/$name"
+    } else {
+      val gens = if (fs.exists(new Path(path)))
+        fs.listStatus(new Path(path)).map(_.getPath.getName)
+          .filter(_.startsWith("gen-"))
+          .filter(g => fs.exists(new Path(s"$path/$g/_GRAFT_COMMITTED")))
+          .map(_.stripPrefix("gen-").toLong)
+      else Array.empty[Long]
+      if (gens.nonEmpty) s"$path/gen-${gens.max}" else path // legacy flat
+    }
+  }
+
+  /** write one full generation dir (assigned + codebook + meta), marker
+    * LAST — only a marker-bearing gen is ever considered committed */
+  private def writeGen(spark: SparkSession, path: String, gen: Long,
+                       assigned: DataFrame,
+                       centroids: Seq[(Int, Array[Double])],
+                       floatKernel: Boolean): String = {
+    import spark.implicits._
+    val genDir = s"$path/gen-$gen"
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$genDir/assigned")
+    centroids.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$genDir/centroids")
+    Seq((gen, floatKernel)).toDF("generation", "float_kernel")
+      .write.mode("overwrite").parquet(s"$genDir/meta")
+    fsOf(spark, path).create(new Path(s"$genDir/_GRAFT_COMMITTED"), true).close()
+    genDir
+  }
+
+  /** point CURRENT at `gen` (tmp-write + rename; the recovery scan in
+    * [[liveGenDir]] covers the delete→rename window) */
+  private def swapCurrent(spark: SparkSession, path: String, gen: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new Path(s"$path/CURRENT.tmp")
+    val cur = new Path(s"$path/CURRENT")
+    val out = fs.create(tmp, true)
+    out.write(s"gen-$gen".getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    fs.rename(tmp, cur)
+  }
+
+  /** Train (or take) centroids, assign, and persist as generation 0.
+    * Returns the loaded handle so callers search what a later process
+    * would open. */
   def write(emb: DataFrame, idCol: String, vecCol: String, path: String,
             centroids: Seq[(Int, Array[Float])]): Handle = {
     val spark = emb.sparkSession
-    import spark.implicits._
-    VectorSearch.assignClusters(emb, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assigned")
-    centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) }
-      .toDF("cid", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    writeGen(spark, path, 0L,
+      VectorSearch.assignClusters(emb, vecCol, centroids),
+      centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
+      floatKernel = true)
+    swapCurrent(spark, path, 0L)
     read(spark, path)
   }
 
   /** Open a persisted index. Centroids collect to the driver (k·dim —
     * the same bounded shape EdgeCache.cachedValue carries). */
   def read(spark: SparkSession, path: String): Handle = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val genDir = liveGenDir(spark, path)
+    val cents = spark.read.parquet(s"$genDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
       .sortBy(_._1)
-    Handle(spark.read.parquet(s"$path/assigned"), cents)
+    val fs = fsOf(spark, path)
+    val (gen, floatKernel) =
+      if (fs.exists(new Path(s"$genDir/meta"))) {
+        val m = spark.read.parquet(s"$genDir/meta").collect().head
+        (m.getLong(0), m.getBoolean(1))
+      } else (0L, true) // legacy flat layout predates retrain/append
+    Handle(spark.read.parquet(s"$genDir/assigned"), cents, path, gen, floatKernel)
+  }
+
+  /** Incremental vector ingest into the persisted index (the other half
+    * of the upkeep contract, MV2_SPEC.md index rebuild + src/vec.rs:57-60:
+    * new vectors join the standing index; a full retrain is reserved for
+    * when drift trips — `vec_ivf_drift` is the signal, [[retrain]] the
+    * response). New vectors are assigned against the CURRENT codebook
+    * with the SAME kernel that built this generation — the float codegen
+    * kernel for a gen-0 (float-origin) codebook, the double fold for a
+    * retrained one — so build(A)+append(B) is bit-identical to a full
+    * build(A∪B) over the same centroids (`vec_ivf_append` gates that
+    * against the full-rebuild oracle). The delta lands as new files
+    * inside the existing cluster=N partition directories: |delta|-sized
+    * work, no corpus re-scan, and partition-level nprobe pruning is
+    * unchanged.
+    *
+    * Contract (same as [[graft.search.Bm25Index.append]]): delta ids are
+    * DISJOINT from what's indexed — re-appending a vector would duplicate
+    * its id in the candidate lists. */
+  def append(spark: SparkSession, path: String,
+             delta: DataFrame, idCol: String, vecCol: String): Handle = {
+    val h = read(spark, path)
+    val assigned =
+      if (h.floatKernel)
+        VectorSearch.assignClusters(delta, vecCol,
+          h.centroids.map { case (cid, c) => (cid, c.map(_.toFloat)) })
+      else VectorSearch.assignClustersD(delta, vecCol, h.centroids)
+    val genDir = liveGenDir(spark, path)
+    assigned.write.mode("append").partitionBy("cluster")
+      .parquet(s"$genDir/assigned")
+    read(spark, path)
   }
 
   /** Drift-triggered re-train of a persisted index, composed from the
@@ -61,13 +167,15 @@ object IvfIndex {
     * persisted assignments (exact-DECIMAL per-dim means rounded to 6dp
     * doubles, the [[VectorSearch.kmeansLloyd]] convention; an empty
     * cluster keeps its centroid), then a full double-precision re-assign
-    * and a rewrite of the cluster-partitioned layout + codebook.
+    * and a rewrite as a NEW GENERATION directory + pointer swap (crash
+    * leaves old or new generation intact — see the object scaladoc; the
+    * re-assignment plan reads the generation it supersedes, which the
+    * gen-dir scheme makes naturally safe: the read and the write never
+    * share a directory).
     *
     * Scale shape: one narrow assignment pass + one (cluster, dim)-keyed
-    * combinable aggregate + a k·dim driver collect; the rewrite goes
-    * through a temp directory and a metadata-only FS rename because the
-    * re-assignment plan READS the directory it replaces (the repairCards
-    * swap idiom) — no corpus-sized driver state anywhere.
+    * combinable aggregate + a k·dim driver collect — no corpus-sized
+    * driver state anywhere.
     *
     * `vec_ivf_retrain` gates populations before/after + centroid shift
     * against a DuckDB replay of the full chain (assign → means →
@@ -76,6 +184,7 @@ object IvfIndex {
   def retrain(spark: SparkSession, path: String,
               idCol: String, vecCol: String): Handle = {
     val h = read(spark, path)
+    val oldGenDir = liveGenDir(spark, path)
     // Lloyd mean update from the persisted assignment (k·dim bounded)
     val means = h.assigned
       .select(col("cluster"), posexplode(col(vecCol)).as(Seq("d", "x")))
@@ -93,24 +202,26 @@ object IvfIndex {
     val newCents = h.centroids.map { case (cid, old) =>
       cid -> means.getOrElse(cid, old)
     }
-    // full re-assign in double (the training-precision kernel), then swap
+    // full re-assign in double (the training-precision kernel), into a
+    // fresh generation dir; then the atomic pointer swap
     val reassigned = VectorSearch.assignClustersD(
       h.assigned.drop("cluster"), vecCol, newCents)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/assigned.__retrain")
-    val live = new org.apache.hadoop.fs.Path(s"$path/assigned")
-    reassigned.write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
-    fs.delete(live, true)
-    fs.rename(tmp, live)
-    import spark.implicits._
-    newCents.toDF("cid", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    val nextGen = h.generation + 1
+    writeGen(spark, path, nextGen, reassigned, newCents, floatKernel = false)
+    swapCurrent(spark, path, nextGen)
+    // superseded generation (or legacy flat dirs) → garbage, not corruption
+    val fs = fsOf(spark, path)
+    if (oldGenDir == path) { // legacy flat layout migrating to gen dirs
+      fs.delete(new Path(s"$path/assigned"), true)
+      fs.delete(new Path(s"$path/centroids"), true)
+    } else fs.delete(new Path(oldGenDir), true)
     read(spark, path)
   }
 
   final case class Handle(assigned: DataFrame,
-                          centroids: Seq[(Int, Array[Double])]) {
+                          centroids: Seq[(Int, Array[Double])],
+                          path: String = "", generation: Long = 0L,
+                          floatKernel: Boolean = true) {
     /** nprobe search over the persisted index; the `cluster IN` filter
       * is a partition-column predicate → the scan reads only the probed
       * cluster directories. Probing runs in double — identical distances

@@ -39,6 +39,22 @@ class AclMetadataSpec extends SparkSpec {
       == "missing_metadata")
   }
 
+  test("list elements must be JSON strings — serde Vec<String>, not a cast coercion") {
+    // parse_acl_list is serde from_str::<Vec<String>> (acl.rs:242-256):
+    // valid JSON whose elements are numbers/objects/arrays/null is a
+    // metadata error even though from_json would coerce it. A frame with
+    // acl_read_roles='[1,2]' must deny, never fail open.
+    for (bad <- Seq("[1, 2]", """[{"r":"eng"}]""", """[["eng"]]""",
+                    """["eng", 7]""", "[true]", "[null]"))
+      assert(decide(restricted + (Acl.ReadRolesKey -> bad), groupCtx)
+        == "missing_metadata", s"raw=$bad")
+    // while escaped/whitespace-laden STRING arrays still parse
+    assert(decide(restricted + (Acl.ReadGroupsKey -> """ [ "ENG" , "a\"b" ] """),
+      groupCtx) == "allow")
+    assert(decide(restricted + (Acl.ReadGroupsKey -> "[]"),
+      groupCtx.copy(subjectId = None, roles = Nil)) == "restricted")
+  }
+
   test("visibility rules: public short-circuits, restricted needs an intersection, tenant precedes") {
     val pub = restricted + (Acl.VisibilityKey -> "public")
     val noLists = Map(Acl.TenantKey -> "tenant-a",

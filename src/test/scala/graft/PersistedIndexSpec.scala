@@ -44,6 +44,106 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_guard")
   }
 
+  test("Bm25Index.compact: one file per bucket, scoring bit-equal, idempotent") {
+    val docs = Seq(
+      (1L, "spark joins shuffle data"),
+      (2L, "window functions rank rows"),
+      (3L, "spark window aggregation"),
+      (4L, "broadcast joins avoid shuffle"),
+      (5L, "spark spark spark everywhere"),
+      (6L, "the quick brown fox")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(docs.filter($"doc_id" <= 3), "doc_id", "text",
+      "bm25_life_cmp", nBuckets = 4)
+    graft.search.Bm25Index.append(docs.filter($"doc_id" === 4 || $"doc_id" === 5),
+      "doc_id", "text", "bm25_life_cmp", nBuckets = 4)
+    graft.search.Bm25Index.append(docs.filter($"doc_id" === 6),
+      "doc_id", "text", "bm25_life_cmp", nBuckets = 4)
+    val pre = graft.search.Bm25Index.search(spark, "bm25_life_cmp",
+      Seq("spark", "window"), topK = 10).collect().toSeq
+    val before = graft.search.Bm25Index.dataFileCount(spark, "bm25_life_cmp")
+    graft.search.Bm25Index.compact(spark, "bm25_life_cmp", nBuckets = 4)
+    val after = graft.search.Bm25Index.dataFileCount(spark, "bm25_life_cmp")
+    assert(after <= 4L && after < before, s"$before -> $after")
+    val post = graft.search.Bm25Index.search(spark, "bm25_life_cmp",
+      Seq("spark", "window"), topK = 10).collect().toSeq
+    assert(post == pre, "compaction must not change a bit of the ranking")
+    // idempotent: compacting a compacted index is a no-op rewrite
+    graft.search.Bm25Index.compact(spark, "bm25_life_cmp", nBuckets = 4)
+    assert(graft.search.Bm25Index.dataFileCount(spark, "bm25_life_cmp") <= 4L)
+    assert(graft.search.Bm25Index.search(spark, "bm25_life_cmp",
+      Seq("spark", "window"), topK = 10).collect().toSeq == pre)
+    spark.sql("DROP TABLE IF EXISTS bm25_life_cmp")
+  }
+
+  test("Bm25Index.compact heals a double-ingested delta's split tf rows") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_heal",
+      nBuckets = 2)
+    // contract violation: the same doc appended twice → split tf rows
+    graft.search.Bm25Index.append(docs.filter($"doc_id" === 1), "doc_id", "text",
+      "bm25_life_heal", nBuckets = 2)
+    assert(spark.table("bm25_life_heal")
+      .filter($"doc_id" === 1 && $"term" === "alpha").count() == 2)
+    graft.search.Bm25Index.compact(spark, "bm25_life_heal", nBuckets = 2)
+    val healed = spark.table("bm25_life_heal")
+      .filter($"doc_id" === 1 && $"term" === "alpha").collect()
+    assert(healed.length == 1 && healed.head.getLong(2) == 4L,
+      "split rows merge to one (tf sums)")
+    spark.sql("DROP TABLE IF EXISTS bm25_life_heal")
+  }
+
+  test("IvfIndex.append: build(A) + append(B) searches exactly like write(A∪B)") {
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf-append-inc").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf-append-full").toString
+    val vecs = (0 until 30).map { i =>
+      val base = if (i < 15) 0f else 5f
+      (i.toLong, Array(base + (i % 15) * 0.3f, base - (i % 7) * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val seeds = Seq(0 -> Array(0f, 0f), 1 -> Array(5f, 0f))
+    graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", dirFull, seeds)
+    graft.vector.IvfIndex.write(vecs.filter($"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", dirInc, seeds)
+    val inc = graft.vector.IvfIndex.append(spark, dirInc,
+      vecs.filter($"vec_id" % 3 === 0), "vec_id", "embedding")
+    val q = Array(4.2f, 0.3f)
+    val full = graft.vector.IvfIndex.read(spark, dirFull)
+      .search("vec_id", "embedding", q, k = 8, nprobe = 1, metric = "l2")
+      .collect().toSeq
+    val merged = inc.search("vec_id", "embedding", q, k = 8, nprobe = 1,
+      metric = "l2").collect().toSeq
+    assert(merged == full, s"append must be bit-equal to the rebuild:\n$merged\n$full")
+    // delta landed inside existing cluster partitions, populations add up
+    assert(inc.assigned.count() == 30L)
+    Seq(dirInc, dirFull).foreach(p => rm(new java.io.File(p)))
+  }
+
+  test("IvfIndex generations: torn pointer recovers, uncommitted gen is ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-gen-spec").toString
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array(if (i < 6) 0f else 4f, i.toFloat / 10))).toDF("vec_id", "embedding")
+    val seeds = Seq(0 -> Array(0f, 0f), 1 -> Array(4f, 0f))
+    graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", dir, seeds)
+    val gen1 = graft.vector.IvfIndex.retrain(spark, dir, "vec_id", "embedding")
+    assert(gen1.generation == 1L && !gen1.floatKernel)
+    assert(!new java.io.File(s"$dir/gen-0").exists,
+      "superseded generation is garbage-collected after the swap")
+    // torn pointer (crash between delete and rename): recovery must find
+    // the highest COMMITTED generation
+    assert(new java.io.File(s"$dir/CURRENT").delete())
+    val recovered = graft.vector.IvfIndex.read(spark, dir)
+    assert(recovered.generation == 1L &&
+      recovered.centroids.map(_._2.toSeq) == gen1.centroids.map(_._2.toSeq))
+    // a crash mid-retrain leaves a marker-less gen dir: never considered
+    assert(new java.io.File(s"$dir/gen-2/assigned").mkdirs())
+    assert(graft.vector.IvfIndex.read(spark, dir).generation == 1L)
+    rm(new java.io.File(dir))
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+
   test("IvfIndex.retrain: codebook becomes the Lloyd update, layout rewrites, populations rebalance") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-retrain-spec").toString
     // two tight blobs with seeds OFF-center: the update must pull each

@@ -124,6 +124,19 @@ class PlanPropertiesSpec extends SparkSpec {
     val p2 = df2.queryExecution.executedPlan.toString
     assert(!p2.contains("Exchange hashpartitioning"),
       s"post-append scoring must stay exchange-free:\n$p2")
+    // compact the multi-file layout back to one file per bucket: the
+    // catalog swap must carry the bucket spec, so scoring is STILL
+    // exchange-free over the compacted table
+    val filesBefore = graft.search.Bm25Index.dataFileCount(spark, "bm25_plan_spec")
+    graft.search.Bm25Index.compact(spark, "bm25_plan_spec")
+    val filesAfter = graft.search.Bm25Index.dataFileCount(spark, "bm25_plan_spec")
+    assert(filesAfter <= 16L && filesAfter < filesBefore,
+      s"compaction must shrink to ≤ one file per bucket ($filesBefore -> $filesAfter)")
+    val df3 = graft.search.Bm25Index.search(spark, "bm25_plan_spec",
+      Seq("spark", "join"), topK = 10)
+    val p3 = df3.queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange hashpartitioning"),
+      s"post-compaction scoring must stay exchange-free:\n$p3")
   }
 
   test("persisted edge table: per-round scatter reads co-located buckets") {
