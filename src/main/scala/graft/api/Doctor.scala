@@ -1,0 +1,197 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Doctor plan/phase orchestration — the reference's repair PLANNER
+  * (src/memvid/doctor.rs:176-360 `Planner::compute`) and executor
+  * (doctor_run / doctor_apply, doctor.rs:140-173) re-expressed over the
+  * parquet frame store. Types mirror src/types/verification.rs:
+  * `DoctorOptions` (selective rebuilds, vacuum, dry_run),
+  * `DoctorPhaseKind` (Probe→…→Vacuum→IndexRebuild→Finalize→Verify) and
+  * per-action `required`/`reasons`/`detail` — minus the phases a
+  * parquet-backed store structurally cannot need: there is no header to
+  * heal and no WAL to replay (the commit log IS the durable log; every
+  * append is already "replayed"), so HeaderHealing/WalReplay never plan,
+  * the way the reference plans them only when its probe finds the
+  * corresponding byte-level damage.
+  *
+  * Probe findings map 1:1 onto [[Graft.doctor]]'s counters plus index
+  * freshness:
+  *  - orphan_chunks (live chunks without a live parent) — the
+  *    SegmentCatalogInconsistent analogue; repaired by tombstoning +
+  *    vacuum, planned in the Vacuum phase (the reference runs vacuum
+  *    BEFORE index rebuild "to avoid orphaning segments" — same order).
+  *  - dangling_cards — TimeIndexMissing/corrupt analogue (cards are the
+  *    derived table); repaired by [[Graft.repairCards]].
+  *  - duplicate_live_uris — a WARNING finding with no auto-repair:
+  *    electing which version to supersede is destructive, the caller
+  *    resolves it through update()/delete() (the reference likewise
+  *    reports without destroying).
+  *  - lex_index_stale — LexIndexMissing analogue over a persisted
+  *    [[graft.search.Bm25Index]] table: live docs absent from the
+  *    postings' doc_id set.
+  *  - vec_index_requested — RebuildVecIndex is option-driven here (the
+  *    persisted IVF artifact carries its own drift signal +
+  *    [[graft.vector.IvfIndex.retrain]]).
+  *  - tombstone_debt — VacuumStats detail (non-live version rows).
+  *
+  * dry_run plans everything and executes NOTHING (verified by the
+  * `store_doctor_plan` gate: counters are bit-identical after a dry
+  * run). The executed plan ends with the reference's Verify phase: a
+  * fresh probe whose counters the report carries.
+  */
+object Doctor {
+
+  /** reference DoctorOptions (verification.rs:9-23); rebuildCards is
+    * rebuild_time_index (cards are this store's derived time-keyed
+    * index), quiet is dropped (nothing here prints) */
+  final case class DoctorOptions(rebuildCards: Boolean = false,
+                                 rebuildLexIndex: Boolean = false,
+                                 rebuildVecIndex: Boolean = false,
+                                 vacuum: Boolean = false,
+                                 dryRun: Boolean = false)
+
+  /** one planned (or executed) row: finding, action, or post counter —
+    * a single schema so plan + report face one oracle */
+  final case class Row(ord: Long, rowType: String, phase: String,
+                       name: String, required: Boolean, reason: String,
+                       detailN: Long, executed: Boolean)
+
+  final case class Report(rows: Seq[Row]) {
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      rows.toDF("ord", "row_type", "phase", "name", "required", "reason",
+        "detail_n", "executed")
+    }
+  }
+
+  /** bounded probe: the doctor counters (six store-wide aggregates) plus
+    * per-index staleness counts — every value is a COUNT, never data */
+  private def probe(g: Graft, lexTable: Option[String]): Map[String, Long] = {
+    val counters = g.doctor
+    val lexStale = lexTable.map { t =>
+      if (!g.spark.catalog.tableExists(t))
+        g.frames.latestActive.filter(col("role") === "document").count()
+      else
+        g.frames.latestActive.filter(col("role") === "document")
+          .select(col("id").as("doc_id"))
+          .join(g.spark.table(t).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+          .count()
+    }
+    counters ++ lexStale.map("lex_index_stale" -> _) +
+      ("tombstone_debt" -> (counters("total_versions") - counters("live_frames")))
+  }
+
+  /** Compute the ordered phase plan from a probe — pure planning, no
+    * mutation (the dry_run contract). Mirrors Planner::compute's
+    * assembly order: findings, Vacuum (before IndexRebuild), rebuilds,
+    * Finalize iff anything planned, Verify always. */
+  def plan(g: Graft, opts: DoctorOptions,
+           lexTable: Option[String] = None,
+           vecPath: Option[String] = None): Report = {
+    val p = probe(g, lexTable)
+    var ord = 0L
+    def row(rowType: String, phase: String, name: String, required: Boolean,
+            reason: String, detailN: Long): Row = {
+      ord += 1
+      Row(ord, rowType, phase, name, required, reason, detailN, executed = false)
+    }
+    val findings = Seq(
+      ("orphan_chunks", "error"), ("dangling_cards", "error"),
+      ("duplicate_live_uris", "warning"), ("lex_index_stale", "error"),
+      ("tombstone_debt", "info")).collect {
+      case (k, sev) if p.getOrElse(k, 0L) > 0 =>
+        row("finding", "probe", k, sev == "error", sev, p(k))
+    }
+    val vacuumActions =
+      (if (p("orphan_chunks") > 0)
+        Seq(row("action", "vacuum", "prune_orphan_chunks", required = true,
+          "orphan_chunks", p("orphan_chunks")))
+      else Nil) ++
+      (if (opts.vacuum)
+        Seq(row("action", "vacuum", "vacuum_compaction", required = true,
+          "requested", p("tombstone_debt")))
+      else Nil)
+    val rebuildActions =
+      (if (p("dangling_cards") > 0 || opts.rebuildCards)
+        Seq(row("action", "index_rebuild", "rebuild_cards",
+          required = p("dangling_cards") > 0 || opts.rebuildCards,
+          if (p("dangling_cards") > 0) "dangling_cards" else "requested",
+          p("dangling_cards")))
+      else Nil) ++
+      (lexTable match {
+        case Some(_) if p.getOrElse("lex_index_stale", 0L) > 0 || opts.rebuildLexIndex =>
+          Seq(row("action", "index_rebuild", "rebuild_lex_index",
+            required = true,
+            if (p.getOrElse("lex_index_stale", 0L) > 0) "lex_index_stale"
+            else "requested",
+            p.getOrElse("lex_index_stale", 0L)))
+        case _ => Nil
+      }) ++
+      (vecPath match {
+        case Some(_) if opts.rebuildVecIndex =>
+          Seq(row("action", "index_rebuild", "rebuild_vec_index",
+            required = true, "requested", 0L))
+        case _ => Nil
+      })
+    val finalize =
+      if (vacuumActions.nonEmpty || rebuildActions.nonEmpty)
+        Seq(row("action", "finalize", "refresh_snapshot", required = true, "", 0L))
+      else Nil
+    val verify = Seq(row("action", "verify", "deep_verify", required = true, "", 0L))
+    Report(findings ++ vacuumActions ++ rebuildActions ++ finalize ++ verify)
+  }
+
+  /** Plan, then execute unless dry_run — doctor_run (doctor.rs:162-173).
+    * Actions run in plan order; the Verify phase re-probes and appends
+    * the post counters as `post_verify` rows, so the report carries the
+    * evidence of repair (or, under dry_run, of UNTOUCHED state). */
+  def run(g: Graft, opts: DoctorOptions,
+          lexTable: Option[String] = None,
+          vecPath: Option[String] = None,
+          lexStemmed: Boolean = false): Report = {
+    val planned = plan(g, opts, lexTable, vecPath)
+    val executed = planned.rows.map { r =>
+      if (r.rowType != "action" || opts.dryRun) r
+      else {
+        r.name match {
+          case "prune_orphan_chunks" =>
+            // orphan ids are corruption residue — bounded by the damage,
+            // not the corpus (the reference's segment catalog repair has
+            // the same shape); collect is of the orphan id set only
+            val ids = g.frames.latestActive.filter(col("role") === "chunk")
+              .join(g.frames.latestActive.filter(col("role") === "document")
+                .select(col("id").as("parentId")), Seq("parentId"), "left_anti")
+              .select("id").collect().map(_.getLong(0)).toSeq.sorted
+            g.frames.deleteMany(ids)
+          case "vacuum_compaction" => g.vacuum()
+          case "rebuild_cards" => g.repairCards(): Unit
+          case "rebuild_lex_index" =>
+            lexTable.foreach { t =>
+              graft.search.Bm25Index.write(
+                g.frames.latestActive.filter(col("role") === "document")
+                  .select(col("id").as("doc_id"),
+                    coalesce(col("text"), lit("")).as("text")),
+                "doc_id", "text", t, stemmed = lexStemmed)
+            }
+          case "rebuild_vec_index" =>
+            vecPath.foreach(p =>
+              graft.vector.IvfIndex.retrain(g.spark, p, "vec_id", "embedding"): Unit)
+          case "refresh_snapshot" => g.releaseSnapshot()
+          case "deep_verify" => () // the re-probe below IS the deep verify
+          case other => throw new IllegalStateException(s"unplanned action $other")
+        }
+        r.copy(executed = true)
+      }
+    }
+    val post = probe(g, lexTable)
+    val base = executed.map(_.ord).max
+    val postRows = post.toSeq.sortBy(_._1).zipWithIndex.map { case ((k, v), i) =>
+      Row(base + i + 1, "post_verify", "verify", k, required = false,
+        if (opts.dryRun) "dry_run" else "repaired", v, executed = !opts.dryRun)
+    }
+    Report(executed ++ postRows)
+  }
+}

@@ -311,6 +311,20 @@ final class Graft(val spark: SparkSession, basePath: String,
       "duplicate_live_uris" -> dupLiveUris)
   }
 
+  /** ordered repair plan WITHOUT executing (reference doctor_plan,
+    * doctor.rs:76-88 + DoctorOptions.dry_run) — see [[Doctor]] */
+  def doctorPlan(opts: Doctor.DoctorOptions = Doctor.DoctorOptions(),
+                 lexTable: Option[String] = None,
+                 vecPath: Option[String] = None): Doctor.Report =
+    Doctor.plan(this, opts, lexTable, vecPath)
+
+  /** plan + execute + verify (reference doctor_run, doctor.rs:162-173);
+    * dry_run plans and probes but mutates nothing */
+  def doctorRun(opts: Doctor.DoctorOptions = Doctor.DoctorOptions(),
+                lexTable: Option[String] = None,
+                vecPath: Option[String] = None): Doctor.Report =
+    Doctor.run(this, opts, lexTable, vecPath)
+
   /** rebuild the memory-cards table from the LIVE frames — the doctor's
     * index-rebuild analogue: derived state recomputes from the log, so
     * cards for deleted/superseded frames disappear. One distributed pass

@@ -940,6 +940,83 @@ object AnalyticsQueries {
          |      FROM documents WHERE doc_id < 32) z
          |ORDER BY doc_id""".stripMargin),
 
+    // ---- streaming maintenance of the PERSISTED BM25 index (the
+    // reference updates Tantivy WITHIN the frame commit —
+    // src/memvid/search/builders.rs:12-44 — so the durable index tracks
+    // ingest; Spark-native form: foreachBatch → Bm25Index.append per
+    // micro-batch, idempotent via the index's own doc_id set as the
+    // enrichment manifest): 40 real text files drain in 8-file
+    // micro-batches (multi_batch locks that >= 3 batches really ran —
+    // a one-batch drain would prove nothing), each batch appends its
+    // postings into the bucketed table, and the final scoring page must
+    // hash-equal the full-corpus batch rebuild replayed by the oracle.
+    // A dropped batch, a double-appended replay, or a bucket-spec drift
+    // all fail the hash. ----
+    "stream_bm25_append" -> QueryDef.sql(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-st-bm25")
+        val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+        Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[\\n\\r]+", " ").as("line"))
+          .collect() // bounded: ≤ 40 rows, the stream-gate fixture budget
+          .foreach { r =>
+            java.nio.file.Files.writeString(
+              in.resolve(s"doc_${r.getLong(0)}.txt"), r.getString(1))
+          }
+        // a previous aborted run (bench re-runs share the warehouse) may
+        // have left the table or its location — same hygiene as
+        // Bucketing.writeBucketed
+        s.sql("DROP TABLE IF EXISTS stream_bm25_gate")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/stream_bm25_gate")
+        val lfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (lfs.exists(loc)) lfs.delete(loc, true)
+        val ck = tmp.resolve("ck").toString
+        val q = graft.streaming.StreamingIngest.runBm25IndexStream(
+          s, in.toString, "stream_bm25_gate", ck,
+          b => b.select(regexp_extract(col("uri"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"), col("text")))
+        q.awaitTermination()
+        val nBatches = Option(new java.io.File(s"$ck/offsets").list())
+          .map(_.count(f => !f.endsWith(".tmp") && !f.startsWith("."))).getOrElse(0)
+        val out = graft.search.Bm25Index.search(s, "stream_bm25_gate",
+            Seq("spark", "join", "window"), topK = 10)
+          .drop("n_terms_matched")
+          .withColumn("multi_batch", lit(nBatches >= 3))
+          .localCheckpoint() // detach from the warehouse table + temp dirs
+        s.sql("DROP TABLE IF EXISTS stream_bm25_gate")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(tmp.toFile)
+        out
+      },
+      s"""WITH toks AS (SELECT doc_id, unnest(${DedupQueries.duckToks}) AS term
+         |              FROM documents WHERE doc_id < 40),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS c
+         |  FROM tf JOIN df ON tf.term = df.term
+         |          JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |agg AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN term = 'spark' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'join' THEN c END), 0)
+         |    + COALESCE(SUM(CASE WHEN term = 'window' THEN c END), 0) AS score
+         |  FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, ROUND(score, 6) AS score, TRUE AS multi_batch
+         |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
     // ---- first-order Markov transition matrix over per-user event
     // sequences: adjacent (event, next-event) pairs in timestamp order
     // (event_id tiebreak — a total order, so any engine sequences

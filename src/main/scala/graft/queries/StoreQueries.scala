@@ -162,6 +162,109 @@ object StoreQueries {
         |  ('total_versions', 16)) t(metric, value)
         |ORDER BY metric""".stripMargin),
 
+    // ---- doctor plan/phase ORCHESTRATION (reference planner + executor:
+    // src/memvid/doctor.rs:176-360 Planner::compute, 140-173
+    // doctor_run; types src/types/verification.rs:9-56 — DoctorOptions
+    // with dry_run, DoctorPhaseKind Probe→Vacuum→IndexRebuild→Finalize→
+    // Verify in the reference's vacuum-before-rebuild order): the
+    // store_doctor_report corruption fixture (orphan chunks, duplicate
+    // live uris, a planted dangling card) PLUS a persisted BM25 index
+    // made stale by two late puts. Locked observables: the DRY run plans
+    // every repair with the right phase/required/reason/detail and
+    // executes NOTHING (its verify re-probe equals the original
+    // counters bit-for-bit), the APPLY run executes the same plan and
+    // its re-probe shows every repair landed — while the duplicate-uri
+    // WARNING survives untouched (electing a version is destructive;
+    // doctor reports, never destroys). Every row is fixture-implied. ----
+    "store_doctor_plan" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 10)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://doc/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_doctor_plan_gate").toString
+        val g = new graft.api.Graft(s, dir)
+        g.frames.put(docs)
+        val para = "spark merge row scan value table. " * 24
+        val bigId = g.put("mv2://doc/big", para + "\n\n" + para).get
+        g.delete(bigId) // parent gone, chunks remain live → orphaned
+        g.put("mv2://dup/1", "alpha beta gamma one")
+        g.put("mv2://dup/1", "alpha beta gamma two")
+        Seq((424242L << 20, "ghost", "slot", "v", "fact", "sets",
+             new java.sql.Timestamp(1700000003000L), 424242L))
+          .toDF("cardId", "entity", "slot", "value", "kind", "relation",
+            "ts", "sourceFrameId")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$dir/cards")
+        // persisted lex index over the CURRENT live docs …
+        graft.search.Bm25Index.write(
+          g.frames.latestActive.filter(col("role") === "document")
+            .select(col("id").as("doc_id"), col("text")),
+          "doc_id", "text", "doctor_lex_gate", stemmed = false)
+        // … which two late puts leave stale (LexIndexMissing analogue)
+        g.put("mv2://late/1", "late doc about spark windows")
+        g.put("mv2://late/2", "late doc about merge joins")
+        val opts = graft.api.Doctor.DoctorOptions(vacuum = true)
+        val dry = g.doctorRun(opts.copy(dryRun = true),
+          lexTable = Some("doctor_lex_gate"))
+        val app = g.doctorRun(opts, lexTable = Some("doctor_lex_gate"))
+        val out = dry.toDF(s).withColumn("run", lit("dry"))
+          .unionByName(app.toDF(s).withColumn("run", lit("apply")))
+          .orderBy(col("run"), col("ord"))
+          .localCheckpoint() // detach from the temp store + warehouse table
+        s.sql("DROP TABLE IF EXISTS doctor_lex_gate")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+        out
+      },
+      """SELECT CAST(ord AS BIGINT) AS ord, row_type, phase, name, required,
+        |  reason, CAST(detail_n AS BIGINT) AS detail_n, executed, run
+        |FROM (VALUES
+        |  (1,'finding','probe','orphan_chunks',TRUE,'error',2,FALSE,'dry'),
+        |  (2,'finding','probe','dangling_cards',TRUE,'error',1,FALSE,'dry'),
+        |  (3,'finding','probe','duplicate_live_uris',FALSE,'warning',1,FALSE,'dry'),
+        |  (4,'finding','probe','lex_index_stale',TRUE,'error',2,FALSE,'dry'),
+        |  (5,'finding','probe','tombstone_debt',FALSE,'info',2,FALSE,'dry'),
+        |  (6,'action','vacuum','prune_orphan_chunks',TRUE,'orphan_chunks',2,FALSE,'dry'),
+        |  (7,'action','vacuum','vacuum_compaction',TRUE,'requested',2,FALSE,'dry'),
+        |  (8,'action','index_rebuild','rebuild_cards',TRUE,'dangling_cards',1,FALSE,'dry'),
+        |  (9,'action','index_rebuild','rebuild_lex_index',TRUE,'lex_index_stale',2,FALSE,'dry'),
+        |  (10,'action','finalize','refresh_snapshot',TRUE,'',0,FALSE,'dry'),
+        |  (11,'action','verify','deep_verify',TRUE,'',0,FALSE,'dry'),
+        |  (12,'post_verify','verify','dangling_cards',FALSE,'dry_run',1,FALSE,'dry'),
+        |  (13,'post_verify','verify','duplicate_live_uris',FALSE,'dry_run',1,FALSE,'dry'),
+        |  (14,'post_verify','verify','lex_index_stale',FALSE,'dry_run',2,FALSE,'dry'),
+        |  (15,'post_verify','verify','live_frames',FALSE,'dry_run',16,FALSE,'dry'),
+        |  (16,'post_verify','verify','orphan_chunks',FALSE,'dry_run',2,FALSE,'dry'),
+        |  (17,'post_verify','verify','tombstone_debt',FALSE,'dry_run',2,FALSE,'dry'),
+        |  (18,'post_verify','verify','tombstoned',FALSE,'dry_run',1,FALSE,'dry'),
+        |  (19,'post_verify','verify','total_versions',FALSE,'dry_run',18,FALSE,'dry'),
+        |  (1,'finding','probe','orphan_chunks',TRUE,'error',2,FALSE,'apply'),
+        |  (2,'finding','probe','dangling_cards',TRUE,'error',1,FALSE,'apply'),
+        |  (3,'finding','probe','duplicate_live_uris',FALSE,'warning',1,FALSE,'apply'),
+        |  (4,'finding','probe','lex_index_stale',TRUE,'error',2,FALSE,'apply'),
+        |  (5,'finding','probe','tombstone_debt',FALSE,'info',2,FALSE,'apply'),
+        |  (6,'action','vacuum','prune_orphan_chunks',TRUE,'orphan_chunks',2,TRUE,'apply'),
+        |  (7,'action','vacuum','vacuum_compaction',TRUE,'requested',2,TRUE,'apply'),
+        |  (8,'action','index_rebuild','rebuild_cards',TRUE,'dangling_cards',1,TRUE,'apply'),
+        |  (9,'action','index_rebuild','rebuild_lex_index',TRUE,'lex_index_stale',2,TRUE,'apply'),
+        |  (10,'action','finalize','refresh_snapshot',TRUE,'',0,TRUE,'apply'),
+        |  (11,'action','verify','deep_verify',TRUE,'',0,TRUE,'apply'),
+        |  (12,'post_verify','verify','dangling_cards',FALSE,'repaired',0,TRUE,'apply'),
+        |  (13,'post_verify','verify','duplicate_live_uris',FALSE,'repaired',1,TRUE,'apply'),
+        |  (14,'post_verify','verify','lex_index_stale',FALSE,'repaired',0,TRUE,'apply'),
+        |  (15,'post_verify','verify','live_frames',FALSE,'repaired',14,TRUE,'apply'),
+        |  (16,'post_verify','verify','orphan_chunks',FALSE,'repaired',0,TRUE,'apply'),
+        |  (17,'post_verify','verify','tombstone_debt',FALSE,'repaired',0,TRUE,'apply'),
+        |  (18,'post_verify','verify','tombstoned',FALSE,'repaired',0,TRUE,'apply'),
+        |  (19,'post_verify','verify','total_versions',FALSE,'repaired',14,TRUE,'apply'))
+        | t(ord, row_type, phase, name, required, reason, detail_n, executed, run)
+        |ORDER BY run, ord""".stripMargin),
+
     // ---- snapshot pin lifecycle (the read-optimized latest-active copy,
     // lifecycle.rs open-for-read analogue): snapshotCurrent() pins the
     // view to a parquet copy (count taken through the pin proves it

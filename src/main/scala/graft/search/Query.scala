@@ -22,12 +22,13 @@ object QExpr {
   final case class DateRange(from: String, to: String) extends QExpr
 
   /** positive bare words in the tree (for scoring/snippets); negated
-    * subtrees contribute nothing to relevance */
+    * subtrees contribute nothing to relevance; the empty word (a
+    * punctuation-only token, parser.rs from_word) carries no signal */
   def words(e: QExpr): Seq[String] = e match {
     case And(l, r) => words(l) ++ words(r)
     case Or(l, r)  => words(l) ++ words(r)
     case Not(_)    => Seq.empty
-    case Word(w)   => Seq(w)
+    case Word(w)   => if (w.isEmpty) Seq.empty else Seq(w)
     case Phrase(p) => p.split("\\s+").toSeq
     case _         => Seq.empty
   }
@@ -110,6 +111,29 @@ object QueryParser {
     out.toList
   }
 
+  /** reference TextTerm::from_word (parser.rs:400-421): trailing '?' is
+    * punctuation, not a wildcard ("machine?" is a question, "mach?ne" a
+    * pattern); leading/trailing non-alphanumeric (except * and ?) trims
+    * away ("test-word" keeps its interior dash); a REMAINING * or ? makes
+    * a wildcard; a token with no alphanumeric content ("-", "---") is the
+    * EMPTY word — it produces no index token, so it constrains nothing
+    * (compiled as neutral-true; the fallback evaluator's contains("")
+    * does the same, src/memvid/search/mod.rs:42-47). */
+  private def fromWord(raw: String): QExpr = {
+    def keep(c: Char) = c.isLetterOrDigit || c == '*' || c == '?'
+    val lower = raw.toLowerCase
+    val trimmed = lower.reverse.dropWhile(_ == '?').reverse
+    val cleaned = trimmed.dropWhile(!keep(_)).reverse.dropWhile(!keep(_)).reverse
+    if (cleaned.exists(c => c == '*' || c == '?')) Wildcard(cleaned)
+    else if (!cleaned.exists(_.isLetterOrDigit)) Word("")
+    else Word(cleaned)
+  }
+
+  /** reference FieldTerm::from_pair (parser.rs:425-438): strip wrapping
+    * quotes, lowercase */
+  private def normFieldValue(v: String): String =
+    v.dropWhile(_ == '"').reverse.dropWhile(_ == '"').reverse.toLowerCase
+
   def parse(q: String): QExpr = {
     var toks = lex(q)
     def peek: Option[Tok] = toks.headOption
@@ -143,15 +167,14 @@ object QueryParser {
         if (!peek.contains(RP)) throw QueryParseException("expected )")
         next(); e
       case TPhrase(s) =>
-        if (s.trim.split("\\s+").length > 1) Phrase(s.trim) else Word(s.trim)
-      case TWord(w) =>
-        if (w.exists(ch => ch == '*' || ch == '?')) Wildcard(w) else Word(w)
-      case TField("uri", v)   => UriField(v)
-      case TField("scope", v) => ScopeField(v)
-      case TField("track", v) => TrackField(v)
-      case TField("kind", v)  => KindField(v)
-      case TField("tag", v)   => TagField(v)
-      case TField("label", v) => LabelField(v)
+        if (s.trim.split("\\s+").length > 1) Phrase(s.trim) else fromWord(s.trim)
+      case TWord(w)           => fromWord(w)
+      case TField("uri", v)   => UriField(normFieldValue(v))
+      case TField("scope", v) => ScopeField(normFieldValue(v))
+      case TField("track", v) => TrackField(normFieldValue(v))
+      case TField("kind", v)  => KindField(normFieldValue(v))
+      case TField("tag", v)   => TagField(normFieldValue(v))
+      case TField("label", v) => LabelField(normFieldValue(v))
       case TDate(a, b)        => DateRange(a, b)
       case t => throw QueryParseException(s"unexpected token $t")
     }

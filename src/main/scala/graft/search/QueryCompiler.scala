@@ -49,6 +49,10 @@ object QueryCompiler {
     case And(l, r) => compile(l, f) && compile(r, f)
     case Or(l, r)  => compile(l, f) || compile(r, f)
     case Not(x)    => !coalesce(compile(x, f), lit(false))
+    // the empty word (punctuation-only token, parser.rs from_word) has no
+    // index token to constrain on — neutral-true, like the fallback
+    // evaluator's contains("") (src/memvid/search/mod.rs:42-47)
+    case Word("") => lit(true)
     // a bare word matches content tokens, or exact tag/label/track — the
     // tantivy field-OR expansion (query.rs:172-217)
     case Word(w) =>

@@ -233,6 +233,61 @@ object StreamingIngest {
     out
   }
 
+  /** Streaming maintenance of the PERSISTED lexical index — the
+    * reference's instant index updates Tantivy WITHIN the frame commit
+    * (src/memvid/search/builders.rs:12-44: new frames join the index as
+    * they land, a merge is bookkeeping); here every micro-batch's docs
+    * are tokenized and appended into the bucketed
+    * [[graft.search.Bm25Index]] postings table via foreachBatch, so the
+    * durable index tracks the stream batch-by-batch with |batch|-sized
+    * work — no rebuild, no corpus re-scan, and scoring stays
+    * exchange-free after any number of batches.
+    *
+    * Idempotence is the enrichment-manifest pattern ([[enrichIncrement]]
+    * / EnrichmentManifest::needs_enrichment): each batch anti-joins its
+    * doc ids against the index's own doc_id set before appending, so a
+    * replayed micro-batch (foreachBatch is at-least-once on restart)
+    * re-appends NOTHING — and the guard is cheap at any scale because a
+    * doc_id-distinct over a doc_id-bucketed table plans without a
+    * data-sized exchange. Delta-file accumulation across many batches is
+    * [[graft.search.Bm25Index.compact]]'s job.
+    *
+    * @param toDocs maps the raw file-stream batch (uri, text) to
+    *               (doc_id, text) rows — id minting is the caller's
+    *               contract, same as [[graft.search.Bm25Index.write]] */
+  def runBm25IndexStream(spark: SparkSession, inputDir: String,
+                         tableName: String, checkpointDir: String,
+                         toDocs: DataFrame => DataFrame,
+                         stemmed: Boolean = false, nBuckets: Int = 16,
+                         maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val raw = spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(inputDir)
+      .withColumn("uri", input_file_name())
+      .withColumn("text", col("value"))
+      .drop("value")
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = toDocs(batch)
+        val fresh =
+          if (spark.catalog.tableExists(tableName))
+            docs.join(spark.table(tableName).select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti")
+          else docs
+        graft.search.Bm25Index.append(fresh, "doc_id", "text", tableName,
+          stemmed, nBuckets)
+        // the append ran under the micro-batch's CLONED session, which
+        // invalidates its own relation cache, not this one's — without
+        // the refresh the outer session (and the next batch's anti-join
+        // guard) keeps serving the stale file listing
+        spark.catalog.refreshTable(tableName)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */
