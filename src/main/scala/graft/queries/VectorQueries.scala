@@ -51,6 +51,25 @@ object VectorQueries {
         .select("vec_id").collect().map(_.getLong(0)).toSeq
     }
 
+  /** sign-bit BQ codes for the whole corpus, pinned — shared by
+    * vec_binary_quant and both vec_ann_dashboard runs (the encode is a
+    * full-corpus 64-dim lambda scan; one process pays it once) */
+  private def bqEncoded(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#bqEncoded", corpusScale = true) {
+      graft.vector.BinaryQuant.encode(Tables.embeddings(s, d), "embedding")
+    }
+
+  /** int8 SQ codes (64-bucket calibration), pinned — shared by
+    * vec_scalar_quant and vec_ann_dashboard */
+  private def sqEncoded(s: org.apache.spark.sql.SparkSession, d: String,
+                        mins: Array[Double], scales: Array[Double])
+      : org.apache.spark.sql.DataFrame =
+    graft.graph.EdgeCache.cached(s, s"$d#sqEncoded64", corpusScale = true) {
+      graft.vector.ScalarQuant.encode(Tables.embeddings(s, d), "embedding",
+        mins, scales)
+    }
+
   /** embeddings with their 0/1/2-centroid cluster assignment, pinned;
     * shared with pipe_cluster_balance */
   private[queries] def sharedAssigned(s: org.apache.spark.sql.SparkSession,
@@ -559,17 +578,19 @@ object VectorQueries {
           ivfAssigned(s, d),
           "vec_id", "embedding", cents, q, k = 15, nprobe = 2)
         val bq = graft.vector.BinaryQuant.search(
-          graft.vector.BinaryQuant.encode(emb, "embedding"),
+          bqEncoded(s, d),
           "vec_id", "embedding", q, k = 15, shortlist = 40)
         val (mins, scales) = graft.graph.EdgeCache.cachedValue(s, s"$d#sqCal64") {
           graft.vector.ScalarQuant.calibrate(emb, "embedding", 64) }
         val sq = graft.vector.ScalarQuant.search(
-          graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
+          sqEncoded(s, d, mins, scales),
           "vec_id", "embedding", q, mins, scales, k = 15, shortlist = 40)
         // SQ8-for-cosine: quantize the NORMALIZED vectors — dot order on
         // the unit sphere IS cosine order, so the same integer shortlist
         // becomes angle-faithful (raw-SQ is a MIPS index; compare rows)
-        val normEmb = graft.vector.ScalarQuant.normalize(emb, "embedding", "embn")
+        val normEmb = graft.graph.EdgeCache.cached(s, s"$d#embNorm", corpusScale = true) {
+          graft.vector.ScalarQuant.normalize(emb, "embedding", "embn")
+        }
         val (minsN, scalesN) = graft.graph.EdgeCache.cachedValue(s, s"$d#sqCalNorm64") {
           graft.vector.ScalarQuant.calibrate(normEmb, "embn", 64) }
         val qn = {
@@ -818,7 +839,7 @@ object VectorQueries {
         val emb = Tables.embeddings(s, d)
         val q = queryVec(s, d, 5L)
         graft.vector.BinaryQuant.search(
-          graft.vector.BinaryQuant.encode(emb, "embedding"),
+          bqEncoded(s, d),
           "vec_id", "embedding", q, k = 15, shortlist = 40)
       },
       {
@@ -889,7 +910,7 @@ object VectorQueries {
           graft.vector.ScalarQuant.calibrate(emb, "embedding", 64) }
         val q = queryVec(s, d, 5L)
         graft.vector.ScalarQuant.search(
-          graft.vector.ScalarQuant.encode(emb, "embedding", mins, scales),
+          sqEncoded(s, d, mins, scales),
           "vec_id", "embedding", q, mins, scales, k = 15, shortlist = 40)
       },
       s"""WITH e AS (SELECT vec_id, $e AS v FROM embeddings),
