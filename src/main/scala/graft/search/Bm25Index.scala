@@ -52,6 +52,13 @@ object Bm25Index {
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .mode("append").format("parquet")
       .saveAsTable(tableName)
+    // saveAsTable(append) invalidates the WRITING session's relation
+    // cache; if this session is a clone (or another session reads the
+    // table), a later spark.table can serve a pre-append file listing —
+    // same scores-from-stale-postings flake the streaming maintenance
+    // path hit (streaming/StreamingIngest.scala). Refresh explicitly so
+    // the merged artifact is what every subsequent read plans over.
+    delta.sparkSession.catalog.refreshTable(tableName)
   }
 
   /** Segment-merge compaction — the missing third of build→serve→
@@ -68,20 +75,39 @@ object Bm25Index {
     * row. Scoring after compaction still plans ZERO data-sized exchanges
     * and is hash-exact vs the full rebuild (`search_bm25_compact`).
     *
-    * Swap is catalog-level: the compacted table materializes under a
-    * temp name (never reading and replacing the same storage), then
-    * DROP + RENAME. A crash between the two leaves the compacted table
-    * under `<table>__compact` — re-runnable, never a torn index. */
+    * Swap is catalog-level and never leaves a gap under the live name:
+    * the compacted table materializes under `<table>__compact` (never
+    * reading and replacing the same storage), then the LIVE table is
+    * renamed aside to `<table>__old`, `__compact` renamed in, and
+    * `__old` dropped last. A crash at any point leaves either the old
+    * index live or the new one; the only residue is a stale `__old` /
+    * `__compact` table, and re-running compact finishes the swap
+    * (recovery branch below) before starting a fresh pass. */
   def compact(spark: SparkSession, tableName: String,
               nBuckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
+    val tmpName = tableName + "__compact"
+    val oldName = tableName + "__old"
+    // recovery: a prior compact crashed after renaming the live table
+    // aside but before renaming the compacted one in — finish the swap
+    if (!spark.catalog.tableExists(tableName) &&
+        spark.catalog.tableExists(tmpName)) {
+      spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+      if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
+      spark.catalog.refreshTable(tableName)
+      return
+    }
+    // residue sweep from a crash before the aside-rename (live intact)
+    if (spark.catalog.tableExists(tmpName)) spark.sql(s"DROP TABLE `$tmpName`")
+    if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
     val merged = spark.table(tableName)
       .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
       .repartition(nBuckets, col("doc_id"))
-    val tmpName = tableName + "__compact"
     graft.ops.Bucketing.writeBucketed(merged, tmpName, nBuckets, Seq("doc_id"))
-    spark.sql(s"DROP TABLE `$tableName`")
+    spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
     spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+    spark.sql(s"DROP TABLE `$oldName`")
+    spark.catalog.refreshTable(tableName)
   }
 
   /** number of data files currently backing the index table — the

@@ -1,5 +1,7 @@
 package graft.search
 
+import java.util.Locale
+
 /** AST for the boolean query language (reference grammar:
   * src/search/parser.rs:8-395 — AND/OR/NOT, parens, quoted phrases,
   * `*`/`?` wildcards, field terms, implicit adjacency = AND at
@@ -69,15 +71,15 @@ object QueryParser {
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         if (end < 0) throw QueryParseException(s"unterminated phrase at $i")
-        out += TPhrase(q.substring(i + 1, end).toLowerCase)
+        out += TPhrase(q.substring(i + 1, end).toLowerCase(Locale.ROOT))
         i = end + 1
       } else {
         val start = i
         while (i < n && isBare(q(i))) i += 1
         var w = q.substring(start, i)
         val colon = w.indexOf(':')
-        if (colon > 0 && fieldNames.contains(w.substring(0, colon).toLowerCase)) {
-          val name = w.substring(0, colon).toLowerCase
+        if (colon > 0 && fieldNames.contains(w.substring(0, colon).toLowerCase(Locale.ROOT))) {
+          val name = w.substring(0, colon).toLowerCase(Locale.ROOT)
           var value = w.substring(colon + 1)
           if (value.startsWith("\"")) { // field:"quoted value"
             val end = q.indexOf('"', start + colon + 2)
@@ -86,7 +88,7 @@ object QueryParser {
             i = end + 1
           }
           out += TField(name, value)
-        } else if (w.toLowerCase.startsWith("date:")) {
+        } else if (w.toLowerCase(Locale.ROOT).startsWith("date:")) {
           // date:[a TO b] — may contain spaces, scan to closing bracket
           val restStart = start + 5
           if (restStart < n && q(restStart) == '[') {
@@ -98,13 +100,13 @@ object QueryParser {
             out += TDate(parts(0).trim, parts(1).trim)
             i = end + 1
           } else throw QueryParseException("date: requires [a TO b]")
-        } else w.toUpperCase match {
+        } else w.toUpperCase(Locale.ROOT) match {
           case "AND" => out += TAnd
           case "OR"  => out += TOr
           case "NOT" => out += TNot
           case _     =>
-            if (w.exists(ch => ch == '*' || ch == '?')) out += TWord(w.toLowerCase)
-            else out += TWord(w.toLowerCase)
+            if (w.exists(ch => ch == '*' || ch == '?')) out += TWord(w.toLowerCase(Locale.ROOT))
+            else out += TWord(w.toLowerCase(Locale.ROOT))
         }
       }
     }
@@ -121,7 +123,7 @@ object QueryParser {
     * does the same, src/memvid/search/mod.rs:42-47). */
   private def fromWord(raw: String): QExpr = {
     def keep(c: Char) = c.isLetterOrDigit || c == '*' || c == '?'
-    val lower = raw.toLowerCase
+    val lower = raw.toLowerCase(Locale.ROOT)
     val trimmed = lower.reverse.dropWhile(_ == '?').reverse
     val cleaned = trimmed.dropWhile(!keep(_)).reverse.dropWhile(!keep(_)).reverse
     if (cleaned.exists(c => c == '*' || c == '?')) Wildcard(cleaned)
@@ -132,7 +134,7 @@ object QueryParser {
   /** reference FieldTerm::from_pair (parser.rs:425-438): strip wrapping
     * quotes, lowercase */
   private def normFieldValue(v: String): String =
-    v.dropWhile(_ == '"').reverse.dropWhile(_ == '"').reverse.toLowerCase
+    v.dropWhile(_ == '"').reverse.dropWhile(_ == '"').reverse.toLowerCase(Locale.ROOT)
 
   def parse(q: String): QExpr = {
     var toks = lex(q)

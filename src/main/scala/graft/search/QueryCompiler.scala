@@ -67,13 +67,18 @@ object QueryCompiler {
       // exists() lambda — lambda HOFs fall out of codegen inside Filter
       // nodes (see TokenizeExpr scaladoc); a plain RLIKE stays compiled
       array_join(F.tokens(f.text), " ").rlike(globToTokenRegex(g))
+    // uri/track/tag/label compare ASCII-case-insensitively (the parser
+    // lowercased the query value, reference FieldTerm::matches uses
+    // eq_ignore_ascii_case, src/search/mod.rs:57-84) — so the COLUMN side
+    // lowers too; scope alone stays case-sensitive starts_with
     case UriField(v) =>
-      if (v.endsWith("*")) f.uri.startsWith(v.dropRight(1)) else f.uri === v
+      if (v.endsWith("*")) lower(f.uri).startsWith(v.dropRight(1))
+      else lower(f.uri) === v
     case ScopeField(p) => f.uri.startsWith(p)
-    case TrackField(v) => f.track === v
-    case KindField(v)  => f.kind === v
-    case TagField(v)   => array_contains(f.tags, v)
-    case LabelField(v) => array_contains(f.labels, v)
+    case TrackField(v) => lower(f.track) === v
+    case KindField(v)  => lower(f.kind) === v
+    case TagField(v)   => exists(f.tags, t => lower(t) === lit(v))
+    case LabelField(v) => exists(f.labels, t => lower(t) === lit(v))
     case DateRange(a, b) =>
       f.timestamp.between(lit(a).cast("timestamp"), lit(b).cast("timestamp"))
   }

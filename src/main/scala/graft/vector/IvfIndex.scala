@@ -114,8 +114,26 @@ object IvfIndex {
     read(spark, path)
   }
 
+  /** COMMITTED delta dirs under a generation, in append order. Each
+    * [[append]] lands as `<genDir>/deltas/d-K/` with its own marker
+    * written LAST — a crash mid-append leaves a marker-less dir that
+    * every reader ignores (and the next append sweeps), so the gen-dir
+    * old-or-new-intact contract extends to incremental ingest. */
+  private def committedDeltas(fs: FileSystem, genDir: String): Seq[String] = {
+    val root = new Path(s"$genDir/deltas")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("d-"))
+      .filter(d => fs.exists(new Path(s"$genDir/deltas/$d/_GRAFT_COMMITTED")))
+      .map(_.stripPrefix("d-").toLong).sorted
+      .map(k => s"$genDir/deltas/d-$k").toSeq
+  }
+
   /** Open a persisted index. Centroids collect to the driver (k·dim —
-    * the same bounded shape EdgeCache.cachedValue carries). */
+    * the same bounded shape EdgeCache.cachedValue carries). The assigned
+    * frame is base ∪ committed deltas; Catalyst pushes the nprobe
+    * `cluster IN` filter through the Union, so partition-level pruning
+    * holds on every leg. */
   def read(spark: SparkSession, path: String): Handle = {
     val genDir = liveGenDir(spark, path)
     val cents = spark.read.parquet(s"$genDir/centroids")
@@ -127,7 +145,11 @@ object IvfIndex {
         val m = spark.read.parquet(s"$genDir/meta").collect().head
         (m.getLong(0), m.getBoolean(1))
       } else (0L, true) // legacy flat layout predates retrain/append
-    Handle(spark.read.parquet(s"$genDir/assigned"), cents, path, gen, floatKernel)
+    val assigned = committedDeltas(fs, genDir)
+      .foldLeft(spark.read.parquet(s"$genDir/assigned")) { (acc, d) =>
+        acc.unionByName(spark.read.parquet(d))
+      }
+    Handle(assigned, cents, path, gen, floatKernel)
   }
 
   /** Incremental vector ingest into the persisted index (the other half
@@ -139,14 +161,21 @@ object IvfIndex {
     * kernel for a gen-0 (float-origin) codebook, the double fold for a
     * retrained one — so build(A)+append(B) is bit-identical to a full
     * build(A∪B) over the same centroids (`vec_ivf_append` gates that
-    * against the full-rebuild oracle). The delta lands as new files
-    * inside the existing cluster=N partition directories: |delta|-sized
-    * work, no corpus re-scan, and partition-level nprobe pruning is
-    * unchanged.
+    * against the full-rebuild oracle). The delta lands as its own
+    * cluster-partitioned dir unioned in at read: |delta|-sized work, no
+    * corpus re-scan, and partition-level nprobe pruning is unchanged
+    * (the `cluster IN` filter pushes through the Union to every leg).
     *
     * Contract (same as [[graft.search.Bm25Index.append]]): delta ids are
     * DISJOINT from what's indexed — re-appending a vector would duplicate
-    * its id in the candidate lists. */
+    * its id in the candidate lists.
+    *
+    * Durability: the delta is its own commit unit. It writes to
+    * `<genDir>/deltas/d-K` (never into the committed base's files), the
+    * `_GRAFT_COMMITTED` marker lands LAST, and [[read]] unions only
+    * marker-bearing deltas — a crash mid-append leaves the index exactly
+    * as it was (torn dir = invisible garbage, swept by the next append),
+    * the same old-or-new-intact contract [[retrain]] has. */
   def append(spark: SparkSession, path: String,
              delta: DataFrame, idCol: String, vecCol: String): Handle = {
     val h = read(spark, path)
@@ -156,8 +185,21 @@ object IvfIndex {
           h.centroids.map { case (cid, c) => (cid, c.map(_.toFloat)) })
       else VectorSearch.assignClustersD(delta, vecCol, h.centroids)
     val genDir = liveGenDir(spark, path)
-    assigned.write.mode("append").partitionBy("cluster")
-      .parquet(s"$genDir/assigned")
+    val fs = fsOf(spark, path)
+    // sweep torn prior appends (marker-less d-* dirs); single-writer
+    // contract makes this safe, and readers never saw them anyway
+    val root = new Path(s"$genDir/deltas")
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("d-") &&
+          !fs.exists(new Path(s"$genDir/deltas/$n/_GRAFT_COMMITTED")))
+        fs.delete(st.getPath, true)
+    }
+    val next = committedDeltas(fs, genDir)
+      .map(_.split("/d-").last.toLong).foldLeft(0L)(math.max) + 1
+    val dDir = s"$genDir/deltas/d-$next"
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(dDir)
+    fs.create(new Path(s"$dDir/_GRAFT_COMMITTED"), true).close()
     read(spark, path)
   }
 

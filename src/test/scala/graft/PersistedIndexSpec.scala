@@ -92,6 +92,35 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_heal")
   }
 
+  test("Bm25Index.compact crash recovery: a swap torn mid-rename finishes on the next run") {
+    val docs = Seq((1L, "spark joins data"), (2L, "spark window rank"),
+      (3L, "quick brown fox")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_crash",
+      nBuckets = 2)
+    val pre = graft.search.Bm25Index.search(spark, "bm25_life_crash",
+      Seq("spark"), topK = 10).collect().toSeq
+    // simulate the crash window: compacted table staged under __compact,
+    // live table already renamed aside — NO table under the live name
+    import org.apache.spark.sql.functions.{col, sum}
+    val merged = spark.table("bm25_life_crash")
+      .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
+      .repartition(2, col("doc_id"))
+    graft.ops.Bucketing.writeBucketed(merged, "bm25_life_crash__compact", 2,
+      Seq("doc_id"))
+    spark.sql("ALTER TABLE `bm25_life_crash` RENAME TO `bm25_life_crash__old`")
+    assert(!spark.catalog.tableExists("bm25_life_crash"))
+    // re-running compact must finish the swap, not fail at spark.table
+    graft.search.Bm25Index.compact(spark, "bm25_life_crash", nBuckets = 2)
+    assert(spark.catalog.tableExists("bm25_life_crash"))
+    assert(!spark.catalog.tableExists("bm25_life_crash__compact") &&
+      !spark.catalog.tableExists("bm25_life_crash__old"),
+      "recovery leaves no residue tables")
+    val post = graft.search.Bm25Index.search(spark, "bm25_life_crash",
+      Seq("spark"), topK = 10).collect().toSeq
+    assert(post == pre, "recovered index must score bit-identically")
+    spark.sql("DROP TABLE IF EXISTS bm25_life_crash")
+  }
+
   test("IvfIndex.append: build(A) + append(B) searches exactly like write(A∪B)") {
     val dirInc = java.nio.file.Files.createTempDirectory("ivf-append-inc").toString
     val dirFull = java.nio.file.Files.createTempDirectory("ivf-append-full").toString
@@ -112,9 +141,51 @@ class PersistedIndexSpec extends SparkSpec {
     val merged = inc.search("vec_id", "embedding", q, k = 8, nprobe = 1,
       metric = "l2").collect().toSeq
     assert(merged == full, s"append must be bit-equal to the rebuild:\n$merged\n$full")
-    // delta landed inside existing cluster partitions, populations add up
+    // delta landed as its own committed dir, populations add up
     assert(inc.assigned.count() == 30L)
+    assert(new java.io.File(s"$dirInc/gen-0/deltas/d-1/_GRAFT_COMMITTED").exists,
+      "append commits through a marker-last delta dir")
     Seq(dirInc, dirFull).foreach(p => rm(new java.io.File(p)))
+  }
+
+  test("IvfIndex.append crash-safety: a torn (marker-less) delta is invisible and swept") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append-torn").toString
+    val vecs = (0 until 20).map { i =>
+      val base = if (i < 10) 0f else 5f
+      (i.toLong, Array(base + (i % 10) * 0.3f, base))
+    }.toDF("vec_id", "embedding")
+    val seeds = Seq(0 -> Array(0f, 0f), 1 -> Array(5f, 0f))
+    graft.vector.IvfIndex.write(vecs.filter($"vec_id" < 10),
+      "vec_id", "embedding", dir, seeds)
+    // simulate a crash mid-append: delta data files present, marker absent
+    val torn = new java.io.File(s"$dir/gen-0/deltas/d-1/cluster=1")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/gen-0/deltas/d-1/cluster=1/part-torn.parquet"),
+      Array[Byte](1, 2, 3)) // never read: readers skip marker-less deltas
+    val beforeRepair = graft.vector.IvfIndex.read(spark, dir)
+    assert(beforeRepair.assigned.count() == 10L,
+      "torn delta must be invisible to readers (old index intact)")
+    // the next append sweeps the torn dir and commits its own delta
+    val healed = graft.vector.IvfIndex.append(spark, dir,
+      vecs.filter($"vec_id" >= 10), "vec_id", "embedding")
+    // the torn dir was swept (its garbage file is gone) and the slot was
+    // reused by a properly COMMITTED delta
+    assert(!new java.io.File(s"$dir/gen-0/deltas/d-1/cluster=1/part-torn.parquet").exists,
+      "torn delta swept by the next append")
+    assert(new java.io.File(s"$dir/gen-0/deltas/d-1/_GRAFT_COMMITTED").exists)
+    assert(healed.assigned.count() == 20L)
+    // and the result is still bit-equal to the full rebuild
+    val dirFull = java.nio.file.Files.createTempDirectory("ivf-append-torn-full").toString
+    graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", dirFull, seeds)
+    val q = Array(4.2f, 4.5f)
+    val a = healed.search("vec_id", "embedding", q, k = 6, nprobe = 1, metric = "l2")
+      .collect().toSeq
+    val b = graft.vector.IvfIndex.read(spark, dirFull)
+      .search("vec_id", "embedding", q, k = 6, nprobe = 1, metric = "l2")
+      .collect().toSeq
+    assert(a == b, s"healed append must match the rebuild:\n$a\n$b")
+    Seq(dir, dirFull).foreach(p => rm(new java.io.File(p)))
   }
 
   test("IvfIndex generations: torn pointer recovers, uncommitted gen is ignored") {
