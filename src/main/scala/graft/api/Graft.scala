@@ -187,7 +187,10 @@ final class Graft(val spark: SparkSession, basePath: String,
   def ask(question: String, topK: Int = 5,
           acl: Option[graft.acl.Acl.Check] = None): Ask.Response = {
     val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols,
-        meta = Some(col("extraMetadata"))),
+        meta = Some(col("extraMetadata")),
+        // relational questions route through the QueryPlanner over the
+        // store's memory cards (reference QueryPlanner + hybrid_search)
+        cards = Some(cards)),
       question, embedder, topK, acl)
     if (recorder.isRecording)
       recorder.recordAsk(question, "local", "graft-extractive", 0L,

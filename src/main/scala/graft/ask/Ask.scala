@@ -22,10 +22,16 @@ object Ask {
   /** @param meta optional binding for the frames' policy/extra metadata
     *        (map&lt;string,string&gt;) — required when asking with an
     *        [[graft.acl.Acl.MetadataCheck]] */
+  /** @param cards optional memory-cards binding (entity, slot, value,
+    *        sourceFrameId) — when present, [[ask]] first routes the
+    *        question through [[graft.graph.QueryPlanner]] and answers
+    *        relational questions from the graph match (reference
+    *        QueryPlanner + hybrid_search, src/graph_search.rs) */
   final case class Corpus(docs: DataFrame, idCol: String, f: FrameCols,
                           embeddings: Option[DataFrame] = None, // (id, vector)
                           correctionUriPrefix: String = "mv2://correction/",
-                          meta: Option[Column] = None)
+                          meta: Option[Column] = None,
+                          cards: Option[DataFrame] = None)
 
   /** @param aclAllowed Some(verdict) when the request carried an ACL
     *        context (Audit mode annotates without blocking — the
@@ -50,6 +56,62 @@ object Ask {
     val docs = corpus.docs
     val id = corpus.idCol
     val f = corpus.f
+
+    // NL relational routing (reference QueryPlanner.plan,
+    // graph_search.rs:94-150): when the corpus carries memory cards and
+    // the question matches a relational EntityPattern, the card-backed
+    // graph match answers directly — citations are the matched source
+    // frames, engine = "graph". An empty graph match falls through to
+    // the retrieval ladder below (the reference's hybrid fallback,
+    // graph_search.rs:382-415, whose first rung is the same lexical
+    // search). ACL'd requests skip the route: the ladder owns the
+    // candidate-pool ACL pass (the reference's hybrid_search carries no
+    // acl context either).
+    if (acl.isEmpty) for (cards <- corpus.cards) {
+      graft.graph.QueryPlanner.plan(question, topK) match {
+        case h: graft.graph.QueryPlanner.Hybrid =>
+          // possessive form ("alice's employer") resolves through the
+          // CURRENT card view — the reference's get_current_memory path
+          // (graph_search.rs:247-258); value-bearing patterns scan all
+          // cards like GraphMatcher's ?entity:slot:"value" arm
+          val isPossessive = h.entity.isDefined && h.valueContains.isEmpty
+          val cardSet =
+            if (isPossessive) graft.memory.MemoryCards.getCurrent(cards)
+            else cards
+          val hits = graft.graph.GraphSearch.graphHits(cardSet, docs, id, f,
+            h.entity, h.slot, h.valueContains, topK)
+          for (df <- hits) {
+            val rows = df.collect() // ≤ topK by construction
+            val citations = rows.zipWithIndex.map { case (r, i) =>
+              val preview = Option(r.getAs[String]("preview")).getOrElse("")
+              Citation(i + 1, r.getAs[Long]("id"), r.getAs[Double]("score"),
+                preview.replaceAll("\\s+", " ").trim.take(160))
+            }.toSeq
+            // card-backed exact answer: the possessive form states the
+            // current slot value; value-bearing patterns list the matched
+            // entities, then cite the source frames
+            val answer =
+              if (isPossessive) {
+                val v = graft.graph.LogicMesh
+                  .matchTriple(cardSet, h.entity, h.slot, None)
+                  .select(col("value")).limit(1).collect()
+                  .headOption.map(_.getString(0)).getOrElse("")
+                s"${h.entity.get}'s ${h.slot.get} is $v. " +
+                  citations.take(1).map(c => s"[${c.index}]").mkString
+              } else {
+                val entities = rows.flatMap(r =>
+                  Option(r.getAs[String]("matched_entity"))).distinct
+                val who = if (entities.nonEmpty) entities.mkString(", ") + ": "
+                          else ""
+                who + citations.take(3)
+                  .map(c => s"${c.snippet} [${c.index}]").mkString(" ")
+              }
+            return Response(answer, citations, "graph", question,
+              classification(question), sources = Seq("graph"))
+          }
+        case _ => () // no relational pattern — ordinary ladder
+      }
+    }
 
     // --- candidate lists (ask.rs:216-297), each collected as a bounded
     // top-k' (≤ effectiveK*2 rows by construction — exactly the reference's

@@ -20,15 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object GraphSearch {
 
-  /** cards must carry (entity, slot, value, sourceFrameId) */
-  def hybridSearch(cards: DataFrame, frames: DataFrame, idCol: String,
-                   f: FrameCols, entity: Option[String], slot: Option[String],
-                   valueContains: Option[String], queryText: String,
-                   topK: Int = 10): DataFrame = {
+  /** The graph-match branch alone: Some(hits) when the triple pattern
+    * matches ≥1 card, None when the graph is dry (the caller picks its
+    * own fallback — [[hybridSearch]] uses plain lexical search like the
+    * reference's hybrid_search; [[graft.ask.Ask.ask]] falls through to
+    * its full retrieval ladder). Cards must carry (entity, slot, value,
+    * sourceFrameId). */
+  def graphHits(cards: DataFrame, frames: DataFrame, idCol: String,
+                f: FrameCols, entity: Option[String], slot: Option[String],
+                valueContains: Option[String], topK: Int = 10): Option[DataFrame] = {
     val matches = LogicMesh.matchTriple(cards, entity, slot, valueContains)
     val candidateIds = matches.select(col("sourceFrameId").as(idCol)).distinct()
     val hasGraphMatches = !candidateIds.limit(1).isEmpty
-    if (hasGraphMatches) {
+    if (!hasGraphMatches) None
+    else {
       // Reference hybrid_search propagates the match confidence into the
       // hit score (graph_search.rs m.confidence) rather than a flat 1.0.
       // Triple patterns here have no stored per-card confidence, so derive
@@ -42,7 +47,7 @@ object GraphSearch {
         .groupBy(col("sourceFrameId").as(idCol))
         .agg(min(col("entity")).as("matched_entity"),
              count(lit(1)).as("__n_matches"))
-      frames.join(candidateIds, Seq(idCol), "left_semi")
+      Some(frames.join(candidateIds, Seq(idCol), "left_semi")
         .join(matched, Seq(idCol), "left")
         .withColumn("graph_score",
           lit(specificity) * (lit(1.0) - lit(1.0) / (lit(1.0) + col("__n_matches"))))
@@ -51,14 +56,21 @@ object GraphSearch {
                 col("matched_entity"),
                 substring(f.text, 1, 200).as("preview"))
         .orderBy(col("score").desc, col("id"))
-        .limit(topK)
-    } else {
-      Search.search(frames, idCol, f, queryText,
-          Search.Options(topK = topK, withSnippets = false))
-        .select(col("id"), col("score"),
-                lit(0.0).as("graph_score"), col("score").as("vector_score"),
-                lit(null).cast("string").as("matched_entity"),
-                lit(null).cast("string").as("preview"))
+        .limit(topK))
     }
   }
+
+  def hybridSearch(cards: DataFrame, frames: DataFrame, idCol: String,
+                   f: FrameCols, entity: Option[String], slot: Option[String],
+                   valueContains: Option[String], queryText: String,
+                   topK: Int = 10): DataFrame =
+    graphHits(cards, frames, idCol, f, entity, slot, valueContains, topK)
+      .getOrElse {
+        Search.search(frames, idCol, f, queryText,
+            Search.Options(topK = topK, withSnippets = false))
+          .select(col("id"), col("score"),
+                  lit(0.0).as("graph_score"), col("score").as("vector_score"),
+                  lit(null).cast("string").as("matched_entity"),
+                  lit(null).cast("string").as("preview"))
+      }
 }

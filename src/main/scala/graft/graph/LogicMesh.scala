@@ -83,14 +83,20 @@ object LogicMesh {
   }
 
   /** triple-pattern match over cards: any of entity/slot/value may be a
-    * concrete term or a variable (None). Value matches by containment,
-    * mirroring GraphMatcher::match_triple (graph_search.rs:218-283). */
+    * concrete term or a variable (None). Value matches by containment.
+    * All three compare case-insensitively, mirroring GraphMatcher::
+    * match_triple (graph_search.rs:218-283: slot/value lowercased) and
+    * the slot index's lowercased keys (types/memories_track.rs:23). */
   def matchTriple(cards: DataFrame, entity: Option[String], slot: Option[String],
                   valueContains: Option[String]): DataFrame = {
+    import java.util.Locale
     var df = cards
-    entity.foreach(e => df = df.filter(col("entity") === e))
-    slot.foreach(s => df = df.filter(col("slot") === s))
-    valueContains.foreach(v => df = df.filter(col("value").contains(v)))
+    entity.foreach(e =>
+      df = df.filter(lower(col("entity")) === e.toLowerCase(Locale.ROOT)))
+    slot.foreach(s =>
+      df = df.filter(lower(col("slot")) === s.toLowerCase(Locale.ROOT)))
+    valueContains.foreach(v =>
+      df = df.filter(lower(col("value")).contains(v.toLowerCase(Locale.ROOT))))
     df
   }
 

@@ -576,6 +576,72 @@ object MiscQueries {
         |       ROUND(s2, 9) AS score
         |FROM top ORDER BY citation_idx""".stripMargin),
 
+    // ---- NL relational QueryPlanner routed through the facade's ask()
+    // (reference QueryPlanner + hybrid_search, src/graph_search.rs:18-186,
+    // 311-440): third-person enrichment rules mint (entity, slot, value)
+    // cards at put; relational questions (all three value-bearing
+    // EntityPattern families + the possessive form) answer from the graph
+    // match — citations are the matching cards' source frames at score
+    // specificity × (1 − 1/(1+n)) — while a dry graph falls through to
+    // the retrieval ladder (here: all lex rungs dry → timeline sampling,
+    // rrf 1/(60+rank)). Frame ids are the facade's 8k+1 put scheme, so
+    // the oracle re-derives every id, score, snippet, and answer string
+    // closed-form. ----
+    "ask_graph_route" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_askroute_gate").toString
+        val g = new graft.api.Graft(s, dir)
+        Seq("Alice lives in Lisbon.",
+            "Bob Stone works at Acme Corp.",
+            "Carol loves sushi.",
+            "General spark notes about shuffle.")
+          .zipWithIndex.foreach { case (t, i) => g.put(s"mv2://route/$i", t) }
+        val scenarios = Seq(
+          "location" -> "who lives in Lisbon",
+          "employer" -> "who works at Acme",
+          "preference" -> "who likes sushi",
+          "possessive" -> "what is carol's favorite",
+          "fallback" -> "fans of zorkmids")
+        val rows = scenarios.flatMap { case (nm, q) =>
+          val r = g.ask(q)
+          r.citations.map(c => (nm, r.engine, r.sources.mkString(","),
+            c.index.toLong, c.id, c.score, c.snippet, r.answer))
+        }
+        val out = rows.toDF("scenario", "engine", "rungs", "citation_idx",
+            "cit_id", "score", "snippet", "answer")
+          .withColumn("score", round(col("score"), 9))
+          .orderBy(col("scenario"), col("citation_idx"))
+          .localCheckpoint() // detach before deleting the store
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH g AS (SELECT ROUND(CAST(2 AS DOUBLE)/3 * (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE)/2), 9) AS s),
+         |r(scenario, engine, rungs, citation_idx, cit_id, score, snippet, answer) AS (
+         |  SELECT 'location', 'graph', 'graph', CAST(1 AS BIGINT), CAST(1 AS BIGINT), s,
+         |         'Alice lives in Lisbon.', 'Alice: Alice lives in Lisbon. [1]' FROM g
+         |  UNION ALL SELECT 'employer', 'graph', 'graph', 1, 9, s,
+         |         'Bob Stone works at Acme Corp.',
+         |         'Bob Stone: Bob Stone works at Acme Corp. [1]' FROM g
+         |  UNION ALL SELECT 'preference', 'graph', 'graph', 1, 17, s,
+         |         'Carol loves sushi.', 'Carol: Carol loves sushi. [1]' FROM g
+         |  UNION ALL SELECT 'possessive', 'graph', 'graph', 1, 17, s,
+         |         'Carol loves sushi.', 'carol''s preference is sushi. [1]' FROM g
+         |  UNION ALL SELECT 'fallback', 'lex', 'timeline', 1, 1, ROUND(CAST(1 AS DOUBLE)/61, 9),
+         |         'Alice lives in Lisbon.',
+         |         'Alice lives in Lisbon. [1] Bob Stone works at Acme Corp. [2] Carol loves sushi. [3]' FROM g
+         |  UNION ALL SELECT 'fallback', 'lex', 'timeline', 2, 9, ROUND(CAST(1 AS DOUBLE)/62, 9),
+         |         'Bob Stone works at Acme Corp.',
+         |         'Alice lives in Lisbon. [1] Bob Stone works at Acme Corp. [2] Carol loves sushi. [3]' FROM g
+         |  UNION ALL SELECT 'fallback', 'lex', 'timeline', 3, 17, ROUND(CAST(1 AS DOUBLE)/63, 9),
+         |         'Carol loves sushi.',
+         |         'Alice lives in Lisbon. [1] Bob Stone works at Acme Corp. [2] Carol loves sushi. [3]' FROM g
+         |  UNION ALL SELECT 'fallback', 'lex', 'timeline', 4, 25, ROUND(CAST(1 AS DOUBLE)/64, 9),
+         |         'General spark notes about shuffle.',
+         |         'Alice lives in Lisbon. [1] Bob Stone works at Acme Corp. [2] Carol loves sushi. [3]' FROM g)
+         |SELECT * FROM r ORDER BY scenario, citation_idx""".stripMargin),
+
     // ---- S7-S9: table extraction + cell model over synthetic markdown ----
     "table_extract_cells" -> QueryDef.sql(
       (s, d) => {

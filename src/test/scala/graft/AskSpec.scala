@@ -37,6 +37,79 @@ class AskSpec extends SparkSpec {
     assert(Classify.properNounFallback("tell me about Berlin please") == Some("berlin"))
   }
 
+  test("QueryPlanner: four EntityPattern families + possessive + vector-only (graph_search.rs:42-186)") {
+    import graft.graph.QueryPlanner
+    QueryPlanner.plan("who lives in San Francisco", 10) match {
+      case QueryPlanner.Hybrid(None, Some("location"), Some(v), _, 10) =>
+        assert(v == "san francisco")
+      case p => fail(s"expected location hybrid: $p")
+    }
+    QueryPlanner.plan("who works at Acme Corp today", 5) match {
+      case QueryPlanner.Hybrid(None, Some("employer"), Some(v), _, _) =>
+        // ≤3 words, stops before more (extract_value)
+        assert(v == "acme corp today")
+      case p => fail(s"expected employer hybrid: $p")
+    }
+    QueryPlanner.plan("who likes sushi and ramen", 5) match {
+      case QueryPlanner.Hybrid(None, Some("preference"), Some(v), _, _) =>
+        assert(v == "sushi", "stop word 'and' ends the value")
+      case p => fail(s"expected preference hybrid: $p")
+    }
+    // possessive: entity + alias-mapped slot, value variable
+    QueryPlanner.plan("what is alice's job", 5) match {
+      case QueryPlanner.Hybrid(Some("alice"), Some("employer"), None, _, _) =>
+      case p => fail(s"expected possessive hybrid: $p")
+    }
+    // entity-state family alone (needs_value = false) never plans a triple
+    assert(QueryPlanner.plan("what is the meaning of life", 5)
+      .isInstanceOf[QueryPlanner.VectorOnly])
+    assert(QueryPlanner.plan("spark shuffle tuning", 5)
+      .isInstanceOf[QueryPlanner.VectorOnly])
+    // trailing '?' trims off the value
+    QueryPlanner.plan("who lives in Lisbon?", 5) match {
+      case QueryPlanner.Hybrid(_, _, Some(v), _, _) => assert(v == "lisbon")
+      case p => fail(s"$p")
+    }
+  }
+
+  private def convoCards = Seq(
+    (1L, "user", "location", "Paris", "fact", "sets", ts("2024-01-01 09:00:00"), 1L),
+    (2L, "user", "location", "Berlin", "fact", "sets", ts("2024-02-10 10:00:00"), 3L),
+    (3L, "Dana", "employer", "Acme Corp", "fact", "sets", ts("2024-01-05 09:00:00"), 5L)
+  ).toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+
+  test("ask: relational question routes through the graph match (engine=graph)") {
+    val resp = Ask.ask(spark, corpus.copy(cards = Some(convoCards)),
+      "who works at Acme", topK = 5)
+    assert(resp.engine == "graph", resp.toString)
+    assert(resp.sources == Seq("graph"))
+    assert(resp.citations.map(_.id) == Seq(5L),
+      "citation is the matching card's source frame")
+    assert(resp.answer.contains("Dana"), resp.answer)
+  }
+
+  test("ask: possessive question answers with the CURRENT card value") {
+    val resp = Ask.ask(spark, corpus.copy(cards = Some(convoCards)),
+      "what is user's city", topK = 5)
+    assert(resp.engine == "graph", resp.toString)
+    // two location cards; getCurrent keeps the newest (Berlin, frame 3)
+    assert(resp.answer.contains("Berlin") && !resp.answer.contains("Paris"),
+      resp.answer)
+    assert(resp.citations.map(_.id) == Seq(3L))
+  }
+
+  test("ask: dry graph match falls through to the retrieval ladder") {
+    val resp = Ask.ask(spark, corpus.copy(cards = Some(convoCards)),
+      "who lives in Atlantis", topK = 5)
+    assert(resp.engine != "graph", resp.toString)
+    assert(resp.sources.nonEmpty && !resp.sources.contains("graph"))
+  }
+
+  test("ask: no cards binding means no routing (behavior unchanged)") {
+    val withCards = Ask.ask(spark, corpus, "who works at Acme", topK = 5)
+    assert(withCards.engine != "graph")
+  }
+
   test("rrf fusion sums reciprocal ranks across lists") {
     val l1 = Seq((10L, 5.0), (20L, 3.0)).toDF("id", "score")
     val l2 = Seq((20L, 9.0), (30L, 1.0)).toDF("id", "score")
