@@ -45,12 +45,26 @@ object Doctor {
 
   /** reference DoctorOptions (verification.rs:9-23); rebuildCards is
     * rebuild_time_index (cards are this store's derived time-keyed
-    * index), quiet is dropped (nothing here prints) */
+    * index), quiet is dropped (nothing here prints).
+    *
+    * The two maintenance budgets are opt-in probe thresholds (the
+    * reference's planner likewise plans from probe findings,
+    * doctor.rs:176-360):
+    *  - bm25FileBudget: when set (and lexTable given), the probe counts
+    *    data files beyond the budget (`bm25_file_debt`) — append debt the
+    *    Tantivy merge policy folds continuously in the reference — and
+    *    plans `compact_lex_index` in the Vacuum phase.
+    *  - vecDriftMeanMax: when set (and vecPath given), the probe counts
+    *    clusters whose mean distortion exceeds it (`vec_index_drift`,
+    *    via [[graft.vector.VectorSearch.ivfDriftStats]]) and plans
+    *    `rebuild_vec_index` with reason "drift". */
   final case class DoctorOptions(rebuildCards: Boolean = false,
                                  rebuildLexIndex: Boolean = false,
                                  rebuildVecIndex: Boolean = false,
                                  vacuum: Boolean = false,
-                                 dryRun: Boolean = false)
+                                 dryRun: Boolean = false,
+                                 bm25FileBudget: Option[Long] = None,
+                                 vecDriftMeanMax: Option[Double] = None)
 
   /** one planned (or executed) row: finding, action, or post counter —
     * a single schema so plan + report face one oracle */
@@ -67,8 +81,13 @@ object Doctor {
   }
 
   /** bounded probe: the doctor counters (six store-wide aggregates) plus
-    * per-index staleness counts — every value is a COUNT, never data */
-  private def probe(g: Graft, lexTable: Option[String]): Map[String, Long] = {
+    * per-index staleness counts — every value is a COUNT, never data.
+    * Opt-in maintenance probes (file debt, drift) appear only when their
+    * threshold is set AND the debt is positive, so always-on reports stay
+    * byte-stable for callers that never opted in. */
+  private def probe(g: Graft, opts: DoctorOptions, lexTable: Option[String],
+                    vecPath: Option[String], vecIdCol: String,
+                    vecCol: String): Map[String, Long] = {
     val counters = g.doctor
     val lexStale = lexTable.map { t =>
       if (!g.spark.catalog.tableExists(t))
@@ -80,7 +99,25 @@ object Doctor {
             Seq("doc_id"), "left_anti")
           .count()
     }
-    counters ++ lexStale.map("lex_index_stale" -> _) +
+    // append-file debt of the persisted BM25 index (one FS listing)
+    val bm25Debt = for {
+      t <- lexTable
+      budget <- opts.bm25FileBudget
+      if g.spark.catalog.tableExists(t)
+      debt = graft.search.Bm25Index.dataFileCount(g.spark, t) - budget
+      if debt > 0
+    } yield "bm25_file_debt" -> debt
+    // drifted-cluster count of the persisted IVF index (k-row aggregate)
+    val vecDrift = for {
+      p <- vecPath
+      thr <- opts.vecDriftMeanMax
+      h = graft.vector.IvfIndex.read(g.spark, p)
+      n = graft.vector.VectorSearch.ivfDriftStats(h.assigned, vecCol,
+            h.centroids.map { case (cid, c) => (cid, c.map(_.toFloat)) })
+          .filter(col("mean_distortion") > thr).count()
+      if n > 0
+    } yield "vec_index_drift" -> n
+    counters ++ lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++ vecDrift +
       ("tombstone_debt" -> (counters("total_versions") - counters("live_frames")))
   }
 
@@ -90,8 +127,10 @@ object Doctor {
     * Finalize iff anything planned, Verify always. */
   def plan(g: Graft, opts: DoctorOptions,
            lexTable: Option[String] = None,
-           vecPath: Option[String] = None): Report = {
-    val p = probe(g, lexTable)
+           vecPath: Option[String] = None,
+           vecIdCol: String = "vec_id",
+           vecCol: String = "embedding"): Report = {
+    val p = probe(g, opts, lexTable, vecPath, vecIdCol, vecCol)
     var ord = 0L
     def row(rowType: String, phase: String, name: String, required: Boolean,
             reason: String, detailN: Long): Row = {
@@ -101,6 +140,7 @@ object Doctor {
     val findings = Seq(
       ("orphan_chunks", "error"), ("dangling_cards", "error"),
       ("duplicate_live_uris", "warning"), ("lex_index_stale", "error"),
+      ("bm25_file_debt", "info"), ("vec_index_drift", "warning"),
       ("tombstone_debt", "info")).collect {
       case (k, sev) if p.getOrElse(k, 0L) > 0 =>
         row("finding", "probe", k, sev == "error", sev, p(k))
@@ -113,6 +153,12 @@ object Doctor {
       (if (opts.vacuum)
         Seq(row("action", "vacuum", "vacuum_compaction", required = true,
           "requested", p("tombstone_debt")))
+      else Nil) ++
+      // maintain-side symmetry with the reference's continuous Tantivy
+      // merge policy: fold append-delta files back to one per bucket
+      (if (p.getOrElse("bm25_file_debt", 0L) > 0)
+        Seq(row("action", "vacuum", "compact_lex_index", required = true,
+          "bm25_file_debt", p("bm25_file_debt")))
       else Nil)
     val rebuildActions =
       (if (p("dangling_cards") > 0 || opts.rebuildCards)
@@ -131,6 +177,12 @@ object Doctor {
         case _ => Nil
       }) ++
       (vecPath match {
+        // drift-driven planning (the reference's probe-driven Planner,
+        // doctor.rs:176-360): the finding wins over the option's bare
+        // "requested" — the report then carries WHY the rebuild runs
+        case Some(_) if p.getOrElse("vec_index_drift", 0L) > 0 =>
+          Seq(row("action", "index_rebuild", "rebuild_vec_index",
+            required = true, "drift", p("vec_index_drift")))
         case Some(_) if opts.rebuildVecIndex =>
           Seq(row("action", "index_rebuild", "rebuild_vec_index",
             required = true, "requested", 0L))
@@ -151,8 +203,10 @@ object Doctor {
   def run(g: Graft, opts: DoctorOptions,
           lexTable: Option[String] = None,
           vecPath: Option[String] = None,
-          lexStemmed: Boolean = false): Report = {
-    val planned = plan(g, opts, lexTable, vecPath)
+          lexStemmed: Boolean = false,
+          vecIdCol: String = "vec_id",
+          vecCol: String = "embedding"): Report = {
+    val planned = plan(g, opts, lexTable, vecPath, vecIdCol, vecCol)
     val executed = planned.rows.map { r =>
       if (r.rowType != "action" || opts.dryRun) r
       else {
@@ -176,9 +230,16 @@ object Doctor {
                     coalesce(col("text"), lit("")).as("text")),
                 "doc_id", "text", t, stemmed = lexStemmed)
             }
+          case "compact_lex_index" =>
+            lexTable.foreach { t =>
+              val nb = g.spark.sessionState.catalog.getTableMetadata(
+                  org.apache.spark.sql.catalyst.TableIdentifier(t))
+                .bucketSpec.map(_.numBuckets).getOrElse(16)
+              graft.search.Bm25Index.compact(g.spark, t, nb)
+            }
           case "rebuild_vec_index" =>
             vecPath.foreach(p =>
-              graft.vector.IvfIndex.retrain(g.spark, p, "vec_id", "embedding"): Unit)
+              graft.vector.IvfIndex.retrain(g.spark, p, vecIdCol, vecCol): Unit)
           case "refresh_snapshot" => g.releaseSnapshot()
           case "deep_verify" => () // the re-probe below IS the deep verify
           case other => throw new IllegalStateException(s"unplanned action $other")
@@ -186,7 +247,7 @@ object Doctor {
         r.copy(executed = true)
       }
     }
-    val post = probe(g, lexTable)
+    val post = probe(g, opts, lexTable, vecPath, vecIdCol, vecCol)
     val base = executed.map(_.ord).max
     val postRows = post.toSeq.sortBy(_._1).zipWithIndex.map { case ((k, v), i) =>
       Row(base + i + 1, "post_verify", "verify", k, required = false,

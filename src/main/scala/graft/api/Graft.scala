@@ -318,15 +318,23 @@ final class Graft(val spark: SparkSession, basePath: String,
     * doctor.rs:76-88 + DoctorOptions.dry_run) — see [[Doctor]] */
   def doctorPlan(opts: Doctor.DoctorOptions = Doctor.DoctorOptions(),
                  lexTable: Option[String] = None,
-                 vecPath: Option[String] = None): Doctor.Report =
-    Doctor.plan(this, opts, lexTable, vecPath)
+                 vecPath: Option[String] = None,
+                 vecIdCol: String = "vec_id",
+                 vecCol: String = "embedding"): Doctor.Report =
+    Doctor.plan(this, opts, lexTable, vecPath, vecIdCol, vecCol)
 
   /** plan + execute + verify (reference doctor_run, doctor.rs:162-173);
-    * dry_run plans and probes but mutates nothing */
+    * dry_run plans and probes but mutates nothing.
+    * @param lexStemmed the stemming the BM25 index was BUILT with — a
+    *        doctor rebuild must reproduce the index's own analyzer, not
+    *        silently change scores */
   def doctorRun(opts: Doctor.DoctorOptions = Doctor.DoctorOptions(),
                 lexTable: Option[String] = None,
-                vecPath: Option[String] = None): Doctor.Report =
-    Doctor.run(this, opts, lexTable, vecPath)
+                vecPath: Option[String] = None,
+                lexStemmed: Boolean = false,
+                vecIdCol: String = "vec_id",
+                vecCol: String = "embedding"): Doctor.Report =
+    Doctor.run(this, opts, lexTable, vecPath, lexStemmed, vecIdCol, vecCol)
 
   /** rebuild the memory-cards table from the LIVE frames — the doctor's
     * index-rebuild analogue: derived state recomputes from the log, so

@@ -265,6 +265,109 @@ object StoreQueries {
         | t(ord, row_type, phase, name, required, reason, detail_n, executed, run)
         |ORDER BY run, ord""".stripMargin),
 
+    // ---- doctor MAINTENANCE planning from live index-health signals
+    // (reference: probe-driven Planner doctor.rs:176-360 + Tantivy's
+    // continuous merge policy): a persisted BM25 index carries two
+    // append-delta files beyond its one-per-bucket budget
+    // (`bm25_file_debt` = 2 → compact_lex_index planned in the Vacuum
+    // phase) and a persisted IVF index has one drifted cluster — seeds
+    // (0,0)/(10,0) with cluster-1 vectors at L2 distances 4/3/2, mean
+    // distortion 3.0 > the 1.0 budget (`vec_index_drift` = 1 →
+    // rebuild_vec_index planned with reason "drift", the probe-driven
+    // trigger vec_ivf_drift computes). Locked: the DRY run plans both
+    // repairs and executes nothing (both debts still present in its
+    // re-probe), the APPLY run executes them and its re-probe shows both
+    // cleared — compaction folded the files back under budget (nBuckets=1
+    // → exactly one file) and the retrained centroid (13,0) has mean
+    // distortion 2/3 < 1. Every number is fixture arithmetic. ----
+    "store_doctor_maintain" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_doctor_maint_gate").toString
+        val g = new graft.api.Graft(s, dir)
+        g.frames.put(Seq(
+          ("mv2://m/0", "alpha bravo packet"),
+          ("mv2://m/1", "charlie delta packet"),
+          ("mv2://m/2", "echo foxtrot packet"),
+          ("mv2://m/3", "golf hotel packet")))
+        // persisted BM25 index, nBuckets=1: compact → exactly ONE file
+        graft.search.Bm25Index.write(
+          g.frames.latestActive.filter(col("role") === "document")
+            .select(col("id").as("doc_id"), col("text")),
+          "doc_id", "text", "doctor_maint_lex", stemmed = false, nBuckets = 1)
+        graft.search.Bm25Index.compact(s, "doctor_maint_lex", nBuckets = 1)
+        // two appends, each a one-posting delta → one data file each
+        Seq("zzzalpha", "zzzbeta").foreach { term =>
+          val idNew = g.put(s"mv2://m/$term", term).get
+          graft.search.Bm25Index.append(
+            Seq((idNew, term)).toDF("doc_id", "text"),
+            "doc_id", "text", "doctor_maint_lex", stemmed = false,
+            nBuckets = 1)
+        }
+        // persisted IVF index with one drifted cluster (exact arithmetic)
+        val vdir = java.nio.file.Files
+          .createTempDirectory("graft_doctor_maint_vec").toString
+        val vecs = Seq(
+          (0L, Array(0f, 0f)), (1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+          (3L, Array(14f, 0f)), (4L, Array(13f, 0f)), (5L, Array(12f, 0f)))
+          .toDF("vec_id", "embedding")
+        graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", vdir,
+          Seq(0 -> Array(0f, 0f), 1 -> Array(10f, 0f)))
+        val opts = graft.api.Doctor.DoctorOptions(
+          bm25FileBudget = Some(1L), vecDriftMeanMax = Some(1.0))
+        val dry = g.doctorRun(opts.copy(dryRun = true),
+          lexTable = Some("doctor_maint_lex"), vecPath = Some(vdir))
+        val app = g.doctorRun(opts,
+          lexTable = Some("doctor_maint_lex"), vecPath = Some(vdir))
+        val out = dry.toDF(s).withColumn("run", lit("dry"))
+          .unionByName(app.toDF(s).withColumn("run", lit("apply")))
+          .orderBy(col("run"), col("ord"))
+          .localCheckpoint() // detach from the temp store + warehouse table
+        s.sql("DROP TABLE IF EXISTS doctor_maint_lex")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir)); rm(new java.io.File(vdir))
+        out
+      },
+      """SELECT CAST(ord AS BIGINT) AS ord, row_type, phase, name, required,
+        |  reason, CAST(detail_n AS BIGINT) AS detail_n, executed, run
+        |FROM (VALUES
+        |  (1,'finding','probe','bm25_file_debt',FALSE,'info',2,FALSE,'dry'),
+        |  (2,'finding','probe','vec_index_drift',FALSE,'warning',1,FALSE,'dry'),
+        |  (3,'action','vacuum','compact_lex_index',TRUE,'bm25_file_debt',2,FALSE,'dry'),
+        |  (4,'action','index_rebuild','rebuild_vec_index',TRUE,'drift',1,FALSE,'dry'),
+        |  (5,'action','finalize','refresh_snapshot',TRUE,'',0,FALSE,'dry'),
+        |  (6,'action','verify','deep_verify',TRUE,'',0,FALSE,'dry'),
+        |  (7,'post_verify','verify','bm25_file_debt',FALSE,'dry_run',2,FALSE,'dry'),
+        |  (8,'post_verify','verify','dangling_cards',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (9,'post_verify','verify','duplicate_live_uris',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (10,'post_verify','verify','lex_index_stale',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (11,'post_verify','verify','live_frames',FALSE,'dry_run',6,FALSE,'dry'),
+        |  (12,'post_verify','verify','orphan_chunks',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (13,'post_verify','verify','tombstone_debt',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (14,'post_verify','verify','tombstoned',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (15,'post_verify','verify','total_versions',FALSE,'dry_run',6,FALSE,'dry'),
+        |  (16,'post_verify','verify','vec_index_drift',FALSE,'dry_run',1,FALSE,'dry'),
+        |  (1,'finding','probe','bm25_file_debt',FALSE,'info',2,FALSE,'apply'),
+        |  (2,'finding','probe','vec_index_drift',FALSE,'warning',1,FALSE,'apply'),
+        |  (3,'action','vacuum','compact_lex_index',TRUE,'bm25_file_debt',2,TRUE,'apply'),
+        |  (4,'action','index_rebuild','rebuild_vec_index',TRUE,'drift',1,TRUE,'apply'),
+        |  (5,'action','finalize','refresh_snapshot',TRUE,'',0,TRUE,'apply'),
+        |  (6,'action','verify','deep_verify',TRUE,'',0,TRUE,'apply'),
+        |  (7,'post_verify','verify','dangling_cards',FALSE,'repaired',0,TRUE,'apply'),
+        |  (8,'post_verify','verify','duplicate_live_uris',FALSE,'repaired',0,TRUE,'apply'),
+        |  (9,'post_verify','verify','lex_index_stale',FALSE,'repaired',0,TRUE,'apply'),
+        |  (10,'post_verify','verify','live_frames',FALSE,'repaired',6,TRUE,'apply'),
+        |  (11,'post_verify','verify','orphan_chunks',FALSE,'repaired',0,TRUE,'apply'),
+        |  (12,'post_verify','verify','tombstone_debt',FALSE,'repaired',0,TRUE,'apply'),
+        |  (13,'post_verify','verify','tombstoned',FALSE,'repaired',0,TRUE,'apply'),
+        |  (14,'post_verify','verify','total_versions',FALSE,'repaired',6,TRUE,'apply'))
+        | t(ord, row_type, phase, name, required, reason, detail_n, executed, run)
+        |ORDER BY run, ord""".stripMargin),
+
     // ---- snapshot pin lifecycle (the read-optimized latest-active copy,
     // lifecycle.rs open-for-read analogue): snapshotCurrent() pins the
     // view to a parquet copy (count taken through the pin proves it

@@ -353,6 +353,32 @@ class StoreSpec extends SparkSpec {
     assert(g.cards.filter(col("sourceFrameId") === id1).isEmpty) // doc/1 cards gone
   }
 
+  test("doctorRun rebuild_lex_index reproduces the index's OWN analyzer (stemmed stays stemmed)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-doctor-stem").toString
+    val g = new Graft(spark, dir)
+    g.put("mv2://s/1", "running jumps quickly")
+    g.put("mv2://s/2", "walked runner jumping")
+    // STEMMED persisted index over the live docs
+    graft.search.Bm25Index.write(
+      g.frames.latestActive.filter(col("role") === "document")
+        .select(col("id").as("doc_id"), col("text")),
+      "doc_id", "text", "doctor_stem_lex", stemmed = true)
+    val stemmedTerms = spark.table("doctor_stem_lex")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(stemmedTerms.contains("run") && !stemmedTerms.contains("running"))
+    // a late put leaves it stale; the doctor rebuild must stay stemmed
+    g.put("mv2://s/3", "sprinting hurdles")
+    g.doctorRun(graft.api.Doctor.DoctorOptions(),
+      lexTable = Some("doctor_stem_lex"), lexStemmed = true)
+    val rebuilt = spark.table("doctor_stem_lex")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(rebuilt.contains("sprint") && !rebuilt.contains("sprinting"),
+      s"doctor rebuild dropped the stemmed analyzer: $rebuilt")
+    assert(rebuilt.contains("run"))
+    spark.sql("DROP TABLE IF EXISTS doctor_stem_lex")
+  }
+
   test("repair after a destroyed card index restores memory answers " +
       "(mirrors doctor_rebuild_produces_searchable_index)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
