@@ -70,6 +70,27 @@ class AskSpec extends SparkSpec {
       case QueryPlanner.Hybrid(_, _, Some(v), _, _) => assert(v == "lisbon")
       case p => fail(s"$p")
     }
+    // the reference's own unit cases (graph_search.rs:447-505), slot
+    // names mapped onto our enrichment vocabulary
+    QueryPlanner.plan("who lives in San Francisco and", 10) match {
+      case QueryPlanner.Hybrid(None, Some("location"), Some(v), _, _) =>
+        assert(v == "san francisco", "stop word 'and' ends the value")
+      case p => fail(s"$p")
+    }
+    QueryPlanner.plan("who works at Google who", 10) match {
+      case QueryPlanner.Hybrid(None, Some("employer"), Some(v), _, _) =>
+        assert(v == "google", "stop word 'who' ends the value")
+      case p => fail(s"$p")
+    }
+    QueryPlanner.plan("who lives in New York City tonight", 10) match {
+      case QueryPlanner.Hybrid(_, _, Some(v), _, _) =>
+        assert(v == "new york city", "3-word cap")
+      case p => fail(s"$p")
+    }
+    QueryPlanner.plan("bob's location", 10) match {
+      case QueryPlanner.Hybrid(Some("bob"), Some("location"), None, _, _) =>
+      case p => fail(s"$p")
+    }
   }
 
   private def convoCards = Seq(

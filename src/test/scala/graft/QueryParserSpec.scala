@@ -64,6 +64,30 @@ class QueryParserSpec extends SparkSpec {
     assert(ids("\"classical physics\"") == Seq(2L))
   }
 
+  test("uri/track/tag/label match ASCII-case-insensitively; scope stays case-sensitive (mod.rs:57-84)") {
+    val docs = Seq(
+      (1L, "alpha doc", "mv2://Docs/Foo", "Src3", Seq("Alpha"), Seq("HOT")),
+      (2L, "beta doc", "mv2://docs/bar", "src3", Seq("alpha"), Seq.empty[String]),
+      (3L, "gamma doc", "mv2://other/x", "lane", Seq.empty[String], Seq("hot"))
+    ).toDF("id", "text", "uri", "track", "tags", "labels")
+    val f = FrameCols(text = col("text"), uri = col("uri"),
+      track = col("track"), tags = col("tags"), labels = col("labels"))
+    def ids(q: String): Seq[Long] =
+      docs.filter(QueryCompiler.predicate(q, f)).select("id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    // uppercase-stored values match (reference eq_ignore_ascii_case) —
+    // the r14 ADVICE regression: exact-case queries like
+    // uri:mv2://Docs/Foo must still match after value lowercasing
+    assert(ids("uri:mv2://Docs/Foo") == Seq(1L))
+    assert(ids("uri:mv2://docs/foo") == Seq(1L))
+    assert(ids("track:src3") == Seq(1L, 2L))
+    assert(ids("track:SRC3") == Seq(1L, 2L))
+    assert(ids("tag:alpha") == Seq(1L, 2L))
+    assert(ids("label:hot") == Seq(1L, 3L))
+    // scope is starts_with on the RAW uri (case-sensitive per reference)
+    assert(ids("scope:mv2://docs/") == Seq(2L))
+  }
+
   test("search facade ranks, paginates, snippets") {
     val docs = (1 to 30).map(i =>
       (i.toLong, s"filler number $i " + ("quantum " * (i % 4)) + "end of sentence."))
