@@ -20,12 +20,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bm25Index {
 
-  /** build and persist the index; pays the one write-time shuffle */
+  /** Build and persist the index; pays the one write-time shuffle.
+    *
+    * REBUILD over an existing table (the doctor's rebuild_lex_index
+    * path) stages under `<table>__rebuild` and swaps with the same
+    * rename-aside discipline as [[compact]] — the live index keeps
+    * serving for the whole build and the no-live-table window shrinks
+    * from O(full build) to two catalog renames. A fresh name writes
+    * directly. */
   def write(docs: DataFrame, idCol: String, textCol: String,
             tableName: String, stemmed: Boolean = false,
             nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
     val postings = BM25.postings(BM25.tokenTable(docs, idCol, textCol, stemmed))
-    graft.ops.Bucketing.writeBucketed(postings, tableName, nBuckets, Seq("doc_id"))
+    if (!spark.catalog.tableExists(tableName)) {
+      // sweep residue of a swap torn mid-rename (write = full rebuild
+      // from `docs`, so the staged leftover is stale, never recovered)
+      Seq(tableName + "__rebuild", tableName + "__old").foreach { t =>
+        if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+      }
+      graft.ops.Bucketing.writeBucketed(postings, tableName, nBuckets, Seq("doc_id"))
+    } else {
+      val tmpName = tableName + "__rebuild"
+      val oldName = tableName + "__old"
+      if (spark.catalog.tableExists(tmpName)) spark.sql(s"DROP TABLE `$tmpName`")
+      if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
+      graft.ops.Bucketing.writeBucketed(postings, tmpName, nBuckets, Seq("doc_id"))
+      spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
+      spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+      spark.sql(s"DROP TABLE `$oldName`")
+      spark.catalog.refreshTable(tableName)
+    }
   }
 
   /** Incremental maintenance: append a DELTA batch's postings INTO the

@@ -92,6 +92,29 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_heal")
   }
 
+  test("Bm25Index.write over an existing table stages + swaps (rebuild never drops the live index first)") {
+    val docsA = Seq((1L, "spark joins data"), (2L, "spark window rank"))
+      .toDF("doc_id", "text")
+    val docsAB = docsA.union(Seq((3L, "spark broadcast merge")).toDF("doc_id", "text"))
+    graft.search.Bm25Index.write(docsA, "doc_id", "text", "bm25_life_rebuild",
+      nBuckets = 2)
+    // rebuild over the live name: result equals a fresh full build, no
+    // staged residue survives
+    graft.search.Bm25Index.write(docsAB, "doc_id", "text", "bm25_life_rebuild",
+      nBuckets = 2)
+    graft.search.Bm25Index.write(docsAB, "doc_id", "text", "bm25_life_fresh",
+      nBuckets = 2)
+    val rebuilt = graft.search.Bm25Index.search(spark, "bm25_life_rebuild",
+      Seq("spark"), topK = 10).collect().toSeq
+    val fresh = graft.search.Bm25Index.search(spark, "bm25_life_fresh",
+      Seq("spark"), topK = 10).collect().toSeq
+    assert(rebuilt == fresh, "staged rebuild must equal a fresh build")
+    assert(!spark.catalog.tableExists("bm25_life_rebuild__rebuild") &&
+      !spark.catalog.tableExists("bm25_life_rebuild__old"))
+    Seq("bm25_life_rebuild", "bm25_life_fresh")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("Bm25Index.compact crash recovery: a swap torn mid-rename finishes on the next run") {
     val docs = Seq((1L, "spark joins data"), (2L, "spark window rank"),
       (3L, "quick brown fox")).toDF("doc_id", "text")
