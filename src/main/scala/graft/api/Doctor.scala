@@ -57,14 +57,20 @@ object Doctor {
     *  - vecDriftMeanMax: when set (and vecPath given), the probe counts
     *    clusters whose mean distortion exceeds it (`vec_index_drift`,
     *    via [[graft.vector.VectorSearch.ivfDriftStats]]) and plans
-    *    `rebuild_vec_index` with reason "drift". */
+    *    `rebuild_vec_index` with reason "drift".
+    *  - vecDeltaBudget: when set (and vecPath given), the probe counts
+    *    committed append-delta dirs beyond the budget (`vec_delta_debt`)
+    *    and plans `compact_vec_index` in the Vacuum phase
+    *    ([[graft.vector.IvfIndex.compactDeltas]] — the IVF analogue of
+    *    the BM25 segment merge). */
   final case class DoctorOptions(rebuildCards: Boolean = false,
                                  rebuildLexIndex: Boolean = false,
                                  rebuildVecIndex: Boolean = false,
                                  vacuum: Boolean = false,
                                  dryRun: Boolean = false,
                                  bm25FileBudget: Option[Long] = None,
-                                 vecDriftMeanMax: Option[Double] = None)
+                                 vecDriftMeanMax: Option[Double] = None,
+                                 vecDeltaBudget: Option[Long] = None)
 
   /** one planned (or executed) row: finding, action, or post counter —
     * a single schema so plan + report face one oracle */
@@ -117,7 +123,15 @@ object Doctor {
           .filter(col("mean_distortion") > thr).count()
       if n > 0
     } yield "vec_index_drift" -> n
-    counters ++ lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++ vecDrift +
+    // append-delta debt of the persisted IVF index (one FS listing)
+    val vecDelta = for {
+      p <- vecPath
+      budget <- opts.vecDeltaBudget
+      debt = graft.vector.IvfIndex.deltaCount(g.spark, p) - budget
+      if debt > 0
+    } yield "vec_delta_debt" -> debt
+    counters ++ lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++
+      vecDrift ++ vecDelta +
       ("tombstone_debt" -> (counters("total_versions") - counters("live_frames")))
   }
 
@@ -141,7 +155,7 @@ object Doctor {
       ("orphan_chunks", "error"), ("dangling_cards", "error"),
       ("duplicate_live_uris", "warning"), ("lex_index_stale", "error"),
       ("bm25_file_debt", "info"), ("vec_index_drift", "warning"),
-      ("tombstone_debt", "info")).collect {
+      ("vec_delta_debt", "info"), ("tombstone_debt", "info")).collect {
       case (k, sev) if p.getOrElse(k, 0L) > 0 =>
         row("finding", "probe", k, sev == "error", sev, p(k))
     }
@@ -159,6 +173,10 @@ object Doctor {
       (if (p.getOrElse("bm25_file_debt", 0L) > 0)
         Seq(row("action", "vacuum", "compact_lex_index", required = true,
           "bm25_file_debt", p("bm25_file_debt")))
+      else Nil) ++
+      (if (p.getOrElse("vec_delta_debt", 0L) > 0)
+        Seq(row("action", "vacuum", "compact_vec_index", required = true,
+          "vec_delta_debt", p("vec_delta_debt")))
       else Nil)
     val rebuildActions =
       (if (p("dangling_cards") > 0 || opts.rebuildCards)
@@ -237,6 +255,9 @@ object Doctor {
                 .bucketSpec.map(_.numBuckets).getOrElse(16)
               graft.search.Bm25Index.compact(g.spark, t, nb)
             }
+          case "compact_vec_index" =>
+            vecPath.foreach(p =>
+              graft.vector.IvfIndex.compactDeltas(g.spark, p): Unit)
           case "rebuild_vec_index" =>
             vecPath.foreach(p =>
               graft.vector.IvfIndex.retrain(g.spark, p, vecIdCol, vecCol): Unit)

@@ -274,12 +274,15 @@ object StoreQueries {
     // (0,0)/(10,0) with cluster-1 vectors at L2 distances 4/3/2, mean
     // distortion 3.0 > the 1.0 budget (`vec_index_drift` = 1 →
     // rebuild_vec_index planned with reason "drift", the probe-driven
-    // trigger vec_ivf_drift computes). Locked: the DRY run plans both
-    // repairs and executes nothing (both debts still present in its
-    // re-probe), the APPLY run executes them and its re-probe shows both
-    // cleared — compaction folded the files back under budget (nBuckets=1
-    // → exactly one file) and the retrained centroid (13,0) has mean
-    // distortion 2/3 < 1. Every number is fixture arithmetic. ----
+    // trigger vec_ivf_drift computes) — plus one committed append delta
+    // over the 0 budget (`vec_delta_debt` = 1 → compact_vec_index, the
+    // IVF fold). Locked: the DRY run plans all three repairs and
+    // executes nothing (all three debts still present in its re-probe),
+    // the APPLY run executes them and its re-probe shows all cleared —
+    // lex compaction folded files back under budget (nBuckets=1 →
+    // exactly one file), the delta folded into a fresh generation, and
+    // the retrained centroid (13,0) has mean distortion 2/3 < 1. Every
+    // number is fixture arithmetic. ----
     "store_doctor_maintain" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
@@ -314,8 +317,15 @@ object StoreQueries {
           .toDF("vec_id", "embedding")
         graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", vdir,
           Seq(0 -> Array(0f, 0f), 1 -> Array(10f, 0f)))
+        // one committed append delta → vec_delta_debt = 1 over budget 0;
+        // the (0,0) vector joins cluster 0 (distortion 0 — drift math
+        // untouched, still exactly one drifted cluster)
+        graft.vector.IvfIndex.append(s, vdir,
+          Seq((6L, Array(0f, 0f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
         val opts = graft.api.Doctor.DoctorOptions(
-          bm25FileBudget = Some(1L), vecDriftMeanMax = Some(1.0))
+          bm25FileBudget = Some(1L), vecDriftMeanMax = Some(1.0),
+          vecDeltaBudget = Some(0L))
         val dry = g.doctorRun(opts.copy(dryRun = true),
           lexTable = Some("doctor_maint_lex"), vecPath = Some(vdir))
         val app = g.doctorRun(opts,
@@ -337,34 +347,39 @@ object StoreQueries {
         |FROM (VALUES
         |  (1,'finding','probe','bm25_file_debt',FALSE,'info',2,FALSE,'dry'),
         |  (2,'finding','probe','vec_index_drift',FALSE,'warning',1,FALSE,'dry'),
-        |  (3,'action','vacuum','compact_lex_index',TRUE,'bm25_file_debt',2,FALSE,'dry'),
-        |  (4,'action','index_rebuild','rebuild_vec_index',TRUE,'drift',1,FALSE,'dry'),
-        |  (5,'action','finalize','refresh_snapshot',TRUE,'',0,FALSE,'dry'),
-        |  (6,'action','verify','deep_verify',TRUE,'',0,FALSE,'dry'),
-        |  (7,'post_verify','verify','bm25_file_debt',FALSE,'dry_run',2,FALSE,'dry'),
-        |  (8,'post_verify','verify','dangling_cards',FALSE,'dry_run',0,FALSE,'dry'),
-        |  (9,'post_verify','verify','duplicate_live_uris',FALSE,'dry_run',0,FALSE,'dry'),
-        |  (10,'post_verify','verify','lex_index_stale',FALSE,'dry_run',0,FALSE,'dry'),
-        |  (11,'post_verify','verify','live_frames',FALSE,'dry_run',6,FALSE,'dry'),
-        |  (12,'post_verify','verify','orphan_chunks',FALSE,'dry_run',0,FALSE,'dry'),
-        |  (13,'post_verify','verify','tombstone_debt',FALSE,'dry_run',0,FALSE,'dry'),
-        |  (14,'post_verify','verify','tombstoned',FALSE,'dry_run',0,FALSE,'dry'),
-        |  (15,'post_verify','verify','total_versions',FALSE,'dry_run',6,FALSE,'dry'),
-        |  (16,'post_verify','verify','vec_index_drift',FALSE,'dry_run',1,FALSE,'dry'),
+        |  (3,'finding','probe','vec_delta_debt',FALSE,'info',1,FALSE,'dry'),
+        |  (4,'action','vacuum','compact_lex_index',TRUE,'bm25_file_debt',2,FALSE,'dry'),
+        |  (5,'action','vacuum','compact_vec_index',TRUE,'vec_delta_debt',1,FALSE,'dry'),
+        |  (6,'action','index_rebuild','rebuild_vec_index',TRUE,'drift',1,FALSE,'dry'),
+        |  (7,'action','finalize','refresh_snapshot',TRUE,'',0,FALSE,'dry'),
+        |  (8,'action','verify','deep_verify',TRUE,'',0,FALSE,'dry'),
+        |  (9,'post_verify','verify','bm25_file_debt',FALSE,'dry_run',2,FALSE,'dry'),
+        |  (10,'post_verify','verify','dangling_cards',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (11,'post_verify','verify','duplicate_live_uris',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (12,'post_verify','verify','lex_index_stale',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (13,'post_verify','verify','live_frames',FALSE,'dry_run',6,FALSE,'dry'),
+        |  (14,'post_verify','verify','orphan_chunks',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (15,'post_verify','verify','tombstone_debt',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (16,'post_verify','verify','tombstoned',FALSE,'dry_run',0,FALSE,'dry'),
+        |  (17,'post_verify','verify','total_versions',FALSE,'dry_run',6,FALSE,'dry'),
+        |  (18,'post_verify','verify','vec_delta_debt',FALSE,'dry_run',1,FALSE,'dry'),
+        |  (19,'post_verify','verify','vec_index_drift',FALSE,'dry_run',1,FALSE,'dry'),
         |  (1,'finding','probe','bm25_file_debt',FALSE,'info',2,FALSE,'apply'),
         |  (2,'finding','probe','vec_index_drift',FALSE,'warning',1,FALSE,'apply'),
-        |  (3,'action','vacuum','compact_lex_index',TRUE,'bm25_file_debt',2,TRUE,'apply'),
-        |  (4,'action','index_rebuild','rebuild_vec_index',TRUE,'drift',1,TRUE,'apply'),
-        |  (5,'action','finalize','refresh_snapshot',TRUE,'',0,TRUE,'apply'),
-        |  (6,'action','verify','deep_verify',TRUE,'',0,TRUE,'apply'),
-        |  (7,'post_verify','verify','dangling_cards',FALSE,'repaired',0,TRUE,'apply'),
-        |  (8,'post_verify','verify','duplicate_live_uris',FALSE,'repaired',0,TRUE,'apply'),
-        |  (9,'post_verify','verify','lex_index_stale',FALSE,'repaired',0,TRUE,'apply'),
-        |  (10,'post_verify','verify','live_frames',FALSE,'repaired',6,TRUE,'apply'),
-        |  (11,'post_verify','verify','orphan_chunks',FALSE,'repaired',0,TRUE,'apply'),
-        |  (12,'post_verify','verify','tombstone_debt',FALSE,'repaired',0,TRUE,'apply'),
-        |  (13,'post_verify','verify','tombstoned',FALSE,'repaired',0,TRUE,'apply'),
-        |  (14,'post_verify','verify','total_versions',FALSE,'repaired',6,TRUE,'apply'))
+        |  (3,'finding','probe','vec_delta_debt',FALSE,'info',1,FALSE,'apply'),
+        |  (4,'action','vacuum','compact_lex_index',TRUE,'bm25_file_debt',2,TRUE,'apply'),
+        |  (5,'action','vacuum','compact_vec_index',TRUE,'vec_delta_debt',1,TRUE,'apply'),
+        |  (6,'action','index_rebuild','rebuild_vec_index',TRUE,'drift',1,TRUE,'apply'),
+        |  (7,'action','finalize','refresh_snapshot',TRUE,'',0,TRUE,'apply'),
+        |  (8,'action','verify','deep_verify',TRUE,'',0,TRUE,'apply'),
+        |  (9,'post_verify','verify','dangling_cards',FALSE,'repaired',0,TRUE,'apply'),
+        |  (10,'post_verify','verify','duplicate_live_uris',FALSE,'repaired',0,TRUE,'apply'),
+        |  (11,'post_verify','verify','lex_index_stale',FALSE,'repaired',0,TRUE,'apply'),
+        |  (12,'post_verify','verify','live_frames',FALSE,'repaired',6,TRUE,'apply'),
+        |  (13,'post_verify','verify','orphan_chunks',FALSE,'repaired',0,TRUE,'apply'),
+        |  (14,'post_verify','verify','tombstone_debt',FALSE,'repaired',0,TRUE,'apply'),
+        |  (15,'post_verify','verify','tombstoned',FALSE,'repaired',0,TRUE,'apply'),
+        |  (16,'post_verify','verify','total_versions',FALSE,'repaired',6,TRUE,'apply'))
         | t(ord, row_type, phase, name, required, reason, detail_n, executed, run)
         |ORDER BY run, ord""".stripMargin),
 

@@ -203,6 +203,35 @@ object IvfIndex {
     read(spark, path)
   }
 
+  /** number of committed delta dirs under the live generation — the
+    * observable append debt (one FS listing; the doctor's
+    * `vec_delta_debt` signal reads this) */
+  def deltaCount(spark: SparkSession, path: String): Long = {
+    val genDir = liveGenDir(spark, path)
+    committedDeltas(fsOf(spark, path), genDir).size.toLong
+  }
+
+  /** Fold committed deltas back into the base — the IVF analogue of
+    * [[graft.search.Bm25Index.compact]] (build→serve→maintain's third
+    * phase): rewrites base ∪ deltas as a NEW generation under the SAME
+    * codebook and kernel (no retrain — assignments are already final
+    * under the standing centroids, so this is value-neutral by
+    * construction), marker last, pointer swap, superseded gen deleted.
+    * After N appends the scan-open cost is N+1 parquet listings per
+    * query; compaction folds it back to one. Crash-safe like
+    * [[retrain]]: the read and the write never share a directory. */
+  def compactDeltas(spark: SparkSession, path: String): Handle = {
+    val h = read(spark, path)
+    val genDir = liveGenDir(spark, path)
+    val fs = fsOf(spark, path)
+    if (committedDeltas(fs, genDir).isEmpty) return h // nothing to fold
+    val nextGen = h.generation + 1
+    writeGen(spark, path, nextGen, h.assigned, h.centroids, h.floatKernel)
+    swapCurrent(spark, path, nextGen)
+    if (genDir != path) fs.delete(new Path(genDir), true)
+    read(spark, path)
+  }
+
   /** Drift-triggered re-train of a persisted index, composed from the
     * gated pieces: [[VectorSearch.ivfDriftStats]] supplies the "retrain
     * now" signal; this executes it — ONE Lloyd update from the CURRENT

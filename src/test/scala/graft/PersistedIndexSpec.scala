@@ -211,6 +211,42 @@ class PersistedIndexSpec extends SparkSpec {
     Seq(dir, dirFull).foreach(p => rm(new java.io.File(p)))
   }
 
+  test("IvfIndex.compactDeltas folds committed deltas into a fresh generation, search bit-equal") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-delta-compact").toString
+    val vecs = (0 until 24).map { i =>
+      val base = if (i < 12) 0f else 5f
+      (i.toLong, Array(base + (i % 12) * 0.25f, base))
+    }.toDF("vec_id", "embedding")
+    val seeds = Seq(0 -> Array(0f, 0f), 1 -> Array(5f, 0f))
+    graft.vector.IvfIndex.write(vecs.filter($"vec_id" < 12),
+      "vec_id", "embedding", dir, seeds)
+    graft.vector.IvfIndex.append(spark, dir,
+      vecs.filter($"vec_id" >= 12 && $"vec_id" < 18), "vec_id", "embedding")
+    graft.vector.IvfIndex.append(spark, dir,
+      vecs.filter($"vec_id" >= 18), "vec_id", "embedding")
+    assert(graft.vector.IvfIndex.deltaCount(spark, dir) == 2L)
+    val q = Array(4.4f, 4.6f)
+    val pre = graft.vector.IvfIndex.read(spark, dir)
+      .search("vec_id", "embedding", q, k = 8, nprobe = 1, metric = "l2")
+      .collect().toSeq
+    val folded = graft.vector.IvfIndex.compactDeltas(spark, dir)
+    assert(graft.vector.IvfIndex.deltaCount(spark, dir) == 0L,
+      "deltas folded into the new generation")
+    assert(folded.generation == 1L && folded.floatKernel,
+      "same codebook + kernel — a fold, not a retrain")
+    assert(folded.centroids.map(_._2.toSeq) ==
+      seeds.map(_._2.map(_.toDouble).toSeq))
+    val post = folded
+      .search("vec_id", "embedding", q, k = 8, nprobe = 1, metric = "l2")
+      .collect().toSeq
+    assert(post == pre, "compaction must not change a bit of the ranking")
+    assert(!new java.io.File(s"$dir/gen-0").exists,
+      "superseded generation garbage-collected")
+    // idempotent: no deltas → no-op (same generation back)
+    assert(graft.vector.IvfIndex.compactDeltas(spark, dir).generation == 1L)
+    rm(new java.io.File(dir))
+  }
+
   test("IvfIndex generations: torn pointer recovers, uncommitted gen is ignored") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-gen-spec").toString
     val vecs = (0 until 12).map(i =>
