@@ -407,6 +407,68 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(all == Set(0, 1, 2, 3))
   }
 
+  test("graph-route hits: semi-join membership, bounded top-k, no cartesian") {
+    import org.apache.spark.sql.functions._
+    // the ask() relational route's scale shape: candidate membership
+    // reaches the frames through a LEFT-SEMI join (no payload moves for
+    // the test), the result is a bounded TakeOrdered, and nothing
+    // degenerates to a cartesian product
+    val dir = java.nio.file.Files.createTempDirectory("graphroute_plan").toString
+    Tables.orders(spark, sfDir).select(
+        concat(lit("cust:"), col("o_custkey")).as("entity"),
+        lit("order_priority").as("slot"),
+        col("o_orderpriority").as("value"),
+        pmod(col("o_orderkey"), lit(500)).cast("long").as("sourceFrameId"))
+      .write.mode("overwrite").parquet(s"$dir/cards")
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$dir/frames")
+    val hits = graft.graph.GraphSearch.graphHits(
+      spark.read.parquet(s"$dir/cards"), spark.read.parquet(s"$dir/frames"),
+      "doc_id", graft.search.FrameCols(text = col("text")),
+      entity = None, slot = Some("order_priority"),
+      valueContains = Some("urgent"), topK = 10).get
+    val p = hits.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("LeftSemi"), s"membership must be a semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must stay bounded, not a global sort:\n$p")
+    rmDir(new java.io.File(dir))
+  }
+
+  test("appended IVF index: cluster pruning holds on BOTH union legs") {
+    import org.apache.spark.sql.functions._
+    // the r15 delta-dir contract: read() unions base + committed deltas,
+    // and the nprobe `cluster IN` filter pushes through the Union so
+    // EVERY leg prunes at the partition level
+    val dir = java.nio.file.Files.createTempDirectory("ivf_union_prune").toString
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array((i % 4) * 3f, (i % 4) * 3f))
+    }.toDF("vec_id", "embedding")
+    val seeds = (0 until 4).map(c => c -> Array(c * 3f, c * 3f))
+    graft.vector.IvfIndex.write(vecs.filter($"vec_id" < 30),
+      "vec_id", "embedding", dir, seeds)
+    graft.vector.IvfIndex.append(spark, dir,
+      vecs.filter($"vec_id" >= 30), "vec_id", "embedding")
+    val h = graft.vector.IvfIndex.read(spark, dir)
+    val probe = h.assigned.filter(col("cluster").isin(0, 2))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"expected base + delta scans, got ${scans.size}")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "cluster IN must reach partition pruning on every union leg")
+      assert(s.selectedPartitions.partitionCount == 2,
+        s"leg read ${s.selectedPartitions.partitionCount} partitions, expected 2")
+    }
+    rmDir(new java.io.File(dir))
+  }
+
+  private def rmDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmDir))
+    f.delete(): Unit
+  }
+
   test("DSIR weight join broadcasts the bucket-sized feature table") {
     val w = graft.pipeline.Dsir.importanceWeights(
       Tables.documents(spark, sfDir), "doc_id", "text",
