@@ -93,6 +93,28 @@ class AskSpec extends SparkSpec {
     }
   }
 
+  test("QueryPlanner.plan never throws and always classifies (fuzz, 500 cases)") {
+    import graft.graph.QueryPlanner
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val fragments = Gen.oneOf("who", "lives", "in", "works", "at", "'s", "?",
+      "from", "fans of", "people", "likes", "", "  ", "---", "é中",
+      "AND", "(", ")", "\"", "a'b's c", "*", "New York City")
+    val queries = Gen.listOfN(6, fragments).map(_.mkString(" "))
+    val prop = Prop.forAll(queries) { q =>
+      QueryPlanner.plan(q, 5) match {
+        case QueryPlanner.VectorOnly(t, 5) => t == q
+        case QueryPlanner.Hybrid(e, s, v, t, 5) =>
+          // a planned triple is always usable: slot set, and at least
+          // one of entity/value constrains the match
+          t == q && s.exists(_.nonEmpty) && (e.nonEmpty || v.nonEmpty)
+        case _ => false
+      }
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private def convoCards = Seq(
     (1L, "user", "location", "Paris", "fact", "sets", ts("2024-01-01 09:00:00"), 1L),
     (2L, "user", "location", "Berlin", "fact", "sets", ts("2024-02-10 10:00:00"), 3L),
