@@ -293,25 +293,33 @@ final class Graft(val spark: SparkSession, basePath: String,
   // reference doctor.rs rebuilds corrupted indexes — here the frames log
   // is the source of truth and every derived table can be re-derived) ----
 
-  /** consistency counters over the store's tables */
+  /** consistency counters over the store's tables. The latest-active
+    * view (a per-id window + supersedes anti-join over the log) feeds
+    * three counters — pin it for the probe so the view is computed once,
+    * not three times (at 100 TB that is two full log shuffles saved per
+    * doctor run); values are identical either way. */
   def doctor: Map[String, Long] = {
     val live = frames.latestActive
-    val liveDocIds = live.filter(col("role") === "document").select(col("id"))
-    // chunks whose parent document is gone (e.g. tombstoned parent)
-    val orphanChunks = live.filter(col("role") === "chunk")
-      .join(liveDocIds.withColumnRenamed("id", "parentId"), Seq("parentId"), "left_anti")
-      .count()
-    // cards pointing at frames that never existed in the log (facade
-    // `remember` uses the -1 sentinel deliberately — not dangling)
-    val danglingCards = cards.filter(col("sourceFrameId") >= 0)
-      .join(frames.log.select(col("id").as("sourceFrameId")), Seq("sourceFrameId"), "left_anti")
-      .count()
-    val dupLiveUris = live.filter(col("role") === "document")
-      .groupBy(col("uri")).count().filter(col("count") > 1).count()
-    stats ++ Map(
-      "orphan_chunks" -> orphanChunks,
-      "dangling_cards" -> danglingCards,
-      "duplicate_live_uris" -> dupLiveUris)
+      .select(col("id"), col("parentId"), col("role"), col("uri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val liveDocIds = live.filter(col("role") === "document").select(col("id"))
+      // chunks whose parent document is gone (e.g. tombstoned parent)
+      val orphanChunks = live.filter(col("role") === "chunk")
+        .join(liveDocIds.withColumnRenamed("id", "parentId"), Seq("parentId"), "left_anti")
+        .count()
+      // cards pointing at frames that never existed in the log (facade
+      // `remember` uses the -1 sentinel deliberately — not dangling)
+      val danglingCards = cards.filter(col("sourceFrameId") >= 0)
+        .join(frames.log.select(col("id").as("sourceFrameId")), Seq("sourceFrameId"), "left_anti")
+        .count()
+      val dupLiveUris = live.filter(col("role") === "document")
+        .groupBy(col("uri")).count().filter(col("count") > 1).count()
+      stats ++ Map(
+        "orphan_chunks" -> orphanChunks,
+        "dangling_cards" -> danglingCards,
+        "duplicate_live_uris" -> dupLiveUris)
+    } finally live.unpersist(blocking = false): Unit
   }
 
   /** ordered repair plan WITHOUT executing (reference doctor_plan,
