@@ -113,10 +113,14 @@ object Doctor {
       debt = graft.search.Bm25Index.dataFileCount(g.spark, t) - budget
       if debt > 0
     } yield "bm25_file_debt" -> debt
-    // drifted-cluster count of the persisted IVF index (k-row aggregate)
+    // drifted-cluster count of the persisted IVF index (k-row aggregate);
+    // both vec probes guard on a committed index existing at the path —
+    // same shape as the bm25 probe's tableExists guard — so a configured
+    // vecPath with no index yet probes clean instead of throwing
     val vecDrift = for {
       p <- vecPath
       thr <- opts.vecDriftMeanMax
+      if graft.vector.IvfIndex.exists(g.spark, p)
       h = graft.vector.IvfIndex.read(g.spark, p)
       n = graft.vector.VectorSearch.ivfDriftStats(h.assigned, vecCol,
             h.centroids.map { case (cid, c) => (cid, c.map(_.toFloat)) })
@@ -127,6 +131,7 @@ object Doctor {
     val vecDelta = for {
       p <- vecPath
       budget <- opts.vecDeltaBudget
+      if graft.vector.IvfIndex.exists(g.spark, p)
       debt = graft.vector.IvfIndex.deltaCount(g.spark, p) - budget
       if debt > 0
     } yield "vec_delta_debt" -> debt

@@ -82,32 +82,53 @@ object Ask {
             h.entity, h.slot, h.valueContains, topK)
           for (df <- hits) {
             val rows = df.collect() // ≤ topK by construction
-            val citations = rows.zipWithIndex.map { case (r, i) =>
-              val preview = Option(r.getAs[String]("preview")).getOrElse("")
-              Citation(i + 1, r.getAs[Long]("id"), r.getAs[Double]("score"),
-                preview.replaceAll("\\s+", " ").trim.take(160))
-            }.toSeq
-            // card-backed exact answer: the possessive form states the
-            // current slot value; value-bearing patterns list the matched
-            // entities, then cite the source frames
-            val answer =
-              if (isPossessive) {
-                val v = graft.graph.LogicMesh
+            // the card value a possessive can answer from even when its
+            // source frame is gone (remember()'s -1 sentinel, superseded
+            // or tombstoned frames): deterministic newest-card pick —
+            // matchTriple is case-insensitive while getCurrent dedupes
+            // per exact-case key, so 'Carol'/'carol' can both survive and
+            // an unordered limit(1) would be plan-dependent
+            val possessiveValue: Option[String] =
+              if (isPossessive)
+                graft.graph.LogicMesh
                   .matchTriple(cardSet, h.entity, h.slot, None)
+                  .orderBy(col("ts").desc, col("cardId").desc)
                   .select(col("value")).limit(1).collect()
-                  .headOption.map(_.getString(0)).getOrElse("")
-                s"${h.entity.get}'s ${h.slot.get} is $v. " +
-                  citations.take(1).map(c => s"[${c.index}]").mkString
-              } else {
-                val entities = rows.flatMap(r =>
-                  Option(r.getAs[String]("matched_entity"))).distinct
-                val who = if (entities.nonEmpty) entities.mkString(", ") + ": "
-                          else ""
-                who + citations.take(3)
-                  .map(c => s"${c.snippet} [${c.index}]").mkString(" ")
-              }
-            return Response(answer, citations, "graph", question,
-              classification(question), sources = Seq("graph"))
+                  .headOption.map(_.getString(0))
+              else None
+            // graphHits decides Some/None on the CARD match alone; the
+            // left-semi join to live frames can still come back empty
+            // (stale/sentinel cards). The reference's hybrid_search falls
+            // back to lexical search on an empty candidate set
+            // (graph_search.rs:382-415) — do the same: only answer from
+            // the graph when it produced citations, or when the
+            // possessive arm holds a card value to state
+            if (rows.nonEmpty || possessiveValue.isDefined) {
+              val citations = rows.zipWithIndex.map { case (r, i) =>
+                val preview = Option(r.getAs[String]("preview")).getOrElse("")
+                Citation(i + 1, r.getAs[Long]("id"), r.getAs[Double]("score"),
+                  preview.replaceAll("\\s+", " ").trim.take(160))
+              }.toSeq
+              // card-backed exact answer: the possessive form states the
+              // current slot value; value-bearing patterns list the matched
+              // entities, then cite the source frames
+              val answer =
+                if (isPossessive) {
+                  s"${h.entity.get}'s ${h.slot.get} is ${possessiveValue.getOrElse("")}. " +
+                    citations.take(1).map(c => s"[${c.index}]").mkString
+                } else {
+                  val entities = rows.flatMap(r =>
+                    Option(r.getAs[String]("matched_entity"))).distinct
+                  val who = if (entities.nonEmpty) entities.mkString(", ") + ": "
+                            else ""
+                  who + citations.take(3)
+                    .map(c => s"${c.snippet} [${c.index}]").mkString(" ")
+                }
+              return Response(answer, citations, "graph", question,
+                classification(question), sources = Seq("graph"))
+            }
+            // else: graph matched cards but no live frames and no value —
+            // fall through to the retrieval ladder below
           }
         case _ => () // no relational pattern — ordinary ladder
       }

@@ -53,13 +53,30 @@ object QueryPlanner {
 
   private val stopWords = Set("and", "or", "who", "what", "that", "?")
 
+  /** keyword occurrence at WORD boundaries — the reference's contains()
+    * would also fire inside unrelated words ('therefrom' planning a
+    * `from` triple); the graph being dry keeps that correct but pays a
+    * spurious matchTriple probe per ask. Boundary = start/end of string
+    * or a non-keep char on both sides. */
+  private def indexOfWord(q: String, kw: String): Int = {
+    var pos = q.indexOf(kw)
+    while (pos >= 0) {
+      val beforeOk = pos == 0 || !keep(q.charAt(pos - 1))
+      val end = pos + kw.length
+      val afterOk = end >= q.length || !keep(q.charAt(end))
+      if (beforeOk && afterOk) return pos
+      pos = q.indexOf(kw, pos + 1)
+    }
+    -1
+  }
+
   /** analyze a question → execution plan (plan(), graph_search.rs:94-109) */
   def plan(query: String, topK: Int): Plan = {
     val q = query.toLowerCase(Locale.ROOT)
     // value-bearing keyword → ?entity :slot "value"
     entityPatterns.foreach { ep =>
       ep.keywords.foreach { kw =>
-        val pos = q.indexOf(kw)
+        val pos = indexOfWord(q, kw)
         if (pos >= 0) {
           val value = extractValue(q.substring(pos + kw.length))
           if (value.nonEmpty && ep.needsValue)

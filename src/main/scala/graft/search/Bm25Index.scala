@@ -100,14 +100,17 @@ object Bm25Index {
     * row. Scoring after compaction still plans ZERO data-sized exchanges
     * and is hash-exact vs the full rebuild (`search_bm25_compact`).
     *
-    * Swap is catalog-level and never leaves a gap under the live name:
-    * the compacted table materializes under `<table>__compact` (never
-    * reading and replacing the same storage), then the LIVE table is
-    * renamed aside to `<table>__old`, `__compact` renamed in, and
-    * `__old` dropped last. A crash at any point leaves either the old
-    * index live or the new one; the only residue is a stale `__old` /
-    * `__compact` table, and re-running compact finishes the swap
-    * (recovery branch below) before starting a fresh pass. */
+    * Swap is catalog-level: the compacted table materializes under
+    * `<table>__compact` (never reading and replacing the same storage),
+    * then the LIVE table is renamed aside to `<table>__old`, `__compact`
+    * renamed in, and `__old` dropped last. Under the single-writer
+    * contract the no-live-table window shrinks to the two catalog
+    * renames (a concurrent reader's spark.table in that window fails and
+    * retries — same as [[write]]'s rebuild swap). A crash at any point
+    * leaves either the old index live or the new one; the only residue
+    * is a stale `__old` / `__compact` table, and re-running compact
+    * FINISHES the torn swap and returns (recovery branch below) — run
+    * compact once more for a fresh pass over any debt appended since. */
   def compact(spark: SparkSession, tableName: String,
               nBuckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions._

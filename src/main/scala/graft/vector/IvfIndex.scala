@@ -129,6 +129,18 @@ object IvfIndex {
       .map(k => s"$genDir/deltas/d-$k").toSeq
   }
 
+  /** whether a committed index lives at `path` — CURRENT pointer, a
+    * committed generation dir, or the legacy flat layout's centroids.
+    * The doctor's vec probes guard on this (mirroring the bm25 probe's
+    * tableExists guard) so a configured-but-not-yet-built path reports
+    * cleanly instead of throwing from the parquet read. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(path))) return false
+    val genDir = liveGenDir(spark, path)
+    fs.exists(new Path(s"$genDir/centroids"))
+  }
+
   /** Open a persisted index. Centroids collect to the driver (k·dim —
     * the same bounded shape EdgeCache.cachedValue carries). The assigned
     * frame is base ∪ committed deltas; Catalyst pushes the nprobe

@@ -148,6 +148,71 @@ class AskSpec extends SparkSpec {
     assert(resp.sources.nonEmpty && !resp.sources.contains("graph"))
   }
 
+  test("ask: graph match over stale cards falls through to the ladder") {
+    // cards match the triple pattern but their source frames are NOT in
+    // the corpus (remember()'s -1 sentinel / a superseded frame) — the
+    // reference's hybrid_search falls back to lexical search when
+    // candidate_frames is empty (graph_search.rs:382-415); the route must
+    // not return an empty graph answer
+    val stale = Seq(
+      (9L, "Eve", "employer", "Acme Corp", "fact", "sets",
+        ts("2024-01-05 09:00:00"), -1L),
+      (10L, "Mallory", "employer", "Acme Corp", "fact", "sets",
+        ts("2024-01-06 09:00:00"), 999L) // frame 999 does not exist
+    ).toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+    val resp = Ask.ask(spark, corpus.copy(cards = Some(stale)),
+      "who works at Acme", topK = 5)
+    assert(resp.engine != "graph", resp.toString)
+    assert(resp.sources.nonEmpty && !resp.sources.contains("graph"))
+  }
+
+  test("ask: possessive over a stale card still answers from the card value") {
+    // the possessive arm's answer comes from the card, not the frame —
+    // a remembered fact (sentinel sourceFrameId) answers with zero
+    // citations instead of falling through with an empty string
+    val remembered = Seq(
+      (9L, "eve", "employer", "Initech", "fact", "sets",
+        ts("2024-01-05 09:00:00"), -1L)
+    ).toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+    val resp = Ask.ask(spark, corpus.copy(cards = Some(remembered)),
+      "what is eve's employer", topK = 5)
+    assert(resp.engine == "graph", resp.toString)
+    assert(resp.answer.contains("Initech"), resp.answer)
+    assert(resp.citations.isEmpty)
+  }
+
+  test("ask: possessive value pick is deterministic under case-duplicate cards") {
+    // matchTriple is case-insensitive while getCurrent dedupes per
+    // exact-case key: 'Carol'/'carol' both survive — the answered value
+    // must be the NEWEST card's (ts desc, cardId desc), never
+    // plan-order-dependent
+    val dup = Seq(
+      (11L, "Carol", "employer", "OldCorp", "fact", "sets",
+        ts("2024-01-01 09:00:00"), 1L),
+      (12L, "carol", "employer", "NewCorp", "fact", "sets",
+        ts("2024-02-01 09:00:00"), 3L)
+    ).toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+    (1 to 3).foreach { _ =>
+      val resp = Ask.ask(spark, corpus.copy(cards = Some(dup)),
+        "what is carol's employer", topK = 5)
+      assert(resp.answer.contains("NewCorp") && !resp.answer.contains("OldCorp"),
+        resp.answer)
+    }
+  }
+
+  test("QueryPlanner: short keywords match at word boundaries only") {
+    import graft.graph.QueryPlanner
+    // 'therefrom' must not fire the 'from' location pattern
+    assert(QueryPlanner.plan("the funds stolen therefrom yesterday", 5)
+      .isInstanceOf[QueryPlanner.VectorOnly])
+    // a real 'from X' still plans the location triple
+    QueryPlanner.plan("from Berlin", 5) match {
+      case QueryPlanner.Hybrid(None, Some("location"), Some(v), _, _) =>
+        assert(v == "berlin")
+      case other => fail(other.toString)
+    }
+  }
+
   test("ask: no cards binding means no routing (behavior unchanged)") {
     val withCards = Ask.ask(spark, corpus, "who works at Acme", topK = 5)
     assert(withCards.engine != "graph")
