@@ -16,5 +16,6 @@ object Registry {
     graft.queries.AnalyticsQueries.defs ++
     graft.queries.IngestQueries.defs ++
     graft.queries.MediaQueries.defs ++
-    graft.queries.StoreQueries.defs
+    graft.queries.StoreQueries.defs ++
+    graft.queries.ServeQueries.defs
 }

@@ -134,6 +134,133 @@ final class Graft(val spark: SparkSession, basePath: String,
   /** back to live-log reads */
   def releaseSnapshot(): Unit = frames.releaseSnapshot()
 
+  // ---- persisted-index serving (reference: lazy engine init opens the
+  // on-disk Tantivy segments once they exist, src/memvid/search/mod.rs:
+  // 47-57, and the vector path switches off brute force once an index is
+  // worth it, src/vec.rs:23). The Spark-native form: a bucketed BM25
+  // postings table and a generation-dir IVF index, each stamped with the
+  // store's commit version at build time. search()/ask() route through a
+  // FRESH index (stamp == current commit version) and fall back to the
+  // corpus path the moment the store moves past the stamp — results are
+  // bit-equal either way (`search_facade_indexed`/`ask_facade_indexed`
+  // gate that), the index only changes WHERE the work happens. The
+  // freshness verdict is cached per store mutation epoch, which the
+  // single-writer contract makes exact: the one writer observes every
+  // mutation it performs. ----
+
+  private var lexIndex: Option[(String, Boolean)] = None // (table, stemmed)
+  private var lexFreshCache: Option[(Long, Boolean)] = None
+  private var vecIndex: Option[(String, Int)] = None // (path, nprobe)
+  private var vecHandleCache: Option[(Long, Option[graft.vector.IvfIndex.Handle])] = None
+
+  /** route the LAST search()/ask() retrieval took: "indexed" | "corpus" —
+    * the observable the serving gates and the doctor's serve-path
+    * re-probe lock on */
+  @volatile var lastSearchRoute: String = "corpus"
+  @volatile var lastAskVecRoute: String = "corpus"
+
+  /** everything search() scans, in index form: ALL live frames
+    * (documents AND chunks — chunk-level retrieval is part of the search
+    * surface), id + text only */
+  private def searchableFrames: DataFrame =
+    frames.latestActive.select(col("id"),
+      coalesce(col("text"), lit("")).as("text"))
+
+  /** Build (or rebuild) the persisted BM25 postings table over the CURRENT
+    * live frames, stamp it with the store's commit version, and attach it
+    * for serving. Re-running after mutations is the maintenance loop:
+    * rebuild → restamp → serving returns to the indexed path. */
+  def buildLexIndex(table: String, stemmed: Boolean = true,
+                    nBuckets: Int = 16): Unit = {
+    graft.search.Bm25Index.write(searchableFrames, "id", "text", table,
+      stemmed = stemmed, nBuckets = nBuckets)
+    // stamp AFTER the build/swap: a crash in between leaves an unstamped
+    // (= stale-looking) index and serving falls back to the corpus — the
+    // safe direction
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('graft.store.version' = '$currentVersion')")
+    attachLexIndex(table, stemmed)
+  }
+
+  /** Attach an existing postings table for serving (no build). Serving
+    * uses it only while its version stamp matches the store. */
+  def attachLexIndex(table: String, stemmed: Boolean = true): Unit = {
+    lexIndex = Some((table, stemmed)); lexFreshCache = None
+  }
+
+  def detachLexIndex(): Unit = { lexIndex = None; lexFreshCache = None }
+
+  private def lexIndexFresh(table: String): Boolean = {
+    val epoch = frames.mutationEpoch
+    lexFreshCache match {
+      case Some((e, v)) if e == epoch => v
+      case _ =>
+        val fresh = spark.catalog.tableExists(table) && {
+          val props = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+          props.get("graft.store.version").contains(currentVersion.toString)
+        }
+        lexFreshCache = Some((epoch, fresh))
+        fresh
+    }
+  }
+
+  /** Build (or rebuild) the persisted IVF index over the live documents'
+    * embeddings, stamp, and attach. Centroids train with Lloyd iterations
+    * over the current embedding table (deterministic seed rows). */
+  def buildVecIndex(path: String, k: Int = 4, iters: Int = 2,
+                    nprobe: Int = 4): Unit = {
+    // pin: the embedder UDF runs once, not once per Lloyd iteration
+    val emb = embeddingsTable.localCheckpoint()
+    // deterministic seeds: the k lowest-id live vectors
+    val seeds = emb.orderBy(col("id")).limit(k).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+      .toSeq
+    require(seeds.nonEmpty, "buildVecIndex: store has no live documents")
+    val (cents, _) =
+      graft.vector.VectorSearch.kmeansLloyd(emb, "vector", seeds, iters)
+    graft.vector.IvfIndex.write(emb, "id", "vector", path,
+      cents.map { case (cid, c) => (cid, c.map(_.toFloat)) })
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_GRAFT_STORE_VERSION"), true)
+    out.write(currentVersion.toString.getBytes("UTF-8")); out.close()
+    attachVecIndex(path, nprobe)
+  }
+
+  /** Attach an existing IVF index for ask()'s vector rung; served only
+    * while its version stamp matches the store. @param nprobe clusters
+    * probed per query (pass the index's cluster count for exact parity
+    * with brute force) */
+  def attachVecIndex(path: String, nprobe: Int = 4): Unit = {
+    vecIndex = Some((path, nprobe)); vecHandleCache = None
+  }
+
+  def detachVecIndex(): Unit = { vecIndex = None; vecHandleCache = None }
+
+  /** fresh handle or None, cached per store mutation epoch */
+  private def vecServingHandle(path: String): Option[graft.vector.IvfIndex.Handle] = {
+    val epoch = frames.mutationEpoch
+    vecHandleCache match {
+      case Some((e, h)) if e == epoch => h
+      case _ =>
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stampPath = new org.apache.hadoop.fs.Path(s"$path/_GRAFT_STORE_VERSION")
+        val fresh = graft.vector.IvfIndex.exists(spark, path) &&
+          fs.exists(stampPath) && {
+            val in = fs.open(stampPath)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+            s == currentVersion.toString
+          }
+        val h = if (fresh) Some(graft.vector.IvfIndex.read(spark, path)) else None
+        vecHandleCache = Some((epoch, h))
+        h
+    }
+  }
+
   // ---- query ----
   /** @param acl optional per-caller ACL check, applied post-ranking over
     *        the bounded hit page exactly where the reference applies it
@@ -147,8 +274,28 @@ final class Graft(val spark: SparkSession, basePath: String,
     *        as `acl_rank`). Both touch only the topK hits. */
   def search(query: String, topK: Int = 10,
              acl: Option[graft.acl.Acl.Check] = None): DataFrame = {
-    val ranked = Search.search(frames.latestActive, "id", frameCols, query,
-      Search.Options(topK = topK))
+    // engine selection mirrors the reference (search/mod.rs:47-57): with
+    // an attached lexical index, queries get BM25 ranking — served from
+    // the postings table while the stamp is fresh, recomputed from the
+    // corpus (same scores) while it is stale; without one, the fallback
+    // occurrence scorer
+    val ranked = lexIndex match {
+      case Some((t, stemmed)) =>
+        val opts = Search.Options(topK = topK,
+          engine = Search.BM25Engine, stemmed = stemmed)
+        if (lexIndexFresh(t)) {
+          lastSearchRoute = "indexed"
+          Search.searchIndexed(frames.latestActive, "id", frameCols, query,
+            t, opts)
+        } else {
+          lastSearchRoute = "corpus"
+          Search.search(frames.latestActive, "id", frameCols, query, opts)
+        }
+      case None =>
+        lastSearchRoute = "corpus"
+        Search.search(frames.latestActive, "id", frameCols, query,
+          Search.Options(topK = topK))
+    }
     val hits = acl match {
       case None => ranked
       case Some(req: graft.acl.Acl.Request) =>
@@ -186,12 +333,26 @@ final class Graft(val spark: SparkSession, basePath: String,
 
   def ask(question: String, topK: Int = 5,
           acl: Option[graft.acl.Acl.Check] = None): Ask.Response = {
+    // a FRESH attached IVF index turns on the vector rung: candidates
+    // come from the nprobe index search (reference ≥1000-vector ANN
+    // switch, src/vec.rs:23) and the semantic re-rank reads the same
+    // persisted vectors; stale or absent → the pre-attach ladder
+    val vecServing = vecIndex.flatMap { case (p, nprobe) =>
+      vecServingHandle(p).map { h =>
+        (h.assigned.select(col("id"), col("vector")),
+         (qv: Array[Float], k: Int) => h.search("id", "vector", qv, k, nprobe))
+      }
+    }
+    lastAskVecRoute = if (vecServing.isDefined) "indexed" else "corpus"
     val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols,
+        embeddings = vecServing.map(_._1),
         meta = Some(col("extraMetadata")),
         // relational questions route through the QueryPlanner over the
         // store's memory cards (reference QueryPlanner + hybrid_search)
-        cards = Some(cards)),
-      question, embedder, topK, acl)
+        cards = Some(cards),
+        ann = vecServing.map(_._2)),
+      question, if (vecServing.isDefined) Some(activeEmbedder) else embedder,
+      topK, acl)
     if (recorder.isRecording)
       recorder.recordAsk(question, "local", "graft-extractive", 0L,
         resp.citations.map(_.id))

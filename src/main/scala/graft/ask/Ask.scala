@@ -27,11 +27,20 @@ object Ask {
     *        question through [[graft.graph.QueryPlanner]] and answers
     *        relational questions from the graph match (reference
     *        QueryPlanner + hybrid_search, src/graph_search.rs) */
+  /** @param ann optional indexed vector-candidate source: (query
+    *        embedding, k) → ranked (id, score) DataFrame. When present
+    *        (and an embedder is given) the vector rung's candidates come
+    *        from it instead of brute-force cosine over `embeddings` —
+    *        the persisted-IVF serving path ([[graft.api.Graft.ask]]
+    *        binds [[graft.vector.IvfIndex.Handle.search]] here). The
+    *        semantic re-rank still reads `embeddings` (candidate-id
+    *        bounded), so bind both for the full ladder. */
   final case class Corpus(docs: DataFrame, idCol: String, f: FrameCols,
                           embeddings: Option[DataFrame] = None, // (id, vector)
                           correctionUriPrefix: String = "mv2://correction/",
                           meta: Option[Column] = None,
-                          cards: Option[DataFrame] = None)
+                          cards: Option[DataFrame] = None,
+                          ann: Option[(Array[Float], Int) => DataFrame] = None)
 
   /** @param aclAllowed Some(verdict) when the request carried an ACL
     *        context (Audit mode annotates without blocking — the
@@ -164,16 +173,22 @@ object Ask {
     val primaryF = Future(lexList(primaryQ).filter(_.nonEmpty))
     val orListF = Future(lexList(Classify.disjunctive(question)))
 
-    val vectorListF = Future(for {
-      emb <- corpus.embeddings
-      e <- embedder
-    } yield {
-      F.ensureRegistered(spark)
-      val qv = typedlit(e.embed(question))
-      collectRanked(
-        emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
-          .orderBy(col("score").desc, col("id"))
-          .limit(effectiveK * 2))
+    val vectorListF = Future((corpus.ann, embedder) match {
+      // indexed path: candidates from the attached ANN search (same
+      // bounded top-k' contract; the fn owns metric + pruning)
+      case (Some(annFn), Some(e)) =>
+        Some(collectRanked(annFn(e.embed(question), effectiveK * 2)))
+      case _ => for {
+        emb <- corpus.embeddings
+        e <- embedder
+      } yield {
+        F.ensureRegistered(spark)
+        val qv = typedlit(e.embed(question))
+        collectRanked(
+          emb.select(col(id).as("id"), F.cosineSim(col("vector"), qv).as("score"))
+            .orderBy(col("score").desc, col("id"))
+            .limit(effectiveK * 2))
+      }
     })
 
     val correctionsF = Future {

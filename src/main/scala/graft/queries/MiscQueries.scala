@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object MiscQueries {
 
-  private def duckCos(a: String, b: String) = {
+  private[queries] def duckCos(a: String, b: String) = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($x, $y), p -> p[1]*p[2])), (u,v)->u+v)"
     def nsq(x: String) =
@@ -28,13 +28,13 @@ object MiscQueries {
   /** the ask() gate's fixed question; its HashEmbedder query vector is
     * computed here (pure JVM, deterministic) and inlined into the oracle
     * SQL as an exact double-literal list — same floats the engine uses. */
-  private val AskQuestion = "how do spark joins merge batches"
+  private[queries] val AskQuestion = "how do spark joins merge batches"
   private val AskTerms = Seq("spark", "joins", "merge", "batches")
 
   /** the shared CTE chain replaying ask()'s ranking pipeline (OR list +
     * vector list → RRF → semantic boost) up to `fin(doc_id, score)`;
     * ask_citations and ask_audit_report both build on it. */
-  private def askRankingCtes: String = {
+  private[queries] def askRankingCtes: String = {
     val qv = new HashEmbedder(64).embed(AskQuestion)
       .map(f => f.toDouble.toString).mkString("[", ", ", "]")
     val anyTerm = AskTerms.map(t => s"contains(tl, '$t')").mkString(" OR ")
@@ -65,7 +65,7 @@ object MiscQueries {
        |  LEFT JOIN sem s ON s.doc_id = r.doc_id)""".stripMargin
   }
 
-  private def askCitationsOracle: String =
+  private[queries] def askCitationsOracle: String =
     s"""$askRankingCtes
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS citation_idx,
        |       doc_id, ROUND(score, 9) AS score

@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ask.HashEmbedder
+import graft.search.FrameCols
+import org.apache.spark.sql.functions._
+
+/** Index-backed SERVING through the facade — the round-16 contract
+  * (reference: lazy engine init routes queries through the on-disk
+  * Tantivy segments once they exist, src/memvid/search/mod.rs:47-57;
+  * the vector path switches off brute force once an index is worth it,
+  * src/vec.rs:23). Three gates lock the full build → serve → mutate →
+  * fallback → rebuild → re-serve loop bit-exactly against DuckDB:
+  *
+  *  - `search_facade_indexed`: facade search through the persisted BM25
+  *    postings table; a mutation flips the route to the corpus path
+  *    (same scores over the moved corpus), a rebuild restores the
+  *    indexed route with identical scores — the oracle replays BM25
+  *    over both corpus states.
+  *  - `ask_vec_indexed`: ask()'s vector rung served from a persisted
+  *    IVF index (nprobe = all clusters) vs the SAME oracle as the
+  *    brute-force ask_citations gate — persistence + routing must not
+  *    change a single bit of the fused ranking.
+  *  - `ask_facade_indexed`: the facade end-to-end (put → buildVecIndex
+  *    → ask), two legs around a mutation + rebuild; every id, rank,
+  *    cosine, RRF term and snippet is oracle-derived from literal
+  *    HashEmbedder vectors (the same index-order double fold on both
+  *    engines).
+  */
+object ServeQueries {
+
+  /** oracle-side tokenizer fragment (must mirror F.tokens) */
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
+
+  /** BM25 CTE chain over a corpus CTE `(id, text)` named `c`, suffixed
+    * `g` — replays Search.searchIndexed's pure-word-AND path: corpus
+    * stats, per-term contributions summed in fixed term order, the ×4
+    * over-fetch page (top 100 by rounded score), then the all-terms
+    * membership cut and the final top-25. Same arithmetic as the proven
+    * text_bm25 oracle. */
+  private def bm25Legs(c: String, g: String): String =
+    s"""toks_$g AS (SELECT id AS doc_id, unnest($duckToks) AS term FROM $c),
+       |dl_$g AS (SELECT doc_id, COUNT(*) AS dl FROM toks_$g GROUP BY doc_id),
+       |stats_$g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                    CAST(SUM(dl) AS DOUBLE) AS total FROM dl_$g),
+       |df_$g AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks_$g
+       |          WHERE term IN ('spark','join','window') GROUP BY term),
+       |tf_$g AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_$g
+       |          WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+       |contrib_$g AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS cb
+       |  FROM tf_$g tf JOIN df_$g df ON tf.term = df.term
+       |          JOIN dl_$g dl ON tf.doc_id = dl.doc_id, stats_$g stats),
+       |agg_$g AS (
+       |  SELECT doc_id,
+       |    COALESCE(SUM(CASE WHEN term = 'spark' THEN cb END), 0)
+       |    + COALESCE(SUM(CASE WHEN term = 'join' THEN cb END), 0)
+       |    + COALESCE(SUM(CASE WHEN term = 'window' THEN cb END), 0) AS score,
+       |    COUNT(DISTINCT term) AS nm
+       |  FROM contrib_$g GROUP BY doc_id),
+       |page_$g AS (SELECT doc_id, ROUND(score, 6) AS score, nm FROM agg_$g
+       |            ORDER BY score DESC, doc_id LIMIT 100),
+       |hits_$g AS (SELECT doc_id, score FROM page_$g WHERE nm = 3
+       |            ORDER BY score DESC, doc_id LIMIT 25)""".stripMargin
+
+  // ---- ask_facade_indexed fixture: four greek-letter docs (facade put
+  // ids 8k+1), a fifth appended between the legs; the question shares no
+  // token with any doc, so every lexical rung is dry and the ladder is
+  // timeline + IVF-served vector rung. Vectors are HashEmbedder(64)
+  // outputs computed here (pure JVM) and inlined as exact double
+  // literals — cosine is an index-order fold from 0.0 on both engines.
+  private val FacadeAskQ = "sprockets assemble"
+  private val FacadeDocs = Seq(
+    "alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+    "kappa lambda mu")
+  private val FacadeExtra = "nu xi omicron"
+
+  private def vecLit(text: String): String =
+    new HashEmbedder(64).embed(text)
+      .map(f => f.toDouble.toString).mkString("[", ", ", "]")
+
+  /** one leg's CTE chain over literal (id, tl_rank, txt, vec) rows:
+    * vector rank from cosine desc, RRF = timeline term + vector term,
+    * semantic boost ×(1+cos), top-3 citations. Mirrors Ask.ask's fusion
+    * over the collected bounded lists. */
+  private def askLeg(v: String, g: String): String = {
+    val cos = MiscQueries.duckCos("vec", "qv")
+    s"""cs_$g AS (SELECT id, tl_rank, txt, $cos AS c FROM $v, q),
+       |vr_$g AS (SELECT *, row_number() OVER (ORDER BY c DESC, id) - 1 AS vrank
+       |          FROM cs_$g),
+       |sc_$g AS (SELECT id, txt,
+       |    (CASE WHEN tl_rank IS NOT NULL THEN 1.0 / (61 + tl_rank) ELSE 0.0 END
+       |     + 1.0 / (61 + vrank)) * (1.0 + c) AS score FROM vr_$g),
+       |top_$g AS (SELECT id, txt, score,
+       |    row_number() OVER (ORDER BY score DESC, id) AS idx
+       |  FROM sc_$g ORDER BY score DESC, id LIMIT 3)""".stripMargin
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- facade lexical serving: batch-put the documents table into a
+    // fresh store (ids = row order), build + stamp the postings table,
+    // then three searches around a mutation. Leg 'indexed' serves from
+    // the index; the put flips the version stamp stale and leg
+    // 'stale_corpus' recomputes the SAME engine from the corpus (now
+    // including the extra doc in the stats); the rebuild restamps and
+    // leg 'reserved' serves the identical page from the index again —
+    // the maintain→serve loop closed under one oracle. ----
+    "search_facade_indexed" -> QueryDef.sql(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_facade_serve").toString
+        val g = new graft.api.Graft(s, dir)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        g.frames.put(docs.map { case (i, t) => (s"mv2://facade/$i", t) }.toSeq)
+        g.buildLexIndex("facade_lex_serve_gate", stemmed = false)
+        def leg(name: String) = {
+          val hits = g.search("spark join window", topK = 25)
+          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
+              col("id"), col("score"))
+            .localCheckpoint() // pin BEFORE the next mutation moves the store
+        }
+        val l1 = leg("indexed")
+        g.put("mv2://facade/extra", "zzz qqq")
+        val l2 = leg("stale_corpus")
+        g.buildLexIndex("facade_lex_serve_gate", stemmed = false)
+        val l3 = leg("reserved")
+        val out = l1.union(l2).union(l3)
+          .orderBy(col("leg"), col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql("DROP TABLE IF EXISTS `facade_lex_serve_gate`")
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH base AS (SELECT row_number() OVER (ORDER BY doc_id) AS id, text
+         |              FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM base),
+         |c2 AS (SELECT id, text FROM base
+         |       UNION ALL SELECT 8 * n + 1, 'zzz qqq' FROM nn),
+         |${bm25Legs("base", "1")},
+         |${bm25Legs("c2", "2")}
+         |SELECT 'indexed' AS leg, 'indexed' AS route,
+         |       CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |UNION ALL SELECT 'stale_corpus', 'corpus', doc_id, score FROM hits_2
+         |UNION ALL SELECT 'reserved', 'indexed', doc_id, score FROM hits_2
+         |ORDER BY leg, score DESC, id""".stripMargin),
+
+    // ---- ask()'s vector rung served from a persisted IVF index:
+    // identical fixture, question and ORACLE as ask_citations — the
+    // index (nprobe = all 3 clusters) must reproduce the brute-force
+    // candidate list bit-for-bit, so the fused ranking is unchanged.
+    // What the index buys is WHERE the work happens (pruned partition
+    // scans, locked in PlanPropertiesSpec), never what comes back. ----
+    "ask_vec_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        graft.functions.F.ensureRegistered(s)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_askvec_idx").toString
+        val docs = Tables.documents(s, d)
+          .withColumn("uri", concat(lit("doc://"), col("source"), lit("/"), col("doc_id")))
+        val f = FrameCols(text = col("text"), uri = col("uri"),
+                          track = col("source"))
+        val vectors = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vector"))
+        val h = graft.vector.IvfIndex.write(vectors, "doc_id", "vector", dir,
+          VectorQueries.ivfCents(s, d))
+        val ann = (qv: Array[Float], k: Int) =>
+          h.search("doc_id", "vector", qv, k, nprobe = 3)
+            .withColumnRenamed("doc_id", "id")
+        val corpus = graft.ask.Ask.Corpus(docs, "doc_id", f,
+          embeddings = Some(vectors),
+          correctionUriPrefix = "doc://correction/", ann = Some(ann))
+        val resp = graft.ask.Ask.ask(s, corpus, MiscQueries.AskQuestion,
+          Some(new HashEmbedder(64)))
+        val out = resp.citations.map(c => (c.index.toLong, c.id, c.score))
+          .toDF("citation_idx", "doc_id", "score")
+          .withColumn("score", round(col("score"), 9))
+          .localCheckpoint() // detach before deleting the index dir
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      MiscQueries.askCitationsOracle),
+
+    // ---- the facade end-to-end: put 4 docs → buildVecIndex (trains,
+    // writes, stamps, attaches) → ask serves the vector rung from the
+    // index (leg1); a 5th put staleness-drops the rung, the rebuild
+    // restores it over the grown corpus (leg2). All lexical rungs are
+    // dry by construction, so the fused ranking is timeline + vector —
+    // every score is ROUND((1/(61+tl) + 1/(61+vr)) * (1+cos), 9) with
+    // cos computed by DuckDB from the inlined HashEmbedder vectors. ----
+    "ask_facade_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_facade_askvec").toString
+        val g = new graft.api.Graft(s, dir)
+        FacadeDocs.zipWithIndex.foreach { case (t, i) =>
+          g.put(s"mv2://serve/$i", t)
+        }
+        g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+        def leg(name: String) = {
+          val r = g.ask(FacadeAskQ, topK = 3)
+          r.citations.map(c => (name, c.index.toLong, c.id, c.score,
+            c.snippet, r.engine, g.lastAskVecRoute))
+            .toDF("leg", "citation_idx", "cit_id", "score", "snippet",
+              "engine", "vec_route")
+            .withColumn("score", round(col("score"), 9))
+        }
+        val l1 = leg("leg1")
+        g.put("mv2://serve/extra", FacadeExtra)
+        g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+        val l2 = leg("leg2")
+        val out = l1.union(l2).orderBy(col("leg"), col("citation_idx"))
+          .localCheckpoint()
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH q(qv) AS (VALUES (${vecLit(FacadeAskQ)}::DOUBLE[])),
+         |v1(id, tl_rank, txt, vec) AS (VALUES
+         |  (1, 0, '${FacadeDocs(0)}', ${vecLit(FacadeDocs(0))}::DOUBLE[]),
+         |  (9, 1, '${FacadeDocs(1)}', ${vecLit(FacadeDocs(1))}::DOUBLE[]),
+         |  (17, 2, '${FacadeDocs(2)}', ${vecLit(FacadeDocs(2))}::DOUBLE[]),
+         |  (25, NULL, '${FacadeDocs(3)}', ${vecLit(FacadeDocs(3))}::DOUBLE[])),
+         |v2(id, tl_rank, txt, vec) AS (
+         |  SELECT * FROM v1
+         |  UNION ALL SELECT 33, NULL, '$FacadeExtra', ${vecLit(FacadeExtra)}::DOUBLE[]),
+         |${askLeg("v1", "1")},
+         |${askLeg("v2", "2")}
+         |SELECT 'leg1' AS leg, CAST(idx AS BIGINT) AS citation_idx,
+         |       CAST(id AS BIGINT) AS cit_id, ROUND(score, 9) AS score,
+         |       txt AS snippet, 'hybrid' AS engine, 'indexed' AS vec_route
+         |FROM top_1
+         |UNION ALL
+         |SELECT 'leg2', CAST(idx AS BIGINT), CAST(id AS BIGINT),
+         |       ROUND(score, 9), txt, 'hybrid', 'indexed'
+         |FROM top_2
+         |ORDER BY leg, citation_idx""".stripMargin))
+}

@@ -22,7 +22,7 @@ object VectorQueries {
   // the point-lookup jobs and the assignment scan per gate.
 
   /** centroid vectors 0/1/2 — one bounded driver lookup per process */
-  private def ivfCents(s: org.apache.spark.sql.SparkSession,
+  private[queries] def ivfCents(s: org.apache.spark.sql.SparkSession,
                        d: String): Seq[(Int, Array[Float])] =
     graft.graph.EdgeCache.cachedValue(s, s"$d#vecCents012") {
       val emb = Tables.embeddings(s, d)

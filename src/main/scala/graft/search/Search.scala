@@ -21,6 +21,14 @@ object Search {
                            withSnippets: Boolean = true, snippetWindow: Int = 60,
                            engine: Engine = FallbackEngine, stemmed: Boolean = true)
 
+  // pure conjunction of bare words? then BM25-mode membership comes from
+  // the (stemmed) engine itself, like the reference's tantivy must-clauses
+  private def pureWordAnd(e: QExpr): Boolean = e match {
+    case QExpr.And(l, r) => pureWordAnd(l) && pureWordAnd(r)
+    case QExpr.Word(_)   => true
+    case _               => false
+  }
+
   /** @param docs corpus; @param idCol unique id column name;
     * @param f column bindings for the queryable fields
     */
@@ -36,13 +44,6 @@ object Search {
         query.trim.matches("[^()\"]*") && !query.toUpperCase.matches(".*\\b(OR|NOT)\\b.*") =>
         Some(terms.mkString(" "))
       case _ => None
-    }
-    // pure conjunction of bare words? then BM25-mode membership comes from
-    // the (stemmed) engine itself, like the reference's tantivy must-clauses
-    def pureWordAnd(e: QExpr): Boolean = e match {
-      case QExpr.And(l, r) => pureWordAnd(l) && pureWordAnd(r)
-      case QExpr.Word(_)   => true
-      case _               => false
     }
     val bm25Membership = opts.engine == BM25Engine && pureWordAnd(ast)
     val filtered = if (bm25Membership) docs else docs.filter(pred)
@@ -67,6 +68,67 @@ object Search {
         filtered.select(col(idCol).as("id"), f.text.as("__text"),
           coalesce(scoreCol, lit(0.0)).as("score"))
     }
+    finish(scored, terms, opts)
+  }
+
+  /** [[search]] with BM25Engine semantics SERVED from a persisted
+    * [[Bm25Index]] postings table instead of tokenizing the corpus —
+    * the reference's indexed engine path (lazy Tantivy init,
+    * src/memvid/search/mod.rs:47-57: queries go through the on-disk
+    * segments once an index exists). Bit-equal to the corpus path by
+    * construction (`search_facade_indexed` gates it):
+    *
+    *  - pure word-AND queries score the WHOLE postings table — the same
+    *    corpus-wide stats the corpus path computes when membership comes
+    *    from the engine (no predicate filter on either path);
+    *  - any other query evaluates the compiled predicate on the (narrow)
+    *    frame columns to an allowed-id set and LEFT-SEMI joins it into
+    *    the postings before scoring — the postings subset aggregates to
+    *    exactly the corpus path's tokenTable(filtered), so stats and
+    *    scores match bit-for-bit while the expensive step (tokenization)
+    *    never runs.
+    *
+    * Plan shape at scale: the postings table is bucketed by doc_id, so
+    * the doc-keyed aggregation plans zero data-sized exchanges; the
+    * semi-join shuffles only the allowed-id list (or broadcasts it).
+    * Queries with no scoring terms (pure field filters) take the corpus
+    * path unchanged — there is nothing for the index to accelerate.
+    *
+    * PRECONDITION (the caller's staleness guard owns this): the table
+    * indexes exactly `docs`' rows under `opts.stemmed` tokenization —
+    * [[graft.api.Graft.search]] checks its commit-version stamp and
+    * falls back to the corpus path when the index lags the store. */
+  def searchIndexed(docs: DataFrame, idCol: String, f: FrameCols,
+                    query: String, indexTable: String,
+                    opts: Options = Options()): DataFrame = {
+    graft.functions.F.ensureRegistered(docs.sparkSession)
+    val ast = QueryParser.parse(query)
+    val terms = QExpr.words(ast).distinct
+    if (opts.engine != BM25Engine || terms.isEmpty)
+      return search(docs, idCol, f, query, opts)
+    val pred = QueryCompiler.compile(ast, f)
+    val bm25Membership = pureWordAnd(ast)
+    val filtered = if (bm25Membership) docs else docs.filter(pred)
+    val postings = docs.sparkSession.table(indexTable)
+    val posts =
+      if (bm25Membership) postings
+      else postings.join(
+        filtered.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val qTerms = (if (opts.stemmed) terms.map(graft.text.Porter.stem) else terms).distinct
+    val ranked0 = BM25.scorePostings(posts, qTerms,
+      topK = (opts.offset + opts.topK) * 4)
+    val ranked = if (bm25Membership)
+      ranked0.filter(col("n_terms_matched") === qTerms.size) else ranked0
+    val scored = filtered.select(col(idCol).as("id"), f.text.as("__text"))
+      .join(ranked.drop("n_terms_matched").withColumnRenamed("doc_id", "id"), "id")
+    finish(scored, terms, opts)
+  }
+
+  /** shared ranking tail: snippets over the top page only, total order,
+    * cursor pagination */
+  private def finish(scored: DataFrame, terms: Seq[String],
+                     opts: Options): DataFrame = {
     val base = scored
       .select(col("id"), col("score"),
         (if (opts.withSnippets)

@@ -40,9 +40,17 @@ final class FrameStore(spark: SparkSession, path: String) {
     (maxId, maxSeq)
   }
 
+  /** bumped on every mutation (append or vacuum) — consumers caching a
+    * derived verdict about the store (e.g. the facade's index-freshness
+    * check) key their cache on this and re-derive only after a change.
+    * In-process only, which the single-writer contract makes sufficient:
+    * the one writer sees every mutation it performs. */
+  @volatile private[graft] var mutationEpoch: Long = 0L
+
   private def appendFrames(fs: Seq[Frame]): Unit = {
     fs.toDS().write.mode(SaveMode.Append).parquet(path)
     currentSnapshot = None // the pinned copy no longer reflects the log
+    mutationEpoch += 1
   }
 
   /** J8 dedup plan: stage the incoming batch's hashes and left-anti join
@@ -225,6 +233,7 @@ final class FrameStore(spark: SparkSession, path: String) {
     if (!fs.rename(fsTmp, fsPath))
       throw new java.io.IOException(s"vacuum: rename $tmp -> $path failed")
     counters = None
+    mutationEpoch += 1
   }
 
   def stats: (Long, Long, Long) = {

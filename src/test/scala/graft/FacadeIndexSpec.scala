@@ -1,0 +1,125 @@
+package graft
+
+import graft.api.Graft
+import graft.search.{FrameCols, Search}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted-index SERVING through the facade (reference lazy engine
+  * init, src/memvid/search/mod.rs:47-57 + the ANN switch, src/vec.rs:23):
+  * attach/build route search()/ask() through the BM25 postings table /
+  * IVF index, staleness falls back to the corpus path, and results are
+  * bit-equal either way.
+  */
+class FacadeIndexSpec extends SparkSpec {
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("graft_facade_idx").toString
+
+  private def rows(df: DataFrame): Seq[(Long, Double)] =
+    df.select(col("id"), round(col("score"), 9).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private val texts = Seq(
+    "spark joins shuffle data across partitions",
+    "window functions rank rows per partition in spark",
+    "broadcast joins avoid the shuffle entirely",
+    "a note about gardening and tomatoes",
+    "spark window joins combine both worlds")
+
+  private def freshStore(): Graft = {
+    val g = new Graft(spark, tmpStore())
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
+    g
+  }
+
+  test("buildLexIndex: search serves from the index, bit-equal to corpus BM25") {
+    val g = freshStore()
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine))
+    g.buildLexIndex("facade_lex_spec")
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(served) == rows(corpusPath))
+    assert(rows(served).nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_spec`")
+  }
+
+  test("lex staleness: mutation falls back to corpus; rebuild re-serves") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_stale_spec")
+    g.search("spark", topK = 10).collect()
+    assert(g.lastSearchRoute == "indexed")
+    g.put("mv2://t/new", "fresh spark doc about joins")
+    val afterMut = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "corpus")
+    // the corpus fallback SEES the new doc (same engine semantics)
+    assert(afterMut.collect().map(_.getLong(0)).contains(41L))
+    // rebuild → restamp → indexed again, including the new doc
+    g.buildLexIndex("facade_lex_stale_spec")
+    val reServed = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(reServed) == rows(afterMut))
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_stale_spec`")
+  }
+
+  test("indexed search with field pre-filter semi-joins and stays bit-equal") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_filter_spec")
+    val fcols = FrameCols(text = coalesce(col("text"), lit("")),
+      uri = col("uri"), track = col("track"), kind = col("kind"),
+      tags = col("tags"), labels = col("labels"), timestamp = col("timestamp"))
+    // uri-scoped query: not a pure word-AND, so the indexed path
+    // evaluates the predicate to an allowed-id set and semi-joins the
+    // postings; stats must come from the FILTERED subset on both paths
+    val q = "scope:mv2://t/ AND spark"
+    val corpusPath = Search.search(g.frames.latestActive, "id", fcols, q,
+      Search.Options(topK = 10, engine = Search.BM25Engine))
+    val served = Search.searchIndexed(g.frames.latestActive, "id", fcols, q,
+      "facade_lex_filter_spec", Search.Options(topK = 10, engine = Search.BM25Engine))
+    assert(rows(served) == rows(corpusPath))
+    assert(rows(served).nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_filter_spec`")
+  }
+
+  test("buildVecIndex: ask's vector rung serves from the IVF index, bit-equal to brute force") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    val q = "gardening tomatoes"
+    val served = g.ask(q, topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    assert(served.engine == "hybrid", served.engine)
+    // brute-force reference: same corpus, embeddings bound directly
+    val emb = g.embeddingsTable
+    val brute = graft.ask.Ask.ask(spark,
+      graft.ask.Ask.Corpus(g.frames.latestActive, "id",
+        FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+          track = col("track"), kind = col("kind"), tags = col("tags"),
+          labels = col("labels"), timestamp = col("timestamp")),
+        embeddings = Some(emb), meta = Some(col("extraMetadata")),
+        cards = Some(g.cards)),
+      q, Some(new graft.ask.HashEmbedder(64)), topK = 3)
+    assert(served.citations.map(c => (c.id, c.score)) ==
+      brute.citations.map(c => (c.id, c.score)))
+    assert(served.citations.nonEmpty)
+  }
+
+  test("vec staleness: mutation drops the rung; rebuild restores it") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    g.put("mv2://t/extra", "another doc about window joins")
+    val resp = g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "corpus")
+    assert(resp.engine == "lex") // vector rung gone, ladder still answers
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+  }
+}

@@ -469,6 +469,52 @@ class PlanPropertiesSpec extends SparkSpec {
     f.delete(): Unit
   }
 
+  test("facade indexed search under a pinned snapshot: zero data-sized exchanges") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB serving shape: latest-active pinned to a plain scan
+    // (read-mostly phase) + BM25 scoring satisfied by the bucketed
+    // postings read + the rank page joined back via broadcast — no
+    // data-sized shuffle anywhere in the serve path
+    val dir = java.nio.file.Files.createTempDirectory("facade_plan").toString
+    val g = new graft.api.Graft(spark, dir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    g.frames.put(docs.map { case (i, t) => (s"mv2://plan/$i", t) }.toSeq)
+    g.buildLexIndex("facade_plan_spec_idx", stemmed = false)
+    g.snapshotCurrent(s"$dir/snap")
+    val df = g.search("spark join window", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"indexed serve path must plan zero data-sized exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(df.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS `facade_plan_spec_idx`")
+    rmDir(new java.io.File(dir))
+  }
+
+  test("facade-built IVF index prunes unprobed clusters at the partition level") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("facade_vec_plan").toString
+    val g = new graft.api.Graft(spark, dir)
+    Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+        "kappa lambda mu").zipWithIndex
+      .foreach { case (t, i) => g.put(s"mv2://planvec/$i", t) }
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 1)
+    val h = graft.vector.IvfIndex.read(spark, s"$dir/vec")
+    val qv = new graft.ask.HashEmbedder(64).embed("sprockets assemble")
+    val probe = h.search("id", "vector", qv, 3, nprobe = 1)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.toString.contains("PartitionFilters: ["),
+      s"cluster probe did not reach partition pruning:\n$scan")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"nprobe=1 read ${scan.selectedPartitions.partitionCount} cluster dirs")
+    rmDir(new java.io.File(dir))
+  }
+
   test("DSIR weight join broadcasts the bucket-sized feature table") {
     val w = graft.pipeline.Dsir.importanceWeights(
       Tables.documents(spark, sfDir), "doc_id", "text",
