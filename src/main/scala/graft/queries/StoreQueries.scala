@@ -477,6 +477,52 @@ object StoreQueries {
     // + 5 v2), and the latest-active view re-derived from the compacted
     // log is unchanged — per-uri stored text lengths replay from the
     // source table. ----
+    // ---- writer discipline (reference src/lock.rs + src/lockfile.rs):
+    // TWO FrameStore handles mutate ONE store path — handle B must mint
+    // past handle A's persisted watermark (not from a stale log rescan),
+    // and cross-handle supersede/tombstone must land on the other
+    // handle's ids. The locked observables are the log's version
+    // accounting: 42 appended rows (20+20 mints, 1 supersede mint, 1
+    // tombstone), 41 DISTINCT ids (an id collision between the handles
+    // drops this), 4 serialized commits. The ScalaTest side
+    // (StoreLockSpec) covers the genuinely-concurrent interleavings,
+    // contender timeout with owner hint, and stale takeover; this gate
+    // locks the cross-handle VALUE semantics against the oracle. ----
+    "store_lock_discipline" -> QueryDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+          .map(r => (s"mv2://lock/${r.getLong(0)}", r.getString(1))).toSeq
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lock_gate").toString
+        val a = new FrameStore(s, dir)
+        val idsA = a.put(docs.take(20), chunkLargeDocs = false)
+        val b = new FrameStore(s, dir) // separate handle, separate cache
+        val idsB = b.put(docs.drop(20), chunkLargeDocs = false)
+        // B supersedes a frame A minted; A tombstones a frame B minted
+        b.update(idsA.head, docs.head._2 + " v2", docs.head._1)
+        a.delete(idsB.head)
+        val log = a.log
+        val acct = log.agg(
+          count(lit(1)).as("log_rows"),
+          countDistinct(col("id")).as("n_distinct_ids"),
+          countDistinct(col("commitSeq")).as("n_commits")).head
+        a.latestActive
+          .select(col("uri"), col("text"))
+          .withColumn("log_rows", lit(acct.getLong(0)))
+          .withColumn("n_distinct_ids", lit(acct.getLong(1)))
+          .withColumn("n_commits", lit(acct.getLong(2)))
+          .orderBy(col("uri"))
+          .localCheckpoint() // detach from the temp store
+      },
+      """SELECT 'mv2://lock/' || doc_id AS uri,
+        |  CASE WHEN doc_id = 0 THEN text || ' v2' ELSE text END AS text,
+        |  CAST(42 AS BIGINT) AS log_rows,
+        |  CAST(41 AS BIGINT) AS n_distinct_ids,
+        |  CAST(4 AS BIGINT) AS n_commits
+        |FROM documents WHERE doc_id < 40 AND doc_id <> 20
+        |ORDER BY uri""".stripMargin),
+
     "store_vacuum_compact" -> QueryDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 40)

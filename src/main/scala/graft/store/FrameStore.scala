@@ -14,23 +14,76 @@ import org.apache.spark.sql.functions._
   *
   * At scale the log is partitioned parquet (partition by track/date in
   * production); the latest-active view is one window over id — the same
-  * row_number idiom Delta-style MVCC compactions use. Single-writer, like
-  * the reference's one-file engine.
+  * row_number idiom Delta-style MVCC compactions use.
+  *
+  * Writer discipline (reference src/lock.rs + src/lockfile.rs): every
+  * mutation — put / update / delete / vacuum — runs under the exclusive
+  * [[StoreLock]] for this path, and the minted watermarks (max id, max
+  * commitSeq) are persisted to `_graft_seq` inside the log dir (an
+  * underscore file, invisible to the parquet reader) as part of the same
+  * locked section. Two handles — two processes — on one store therefore
+  * serialize their commits and each mints from the OTHER's persisted
+  * watermark, never from a stale in-memory cache: no duplicate ids, no
+  * commitSeq collisions, no double-ingest of the same content hash
+  * through the dedup check's read-then-write window. Ids are never
+  * reused, even across [[vacuum]] (the watermark survives compaction —
+  * the reference's monotonic frame ids). READ freshness stays an
+  * in-process contract (the snapshot pin and `mutationEpoch` don't see a
+  * foreign writer); the lock is what makes concurrent WRITES safe.
   */
-final class FrameStore(spark: SparkSession, path: String) {
+final class FrameStore(spark: SparkSession, path: String,
+                       lockOptions: StoreLock.Options =
+                         FrameStore.defaultLockOptions) {
   import spark.implicits._
 
   private def logExists: Boolean =
     new java.io.File(path).exists && new java.io.File(path).list() != null &&
-      new java.io.File(path).list().nonEmpty
+      new java.io.File(path).list().exists(!_.startsWith("_"))
 
   def log: Dataset[Frame] =
     if (logExists) spark.read.parquet(path).as[Frame]
     else spark.emptyDataset[Frame]
 
+  // ---- minted-watermark persistence (multi-writer id safety) ----
+  private def seqFile = new org.apache.hadoop.fs.Path(
+    path.stripSuffix("/") + "/_graft_seq")
+  private def fs = seqFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSeqFile(): Option[(Long, Long)] =
+    try {
+      if (!fs.exists(seqFile)) None
+      else {
+        val in = fs.open(seqFile)
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        line.split('\t') match {
+          case Array(i, s) => Some((i.toLong, s.toLong))
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeSeqFile(maxId: Long, maxSeq: Long): Unit = {
+    val out = fs.create(seqFile, true)
+    try out.write(s"$maxId\t$maxSeq\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** acquire the store's exclusive lockfile around a mutation — every
+    * commit (id mint + parquet append + watermark persist) is one locked
+    * section, so concurrent handles serialize (reference: every mutation
+    * takes the exclusive lock first, src/lockfile.rs:121) */
+  private def mutate[T](body: => T): T =
+    StoreLock.withLock(spark, path, lockOptions)(body)
+
   private var counters: Option[(Long, Long)] = None // (maxId, maxSeq)
+
+  /** Mint a block of ids + the next commitSeq. Caller holds the store
+    * lock. The persisted `_graft_seq` watermark is authoritative when
+    * present (another HANDLE may have committed since our cache was
+    * filled); the in-memory cache only serves a pre-watermark legacy log,
+    * and the one-time scan only a store that predates this handle. */
   private def nextIds(n: Int): (Long, Long) = synchronized {
-    val (maxId, maxSeq) = counters.getOrElse {
+    val (maxId, maxSeq) = readSeqFile().orElse(counters).getOrElse {
       if (logExists) {
         val r = log.agg(max("id"), max("commitSeq")).head
         (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -47,8 +100,12 @@ final class FrameStore(spark: SparkSession, path: String) {
     * the one writer sees every mutation it performs. */
   @volatile private[graft] var mutationEpoch: Long = 0L
 
-  private def appendFrames(fs: Seq[Frame]): Unit = {
-    fs.toDS().write.mode(SaveMode.Append).parquet(path)
+  private def appendFrames(frames: Seq[Frame]): Unit = {
+    frames.toDS().write.mode(SaveMode.Append).parquet(path)
+    // persist the minted watermark as part of the same locked section —
+    // the NEXT writer (any handle, any process) minting from it is what
+    // makes ids globally unique
+    counters.foreach { case (i, s) => writeSeqFile(i, s) }
     currentSnapshot = None // the pinned copy no longer reflects the log
     mutationEpoch += 1
   }
@@ -81,14 +138,25 @@ final class FrameStore(spark: SparkSession, path: String) {
           ts: Timestamp = new Timestamp(1700000000000L),
           tags: Seq[String] = Nil, dedup: Boolean = true,
           enrich: Boolean = true, chunkLargeDocs: Boolean = true,
-          metadata: Map[String, String] = Map.empty): Seq[Long] = {
+          metadata: Map[String, String] = Map.empty): Seq[Long] = mutate {
+    // the dedup read runs INSIDE the locked section: two writers racing
+    // the same content would otherwise both pass the anti-join and
+    // double-ingest (read-then-write window)
     val hashed = texts.map { case (u, t) => (u, t, sha(t)) }
     val fresh: Seq[(String, String)] =
       if (dedup && logExists) {
         val keep = freshHashes(hashed.map(_._3)).as[String].collect().toSet
         hashed.collect { case (u, t, h) if keep.contains(h) => (u, t) }
       } else texts
-    if (fresh.isEmpty) return Seq.empty
+    if (fresh.isEmpty) Seq.empty else putFresh(fresh, track, kind, ts, tags,
+      enrich, chunkLargeDocs, metadata)
+  }
+
+  private def putFresh(fresh: Seq[(String, String)], track: Option[String],
+                       kind: Option[String], ts: Timestamp,
+                       tags: Seq[String], enrich: Boolean,
+                       chunkLargeDocs: Boolean,
+                       metadata: Map[String, String]): Seq[Long] = {
     val (idBase, seqBase) = nextIds(fresh.size * 8)
     var id = idBase
     val frames = fresh.flatMap { case (uri, text) =>
@@ -134,8 +202,8 @@ final class FrameStore(spark: SparkSession, path: String) {
     * same appended rows, same latest-active result, one write. */
   def updateMany(updates: Seq[(Long, String, String)], // (oldId, text, uri)
                  ts: Timestamp = new Timestamp(1700000001000L),
-                 metadata: Map[String, String] = Map.empty): Seq[Long] = {
-    if (updates.isEmpty) return Nil
+                 metadata: Map[String, String] = Map.empty): Seq[Long] =
+    if (updates.isEmpty) Nil else mutate {
     val (idBase, seqBase) = nextIds(updates.size)
     val frames = updates.zipWithIndex.map { case ((oldId, newText, uri), i) =>
       Frame(idBase + i + 1, seqBase + 1, ts, None, None, Some(uri), None,
@@ -153,14 +221,14 @@ final class FrameStore(spark: SparkSession, path: String) {
 
   /** batch tombstone: N deletes in ONE log append (one commit) */
   def deleteMany(ids: Seq[Long],
-                 ts: Timestamp = new Timestamp(1700000002000L)): Unit = {
-    if (ids.isEmpty) return
-    val (_, seqBase) = nextIds(0)
-    appendFrames(ids.map(id =>
-      Frame(id, seqBase + 1, ts, None, None, None, None,
-        Array.empty[Byte], None, Nil, Nil, Map.empty, Nil,
-        "document", None, None, None, Frame.Tombstoned, None, None)))
-  }
+                 ts: Timestamp = new Timestamp(1700000002000L)): Unit =
+    if (ids.nonEmpty) mutate {
+      val (_, seqBase) = nextIds(0)
+      appendFrames(ids.map(id =>
+        Frame(id, seqBase + 1, ts, None, None, None, None,
+          Array.empty[Byte], None, Nil, Nil, Map.empty, Nil,
+          "document", None, None, None, Frame.Tombstoned, None, None)))
+    }
 
   /** When set, `latestActive` serves this read-optimized parquet copy
     * instead of recomputing the window + anti-join per read. Any mutation
@@ -218,21 +286,30 @@ final class FrameStore(spark: SparkSession, path: String) {
 
   /** compaction: rewrite only the live view, dropping dead versions
     * (reference vacuum, mutation.rs:2999) */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = mutate {
     // distributed: the live view streams straight to the tmp dir (no
     // driver collect — the live set is the whole store), then the swap
     // goes through Hadoop FileSystem so non-local stores (hdfs/s3a)
     // work the same as file://
     val tmp = path + "_vacuum"
+    // the minted watermark must SURVIVE compaction: the compacted log's
+    // max id is the max LIVE id, and re-minting a vacuumed-away
+    // (tombstoned/superseded) id would resurrect its history
+    val watermark = readSeqFile().orElse(counters).getOrElse {
+      val r = log.agg(max("id"), max("commitSeq")).head
+      (if (r.isNullAt(0)) 0L else r.getLong(0),
+       if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     latestActiveAsOf(None).as[Frame].write.mode(SaveMode.Overwrite).parquet(tmp)
     currentSnapshot = None
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsTmp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(fsPath, true)
-    if (!fs.rename(fsTmp, fsPath))
+    val hfs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(fsPath, true)
+    if (!hfs.rename(fsTmp, fsPath))
       throw new java.io.IOException(s"vacuum: rename $tmp -> $path failed")
-    counters = None
+    counters = Some(watermark)
+    writeSeqFile(watermark._1, watermark._2)
     mutationEpoch += 1
   }
 
@@ -246,4 +323,16 @@ final class FrameStore(spark: SparkSession, path: String) {
   private def sha(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
+
+object FrameStore {
+  /** Mutation-lock defaults: patient acquire (a contending writer WAITS
+    * for a live peer's commit rather than erroring — commits are seconds,
+    * not the reference's in-process microseconds), generous stale grace
+    * (no heartbeats run mid-append), no stale takeover unless the caller
+    * opts in. The reference's tighter 250 ms/10 s defaults remain
+    * [[StoreLock.Options]]'s own defaults for direct users. */
+  val defaultLockOptions: StoreLock.Options = StoreLock.Options(
+    timeoutMs = 120000L, heartbeatMs = 2000L, staleGraceMs = 120000L,
+    command = "framestore-mutation", forceStale = false)
 }

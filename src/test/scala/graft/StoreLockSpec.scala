@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import graft.store.{FrameStore, StoreLock}
+
+/** Writer-discipline contract (reference src/lock.rs + src/lockfile.rs):
+  * concurrent FrameStore handles on one path serialize their commits
+  * through the exclusive lockfile and mint ids from the persisted
+  * watermark — no duplicate ids, structured locked errors, stale-lock
+  * takeover, and id monotonicity across vacuum. */
+class StoreLockSpec extends SparkSpec {
+
+  private def tmpDir: String = Files.createTempDirectory("graft-lock").toString
+
+  test("two concurrent handles: commits serialize, ids never collide") {
+    val dir = s"$tmpDir/frames"
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def writer(tag: String): Thread = new Thread(() => {
+      try {
+        val store = new FrameStore(spark, dir) // its own handle + id cache
+        (0 until 6).foreach { b =>
+          store.put((0 until 3).map(i =>
+            (s"mv2://$tag/$b/$i", s"payload $tag batch $b item $i")))
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val ts = Seq(writer("alpha"), writer("beta"))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(errors.isEmpty, s"writer threads failed: ${errors.peek()}")
+    val store = new FrameStore(spark, dir)
+    val log = store.log.collect()
+    // every row keeps a globally unique id+seq version key, every doc lives
+    assert(log.map(_.id).distinct.length == log.length)
+    assert(store.latestActive.count() == 36)
+    // 12 commits serialized by the lock -> 12 distinct commitSeqs
+    assert(log.map(_.commitSeq).distinct.length == 12)
+  }
+
+  test("fresh handle mints from the persisted watermark, not a rescan race") {
+    val dir = s"$tmpDir/frames"
+    val h1 = new FrameStore(spark, dir)
+    val ids1 = h1.put(Seq(("mv2://a", "first handle content")))
+    val h2 = new FrameStore(spark, dir)
+    val ids2 = h2.put(Seq(("mv2://b", "second handle content")))
+    // h1 RESERVED a block (size*8); h2 must mint past the reservation,
+    // which only the _graft_seq watermark (not the log max) records
+    assert(ids2.head > ids1.head + 7)
+    // and h1 keeps minting safely after h2's foreign commit
+    val ids3 = h1.put(Seq(("mv2://c", "first handle again")))
+    assert((ids1 ++ ids2 ++ ids3).distinct.length == 3)
+  }
+
+  test("contender times out with the holder's owner hint") {
+    val dir = s"$tmpDir/frames"
+    val lock = StoreLock.acquire(spark, dir,
+      StoreLock.Options(command = "holder-process"))
+    try {
+      val impatient = new FrameStore(spark, dir,
+        StoreLock.Options(timeoutMs = 150L))
+      val e = intercept[StoreLock.StoreLockedException] {
+        impatient.put(Seq(("mv2://x", "should not land")))
+      }
+      assert(e.owner.exists(_.cmd == "holder-process"))
+      assert(!e.stale) // heartbeat is fresh
+      assert(e.getMessage.contains("holder-process"))
+      // reporting surface: who holds it
+      assert(StoreLock.currentOwner(spark, dir).exists(_.cmd == "holder-process"))
+    } finally lock.release()
+    assert(StoreLock.currentOwner(spark, dir).isEmpty)
+  }
+
+  test("waiting contender proceeds once the holder releases") {
+    val dir = s"$tmpDir/frames"
+    val lock = StoreLock.acquire(spark, dir, StoreLock.Options())
+    val store = new FrameStore(spark, dir) // default patient options
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      store.put(Seq(("mv2://y", "lands after release"))); done.countDown()
+    })
+    t.start()
+    Thread.sleep(300) // contender is spinning now
+    assert(done.getCount == 1)
+    lock.release()
+    assert(done.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    t.join()
+    assert(store.latestActive.count() == 1)
+  }
+
+  test("stale lock: reported stale, taken over only with forceStale") {
+    val dir = s"$tmpDir/frames"
+    val lock = StoreLock.acquire(spark, dir,
+      StoreLock.Options(command = "crashed-writer"))
+    // no heartbeat arrives; with a tiny grace the holder reads as stale
+    val noForce = intercept[StoreLock.StoreLockedException] {
+      StoreLock.acquire(spark, dir,
+        StoreLock.Options(timeoutMs = 120L, staleGraceMs = 1L))
+    }
+    assert(noForce.stale && noForce.owner.exists(_.cmd == "crashed-writer"))
+    // forceStale sweeps the stale lock and wins
+    Thread.sleep(5)
+    val takeover = StoreLock.acquire(spark, dir,
+      StoreLock.Options(timeoutMs = 2000L, staleGraceMs = 1L,
+        forceStale = true, command = "recovery"))
+    assert(takeover.owner.cmd == "recovery")
+    takeover.release()
+    lock.release() // stale holder's release of the swept file is a no-op
+  }
+
+  test("heartbeat keeps a slow writer live against forceStale") {
+    val dir = s"$tmpDir/frames"
+    val lock = StoreLock.acquire(spark, dir, StoreLock.Options())
+    try {
+      Thread.sleep(30)
+      lock.heartbeat() // a live writer re-stamps within its grace
+      val e = intercept[StoreLock.StoreLockedException] {
+        StoreLock.acquire(spark, dir, StoreLock.Options(
+          timeoutMs = 100L, staleGraceMs = 60000L, forceStale = true))
+      }
+      assert(!e.stale) // heartbeat held the takeover off
+    } finally lock.release()
+  }
+
+  test("ids stay monotonic across vacuum: tombstoned ids are never reused") {
+    val dir = s"$tmpDir/frames"
+    val store = new FrameStore(spark, dir)
+    val Seq(a) = store.put(Seq(("mv2://keep", "content that stays")))
+    val Seq(b) = store.put(Seq(("mv2://drop", "content that goes")))
+    store.delete(b)
+    store.vacuum() // compacted log's max id is now a's, but the watermark survives
+    val Seq(c) = store.put(Seq(("mv2://next", "content after vacuum")))
+    assert(c > b && c > a)
+    // and a fresh handle (fresh cache) still respects it
+    val Seq(d) = new FrameStore(spark, dir).put(Seq(("mv2://more", "again")))
+    assert(d > c)
+  }
+}
