@@ -150,7 +150,11 @@ object VectorQueries {
   /** shared oracle: IVF nprobe=2 / k=15 search for query vec 5 — used by
     * vec_ivf_search (in-session index) and vec_ivf_persisted (the same
     * index written to parquet and reopened); both must match it exactly. */
-  private def ivfSearchOracle: String =
+  private def ivfSearchOracle: String = ivfSearchOracleCols("")
+
+  /** same oracle with extra projected literal columns (e.g. the stream
+    * gate's multi_batch bit) — the search answer itself never varies */
+  private def ivfSearchOracleCols(extra: String): String =
     s"""WITH cents AS (
        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -164,7 +168,7 @@ object VectorQueries {
        |     ORDER BY ${duckL2("CAST(e.embedding AS DOUBLE[])", "c.cv")}, c.cid
        |     LIMIT 1) AS cluster
        |  FROM embeddings e)
-       |SELECT a.vec_id, ROUND(${duckCos("a.ev", "q.qv")}, 6) AS score
+       |SELECT a.vec_id, ROUND(${duckCos("a.ev", "q.qv")}, 6) AS score$extra
        |FROM assigned a, q
        |WHERE a.cluster IN (SELECT cid FROM probed)
        |ORDER BY ${duckCos("a.ev", "q.qv")} DESC, a.vec_id LIMIT 15""".stripMargin
@@ -399,6 +403,49 @@ object VectorQueries {
         out
       },
       ivfSearchOracle),
+
+    // ---- STREAMING maintenance of the persisted IVF index (the vector
+    // twin of stream_bm25_append; reference: the enrichment worker folds
+    // newly-embedded frames into the standing vec index continuously,
+    // src/enrichment_worker.rs:270-360): gen-0 is built from the
+    // vec_id % 10 != 0 majority, the % 10 == 0 delta arrives as FOUR
+    // parquet files draining at one file per micro-batch (multi_batch
+    // locks that several batches really ran), each batch appending its
+    // own committed delta dir — and a FIFTH file replays vectors the
+    // base already indexed, which the anti-join idempotence guard must
+    // drop. The oracle IS the full-corpus IVF search (identical to
+    // vec_ivf_search): a lost batch, a double-appended replay, or a
+    // codebook/kernel drift all hash-fail. ----
+    "stream_vec_append" -> QueryDef.sql(
+      (s, d) => {
+        F.ensureRegistered(s)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-st-vec")
+        val in = tmp.resolve("in").toString
+        val idxDir = tmp.resolve("idx").toString
+        val ck = tmp.resolve("ck").toString
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        graft.vector.IvfIndex.write(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", idxDir, ivfCents(s, d))
+        Seq(col("vec_id") % 40 === 0, col("vec_id") % 40 === 10,
+            col("vec_id") % 40 === 20, col("vec_id") % 40 === 30,
+            col("vec_id") % 10 === 1) // already indexed: pure replay
+          .foreach(p => emb.filter(p).coalesce(1)
+            .write.mode("append").parquet(in))
+        val q = graft.streaming.StreamingIngest.runVecIndexStream(
+          s, in, idxDir, ck, "vec_id", "embedding", emb.schema)
+        q.awaitTermination()
+        val nBatches = Option(new java.io.File(s"$ck/offsets").list())
+          .map(_.count(f => !f.endsWith(".tmp") && !f.startsWith("."))).getOrElse(0)
+        val idx = graft.vector.IvfIndex.read(s, idxDir)
+        val out = idx.search("vec_id", "embedding", queryVec(s, d, 5L),
+            k = 15, nprobe = 2)
+          .withColumn("score", round(col("score"), 6))
+          .withColumn("multi_batch", lit(nBatches >= 3))
+          .localCheckpoint() // detach from the temp dirs
+        deleteRecursively(tmp.toFile)
+        out
+      },
+      ivfSearchOracleCols(", TRUE AS multi_batch")),
 
     // ---- drift-triggered RE-TRAIN of the persisted IVF index
     // (IvfIndex.retrain; reference upkeep contract: k-means retraining

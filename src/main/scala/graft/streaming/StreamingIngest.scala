@@ -288,6 +288,54 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming maintenance of the PERSISTED vector index — the twin of
+    * [[runBm25IndexStream]] for the IVF side, matching the reference's
+    * continuous enrichment worker, which embeds new frames and folds them
+    * into the standing vec index as they arrive
+    * (src/enrichment_worker.rs:270-360): each micro-batch of vectors is
+    * assigned against the CURRENT codebook and lands as its own committed
+    * delta dir via [[graft.vector.IvfIndex.append]] — |batch|-sized work,
+    * no corpus re-scan, partition-level nprobe pruning preserved per
+    * delta leg. A retrain stays a separate, drift-triggered batch job
+    * (the doctor's contract), exactly as the reference reserves k-means
+    * retraining for its rebuild path.
+    *
+    * Idempotence (foreachBatch is at-least-once on restart): each batch
+    * anti-joins its ids against the index's OWN id set before appending,
+    * so a replayed micro-batch re-appends nothing — the same
+    * enrichment-manifest guard [[runBm25IndexStream]] uses, and cheap
+    * because the id projection reads one narrow column off the
+    * cluster-partitioned index. A fully-deduped batch skips the append
+    * entirely (no empty delta dirs accumulate). Delta-dir debt across
+    * many batches is [[graft.vector.IvfIndex.compactDeltas]]'s job —
+    * the doctor's `vec_delta_debt` signal plans it.
+    *
+    * Contract: the index EXISTS before the stream starts (gen-0 build is
+    * [[graft.vector.IvfIndex.write]]'s job — the worker maintains an
+    * index, it doesn't train one). */
+  def runVecIndexStream(spark: SparkSession, inputDir: String,
+                        indexPath: String, checkpointDir: String,
+                        idCol: String, vecCol: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val indexed = graft.vector.IvfIndex.read(spark, indexPath)
+          .assigned.select(col(idCol))
+        val fresh = batch.select(col(idCol), col(vecCol))
+          .join(indexed, Seq(idCol), "left_anti")
+        if (!fresh.isEmpty)
+          graft.vector.IvfIndex.append(spark, indexPath, fresh,
+            idCol, vecCol): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** ST4 extension: tumbling-window event counts with a watermark for state
     * cleanup (the reference has no event-time windows; `events` testdata
     * lets us expose them as an engine extension). */
