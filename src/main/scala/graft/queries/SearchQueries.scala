@@ -21,7 +21,68 @@ object SearchQueries {
       tags = array(col("lang")))
   }
 
+  /** fuzz binding: every FrameCols slot is live so every field term can
+    * match — track/labels from source, kind/tags from lang, a synthetic
+    * uri, and a synthetic event time (doc_id % 600 days past 2024-01-01)
+    * so date ranges bite. Mirrored EXACTLY in the oracle CTE below. */
+  private def fuzzCols = FrameCols(
+    text = col("text"),
+    uri = concat(lit("doc://"), col("source"), lit("/"), col("doc_id")),
+    track = col("source"),
+    kind = col("lang"),
+    tags = array(col("lang")),
+    labels = array(col("source")),
+    timestamp = expr(
+      "TIMESTAMP'2024-01-01' + make_dt_interval(CAST(doc_id % 600 AS INT))"))
+
+  private val FuzzN = 200
+  private val FuzzSeed = 20260816L
+
+  private def fuzzOracle: String = {
+    val legs = graft.search.QueryFuzz.cases(FuzzN, FuzzSeed).zipWithIndex
+      .map { case (c, i) =>
+        s"SELECT CAST($i AS BIGINT) AS qid, CAST(COUNT(*) AS BIGINT) AS n_matches, " +
+          s"CAST(COALESCE(BIT_XOR(doc_id), 0) AS BIGINT) AS xor_ids " +
+          s"FROM t WHERE ${graft.search.QueryFuzz.toDuck(c.ast)}"
+      }
+    s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt, lang, source,
+       |  'doc://' || source || '/' || doc_id AS uri,
+       |  TIMESTAMP '2024-01-01' + ((doc_id % 600) * INTERVAL 1 DAY) AS ts,
+       |  $duckToks AS toks FROM documents)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY qid""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- randomized parser differential (the oracle companion to the
+    // never-throws scalacheck property from r15): 200 seeded ASTs are
+    // rendered to query strings with surface noise — implicit
+    // adjacency-AND, optional quotes, punctuation the tokenizer must
+    // trim (parser.rs:288-301, 400-421) — re-parsed and compiled by the
+    // REAL QueryParser → QueryCompiler chain, and each query's full
+    // match set (count + doc_id xor digest) faces the DuckDB replay of
+    // the AST's intended semantics, generated independently of the
+    // parser. All 200 match sets evaluate in ONE corpus pass (a single
+    // 400-expression aggregate; Catalyst CSE shares the tokenize across
+    // predicates), then the bounded 1×400 row reshapes driver-side. ----
+    "search_parser_fuzz" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val cases = graft.search.QueryFuzz.cases(FuzzN, FuzzSeed)
+        val fc = fuzzCols
+        val aggs = cases.zipWithIndex.flatMap { case (c, i) =>
+          val p = graft.search.QueryCompiler.predicate(c.rendered, fc)
+          Seq(count(when(p, 1)).as(s"n_$i"),
+            coalesce(bit_xor(when(p, col("doc_id"))), lit(0L)).as(s"x_$i"))
+        }
+        val row = Tables.documents(s, d).agg(aggs.head, aggs.tail: _*).head
+        val out = cases.indices.map(i =>
+          (i.toLong, row.getAs[Long](s"n_$i"), row.getAs[Long](s"x_$i")))
+        s.createDataset(out).toDF("qid", "n_matches", "xor_ids")
+          .orderBy($"qid")
+      },
+      fuzzOracle),
 
     // ---- boolean + field query: (spark OR merge) AND NOT stream track:src3
     "search_boolean" -> QueryDef.sql(

@@ -61,8 +61,13 @@ object QueryParser {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
     val n = q.length
+    // the bare-word scan stops ONLY at whitespace/parens — a quote at a
+    // token START opens a phrase, but MID-word it is part of the word,
+    // and a known field's value re-scans from the colon so a quoted
+    // value may contain spaces (reference read_field_or_word +
+    // read_field, parser.rs:127-195)
     def isBare(c: Char) =
-      !c.isWhitespace && c != '(' && c != ')' && c != '"'
+      !c.isWhitespace && c != '(' && c != ')'
     while (i < n) {
       val c = q(i)
       if (c.isWhitespace) i += 1
@@ -81,11 +86,11 @@ object QueryParser {
         if (colon > 0 && fieldNames.contains(w.substring(0, colon).toLowerCase(Locale.ROOT))) {
           val name = w.substring(0, colon).toLowerCase(Locale.ROOT)
           var value = w.substring(colon + 1)
-          if (value.startsWith("\"")) { // field:"quoted value"
+          if (value.startsWith("\"")) { // field:"quoted value" (may hold spaces)
             val end = q.indexOf('"', start + colon + 2)
             if (end < 0) throw QueryParseException(s"unterminated field value at $i")
             value = q.substring(start + colon + 2, end)
-            i = end + 1
+            i = math.max(i, end + 1)
           }
           out += TField(name, value)
         } else if (w.toLowerCase(Locale.ROOT).startsWith("date:")) {
