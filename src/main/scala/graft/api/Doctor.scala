@@ -247,25 +247,51 @@ object Doctor {
           case "rebuild_cards" => g.repairCards(): Unit
           case "rebuild_lex_index" =>
             lexTable.foreach { t =>
-              graft.search.Bm25Index.write(
-                g.frames.latestActive.filter(col("role") === "document")
-                  .select(col("id").as("doc_id"),
-                    coalesce(col("text"), lit("")).as("text")),
-                "doc_id", "text", t, stemmed = lexStemmed)
+              g.attachedLexStemmed(t) match {
+                // the facade SERVES this table: rebuild through the
+                // facade's own build (live frames INCLUDING chunks, the
+                // index's own analyzer, version restamp) so serving
+                // returns to the indexed route — the maintain→serve loop
+                // the reference's doctor verify closes (doctor.rs:140-173)
+                case Some(st) => g.buildLexIndex(t, stemmed = st)
+                case None =>
+                  graft.search.Bm25Index.write(
+                    g.frames.latestActive.filter(col("role") === "document")
+                      .select(col("id").as("doc_id"),
+                        coalesce(col("text"), lit("")).as("text")),
+                    "doc_id", "text", t, stemmed = lexStemmed)
+              }
             }
           case "compact_lex_index" =>
             lexTable.foreach { t =>
-              val nb = g.spark.sessionState.catalog.getTableMetadata(
-                  org.apache.spark.sql.catalyst.TableIdentifier(t))
-                .bucketSpec.map(_.numBuckets).getOrElse(16)
+              val meta = g.spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(t))
+              val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(16)
+              // compaction is value-neutral, so the store-version stamp
+              // survives it — but the swap installs a NEW catalog table,
+              // dropping properties. Re-stamp the prior verdict after the
+              // swap; a crash in between leaves an unstamped (= stale-
+              // looking) index and serving falls back to the corpus —
+              // the safe direction, same as buildLexIndex's stamp order.
+              val stamp = meta.properties.get("graft.store.version")
               graft.search.Bm25Index.compact(g.spark, t, nb)
+              stamp.foreach(v => g.spark.sql(
+                s"ALTER TABLE `$t` SET TBLPROPERTIES ('graft.store.version' = '$v')"))
+              g.invalidateIndexCaches()
             }
           case "compact_vec_index" =>
-            vecPath.foreach(p =>
-              graft.vector.IvfIndex.compactDeltas(g.spark, p): Unit)
+            vecPath.foreach { p =>
+              graft.vector.IvfIndex.compactDeltas(g.spark, p)
+              // the path-root version stamp survives (compaction swaps
+              // generation DIRS under it), but a cached serving handle
+              // points at the deleted generation — reopen on next query
+              g.invalidateIndexCaches()
+            }
           case "rebuild_vec_index" =>
-            vecPath.foreach(p =>
-              graft.vector.IvfIndex.retrain(g.spark, p, vecIdCol, vecCol): Unit)
+            vecPath.foreach { p =>
+              graft.vector.IvfIndex.retrain(g.spark, p, vecIdCol, vecCol)
+              g.invalidateIndexCaches()
+            }
           case "refresh_snapshot" => g.releaseSnapshot()
           case "deep_verify" => () // the re-probe below IS the deep verify
           case other => throw new IllegalStateException(s"unplanned action $other")

@@ -190,6 +190,22 @@ final class Graft(val spark: SparkSession, basePath: String,
 
   def detachLexIndex(): Unit = { lexIndex = None; lexFreshCache = None }
 
+  /** stemming of the ATTACHED serving index, if `table` is it — the
+    * doctor's rebuild consults this so a facade-served index is rebuilt
+    * through [[buildLexIndex]] (same content contract: live frames
+    * INCLUDING chunks, version restamp, serving returns to the indexed
+    * route) instead of the standalone doc-only rebuild */
+  private[api] def attachedLexStemmed(table: String): Option[Boolean] =
+    lexIndex.collect { case (t, st) if t == table => st }
+
+  /** doctor hook: maintenance rewrote an attached index artifact under
+    * the same name/path (compact swap, retrain generation) — drop the
+    * cached serving verdict/handle so the next query reopens the current
+    * artifact instead of a deleted generation */
+  private[api] def invalidateIndexCaches(): Unit = {
+    lexFreshCache = None; vecHandleCache = None
+  }
+
   private def lexIndexFresh(table: String): Boolean = {
     val epoch = frames.mutationEpoch
     lexFreshCache match {

@@ -149,6 +149,72 @@ object ServeQueries {
          |UNION ALL SELECT 'reserved', 'indexed', doc_id, score FROM hits_2
          |ORDER BY leg, score DESC, id""".stripMargin),
 
+    // ---- the DOCTOR drives the maintain→serve loop (reference doctor
+    // verify re-probe, doctor.rs:140-173): the facade serves from the
+    // index, a mutation strands the stamp, and it is the DOCTOR — not a
+    // manual rebuild — that probes lex_index_stale, rebuilds THROUGH the
+    // facade build (live frames + chunks, restamp), and returns serving
+    // to the indexed route; a second doctor pass compacts the postings
+    // under a file budget, and the value-neutral swap must keep the
+    // stamp (route stays indexed) and every score bit-equal. Legs
+    // b_healed and c_compacted carry WHICH executed doctor action healed
+    // them, locked as constants. ----
+    "store_doctor_serve" -> QueryDef.sql(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_doctor_serve").toString
+        val tbl = "doctor_serve_lex_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        val g = new graft.api.Graft(s, dir)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        g.frames.put(docs.map { case (i, t) => (s"mv2://docserve/$i", t) }.toSeq)
+        g.buildLexIndex(tbl, stemmed = false)
+        def leg(name: String, healedBy: String) = {
+          val hits = g.search("spark join window", topK = 25)
+          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
+              lit(healedBy).as("healed_by"), col("id"), col("score"))
+            .localCheckpoint() // pin BEFORE the next mutation moves the store
+        }
+        val l1 = leg("a_indexed", "none")
+        g.put("mv2://docserve/extra", "zzz qqq") // stamp goes stale
+        val r1 = g.doctorRun(lexTable = Some(tbl))
+        val healed = r1.rows
+          .filter(r => r.name == "rebuild_lex_index" && r.executed)
+          .map(_.name).headOption.getOrElse("missing")
+        val l2 = leg("b_healed", healed)
+        // file budget one under the current count -> compact plans; the
+        // merge must not move the serving route or a single score
+        val files = graft.search.Bm25Index.dataFileCount(s, tbl)
+        val r2 = g.doctorRun(
+          graft.api.Doctor.DoctorOptions(bm25FileBudget = Some(files - 1)),
+          lexTable = Some(tbl))
+        val compacted = r2.rows
+          .filter(r => r.name == "compact_lex_index" && r.executed)
+          .map(_.name).headOption.getOrElse("missing")
+        val l3 = leg("c_compacted", compacted)
+        val out = l1.union(l2).union(l3)
+          .orderBy(col("leg"), col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH base AS (SELECT row_number() OVER (ORDER BY doc_id) AS id, text
+         |              FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM base),
+         |c2 AS (SELECT id, text FROM base
+         |       UNION ALL SELECT 8 * n + 1, 'zzz qqq' FROM nn),
+         |${bm25Legs("base", "1")},
+         |${bm25Legs("c2", "2")}
+         |SELECT 'a_indexed' AS leg, 'indexed' AS route, 'none' AS healed_by,
+         |       CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |UNION ALL SELECT 'b_healed', 'indexed', 'rebuild_lex_index',
+         |       doc_id, score FROM hits_2
+         |UNION ALL SELECT 'c_compacted', 'indexed', 'compact_lex_index',
+         |       doc_id, score FROM hits_2
+         |ORDER BY leg, score DESC, id""".stripMargin),
+
     // ---- ask()'s vector rung served from a persisted IVF index:
     // identical fixture, question and ORACLE as ask_citations — the
     // index (nprobe = all 3 clusters) must reproduce the brute-force

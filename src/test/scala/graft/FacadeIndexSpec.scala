@@ -122,4 +122,25 @@ class FacadeIndexSpec extends SparkSpec {
     g.ask("spark joins", topK = 3)
     assert(g.lastAskVecRoute == "indexed")
   }
+
+  test("doctor vec maintenance reopens the serving handle (no stale generation read)") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    val before = g.ask("gardening tomatoes", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    // drift threshold 0 forces a retrain: the doctor rewrites the index
+    // as a NEW generation and deletes the one the cached handle points
+    // at — without invalidateIndexCaches the next ask reads deleted
+    // parquet; with it, serving reopens and (nprobe = all clusters) the
+    // answer is unchanged
+    val r = g.doctorRun(
+      graft.api.Doctor.DoctorOptions(vecDriftMeanMax = Some(0.0)),
+      vecPath = Some(s"$dir/vec"), vecIdCol = "id", vecCol = "vector")
+    assert(r.rows.exists(x => x.name == "rebuild_vec_index" && x.executed))
+    val after = g.ask("gardening tomatoes", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    assert(after.citations.map(c => (c.id, c.score)) ==
+      before.citations.map(c => (c.id, c.score)))
+  }
 }
