@@ -120,8 +120,27 @@ object Search {
       topK = (opts.offset + opts.topK) * 4)
     val ranked = if (bm25Membership)
       ranked0.filter(col("n_terms_matched") === qTerms.size) else ranked0
-    val scored = filtered.select(col(idCol).as("id"), f.text.as("__text"))
-      .join(ranked.drop("n_terms_matched").withColumnRenamed("doc_id", "id"), "id")
+    // Scores come from the postings alone, so the corpus text column
+    // never rides through the ranking — joining text BEFORE the page cut
+    // would read every matching document's bytes to decorate a ≤ topK
+    // page (at 100 TB that one join defeats the index). Cut the page
+    // first (bounded: offset+topK), then look the snippet text up for
+    // the page ids only — the isin list pushes into the frame scan
+    // (row-group skipping), the J2 hit→frame lookup done index-first.
+    val page = ranked.drop("n_terms_matched").withColumnRenamed("doc_id", "id")
+      .orderBy(col("score").desc, col("id"))
+      .limit(opts.offset + opts.topK)
+      .localCheckpoint() // bounded; reused by the id collect AND the join
+    val scored =
+      if (!opts.withSnippets)
+        page.withColumn("__text", lit("")) // text is dead without snippets
+      else {
+        val ids = page.select(col("id")).collect().map(_.getLong(0)).toSeq
+        page.join(
+          filtered.filter(col(idCol).isin(ids: _*))
+            .select(col(idCol).cast("long").as("id"), f.text.as("__text")),
+          Seq("id"), "left")
+      }
     finish(scored, terms, opts)
   }
 
