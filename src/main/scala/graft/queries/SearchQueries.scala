@@ -33,7 +33,12 @@ object SearchQueries {
     tags = array(col("lang")),
     labels = array(col("source")),
     timestamp = expr(
-      "TIMESTAMP'2024-01-01' + make_dt_interval(CAST(doc_id % 600 AS INT))"))
+      "TIMESTAMP'2024-01-01' + make_dt_interval(CAST(doc_id % 600 AS INT))"),
+    // 200 predicates in one pass: tokenize (and join the wildcard match
+    // string) ONCE per row as materialized projection columns, not once
+    // per Word/Wildcard per predicate
+    tokens = Some(col("__toks")),
+    tokenStr = Some(col("__tokstr")))
 
   private val FuzzN = 200
   private val FuzzSeed = 20260816L
@@ -48,7 +53,7 @@ object SearchQueries {
     s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt, lang, source,
        |  'doc://' || source || '/' || doc_id AS uri,
        |  TIMESTAMP '2024-01-01' + ((doc_id % 600) * INTERVAL 1 DAY) AS ts,
-       |  $duckToks AS toks FROM documents)
+       |  $duckToks AS toks FROM documents WHERE doc_id < 1000)
        |${legs.mkString("\nUNION ALL\n")}
        |ORDER BY qid""".stripMargin
   }
@@ -63,20 +68,30 @@ object SearchQueries {
     // REAL QueryParser → QueryCompiler chain, and each query's full
     // match set (count + doc_id xor digest) faces the DuckDB replay of
     // the AST's intended semantics, generated independently of the
-    // parser. All 200 match sets evaluate in ONE corpus pass (a single
-    // 400-expression aggregate; Catalyst CSE shares the tokenize across
-    // predicates), then the bounded 1×400 row reshapes driver-side. ----
+    // parser. All 200 match sets evaluate in ONE pass (a single
+    // 400-expression aggregate over materialized shared token columns —
+    // aggregate expressions do NOT subexpression-share, so the tokenize
+    // and the wildcard match string are projected once per row), then
+    // the bounded 1×400 row reshapes driver-side. ----
     "search_parser_fuzz" -> QueryDef.sql(
       (s, d) => {
         import s.implicits._
+        graft.functions.F.ensureRegistered(s)
         val cases = graft.search.QueryFuzz.cases(FuzzN, FuzzSeed)
         val fc = fuzzCols
+        // fixture budget: 200 queries x corpus rows is the gate's cost
+        // surface, and the differential's power is query DIVERSITY, not
+        // corpus size — 1000 docs exercise every code path with
+        // non-trivial match sets at every SF (the oracle caps identically)
+        val base = Tables.documents(s, d).filter(col("doc_id") < 1000)
+          .withColumn("__toks", graft.functions.F.tokens(col("text")))
+          .withColumn("__tokstr", array_join(col("__toks"), " "))
         val aggs = cases.zipWithIndex.flatMap { case (c, i) =>
           val p = graft.search.QueryCompiler.predicate(c.rendered, fc)
           Seq(count(when(p, 1)).as(s"n_$i"),
             coalesce(bit_xor(when(p, col("doc_id"))), lit(0L)).as(s"x_$i"))
         }
-        val row = Tables.documents(s, d).agg(aggs.head, aggs.tail: _*).head
+        val row = base.agg(aggs.head, aggs.tail: _*).head
         val out = cases.indices.map(i =>
           (i.toLong, row.getAs[Long](s"n_$i"), row.getAs[Long](s"x_$i")))
         s.createDataset(out).toDF("qid", "n_matches", "xor_ids")

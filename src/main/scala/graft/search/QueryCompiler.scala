@@ -17,7 +17,18 @@ final case class FrameCols(
     kind: Column = lit(null).cast("string"),
     tags: Column = lit(null).cast("array<string>"),
     labels: Column = lit(null).cast("array<string>"),
-    timestamp: Column = lit(null).cast("timestamp"))
+    timestamp: Column = lit(null).cast("timestamp"),
+    /** optional PRE-TOKENIZED text (must equal `F.tokens(text)`). Bind
+      * this to a materialized column when MANY predicates evaluate over
+      * one pass — each Word/Wildcard otherwise embeds its own tokenize
+      * call, and Catalyst does not share subexpressions across hundreds
+      * of aggregate expressions (the parser-fuzz gate went from 200
+      * tokenizes per row to one). Single-predicate filters don't need
+      * it: one tokenize per row is already the minimum. */
+    tokens: Option[Column] = None,
+    /** optional space-joined tokens (must equal `array_join(tokens, " ")`)
+      * — the same many-predicates sharing for the WILDCARD match string */
+    tokenStr: Option[Column] = None)
 
 /** Compiles a parsed QExpr into a single Catalyst boolean Column, so the
   * whole boolean/field tree executes inside the scan (predicate pushdown,
@@ -56,7 +67,7 @@ object QueryCompiler {
     // a bare word matches content tokens, or exact tag/label/track — the
     // tantivy field-OR expansion (query.rs:172-217)
     case Word(w) =>
-      val token = array_contains(F.tokens(f.text), w)
+      val token = array_contains(f.tokens.getOrElse(F.tokens(f.text)), w)
       val tagHit = coalesce(array_contains(f.tags, w), lit(false))
       val labelHit = coalesce(array_contains(f.labels, w), lit(false))
       val trackHit = coalesce(f.track === w, lit(false))
@@ -66,7 +77,9 @@ object QueryCompiler {
       // match the glob against the space-joined token string instead of an
       // exists() lambda — lambda HOFs fall out of codegen inside Filter
       // nodes (see TokenizeExpr scaladoc); a plain RLIKE stays compiled
-      array_join(F.tokens(f.text), " ").rlike(globToTokenRegex(g))
+      f.tokenStr
+        .getOrElse(array_join(f.tokens.getOrElse(F.tokens(f.text)), " "))
+        .rlike(globToTokenRegex(g))
     // uri/track/tag/label compare ASCII-case-insensitively (the parser
     // lowercased the query value, reference FieldTerm::matches uses
     // eq_ignore_ascii_case, src/search/mod.rs:57-84) — so the COLUMN side

@@ -490,6 +490,13 @@ class PlanPropertiesSpec extends SparkSpec {
       s"indexed serve path must plan zero data-sized exchanges:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(df.count() > 0)
+    // snippets decorate the PAGE, not the corpus: the snippet-text scan
+    // must be pruned by the served page's id IN list (pushed into the
+    // parquet reader) — the corpus-text join this replaced would read
+    // every document's bytes at 100 TB. String-form check because AQE
+    // query stages hide their children from plan.collect.
+    assert(p.contains("In(id"),
+      s"text lookup must push the page-id IN list:\n$p")
     spark.sql("DROP TABLE IF EXISTS `facade_plan_spec_idx`")
     rmDir(new java.io.File(dir))
   }
