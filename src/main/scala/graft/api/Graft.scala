@@ -149,9 +149,18 @@ final class Graft(val spark: SparkSession, basePath: String,
   // mutation it performs. ----
 
   private var lexIndex: Option[(String, Boolean)] = None // (table, stemmed)
-  private var lexFreshCache: Option[(Long, Boolean)] = None
+  private var lexFreshCache: Option[((Long, Long), Boolean)] = None
   private var vecIndex: Option[(String, Int)] = None // (path, nprobe)
-  private var vecHandleCache: Option[(Long, Option[graft.vector.IvfIndex.Handle])] = None
+  private var vecHandleCache: Option[((Long, Long), Option[graft.vector.IvfIndex.Handle])] = None
+
+  /** freshness-cache key: the in-process mutation epoch AND the
+    * persisted cross-process watermark — a FOREIGN writer's commit (two
+    * handles under the store lock) moves the watermark, so this handle's
+    * next query re-derives the verdict and falls back to the corpus path
+    * instead of serving a silently-stale index. One tiny FS read per
+    * query; the single-writer fast path is unchanged. */
+  private def storeMovedKey: (Long, Long) =
+    (frames.mutationEpoch, frames.persistedWatermark)
 
   /** route the LAST search()/ask() retrieval took: "indexed" | "corpus" —
     * the observable the serving gates and the doctor's serve-path
@@ -207,16 +216,16 @@ final class Graft(val spark: SparkSession, basePath: String,
   }
 
   private def lexIndexFresh(table: String): Boolean = {
-    val epoch = frames.mutationEpoch
+    val key = storeMovedKey
     lexFreshCache match {
-      case Some((e, v)) if e == epoch => v
+      case Some((k, v)) if k == key => v
       case _ =>
         val fresh = spark.catalog.tableExists(table) && {
           val props = spark.sessionState.catalog.getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
           props.get("graft.store.version").contains(currentVersion.toString)
         }
-        lexFreshCache = Some((epoch, fresh))
+        lexFreshCache = Some((key, fresh))
         fresh
     }
   }
@@ -255,11 +264,12 @@ final class Graft(val spark: SparkSession, basePath: String,
 
   def detachVecIndex(): Unit = { vecIndex = None; vecHandleCache = None }
 
-  /** fresh handle or None, cached per store mutation epoch */
+  /** fresh handle or None, cached per (mutation epoch, persisted
+    * watermark) — see [[storeMovedKey]] */
   private def vecServingHandle(path: String): Option[graft.vector.IvfIndex.Handle] = {
-    val epoch = frames.mutationEpoch
+    val key = storeMovedKey
     vecHandleCache match {
-      case Some((e, h)) if e == epoch => h
+      case Some((k, h)) if k == key => h
       case _ =>
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -272,7 +282,7 @@ final class Graft(val spark: SparkSession, basePath: String,
             s == currentVersion.toString
           }
         val h = if (fresh) Some(graft.vector.IvfIndex.read(spark, path)) else None
-        vecHandleCache = Some((epoch, h))
+        vecHandleCache = Some((key, h))
         h
     }
   }
@@ -666,11 +676,23 @@ final class Graft(val spark: SparkSession, basePath: String,
   }
 
   /** current commit watermark — capture before a batch of writes, then
-    * [[changesSince]] that value to get the delta. A freshly-created store
-    * has an empty commit log (max → NULL): return 0, which `asOf` treats
-    * as "before everything" (commitSeq values start at 1). */
+    * [[changesSince]] that value to get the delta. Served from the
+    * store's persisted `_graft_seq` watermark when present (one FS read,
+    * no log scan, and it sees FOREIGN writers' commits); a pre-watermark
+    * legacy log falls back to the scan. A freshly-created store has an
+    * empty commit log (max → NULL): return 0, which `asOf` treats as
+    * "before everything" (commitSeq values start at 1). Note the
+    * watermark survives [[vacuum]] while the log's own max shrinks to
+    * the max LIVE commitSeq — the watermark is the correct version here
+    * (compaction is value-neutral for the live view, so index stamps
+    * keyed on it stay valid across a vacuum instead of forcing a
+    * spurious rebuild). */
   def currentVersion: Long =
-    frames.log.agg(coalesce(max(col("commitSeq")), lit(0L))).head.getLong(0)
+    frames.persistedWatermark match {
+      case -1L =>
+        frames.log.agg(coalesce(max(col("commitSeq")), lit(0L))).head.getLong(0)
+      case w => w
+    }
 
   /** snapshot delta vs an earlier commit: every live uri classified
     * added/removed/changed/unchanged (incremental-reprocessing input) */

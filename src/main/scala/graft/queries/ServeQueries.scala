@@ -166,7 +166,12 @@ object ServeQueries {
         val tbl = "doctor_serve_lex_gate"
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         val g = new graft.api.Graft(s, dir)
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // fixture budget: the doctor legs pay 2 probes + rebuild +
+        // compact on top of the serve legs — 240 docs exercise the
+        // identical loop at a third of the corpus cost (oracle capped
+        // identically; present at every SF)
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 240)
+          .select(col("doc_id"), col("text"))
           .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
         g.frames.put(docs.map { case (i, t) => (s"mv2://docserve/$i", t) }.toSeq)
         g.buildLexIndex(tbl, stemmed = false)
@@ -201,7 +206,7 @@ object ServeQueries {
         out
       },
       s"""WITH base AS (SELECT row_number() OVER (ORDER BY doc_id) AS id, text
-         |              FROM documents),
+         |              FROM documents WHERE doc_id < 240),
          |nn AS (SELECT COUNT(*) AS n FROM base),
          |c2 AS (SELECT id, text FROM base
          |       UNION ALL SELECT 8 * n + 1, 'zzz qqq' FROM nn),

@@ -96,9 +96,19 @@ final class FrameStore(spark: SparkSession, path: String,
   /** bumped on every mutation (append or vacuum) — consumers caching a
     * derived verdict about the store (e.g. the facade's index-freshness
     * check) key their cache on this and re-derive only after a change.
-    * In-process only, which the single-writer contract makes sufficient:
-    * the one writer sees every mutation it performs. */
+    * In-process signal; the CROSS-process signal is
+    * [[persistedWatermark]], and the facade keys its caches on both. */
   @volatile private[graft] var mutationEpoch: Long = 0L
+
+  /** the persisted commit watermark (max commitSeq written by ANY
+    * writer, from `_graft_seq`) — the cross-process observable of store
+    * movement. One tiny FS read; -1 for a pre-watermark legacy log
+    * (where only the in-process epoch can signal movement). Unlike the
+    * log's own max(commitSeq), this SURVIVES vacuum (compaction is
+    * value-neutral for the live view, so derived-state stamps keyed on
+    * it stay valid across it). */
+  private[graft] def persistedWatermark: Long =
+    readSeqFile().map(_._2).getOrElse(-1L)
 
   private def appendFrames(frames: Seq[Frame]): Unit = {
     frames.toDS().write.mode(SaveMode.Append).parquet(path)

@@ -123,6 +123,31 @@ class FacadeIndexSpec extends SparkSpec {
     assert(g.lastAskVecRoute == "indexed")
   }
 
+  test("a FOREIGN writer's commit flips serving to the corpus path") {
+    val dir = tmpStore()
+    val g = new Graft(spark, dir)
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
+    g.buildLexIndex("facade_foreign_spec", stemmed = false)
+    assert(rows(g.search("spark joins", topK = 10)).nonEmpty)
+    assert(g.lastSearchRoute == "indexed")
+    // a SECOND handle on the same store (another process in production —
+    // the store lock serializes the write) commits a matching doc; this
+    // handle's in-process epoch never moves, only the persisted
+    // watermark does
+    val foreign = new Graft(spark, dir)
+    foreign.put("mv2://t/foreign", "spark joins from a foreign writer")
+    val served = g.search("spark joins", topK = 10)
+    val ids = rows(served).map(_._1)
+    assert(g.lastSearchRoute == "corpus",
+      "foreign commit must flip the stale index to the corpus path")
+    // and the answer INCLUDES the foreign document (fresh corpus scan)
+    val foreignId = foreign.frames.latestActive
+      .filter(col("uri") === "mv2://t/foreign")
+      .select("id").collect().head.getLong(0)
+    assert(ids.contains(foreignId))
+    spark.sql("DROP TABLE IF EXISTS `facade_foreign_spec`")
+  }
+
   test("doctor vec maintenance reopens the serving handle (no stale generation read)") {
     val g = freshStore()
     val dir = tmpStore()
