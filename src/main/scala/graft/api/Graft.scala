@@ -324,25 +324,37 @@ final class Graft(val spark: SparkSession, basePath: String,
     }
     val hits = acl match {
       case None => ranked
-      case Some(req: graft.acl.Acl.Request) =>
-        val withUri = ranked.join(
-          frames.latestActive.select(col("id"), col("uri").as("__acl_uri")),
-          Seq("id"), "left")
-        graft.acl.Acl(withUri, col("__acl_uri"), req.rules, req.principal,
-            req.mode, req.defaultAllow)
-          .drop("__acl_uri")
-          .orderBy(col("score").desc, col("id"))
-      case Some(mc: graft.acl.Acl.MetadataCheck) =>
-        // a hit with no metadata row degrades to NULL policy → the
-        // evaluator's missing_metadata deny (reference frame_by_id Err
-        // → deny_missing_metadata, acl.rs:118-121)
-        val withMeta = ranked.join(
-          frames.latestActive.select(col("id"),
-            col("extraMetadata").as("__acl_meta")), Seq("id"), "left")
-        graft.acl.Acl.applyMetadata(withMeta, col("__acl_meta"), mc.ctx,
-            mc.mode, rankBy = Seq(col("score").desc, col("id")))
-          .drop("__acl_meta")
-          .orderBy(col("score").desc, col("id"))
+      case Some(check) =>
+        // the ACL decoration needs ONE frame column (uri / policy
+        // metadata) for the BOUNDED hit page only — pin the page once
+        // and push its id list into the frame scan (the snippet-lookup
+        // shape) instead of joining the page against a corpus-column
+        // scan per query. Values are identical: the join was already
+        // id-equi over the page's ids; the isin only prunes the scan.
+        val page = ranked.localCheckpoint()
+        val ids = page.select(col("id")).collect().map(_.getLong(0)).toSeq
+        def withFrameCol(c: org.apache.spark.sql.Column, as: String) =
+          page.join(
+            frames.latestActive.filter(col("id").isin(ids: _*))
+              .select(col("id"), c.as(as)), Seq("id"), "left")
+        check match {
+          case req: graft.acl.Acl.Request =>
+            graft.acl.Acl(withFrameCol(col("uri"), "__acl_uri"),
+                col("__acl_uri"), req.rules, req.principal,
+                req.mode, req.defaultAllow)
+              .drop("__acl_uri")
+              .orderBy(col("score").desc, col("id"))
+          case mc: graft.acl.Acl.MetadataCheck =>
+            // a hit with no metadata row degrades to NULL policy → the
+            // evaluator's missing_metadata deny (reference frame_by_id
+            // Err → deny_missing_metadata, acl.rs:118-121)
+            graft.acl.Acl.applyMetadata(
+                withFrameCol(col("extraMetadata"), "__acl_meta"),
+                col("__acl_meta"), mc.ctx, mc.mode,
+                rankBy = Seq(col("score").desc, col("id")))
+              .drop("__acl_meta")
+              .orderBy(col("score").desc, col("id"))
+        }
     }
     if (recorder.isRecording) {
       // materialize ONCE (topK-bounded): the recorded id list and the
