@@ -20,6 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bm25Index {
 
+  /** Index mutations run under the same exclusive-lockfile discipline as
+    * store mutations (reference: every mutation takes the lock first,
+    * src/lockfile.rs:121) — two maintainers racing the staged-rebuild /
+    * rename-aside swaps, or double-appending a replayed delta's files,
+    * would otherwise interleave catalog renames. The lock anchors on the
+    * warehouse path of the TABLE NAME (stable across the swap's
+    * location changes): `<warehouse>/<table>.lock`. */
+  private def withTableLock[T](spark: SparkSession, tableName: String)(body: => T): T =
+    graft.store.StoreLock.withLock(spark,
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + tableName,
+      graft.store.StoreLock.Options(timeoutMs = 120000L,
+        staleGraceMs = 120000L, command = "bm25-index-maintenance"))(body)
+
   /** Build and persist the index; pays the one write-time shuffle.
     *
     * REBUILD over an existing table (the doctor's rebuild_lex_index
@@ -30,7 +43,7 @@ object Bm25Index {
     * directly. */
   def write(docs: DataFrame, idCol: String, textCol: String,
             tableName: String, stemmed: Boolean = false,
-            nBuckets: Int = 16): Unit = {
+            nBuckets: Int = 16): Unit = withTableLock(docs.sparkSession, tableName) {
     val spark = docs.sparkSession
     val postings = BM25.postings(BM25.tokenTable(docs, idCol, textCol, stemmed))
     if (!spark.catalog.tableExists(tableName)) {
@@ -71,7 +84,7 @@ object Bm25Index {
     * against the full A∪B rebuild, hash-exact. */
   def append(delta: DataFrame, idCol: String, textCol: String,
              tableName: String, stemmed: Boolean = false,
-             nBuckets: Int = 16): Unit = {
+             nBuckets: Int = 16): Unit = withTableLock(delta.sparkSession, tableName) {
     val postings = BM25.postings(BM25.tokenTable(delta, idCol, textCol, stemmed))
     postings.write
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
@@ -112,7 +125,7 @@ object Bm25Index {
     * FINISHES the torn swap and returns (recovery branch below) — run
     * compact once more for a fresh pass over any debt appended since. */
   def compact(spark: SparkSession, tableName: String,
-              nBuckets: Int = 16): Unit = {
+              nBuckets: Int = 16): Unit = withTableLock(spark, tableName) {
     import org.apache.spark.sql.functions._
     val tmpName = tableName + "__compact"
     val oldName = tableName + "__old"

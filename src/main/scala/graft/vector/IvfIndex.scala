@@ -44,6 +44,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IvfIndex {
 
+  /** Index mutations run under the same exclusive-lockfile discipline as
+    * store mutations (reference src/lockfile.rs:121): two maintainers
+    * would otherwise mint the same delta number, race the generation
+    * pointer swap, or sweep each other's in-flight append as "torn".
+    * Readers never take the lock — the marker/pointer scheme already
+    * gives them a committed view. Lock = `<indexPath>.lock` sibling. */
+  private def withIndexLock[T](spark: SparkSession, path: String)(body: => T): T =
+    graft.store.StoreLock.withLock(spark, path,
+      graft.store.StoreLock.Options(timeoutMs = 120000L,
+        staleGraceMs = 120000L, command = "ivf-index-maintenance"))(body)
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -106,11 +117,13 @@ object IvfIndex {
   def write(emb: DataFrame, idCol: String, vecCol: String, path: String,
             centroids: Seq[(Int, Array[Float])]): Handle = {
     val spark = emb.sparkSession
+    withIndexLock(spark, path) {
     writeGen(spark, path, 0L,
       VectorSearch.assignClusters(emb, vecCol, centroids),
       centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
       floatKernel = true)
     swapCurrent(spark, path, 0L)
+    }
     read(spark, path)
   }
 
@@ -189,7 +202,8 @@ object IvfIndex {
     * as it was (torn dir = invisible garbage, swept by the next append),
     * the same old-or-new-intact contract [[retrain]] has. */
   def append(spark: SparkSession, path: String,
-             delta: DataFrame, idCol: String, vecCol: String): Handle = {
+             delta: DataFrame, idCol: String, vecCol: String): Handle =
+    withIndexLock(spark, path) {
     val h = read(spark, path)
     val assigned =
       if (h.floatKernel)
@@ -213,7 +227,7 @@ object IvfIndex {
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(dDir)
     fs.create(new Path(s"$dDir/_GRAFT_COMMITTED"), true).close()
     read(spark, path)
-  }
+    }
 
   /** number of committed delta dirs under the live generation — the
     * observable append debt (one FS listing; the doctor's
@@ -232,7 +246,8 @@ object IvfIndex {
     * After N appends the scan-open cost is N+1 parquet listings per
     * query; compaction folds it back to one. Crash-safe like
     * [[retrain]]: the read and the write never share a directory. */
-  def compactDeltas(spark: SparkSession, path: String): Handle = {
+  def compactDeltas(spark: SparkSession, path: String): Handle =
+    withIndexLock(spark, path) {
     val h = read(spark, path)
     val genDir = liveGenDir(spark, path)
     val fs = fsOf(spark, path)
@@ -242,7 +257,7 @@ object IvfIndex {
     swapCurrent(spark, path, nextGen)
     if (genDir != path) fs.delete(new Path(genDir), true)
     read(spark, path)
-  }
+    }
 
   /** Drift-triggered re-train of a persisted index, composed from the
     * gated pieces: [[VectorSearch.ivfDriftStats]] supplies the "retrain
@@ -265,7 +280,8 @@ object IvfIndex {
     * re-assign); re-balancing of the drifted cluster is the locked
     * observable. */
   def retrain(spark: SparkSession, path: String,
-              idCol: String, vecCol: String): Handle = {
+              idCol: String, vecCol: String): Handle =
+    withIndexLock(spark, path) {
     val h = read(spark, path)
     val oldGenDir = liveGenDir(spark, path)
     // Lloyd mean update from the persisted assignment (k·dim bounded)
@@ -299,7 +315,7 @@ object IvfIndex {
       fs.delete(new Path(s"$path/centroids"), true)
     } else fs.delete(new Path(oldGenDir), true)
     read(spark, path)
-  }
+    }
 
   final case class Handle(assigned: DataFrame,
                           centroids: Seq[(Int, Array[Double])],

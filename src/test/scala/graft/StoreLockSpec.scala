@@ -120,6 +120,53 @@ class StoreLockSpec extends SparkSpec {
     } finally lock.release()
   }
 
+  test("concurrent IVF appends serialize: distinct delta dirs, nothing lost") {
+    import spark.implicits._
+    val dir = s"$tmpDir/ivf"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => ((seed * 31 + i * 7) % 13).toFloat)
+    val base = (0L until 20L).map(i => (i, vec(i.toInt))).toDF("id", "v")
+    val cents = Seq(0 -> vec(0), 1 -> vec(5))
+    graft.vector.IvfIndex.write(base, "id", "v", dir, cents)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def appender(ids: Range): Thread = new Thread(() => {
+      try {
+        val delta = ids.map(i => (i.toLong, vec(i))).toDF("id", "v")
+        graft.vector.IvfIndex.append(spark, dir, delta, "id", "v"): Unit
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val ts = Seq(appender(100 until 110), appender(200 until 210))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(errors.isEmpty, s"append threads failed: ${errors.peek()}")
+    // without the lock both threads mint delta d-1 and one overwrites the
+    // other; with it, two committed deltas and every vector survives
+    assert(graft.vector.IvfIndex.deltaCount(spark, dir) == 2)
+    val ids = graft.vector.IvfIndex.read(spark, dir).assigned
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 40 && ids((100L)) && ids(209L))
+  }
+
+  test("concurrent BM25 appends serialize under the table lock") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS lockspec_bm25")
+    val base = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(base, "doc_id", "text", "lockspec_bm25",
+      nBuckets = 2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def appender(id: Long, text: String): Thread = new Thread(() => {
+      try graft.search.Bm25Index.append(Seq((id, text)).toDF("doc_id", "text"),
+        "doc_id", "text", "lockspec_bm25", nBuckets = 2)
+      catch { case t: Throwable => errors.add(t) }
+    })
+    val ts = Seq(appender(3L, "gamma delta"), appender(4L, "delta epsilon"))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(errors.isEmpty, s"append threads failed: ${errors.peek()}")
+    val postings = spark.table("lockspec_bm25")
+    assert(postings.count() == 8) // 4 docs x 2 terms, none lost
+    assert(postings.select("doc_id").distinct().count() == 4)
+    spark.sql("DROP TABLE IF EXISTS lockspec_bm25")
+  }
+
   test("ids stay monotonic across vacuum: tombstoned ids are never reused") {
     val dir = s"$tmpDir/frames"
     val store = new FrameStore(spark, dir)
