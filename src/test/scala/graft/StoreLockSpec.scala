@@ -120,6 +120,24 @@ class StoreLockSpec extends SparkSpec {
     } finally lock.release()
   }
 
+  test("legacy store without a watermark file backfills it on the first mutation") {
+    val dir = s"$tmpDir/frames"
+    val h1 = new FrameStore(spark, dir)
+    val ids1 = h1.put(Seq(("mv2://a", "pre-watermark content")))
+    // simulate a pre-r16 log: the watermark file never existed
+    val seq = new java.io.File(dir, "_graft_seq")
+    assert(seq.exists); assert(seq.delete())
+    // a fresh handle scans the log under the lock, mints past its max,
+    // and REWRITES the watermark as part of the commit
+    val h2 = new FrameStore(spark, dir)
+    val ids2 = h2.put(Seq(("mv2://b", "post-backfill content")))
+    assert(seq.exists, "first locked mutation must backfill the watermark")
+    assert(ids2.head > ids1.head)
+    val h3 = new FrameStore(spark, dir)
+    val ids3 = h3.put(Seq(("mv2://c", "third handle content")))
+    assert((ids1 ++ ids2 ++ ids3).distinct.length == 3)
+  }
+
   test("concurrent IVF appends serialize: distinct delta dirs, nothing lost") {
     import spark.implicits._
     val dir = s"$tmpDir/ivf"
