@@ -167,6 +167,7 @@ final class Graft(val spark: SparkSession, basePath: String,
     * re-probe lock on */
   @volatile var lastSearchRoute: String = "corpus"
   @volatile var lastAskVecRoute: String = "corpus"
+  @volatile var lastAskLexRoute: String = "corpus"
 
   /** everything search() scans, in index form: ALL live frames
     * (documents AND chunks — chunk-level retrieval is part of the search
@@ -382,13 +383,35 @@ final class Graft(val spark: SparkSession, basePath: String,
       }
     }
     lastAskVecRoute = if (vecServing.isDefined) "indexed" else "corpus"
+    // an attached lexical index routes ask's LEXICAL rungs through the
+    // same engine selection search() uses (reference: ask retrieves
+    // through the live engine, search/mod.rs:47-57): BM25 from the
+    // postings while the stamp is fresh, corpus-BM25 while stale — the
+    // scores are bit-equal either way, only WHERE the work happens moves
+    val lexServing: Option[(String, Int) => DataFrame] =
+      lexIndex.map { case (t, stemmed) =>
+        (q: String, k: Int) => {
+          val opts = Search.Options(topK = k, withSnippets = false,
+            engine = Search.BM25Engine, stemmed = stemmed)
+          if (lexIndexFresh(t)) {
+            lastAskLexRoute = "indexed"
+            Search.searchIndexed(frames.latestActive, "id", frameCols, q,
+              t, opts)
+          } else {
+            lastAskLexRoute = "corpus"
+            Search.search(frames.latestActive, "id", frameCols, q, opts)
+          }
+        }
+      }
+    if (lexServing.isEmpty) lastAskLexRoute = "corpus"
     val resp = Ask.ask(spark, Ask.Corpus(frames.latestActive, "id", frameCols,
         embeddings = vecServing.map(_._1),
         meta = Some(col("extraMetadata")),
         // relational questions route through the QueryPlanner over the
         // store's memory cards (reference QueryPlanner + hybrid_search)
         cards = Some(cards),
-        ann = vecServing.map(_._2)),
+        ann = vecServing.map(_._2),
+        lexSearch = lexServing),
       question, if (vecServing.isDefined) Some(activeEmbedder) else embedder,
       topK, acl)
     if (recorder.isRecording)

@@ -35,12 +35,24 @@ object Ask {
     *        binds [[graft.vector.IvfIndex.Handle.search]] here). The
     *        semantic re-rank still reads `embeddings` (candidate-id
     *        bounded), so bind both for the full ladder. */
+  /** @param lexSearch optional engine-routed lexical-candidate source:
+    *        (query, k) → ranked (id, score) DataFrame. When present,
+    *        every LEXICAL rung of the ladder (primary, OR, expanded,
+    *        proper-noun) retrieves through it instead of the fallback
+    *        occurrence scorer — the reference's ask retrieves through
+    *        whatever search engine is live (lazy engine init,
+    *        src/memvid/search/mod.rs:47-57), so an attached BM25 index
+    *        changes ask's lexical scoring to BM25 exactly as it changes
+    *        search()'s ([[graft.api.Graft.ask]] binds the same routed
+    *        path its search() uses: indexed while fresh, corpus-BM25
+    *        while stale). */
   final case class Corpus(docs: DataFrame, idCol: String, f: FrameCols,
                           embeddings: Option[DataFrame] = None, // (id, vector)
                           correctionUriPrefix: String = "mv2://correction/",
                           meta: Option[Column] = None,
                           cards: Option[DataFrame] = None,
-                          ann: Option[(Array[Float], Int) => DataFrame] = None)
+                          ann: Option[(Array[Float], Int) => DataFrame] = None,
+                          lexSearch: Option[(String, Int) => DataFrame] = None)
 
   /** @param aclAllowed Some(verdict) when the request carried an ACL
     *        context (Audit mode annotates without blocking — the
@@ -158,8 +170,12 @@ object Ask {
 
     def lexList(q: String): Option[Array[(Long, Double)]] =
       try {
-        Some(collectRanked(graft.search.Search.search(docs, id, f, q,
-          graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false))))
+        val ranked = corpus.lexSearch match {
+          case Some(fn) => fn(q, effectiveK * 2) // engine-routed (see Corpus)
+          case None => graft.search.Search.search(docs, id, f, q,
+            graft.search.Search.Options(topK = effectiveK * 2, withSnippets = false))
+        }
+        Some(collectRanked(ranked))
       } catch { case _: graft.search.QueryParseException => None }
 
     val primaryQ = terms.mkString(" ")

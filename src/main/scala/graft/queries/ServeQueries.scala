@@ -66,6 +66,73 @@ object ServeQueries {
        |hits_$g AS (SELECT doc_id, score FROM page_$g WHERE nm = 3
        |            ORDER BY score DESC, doc_id LIMIT 25)""".stripMargin
 
+  // ---- ask_lex_indexed oracle machinery: replay ask()'s LEXICAL-ONLY
+  // ladder under an attached BM25 index — primary list (all-terms
+  // membership, whole-corpus stats), OR list (any-term subset with
+  // subset stats, no membership cut), RRF fusion 1/(61+rank), final
+  // (-rrf, id) top-5. Same BM25 arithmetic as bm25Legs but
+  // term-parameterized and fused. ----
+  private val AskLexTerms = Seq("spark", "join", "window", "merge")
+
+  /** one corpus state's full lexical-ask replay, over CTE `c(id, text)`,
+    * suffix `g`, ending in `fin_$g(doc_id, score)` */
+  private def askLexLegs(c: String, g: String): String = {
+    val terms = AskLexTerms
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val anyTok = terms.map(t => s"list_contains($duckToks, '$t')").mkString(" OR ")
+    def contribSum(rel: String) = terms.map(t =>
+      s"COALESCE(SUM(CASE WHEN term = '$t' THEN cb END), 0)").mkString("\n    + ")
+    s"""toksP_$g AS (SELECT id AS doc_id, unnest($duckToks) AS term FROM $c),
+       |dlP_$g AS (SELECT doc_id, COUNT(*) AS dl FROM toksP_$g GROUP BY doc_id),
+       |statsP_$g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                     CAST(SUM(dl) AS DOUBLE) AS total FROM dlP_$g),
+       |dfP_$g AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toksP_$g
+       |           WHERE term IN ($inList) GROUP BY term),
+       |tfP_$g AS (SELECT doc_id, term, COUNT(*) AS tf FROM toksP_$g
+       |           WHERE term IN ($inList) GROUP BY doc_id, term),
+       |cbP_$g AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS cb
+       |  FROM tfP_$g tf JOIN dfP_$g df ON tf.term = df.term
+       |          JOIN dlP_$g dl ON tf.doc_id = dl.doc_id, statsP_$g stats),
+       |aggP_$g AS (SELECT doc_id, ${contribSum("cbP")} AS score,
+       |              COUNT(DISTINCT term) AS nm FROM cbP_$g GROUP BY doc_id),
+       |pageP_$g AS (SELECT doc_id, ROUND(score, 6) AS score, nm FROM aggP_$g
+       |             ORDER BY score DESC, doc_id LIMIT 40),
+       |primary_$g AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r
+       |  FROM (SELECT doc_id, score FROM pageP_$g WHERE nm = ${terms.size}
+       |        ORDER BY score DESC, doc_id LIMIT 10)),
+       |sub_$g AS (SELECT id, text FROM $c WHERE $anyTok),
+       |toksO_$g AS (SELECT id AS doc_id, unnest($duckToks) AS term FROM sub_$g),
+       |dlO_$g AS (SELECT doc_id, COUNT(*) AS dl FROM toksO_$g GROUP BY doc_id),
+       |statsO_$g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |                     CAST(SUM(dl) AS DOUBLE) AS total FROM dlO_$g),
+       |dfO_$g AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toksO_$g
+       |           WHERE term IN ($inList) GROUP BY term),
+       |tfO_$g AS (SELECT doc_id, term, COUNT(*) AS tf FROM toksO_$g
+       |           WHERE term IN ($inList) GROUP BY doc_id, term),
+       |cbO_$g AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))) AS cb
+       |  FROM tfO_$g tf JOIN dfO_$g df ON tf.term = df.term
+       |          JOIN dlO_$g dl ON tf.doc_id = dl.doc_id, statsO_$g stats),
+       |aggO_$g AS (SELECT doc_id, ${contribSum("cbO")} AS score
+       |            FROM cbO_$g GROUP BY doc_id),
+       |pageO_$g AS (SELECT doc_id, ROUND(score, 6) AS score FROM aggO_$g
+       |             ORDER BY score DESC, doc_id LIMIT 40),
+       |or_$g AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r
+       |  FROM (SELECT doc_id, score FROM pageO_$g
+       |        ORDER BY score DESC, doc_id LIMIT 10)),
+       |fin_$g AS (
+       |  SELECT doc_id, SUM(1.0 / (61 + r)) AS score
+       |  FROM (SELECT * FROM primary_$g UNION ALL SELECT * FROM or_$g)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   // ---- ask_facade_indexed fixture: four greek-letter docs (facade put
   // ids 8k+1), a fifth appended between the legs; the question shares no
   // token with any doc, so every lexical rung is dry and the ladder is
@@ -219,6 +286,78 @@ object ServeQueries {
          |UNION ALL SELECT 'c_compacted', 'indexed', 'compact_lex_index',
          |       doc_id, score FROM hits_2
          |ORDER BY leg, score DESC, id""".stripMargin),
+
+    // ---- ask()'s LEXICAL rungs served through the attached BM25 index
+    // (the reference's ask retrieves through whatever engine is live —
+    // lazy engine init, search/mod.rs:47-57 — so an attached index
+    // changes ask's lexical scoring to BM25 exactly as it changes
+    // search()'s): 240 enrichment-free docs, build + attach, then two
+    // asks around a mutation. Leg 'indexed' serves primary + OR rungs
+    // from the postings; the extra doc (matching all four terms, short —
+    // it tops the BM25 lists) flips the stamp stale and leg
+    // 'stale_corpus' recomputes the SAME BM25 engine from the moved
+    // corpus. The oracle replays both candidate lists (membership page,
+    // subset-stats OR page), the RRF fusion, and the top-5 — a rank
+    // drift anywhere in either list reshuffles the fused page and
+    // hash-fails. ----
+    "ask_lex_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ask_lex_serve").toString
+        val tbl = "ask_lex_serve_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        val g = new graft.api.Graft(s, dir)
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 240)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        // enrich = false: tags stay empty so a Word predicate is a pure
+        // token match (the OR rung compiles the predicate; auto-tags
+        // would couple the oracle to tag extraction)
+        g.frames.put(docs.map { case (i, t) => (s"mv2://asklex/$i", t) }.toSeq,
+          enrich = false, chunkLargeDocs = false)
+        g.buildLexIndex(tbl, stemmed = false)
+        def leg(name: String) = {
+          val r = g.ask(AskLexTerms.mkString(" "), topK = 5)
+          r.citations.map(c => (name, g.lastAskLexRoute, c.index.toLong,
+              c.id, c.score, r.engine))
+            .toDF("leg", "lex_route", "citation_idx", "cit_id", "score",
+              "engine")
+            .withColumn("score", round(col("score"), 9))
+        }
+        val l1 = leg("a_indexed")
+        g.frames.put(Seq(("mv2://asklex/extra",
+          AskLexTerms.mkString(" ") + " " + AskLexTerms.take(2).mkString(" "))),
+          enrich = false, chunkLargeDocs = false)
+        val l2 = leg("b_stale_corpus")
+        val out = l1.union(l2).orderBy(col("leg"), col("citation_idx"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH base AS (SELECT row_number() OVER (ORDER BY doc_id) AS id, text
+         |              FROM documents WHERE doc_id < 240),
+         |nn AS (SELECT COUNT(*) AS n FROM base),
+         |c2 AS (SELECT id, text FROM base
+         |       UNION ALL SELECT 8 * n + 1,
+         |         '${AskLexTerms.mkString(" ")} ${AskLexTerms.take(2).mkString(" ")}'
+         |       FROM nn),
+         |${askLexLegs("base", "1")},
+         |${askLexLegs("c2", "2")}
+         |SELECT * FROM (
+         |  SELECT 'a_indexed' AS leg, 'indexed' AS lex_route,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS citation_idx,
+         |    doc_id AS cit_id, ROUND(score, 9) AS score, 'lex' AS engine
+         |  FROM fin_1 ORDER BY score DESC, doc_id LIMIT 5)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'b_stale_corpus', 'corpus',
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT),
+         |    doc_id, ROUND(score, 9), 'lex'
+         |  FROM fin_2 ORDER BY score DESC, doc_id LIMIT 5)
+         |ORDER BY leg, citation_idx""".stripMargin),
 
     // ---- ask()'s vector rung served from a persisted IVF index:
     // identical fixture, question and ORACLE as ask_citations — the
