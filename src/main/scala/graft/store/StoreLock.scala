@@ -41,6 +41,15 @@ import org.apache.spark.sql.SparkSession
   * window); a reader that catches a half-written record treats the owner
   * as unknown, which only ever REPORTS more conservatively — takeover
   * still requires `forceStale` plus an expired grace.
+  *
+  * Deliberate divergence: the reference also has a SHARED mode
+  * (src/lock.rs:10-14 LockMode::Shared, downgrade/upgrade) because its
+  * readers mmap one mutable container file and must fence a writer's
+  * in-place byte rewrites. Parquet storage removes that need — data
+  * files are immutable once written and every commit is new files plus
+  * an atomic marker/rename, so readers here are LOCK-FREE by
+  * construction (MVCC via the latest-active view, committed-delta
+  * markers, generation pointers) and only writers ever contend.
   */
 object StoreLock {
 
