@@ -57,9 +57,11 @@ final class Graft(val spark: SparkSession, basePath: String,
       metadata = metadata)
     // rules-engine enrichment mints memory cards (enrichment stage ST2)
     ids.foreach(mintCards(_, text, ts))
-    // checkpoint-snapshot args are by-name — only paid if one fires
+    // checkpoint-snapshot args are by-name — only paid if one fires,
+    // and then from the store's incremental live-count cache (one full
+    // materialization at most, not one per checkpoint fire)
     ids.foreach(id => recorder.recordPut(id,
-      frames.latestActive.count(), currentVersion))
+      frames.liveCount, currentVersion))
     ids.headOption
   }
 
@@ -286,6 +288,164 @@ final class Graft(val spark: SparkSession, basePath: String,
         vecHandleCache = Some((key, h))
         h
     }
+  }
+
+  // ---- incremental serving catch-up (reference: instant-index updates
+  // the engine WITHIN the commit, src/memvid/search/builders.rs:12-44 —
+  // a mutation keeps the serving index current instead of exiling
+  // queries to a corpus scan until a full rebuild). The Spark-native
+  // form is explicit maintenance: refresh*Index() computes the frames
+  // past the index's version stamp and APPENDS them through the gated
+  // incremental primitives ([[graft.search.Bm25Index.append]] /
+  // [[graft.vector.IvfIndex.append]]), then restamps — O(|delta|) work.
+  // A delta that breaks the append contract (tombstones or superseding
+  // versions invalidate already-indexed postings/vectors) falls back to
+  // the full rebuild EXPLICITLY. At 100 TB the difference is the
+  // corpus/delta ratio: one put() no longer costs a corpus-sized
+  // rebuild to restore indexed serving.
+  //
+  // Torn-refresh safety: a 'refresh pending' marker lands BEFORE the
+  // append and clears only after (lex: in the same ALTER as; vec:
+  // after) the restamp. A crash between append and restamp leaves the
+  // marker set; the next refresh sees it and takes the rebuild path
+  // instead of re-appending the same delta (which would double-count
+  // postings / duplicate candidate ids). Single-maintainer contract
+  // (same as the doctor's heal): the artifact lock under append keeps
+  // FILES intact, but two refreshers racing one index could each
+  // append the delta — run one maintainer per index, which the store's
+  // single-writer contract already implies for the facade.
+
+  /** Catch the attached BM25 serving index up to the store's current
+    * version. @return "fresh" (stamp already current — nothing to do),
+    * "appended" (post-stamp delta appended into the bucketed postings +
+    * restamped; serving returns to the indexed route at delta cost), or
+    * "rebuilt" (the delta contained deletes/supersedes — beyond the
+    * append contract — or a prior refresh was torn, so the index was
+    * fully rebuilt via [[buildLexIndex]]). */
+  def refreshLexIndex(): String = lexIndex match {
+    case None => throw new IllegalStateException(
+      "refreshLexIndex: no attached lexical index (attachLexIndex first)")
+    case Some((table, stemmed)) =>
+      val cur = currentVersion
+      val exists = spark.catalog.tableExists(table)
+      val meta = if (exists) Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))) else None
+      val nBuckets = meta.flatMap(_.bucketSpec.map(_.numBuckets)).getOrElse(16)
+      val stamp = meta.flatMap(_.properties.get("graft.store.version"))
+        .flatMap(_.toLongOption)
+      val pending = meta.exists(
+        _.properties.get("graft.refresh.pending").contains("1"))
+      def rebuild(): String = {
+        buildLexIndex(table, stemmed, nBuckets)
+        spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+          "('graft.refresh.pending' = '0')")
+        "rebuilt"
+      }
+      if (stamp.contains(cur)) "fresh"
+      else if (!exists || stamp.isEmpty || pending) rebuild()
+      else {
+        // bound the delta by BOTH stamps so the restamp covers exactly
+        // the appended rows even if a foreign writer commits mid-refresh
+        val delta = frames.log.filter(
+          col("commitSeq") > stamp.get && col("commitSeq") <= cur)
+        val breaksAppend = delta.filter(
+          col("status") =!= graft.model.Frame.Active ||
+          col("supersedes").isNotNull).limit(1).count() > 0
+        if (breaksAppend) rebuild()
+        else {
+          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+            "('graft.refresh.pending' = '1')")
+          graft.search.Bm25Index.append(
+            delta.select(col("id"),
+              coalesce(col("text"), lit("")).as("text")),
+            "id", "text", table, stemmed, nBuckets)
+          // restamp + clear in ONE catalog update: either both land
+          // (refresh complete) or neither (marker still set → rebuild)
+          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+            s"('graft.store.version' = '$cur', 'graft.refresh.pending' = '0')")
+          lexFreshCache = None
+          "appended"
+        }
+      }
+  }
+
+  private def vecStampPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_GRAFT_STORE_VERSION")
+  private def vecPendingPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_GRAFT_REFRESH_PENDING")
+  private def hfs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readVecStamp(path: String): Option[Long] = {
+    val fs = hfs(path)
+    if (!fs.exists(vecStampPath(path))) None
+    else try {
+      val in = fs.open(vecStampPath(path))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s.toLongOption
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Catch the attached IVF serving index up to the store: new document
+    * frames past the stamp are embedded and appended as a committed
+    * delta under the STANDING codebook (no retrain — drift-triggered
+    * retraining stays the doctor's job), then the stamp advances and
+    * ask()'s vector rung routes back through the index. Same
+    * return/fallback contract as [[refreshLexIndex]]; the rebuild path
+    * retrains via [[buildVecIndex]] with the index's own cluster count.
+    * @param rebuildIters Lloyd iterations if a full rebuild is forced */
+  def refreshVecIndex(rebuildIters: Int = 2): String = vecIndex match {
+    case None => throw new IllegalStateException(
+      "refreshVecIndex: no attached vector index (attachVecIndex first)")
+    case Some((path, nprobe)) =>
+      val cur = currentVersion
+      val fs = hfs(path)
+      val exists = graft.vector.IvfIndex.exists(spark, path)
+      val stamp = readVecStamp(path)
+      val pending = fs.exists(vecPendingPath(path))
+      def rebuild(): String = {
+        val k = if (exists)
+          graft.vector.IvfIndex.read(spark, path).centroids.size else 4
+        buildVecIndex(path, k = math.max(k, 1), iters = rebuildIters,
+          nprobe = nprobe)
+        fs.delete(vecPendingPath(path), false)
+        "rebuilt"
+      }
+      if (exists && !pending && stamp.contains(cur)) "fresh"
+      else if (!exists || stamp.isEmpty || pending) rebuild()
+      else {
+        val delta = frames.log.filter(
+          col("commitSeq") > stamp.get && col("commitSeq") <= cur)
+        val breaksAppend = delta.filter(
+          col("status") =!= graft.model.Frame.Active ||
+          col("supersedes").isNotNull).limit(1).count() > 0
+        if (breaksAppend) rebuild()
+        else {
+          val e = activeEmbedder
+          val embedUdf = udf((t: String) => e.embed(if (t == null) "" else t))
+          // the vector index covers DOCUMENT frames only (same population
+          // as embeddingsTable); delta is driver-small by construction
+          val deltaVecs = delta.filter(col("role") === "document")
+            .select(col("id"),
+              embedUdf(coalesce(col("text"), lit(""))).as("vector"))
+            .localCheckpoint()
+          if (deltaVecs.isEmpty) {
+            val out = fs.create(vecStampPath(path), true)
+            out.write(cur.toString.getBytes("UTF-8")); out.close()
+          } else {
+            fs.create(vecPendingPath(path), true).close()
+            graft.vector.IvfIndex.append(spark, path, deltaVecs, "id", "vector")
+            // restamp FIRST, then clear the marker: a crash in between
+            // costs one spurious rebuild, never a double-append
+            val out = fs.create(vecStampPath(path), true)
+            out.write(cur.toString.getBytes("UTF-8")); out.close()
+            fs.delete(vecPendingPath(path), false)
+          }
+          vecHandleCache = None
+          "appended"
+        }
+      }
   }
 
   // ---- query ----

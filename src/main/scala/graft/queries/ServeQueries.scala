@@ -449,5 +449,124 @@ object ServeQueries {
          |SELECT 'leg2', CAST(idx AS BIGINT), CAST(id AS BIGINT),
          |       ROUND(score, 9), txt, 'hybrid', 'indexed'
          |FROM top_2
+         |ORDER BY leg, citation_idx""".stripMargin),
+
+    // ---- INCREMENTAL serving catch-up, lexical (reference: instant-
+    // index updates the engine within the commit, builders.rs:12-44;
+    // the Spark-native form is refreshLexIndex appending the post-stamp
+    // delta through Bm25Index.append and restamping — a put no longer
+    // exiles serving to the corpus until a FULL rebuild). Three legs:
+    // (a) indexed; a put staleness-drops the stamp; refresh takes the
+    // APPEND path (action locked 'appended', and the postings file
+    // count GREW — a rebuild would have reset it) and leg (b) serves
+    // the moved corpus from the index; a DELETE breaks the append
+    // contract, refresh says so (action 'rebuilt') and leg (c) serves
+    // the shrunk-back corpus — bit-equal to leg (a)'s scores. ----
+    "search_facade_refresh" -> QueryDef.sql(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_facade_refresh").toString
+        val tbl = "facade_lex_refresh_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        val g = new graft.api.Graft(s, dir)
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 240)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        g.frames.put(docs.map { case (i, t) => (s"mv2://refresh/$i", t) }.toSeq)
+        g.buildLexIndex(tbl, stemmed = false)
+        def leg(name: String, action: String, filesGrew: String) = {
+          val hits = g.search("spark join window", topK = 25)
+          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
+              lit(action).as("action"), lit(filesGrew).as("files_grew"),
+              col("id"), col("score"))
+            .localCheckpoint() // pin BEFORE the next mutation moves the store
+        }
+        val l1 = leg("a_indexed", "none", "na")
+        val extraId = g.put("mv2://refresh/extra", "zzz qqq").get
+        val before = graft.search.Bm25Index.dataFileCount(s, tbl)
+        val act1 = g.refreshLexIndex()
+        val after = graft.search.Bm25Index.dataFileCount(s, tbl)
+        val l2 = leg("b_refreshed", act1, (after > before).toString)
+        g.delete(extraId) // tombstone: beyond the append contract
+        val act2 = g.refreshLexIndex()
+        val l3 = leg("c_rebuilt", act2, "na")
+        val out = l1.union(l2).union(l3)
+          .orderBy(col("leg"), col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH base AS (SELECT row_number() OVER (ORDER BY doc_id) AS id, text
+         |              FROM documents WHERE doc_id < 240),
+         |nn AS (SELECT COUNT(*) AS n FROM base),
+         |c2 AS (SELECT id, text FROM base
+         |       UNION ALL SELECT 8 * n + 1, 'zzz qqq' FROM nn),
+         |${bm25Legs("base", "1")},
+         |${bm25Legs("c2", "2")}
+         |SELECT 'a_indexed' AS leg, 'indexed' AS route, 'none' AS action,
+         |       'na' AS files_grew, CAST(doc_id AS BIGINT) AS id, score
+         |FROM hits_1
+         |UNION ALL SELECT 'b_refreshed', 'indexed', 'appended', 'true',
+         |       doc_id, score FROM hits_2
+         |UNION ALL SELECT 'c_rebuilt', 'indexed', 'rebuilt', 'na',
+         |       doc_id, score FROM hits_1
+         |ORDER BY leg, score DESC, id""".stripMargin),
+
+    // ---- incremental catch-up, vector: same fixture/oracle family as
+    // ask_facade_indexed, but the second leg is healed by
+    // refreshVecIndex (action locked 'appended' — the new doc's vector
+    // joins the STANDING codebook as a committed IVF delta, no retrain)
+    // instead of a full buildVecIndex. nprobe = all clusters, so the
+    // candidate list — and with it every fused score — must bit-match
+    // the brute-force oracle regardless of which codebook assigned the
+    // delta. ----
+    "ask_vec_refresh" -> QueryDef.sql(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_facade_vecrefresh").toString
+        val g = new graft.api.Graft(s, dir)
+        FacadeDocs.zipWithIndex.foreach { case (t, i) =>
+          g.put(s"mv2://vecrefresh/$i", t)
+        }
+        g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+        def leg(name: String, action: String) = {
+          val r = g.ask(FacadeAskQ, topK = 3)
+          r.citations.map(c => (name, c.index.toLong, c.id, c.score,
+            c.snippet, r.engine, g.lastAskVecRoute, action))
+            .toDF("leg", "citation_idx", "cit_id", "score", "snippet",
+              "engine", "vec_route", "action")
+            .withColumn("score", round(col("score"), 9))
+        }
+        val l1 = leg("leg1", "none")
+        g.put("mv2://vecrefresh/extra", FacadeExtra)
+        val act = g.refreshVecIndex()
+        val l2 = leg("leg2", act)
+        val out = l1.union(l2).orderBy(col("leg"), col("citation_idx"))
+          .localCheckpoint()
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH q(qv) AS (VALUES (${vecLit(FacadeAskQ)}::DOUBLE[])),
+         |v1(id, tl_rank, txt, vec) AS (VALUES
+         |  (1, 0, '${FacadeDocs(0)}', ${vecLit(FacadeDocs(0))}::DOUBLE[]),
+         |  (9, 1, '${FacadeDocs(1)}', ${vecLit(FacadeDocs(1))}::DOUBLE[]),
+         |  (17, 2, '${FacadeDocs(2)}', ${vecLit(FacadeDocs(2))}::DOUBLE[]),
+         |  (25, NULL, '${FacadeDocs(3)}', ${vecLit(FacadeDocs(3))}::DOUBLE[])),
+         |v2(id, tl_rank, txt, vec) AS (
+         |  SELECT * FROM v1
+         |  UNION ALL SELECT 33, NULL, '$FacadeExtra', ${vecLit(FacadeExtra)}::DOUBLE[]),
+         |${askLeg("v1", "1")},
+         |${askLeg("v2", "2")}
+         |SELECT 'leg1' AS leg, CAST(idx AS BIGINT) AS citation_idx,
+         |       CAST(id AS BIGINT) AS cit_id, ROUND(score, 9) AS score,
+         |       txt AS snippet, 'hybrid' AS engine, 'indexed' AS vec_route,
+         |       'none' AS action
+         |FROM top_1
+         |UNION ALL
+         |SELECT 'leg2', CAST(idx AS BIGINT), CAST(id AS BIGINT),
+         |       ROUND(score, 9), txt, 'hybrid', 'indexed', 'appended'
+         |FROM top_2
          |ORDER BY leg, citation_idx""".stripMargin))
 }

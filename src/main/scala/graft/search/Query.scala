@@ -90,7 +90,13 @@ object QueryParser {
             val end = q.indexOf('"', start + colon + 2)
             if (end < 0) throw QueryParseException(s"unterminated field value at $i")
             value = q.substring(start + colon + 2, end)
-            i = math.max(i, end + 1)
+            // resume right after the closing quote, BOTH ways the bare
+            // scan can disagree with it: value-contains-spaces (the scan
+            // stopped early at the first space — advance) and
+            // value-with-trailing-text like track:"abc"def (the scan
+            // consumed past the quote — rewind so `def` re-lexes as its
+            // own token instead of being silently swallowed)
+            i = end + 1
           }
           out += TField(name, value)
         } else if (w.toLowerCase(Locale.ROOT).startsWith("date:")) {

@@ -63,8 +63,12 @@ final class FrameStore(spark: SparkSession, path: String,
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def writeSeqFile(maxId: Long, maxSeq: Long): Unit = {
-    val out = fs.create(seqFile, true)
+  private def writeSeqFile(maxId: Long, maxSeq: Long): Unit =
+    writeSeqFileAt(seqFile, maxId, maxSeq)
+
+  private def writeSeqFileAt(at: org.apache.hadoop.fs.Path,
+                             maxId: Long, maxSeq: Long): Unit = {
+    val out = fs.create(at, true)
     try out.write(s"$maxId\t$maxSeq\n".getBytes("UTF-8")) finally out.close()
   }
 
@@ -110,12 +114,55 @@ final class FrameStore(spark: SparkSession, path: String,
   private[graft] def persistedWatermark: Long =
     readSeqFile().map(_._2).getOrElse(-1L)
 
-  private def appendFrames(frames: Seq[Frame]): Unit = {
-    frames.toDS().write.mode(SaveMode.Append).parquet(path)
-    // persist the minted watermark as part of the same locked section —
-    // the NEXT writer (any handle, any process) minting from it is what
-    // makes ids globally unique
+  /** Cached latest-active row count, maintained incrementally across
+    * PUT-shaped appends (every appended frame is new and Active, so the
+    * live view grows by exactly the batch size) and invalidated by
+    * mutations whose live-delta needs a lookup (update/delete — the
+    * superseded/tombstoned id may or may not have been live). Vacuum is
+    * value-neutral for the live view and keeps it. This serves the
+    * recorder's auto-checkpoint probe: a checkpoint fire costs one
+    * cached read instead of a full window + anti-join materialization
+    * per fire (the one remaining store-sized read on a facade verb). */
+  private var liveCountCache: Option[(Long, Long)] = None // (watermark, count)
+
+  /** live frame count (documents + chunks), served from the incremental
+    * cache when it is current. The cache is KEYED on the persisted
+    * watermark, so a FOREIGN writer's commit (which this handle's
+    * in-process state never sees) invalidates it for one tiny FS read
+    * per call — never a stale count. */
+  def liveCount: Long = {
+    val w = persistedWatermark
+    liveCountCache match {
+      case Some((k, c)) if k == w => c
+      case _ =>
+        val c = latestActive.count()
+        liveCountCache = Some((w, c))
+        c
+    }
+  }
+
+  private def appendFrames(frames: Seq[Frame],
+                           liveDelta: Option[Long] = None): Unit = {
+    val preW = persistedWatermark
+    // persist the minted watermark BEFORE the rows land (same locked
+    // section): a crash between the two steps then wastes an id block (a
+    // safe gap), whereas the reverse order would leave committed rows
+    // ABOVE the persisted watermark and the next handle — which trusts
+    // the watermark over a log rescan — would re-mint colliding
+    // id/commitSeq version keys. The NEXT writer (any handle, any
+    // process) minting from the persisted value is what makes ids
+    // globally unique.
     counters.foreach { case (i, s) => writeSeqFile(i, s) }
+    frames.toDS().write.mode(SaveMode.Append).parquet(path)
+    // roll the live-count cache forward only when it was current as of
+    // the pre-mutation watermark AND the caller knows the exact delta
+    // (put: every appended frame is new + Active); otherwise drop it
+    liveCountCache = for {
+      d <- liveDelta
+      (k, c) <- liveCountCache
+      if k == preW
+      nw <- counters.map(_._2)
+    } yield (nw, c + d)
     currentSnapshot = None // the pinned copy no longer reflects the log
     mutationEpoch += 1
   }
@@ -192,7 +239,7 @@ final class FrameStore(spark: SparkSession, path: String,
       } else Nil
       doc +: children
     }
-    appendFrames(frames)
+    appendFrames(frames, liveDelta = Some(frames.size.toLong))
     frames.filter(_.role == "document").map(_.id)
   }
 
@@ -311,6 +358,15 @@ final class FrameStore(spark: SparkSession, path: String,
        if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     latestActiveAsOf(None).as[Frame].write.mode(SaveMode.Overwrite).parquet(tmp)
+    // the watermark rides INSIDE the tmp dir so the rename carries it
+    // atomically with the compacted log — a crash anywhere in the swap
+    // leaves either the old dir (old _graft_seq intact) or the new one
+    // (watermark already in place); writing it only after the rename
+    // would open a window where the store exists with NO watermark and a
+    // later writer falls back to the compacted log's max LIVE id,
+    // re-minting vacuumed-away ids
+    writeSeqFileAt(new org.apache.hadoop.fs.Path(
+      tmp.stripSuffix("/") + "/_graft_seq"), watermark._1, watermark._2)
     currentSnapshot = None
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsTmp = new org.apache.hadoop.fs.Path(tmp)
@@ -319,13 +375,12 @@ final class FrameStore(spark: SparkSession, path: String,
     if (!hfs.rename(fsTmp, fsPath))
       throw new java.io.IOException(s"vacuum: rename $tmp -> $path failed")
     counters = Some(watermark)
-    writeSeqFile(watermark._1, watermark._2)
     mutationEpoch += 1
   }
 
   def stats: (Long, Long, Long) = {
     val total = log.count()
-    val live = latestActive.count()
+    val live = liveCount
     val tomb = log.filter($"status" === Frame.Tombstoned).select("id").distinct().count()
     (total, live, tomb)
   }

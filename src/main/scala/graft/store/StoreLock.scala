@@ -19,28 +19,38 @@ import org.apache.spark.sql.SparkSession
   *   - the lock is `<storePath>.lock`, a SIBLING of the log directory
   *     (never inside it: `vacuum()` deletes and renames the directory
   *     wholesale, which must not destroy a held lock);
-  *   - acquisition is an atomic exclusive create — `O_EXCL` via
-  *     java.nio for `file:` paths (Hadoop's RawLocalFileSystem
-  *     check-then-create is NOT atomic), `create(overwrite = false)` for
-  *     cluster filesystems where the namenode arbitrates;
-  *   - the owner record (pid, host, command, startedAt, heartbeat) is
-  *     written INTO the lockfile; a contender that loses reads it back
-  *     for the error hint, exactly the reference's `LockOwnerHint`;
+  *   - acquisition is an atomic exclusive create that CARRIES the owner
+  *     record — on `file:` paths the record is written to a temp file and
+  *     published via a hard link (link(2) fails atomically if the target
+  *     exists, and the lockfile is never observable without its record);
+  *     on cluster filesystems `create(overwrite = false)` lets the
+  *     namenode arbitrate (the record lands in the same create, though a
+  *     reader may glimpse a zero-length file pre-close — see staleness);
+  *   - the owner record (pid, host, command, startedAt, heartbeat) lives
+  *     INSIDE the lockfile; a contender that loses reads it back for the
+  *     error hint, exactly the reference's `LockOwnerHint`;
   *   - acquire spins (10 ms) until `timeoutMs`, then throws
   *     [[StoreLockedException]] carrying the owner and whether the lock
   *     looks STALE (no heartbeat within `staleGraceMs`);
+  *   - staleness of a lockfile whose record is missing or unreadable is
+  *     judged by the FILE's age (mtime), never assumed: a contender that
+  *     catches a mid-publish window sees a young file and backs off, so
+  *     `forceStale` can only ever sweep a lock that has gone a full
+  *     grace without a heartbeat — a half-written record is NOT a
+  *     license to steal;
   *   - `forceStale = true` lets a caller take over a stale lock (crashed
   *     writer) by deleting it and retrying the create — the reference's
   *     `force_stale` recovery path (src/lockfile.rs:158-166);
-  *   - [[StoreLock.heartbeat]] re-stamps the record so long-running
-  *     writers stay visibly live; [[StoreLock.release]] deletes the file
-  *     (the Drop impl in the reference).
-  *
-  * The record rewrite on heartbeat is not atomic with respect to a
-  * concurrent reader (the reference's registry write has the same
-  * window); a reader that catches a half-written record treats the owner
-  * as unknown, which only ever REPORTS more conservatively — takeover
-  * still requires `forceStale` plus an expired grace.
+  *   - [[StoreLock.heartbeat]] re-stamps the record (atomic
+  *     rename-replace on local paths) so long-running writers stay
+  *     visibly live, and [[StoreLock.withLock]] PUMPS it from a daemon
+  *     thread every `heartbeatMs` for the whole body — a 10-minute
+  *     compaction can never be force-stale-swept by a legal contender
+  *     (reference `LockRecord::touch`);
+  *   - [[StoreLock.release]] deletes the lockfile ONLY if it still
+  *     carries this holder's record (pid + startedAt match) — a holder
+  *     that was legally swept while stale must not unlock the usurper
+  *     (the Drop impl in the reference checks identity the same way).
   *
   * Deliberate divergence: the reference also has a SHARED mode
   * (src/lock.rs:10-14 LockMode::Shared, downgrade/upgrade) because its
@@ -84,31 +94,58 @@ object StoreLock {
     s == null || s == "file" || s == "local"
   }
 
-  /** atomic exclusive create; true = we own the new file */
-  private def tryCreate(fs: FileSystem, lockPath: String): Boolean =
+  private def localPath(lockPath: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      new Path(lockPath).toUri.getPath match { case "" => lockPath; case u => u })
+
+  private def recordLine(o: Owner): Array[Byte] =
+    s"${o.pid}\t${o.host}\t${o.cmd}\t${o.startedAtMs}\t${o.heartbeatMs}\t${o.lastHeartbeatMs}\n"
+      .getBytes("UTF-8")
+
+  /** Atomic exclusive create CARRYING the owner record; true = we own it.
+    * The parent dir is created first — a lock can anchor on a warehouse
+    * dir that doesn't exist yet (first table write happens AFTER the
+    * lock is taken). Local: record → temp file → hard-link publish, so
+    * the lockfile is never visible without a complete record. Non-local:
+    * the namenode serializes create(overwrite = false); the record is in
+    * the same create (note: on object stores without atomic create —
+    * s3a — this primitive needs an external arbiter; HDFS/abfs are
+    * fine). */
+  private def tryCreate(fs: FileSystem, lockPath: String, o: Owner): Boolean =
     if (isLocalFs(fs)) {
-      val p = java.nio.file.Paths.get(
-        new Path(lockPath).toUri.getPath match { case "" => lockPath; case u => u })
-      try { java.nio.file.Files.createFile(p); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      // HDFS-like: the namenode serializes create(overwrite = false)
-      try { fs.create(new Path(lockPath), false).close(); true }
+      val lock = localPath(lockPath)
+      if (lock.getParent != null)
+        java.nio.file.Files.createDirectories(lock.getParent)
+      val tmp = lock.resolveSibling(
+        s".${lock.getFileName}.tmp-${o.pid}-${System.nanoTime()}")
+      java.nio.file.Files.write(tmp, recordLine(o))
+      try { java.nio.file.Files.createLink(lock, tmp); true }
       catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // fs without hard links: CREATE_NEW still O_EXCL-arbitrates;
+          // the record write follows in the same open (tiny pre-close
+          // window, covered by the mtime grace below)
+          try {
+            java.nio.file.Files.write(lock, recordLine(o),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+    } else {
+      try fs.mkdirs(new Path(lockPath).getParent)
+      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val out = fs.create(new Path(lockPath), false)
+        try out.write(recordLine(o)) finally out.close()
+        true
+      } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.io.FileNotFoundException => false // parent races
       }
     }
 
-  private def writeRecord(fs: FileSystem, lockPath: String, o: Owner): Unit = {
-    val out = fs.create(new Path(lockPath), true)
-    try out.write(
-      s"${o.pid}\t${o.host}\t${o.cmd}\t${o.startedAtMs}\t${o.heartbeatMs}\t${o.lastHeartbeatMs}\n"
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readRecord(fs: FileSystem, lockPath: String): Option[Owner] =
+  private[store] def readRecord(fs: FileSystem, lockPath: String): Option[Owner] =
     try {
       val in = fs.open(new Path(lockPath))
       val line =
@@ -122,13 +159,20 @@ object StoreLock {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** no heartbeat within the grace (or record unreadable) ⇒ stale
-    * (reference registry::is_stale; a missing record is stale there too,
-    * src/lockfile.rs:155-157) */
-  private def isStale(owner: Option[Owner], staleGraceMs: Long,
-                      nowMs: Long): Boolean = owner match {
+  /** No heartbeat within the grace ⇒ stale (reference registry::is_stale).
+    * A lockfile whose record is missing or unreadable is stale only when
+    * the FILE ITSELF has gone a full grace without being touched — a
+    * mid-publish or mid-heartbeat window must never read as a crashed
+    * writer (every record publish refreshes mtime). A lockfile that
+    * vanished between the create attempt and this check is simply gone:
+    * not stale, the caller retries the create. */
+  private def isStale(fs: FileSystem, lockPath: String, owner: Option[Owner],
+                      staleGraceMs: Long, nowMs: Long): Boolean = owner match {
     case Some(o) => nowMs - o.lastHeartbeatMs > staleGraceMs
-    case None => true
+    case None =>
+      try nowMs - fs.getFileStatus(new Path(lockPath)).getModificationTime >
+        staleGraceMs
+      catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** who holds the lock right now, if anyone (reference current_owner) */
@@ -154,13 +198,11 @@ object StoreLock {
       heartbeatMs = options.heartbeatMs,
       lastHeartbeatMs = start)
     while (true) {
-      if (tryCreate(fs, lockPath)) {
-        writeRecord(fs, lockPath, record)
-        return new StoreLock(fs, lockPath, record)
-      }
+      if (tryCreate(fs, lockPath, record))
+        return new StoreLock(fs, lockPath, record, isLocalFs(fs))
       val existing = readRecord(fs, lockPath)
       val now = System.currentTimeMillis()
-      val stale = isStale(existing, options.staleGraceMs, now)
+      val stale = isStale(fs, lockPath, existing, options.staleGraceMs, now)
       if (options.forceStale && stale) {
         // crashed writer: sweep and retry the exclusive create (losing
         // the delete race to another contender is fine — the create
@@ -177,29 +219,79 @@ object StoreLock {
     throw new IllegalStateException("unreachable")
   }
 
-  /** acquire → body → release, the shape every FrameStore mutation uses */
+  /** acquire → body → release, the shape every FrameStore mutation uses.
+    * A daemon thread pumps [[StoreLock.heartbeat]] every `heartbeatMs`
+    * while the body runs, so a mutation longer than `staleGraceMs` (a
+    * big compaction, a 1000× index build) stays visibly LIVE and a
+    * `forceStale` contender can never legally sweep it — only a genuine
+    * crash (process death stops the pump) lets the grace expire. */
   def withLock[T](spark: SparkSession, storePath: String,
                   options: Options = Options())(body: => T): T = {
     val lock = acquire(spark, storePath, options)
-    try body finally lock.release()
+    val pump = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(options.heartbeatMs, 100L))
+          lock.heartbeat()
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case scala.util.control.NonFatal(_) => () // lost race at release
+      }
+    }, s"graft-lock-heartbeat-${new Path(storePath).getName}")
+    pump.setDaemon(true)
+    pump.start()
+    try body finally {
+      pump.interrupt()
+      pump.join(2000L)
+      lock.release()
+    }
   }
 }
 
 /** A held exclusive lock; release deletes the lockfile (reference Drop). */
 final class StoreLock private[store] (fs: FileSystem, lockPath: String,
-                                      private var record: StoreLock.Owner) {
-  /** re-stamp liveness so the stale-grace clock restarts (LockRecord::touch) */
-  def heartbeat(): Unit = {
+                                      private var record: StoreLock.Owner,
+                                      localFs: Boolean) {
+  /** re-stamp liveness so the stale-grace clock restarts
+    * (LockRecord::touch). Local paths replace the record atomically
+    * (temp + rename), so a concurrent reader never catches a torn
+    * record; non-local truncate-rewrites, and readers there fall back
+    * to the mtime grace (which this refreshes either way). */
+  def heartbeat(): Unit = synchronized {
     record = record.copy(lastHeartbeatMs = System.currentTimeMillis())
-    val out = fs.create(new Path(lockPath), true)
-    try out.write(
+    val bytes =
       s"${record.pid}\t${record.host}\t${record.cmd}\t${record.startedAtMs}\t${record.heartbeatMs}\t${record.lastHeartbeatMs}\n"
-        .getBytes("UTF-8"))
-    finally out.close()
+        .getBytes("UTF-8")
+    if (localFs) {
+      val lock = java.nio.file.Paths.get(
+        new Path(lockPath).toUri.getPath match { case "" => lockPath; case u => u })
+      val tmp = lock.resolveSibling(
+        s".${lock.getFileName}.hb-${record.pid}")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, lock,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(new Path(lockPath), true)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   def owner: StoreLock.Owner = record
 
-  def release(): Unit =
-    fs.delete(new Path(lockPath), false): Unit
+  /** Delete the lockfile — but only if it is still OURS. A holder that
+    * went stale and was legally force-swept must not delete the
+    * usurper's lockfile (that would unlock a LIVE writer); identity is
+    * pid + startedAt, which no other acquire can mint. An unreadable
+    * record also refuses the delete (can't prove ownership) — on local
+    * paths records are published atomically so our own is always
+    * readable; the refusal can only strand a non-local lock, which the
+    * stale grace then clears. */
+  def release(): Unit = synchronized {
+    val cur = StoreLock.readRecord(fs, lockPath)
+    if (cur.exists(c => c.pid == record.pid &&
+          c.startedAtMs == record.startedAtMs))
+      fs.delete(new Path(lockPath), false): Unit
+  }
 }

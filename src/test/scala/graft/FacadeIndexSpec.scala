@@ -123,6 +123,116 @@ class FacadeIndexSpec extends SparkSpec {
     assert(g.lastAskVecRoute == "indexed")
   }
 
+  test("refreshLexIndex: append path catches the index up — no rebuild, bit-equal") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_refresh_spec")
+    assert(g.refreshLexIndex() == "fresh") // nothing moved yet
+    g.put("mv2://t/new", "fresh spark doc about joins")
+    val corpusView = g.search("spark joins", topK = 10) // stale → corpus
+    assert(g.lastSearchRoute == "corpus")
+    val before = graft.search.Bm25Index.dataFileCount(spark, "facade_lex_refresh_spec")
+    assert(g.refreshLexIndex() == "appended")
+    val after = graft.search.Bm25Index.dataFileCount(spark, "facade_lex_refresh_spec")
+    assert(after > before, "append must ADD delta files, not rewrite the table")
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(served) == rows(corpusView))
+    assert(g.refreshLexIndex() == "fresh")
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_spec`")
+  }
+
+  test("refreshLexIndex: a delete breaks the append contract → explicit rebuild") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_refresh_del_spec")
+    val dropId = g.frames.latestActive.filter(col("uri") === "mv2://t/3")
+      .select("id").collect().head.getLong(0)
+    g.delete(dropId)
+    assert(g.refreshLexIndex() == "rebuilt")
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(!rows(served).map(_._1).contains(dropId))
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_del_spec`")
+  }
+
+  test("torn lex refresh: the pending marker forces rebuild, never a double append") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_torn_spec")
+    g.put("mv2://t/new", "fresh spark doc about joins")
+    // simulate a crash between append and restamp: marker set, stamp stale
+    spark.sql("ALTER TABLE `facade_lex_torn_spec` SET TBLPROPERTIES " +
+      "('graft.refresh.pending' = '1')")
+    assert(g.refreshLexIndex() == "rebuilt")
+    // scores over the rebuilt index match the corpus engine — a double
+    // append would have doubled the new doc's term frequencies
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_torn_spec`")
+  }
+
+  test("refreshVecIndex: append restores the vector rung under the standing codebook") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    assert(g.refreshVecIndex() == "fresh")
+    g.put("mv2://t/extra", "another doc about window joins")
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "corpus") // stale
+    val gensBefore = graft.vector.IvfIndex.read(spark, s"$dir/vec").generation
+    assert(g.refreshVecIndex() == "appended")
+    val h = graft.vector.IvfIndex.read(spark, s"$dir/vec")
+    assert(h.generation == gensBefore, "append must not mint a new generation")
+    assert(graft.vector.IvfIndex.deltaCount(spark, s"$dir/vec") == 1)
+    val served = g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    // nprobe = all clusters → bit-equal to brute force over the corpus
+    val brute = graft.ask.Ask.ask(spark,
+      graft.ask.Ask.Corpus(g.frames.latestActive, "id",
+        FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+          track = col("track"), kind = col("kind"), tags = col("tags"),
+          labels = col("labels"), timestamp = col("timestamp")),
+        embeddings = Some(g.embeddingsTable), meta = Some(col("extraMetadata")),
+        cards = Some(g.cards)),
+      "spark joins", Some(new graft.ask.HashEmbedder(64)), topK = 3)
+    assert(served.citations.map(c => (c.id, c.score)) ==
+      brute.citations.map(c => (c.id, c.score)))
+  }
+
+  test("torn vec refresh: pending marker forces rebuild; tombstone forces rebuild") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    g.put("mv2://t/extra", "another doc about window joins")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/vec")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/vec/_GRAFT_REFRESH_PENDING"), true).close()
+    assert(g.refreshVecIndex() == "rebuilt")
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    // a tombstone is beyond the append contract
+    val dropId = g.frames.latestActive.filter(col("uri") === "mv2://t/3")
+      .select("id").collect().head.getLong(0)
+    g.delete(dropId)
+    assert(g.refreshVecIndex() == "rebuilt")
+    val h = graft.vector.IvfIndex.read(spark, s"$dir/vec")
+    assert(h.assigned.filter(col("id") === dropId).isEmpty,
+      "rebuilt index must not contain the tombstoned doc")
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+  }
+
   test("a FOREIGN writer's commit flips serving to the corpus path") {
     val dir = tmpStore()
     val g = new Graft(spark, dir)

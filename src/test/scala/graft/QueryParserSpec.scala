@@ -23,6 +23,16 @@ class QueryParserSpec extends SparkSpec {
       And(And(Word("a"), Word("b")), Word("c")))
   }
 
+  test("quoted field value with trailing text: the tail re-lexes, not swallowed") {
+    // the bare-word scan consumes past the closing quote; the lexer must
+    // rewind to it so `def` and `x` survive as their own AND'd terms
+    assert(QueryParser.parse("track:\"abc\"def x") ==
+      And(And(TrackField("abc"), Word("def")), Word("x")))
+    // and the value-contains-spaces case still scans to the closing quote
+    assert(QueryParser.parse("track:\"a b\" x") ==
+      And(TrackField("a b"), Word("x")))
+  }
+
   test("phrases, wildcards, fields, date ranges") {
     assert(QueryParser.parse("\"exact phrase\"") == Phrase("exact phrase"))
     assert(QueryParser.parse("wild*") == Wildcard("wild*"))

@@ -185,6 +185,79 @@ class StoreLockSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lockspec_bm25")
   }
 
+  test("release after a legal force-sweep never unlocks the usurper") {
+    val dir = s"$tmpDir/frames"
+    val holder = StoreLock.acquire(spark, dir,
+      StoreLock.Options(command = "sweepable"))
+    Thread.sleep(5) // let the grace expire relative to the holder's stamp
+    val usurper = StoreLock.acquire(spark, dir,
+      StoreLock.Options(timeoutMs = 2000L, staleGraceMs = 1L,
+        forceStale = true, command = "usurper"))
+    // the swept holder's release must verify ownership and refuse the
+    // delete — otherwise it unlocks a LIVE writer by path
+    holder.release()
+    assert(StoreLock.currentOwner(spark, dir).exists(_.cmd == "usurper"),
+      "stale holder's release deleted the usurper's lockfile")
+    usurper.release()
+    assert(StoreLock.currentOwner(spark, dir).isEmpty)
+  }
+
+  test("record-less lockfile is stale only once the FILE ages past the grace") {
+    val dir = s"$tmpDir/frames"
+    // simulate a torn publish / foreign-format lockfile: content that
+    // parses to no owner record, mtime = now
+    val lockFile = new java.io.File(StoreLock.lockPathFor(dir))
+    lockFile.getParentFile.mkdirs()
+    java.nio.file.Files.write(lockFile.toPath,
+      "garbage".getBytes("UTF-8")): Unit
+    // a young record-less file must NOT read as stale — a forceStale
+    // contender with a generous grace backs off instead of stealing
+    val e = intercept[StoreLock.StoreLockedException] {
+      StoreLock.acquire(spark, dir, StoreLock.Options(
+        timeoutMs = 150L, staleGraceMs = 60000L, forceStale = true))
+    }
+    assert(!e.stale, "young record-less lockfile misread as stale")
+    // once the file's AGE exceeds the grace, the takeover is legal
+    Thread.sleep(60)
+    val takeover = StoreLock.acquire(spark, dir, StoreLock.Options(
+      timeoutMs = 2000L, staleGraceMs = 30L, forceStale = true,
+      command = "aged-recovery"))
+    assert(takeover.owner.cmd == "aged-recovery")
+    takeover.release()
+  }
+
+  test("withLock pumps heartbeats: a long body outlives an aggressive sweeper") {
+    val dir = s"$tmpDir/frames"
+    val bodyDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweepResult = new java.util.concurrent.atomic.AtomicReference[String]
+    val t = new Thread(() => {
+      // the body (1.2 s) is 4x the grace (300 ms); only the pump
+      // (heartbeatMs = 50) keeps the record young enough to survive
+      StoreLock.withLock(spark, dir, StoreLock.Options(
+        heartbeatMs = 50L, staleGraceMs = 300L, command = "long-compaction")) {
+        Thread.sleep(1200)
+        bodyDone.set(true)
+      }
+    })
+    t.start()
+    Thread.sleep(400) // past one grace — a crashed writer would be sweepable now
+    try {
+      StoreLock.acquire(spark, dir, StoreLock.Options(
+        timeoutMs = 400L, staleGraceMs = 300L, forceStale = true,
+        command = "sweeper"))
+      sweepResult.set("stole")
+    } catch {
+      case e: StoreLock.StoreLockedException =>
+        sweepResult.set(if (e.stale) "stale" else "live")
+    }
+    t.join(30000)
+    assert(bodyDone.get, "locked body did not finish")
+    assert(sweepResult.get == "live",
+      s"sweeper saw '${sweepResult.get}' — the pump failed to keep the lock live")
+    // after release the same contender acquires cleanly
+    StoreLock.acquire(spark, dir, StoreLock.Options(command = "after")).release()
+  }
+
   test("ids stay monotonic across vacuum: tombstoned ids are never reused") {
     val dir = s"$tmpDir/frames"
     val store = new FrameStore(spark, dir)
