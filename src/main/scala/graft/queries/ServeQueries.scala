@@ -568,5 +568,65 @@ object ServeQueries {
          |SELECT 'leg2', CAST(idx AS BIGINT), CAST(id AS BIGINT),
          |       ROUND(score, 9), txt, 'hybrid', 'indexed', 'appended'
          |FROM top_2
-         |ORDER BY leg, citation_idx""".stripMargin))
+         |ORDER BY leg, citation_idx""".stripMargin),
+
+    // ---- F10 sketch pre-filter COMPOSED into the indexed engine
+    // (reference candidate shrink, search/mod.rs:190-232 — useful only
+    // at the scale an index serves): the SimHash candidate set
+    // semi-joins into the persisted postings before scoring, the same
+    // id-list-sized exchange shape as a compiled field predicate. BM25
+    // stats come from the candidate SUBSET, so the oracle replays the
+    // sketch (tokens → signed 60-bit simhash → hamming cutoff) and then
+    // the full BM25 chain over exactly that subset — a candidate-set
+    // drift anywhere reshuffles the scores and hash-fails. ----
+    "search_sketch_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.{Bm25Index, FrameCols, Search, SketchFilter}
+        val tbl = "sketch_indexed_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        val docs = Tables.documents(s, d)
+        Bm25Index.write(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", tbl, stemmed = false)
+        val sk = SketchFilter.build(docs, "doc_id", "text")
+        val qh = SketchFilter.querySimhash(s, "spark join window shuffle")
+        val cand = sk
+          .filter(bit_count(col("simhash").bitwiseXOR(lit(qh))) <=
+            SketchFilter.DefaultMaxHamming)
+          .select(col("doc_id"))
+        val out = Search.searchIndexed(docs, "doc_id",
+            FrameCols(text = col("text")), "spark join window", tbl,
+            Search.Options(topK = 25, engine = Search.BM25Engine,
+              stemmed = false, withSnippets = false),
+            allowedIds = Some(cand))
+          .select(col("id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        out
+      },
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |             UNION ALL SELECT -1, 'spark join window shuffle'),
+         |toks0 AS (SELECT doc_id, $duckToks AS tk FROM src),
+         |tfq AS (SELECT doc_id, t, COUNT(*) AS tf
+         |        FROM (SELECT doc_id, unnest(tk) AS t FROM toks0) u
+         |        GROUP BY doc_id, t),
+         |hh AS (SELECT doc_id, tf,
+         |         ${DedupQueries.duckPoly("t")} * 2147483647
+         |           + ${DedupQueries.duckPoly("t || '!'")} AS h64 FROM tfq),
+         |bits AS (SELECT doc_id, j,
+         |           SUM(CASE WHEN (h64 >> j) & 1 = 1 THEN tf ELSE -tf END) AS sgn
+         |         FROM hh, (SELECT unnest(range(60)) AS j) js GROUP BY doc_id, j),
+         |sim AS (SELECT doc_id,
+         |          CAST(SUM(CASE WHEN sgn > 0
+         |            THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+         |          AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |cand AS (SELECT d.doc_id FROM sim d WHERE d.doc_id >= 0
+         |  AND bit_count(xor(d.simhash,
+         |        (SELECT simhash FROM sim WHERE doc_id = -1))) <= 32),
+         |base AS (SELECT c.doc_id AS id, dd.text
+         |         FROM cand c JOIN documents dd USING (doc_id)),
+         |${bm25Legs("base", "1")}
+         |SELECT CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |ORDER BY score DESC, id""".stripMargin))
 }

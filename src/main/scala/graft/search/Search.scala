@@ -97,10 +97,20 @@ object Search {
     * PRECONDITION (the caller's staleness guard owns this): the table
     * indexes exactly `docs`' rows under `opts.stemmed` tokenization —
     * [[graft.api.Graft.search]] checks its commit-version stamp and
-    * falls back to the corpus path when the index lags the store. */
+    * falls back to the corpus path when the index lags the store.
+    *
+    * @param allowedIds optional externally-computed candidate allowlist
+    *        (first column = doc id) — the F10 sketch pre-filter composed
+    *        into the indexed engine (reference candidate shrink,
+    *        src/memvid/search/mod.rs:190-232). It semi-joins into the
+    *        postings exactly like a compiled field predicate: stats come
+    *        from the allowed subset, so scores bit-match the corpus path
+    *        over the same prefiltered docs, and the only thing that
+    *        moves is an id-list-sized exchange. */
   def searchIndexed(docs: DataFrame, idCol: String, f: FrameCols,
                     query: String, indexTable: String,
-                    opts: Options = Options()): DataFrame = {
+                    opts: Options = Options(),
+                    allowedIds: Option[DataFrame] = None): DataFrame = {
     graft.functions.F.ensureRegistered(docs.sparkSession)
     val ast = QueryParser.parse(query)
     val terms = QExpr.words(ast).distinct
@@ -110,11 +120,14 @@ object Search {
     val bm25Membership = pureWordAnd(ast)
     val filtered = if (bm25Membership) docs else docs.filter(pred)
     val postings = docs.sparkSession.table(indexTable)
-    val posts =
+    val posts0 =
       if (bm25Membership) postings
       else postings.join(
         filtered.select(col(idCol).cast("long").as("doc_id")),
         Seq("doc_id"), "left_semi")
+    val posts = allowedIds.fold(posts0)(ids => posts0.join(
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
     val qTerms = (if (opts.stemmed) terms.map(graft.text.Porter.stem) else terms).distinct
     val ranked0 = BM25.scorePostings(posts, qTerms,
       topK = (opts.offset + opts.topK) * 4)
