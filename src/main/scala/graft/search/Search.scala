@@ -116,23 +116,8 @@ object Search {
     val terms = QExpr.words(ast).distinct
     if (opts.engine != BM25Engine || terms.isEmpty)
       return search(docs, idCol, f, query, opts)
-    val pred = QueryCompiler.compile(ast, f)
-    val bm25Membership = pureWordAnd(ast)
-    val filtered = if (bm25Membership) docs else docs.filter(pred)
-    val postings = docs.sparkSession.table(indexTable)
-    val posts0 =
-      if (bm25Membership) postings
-      else postings.join(
-        filtered.select(col(idCol).cast("long").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-    val posts = allowedIds.fold(posts0)(ids => posts0.join(
-      ids.select(col(ids.columns.head).cast("long").as("doc_id")),
-      Seq("doc_id"), "left_semi"))
-    val qTerms = (if (opts.stemmed) terms.map(graft.text.Porter.stem) else terms).distinct
-    val ranked0 = BM25.scorePostings(posts, qTerms,
-      topK = (opts.offset + opts.topK) * 4)
-    val ranked = if (bm25Membership)
-      ranked0.filter(col("n_terms_matched") === qTerms.size) else ranked0
+    val (ranked, filtered) =
+      indexedRanking(docs, idCol, f, ast, indexTable, opts, allowedIds)
     // Scores come from the postings alone, so the corpus text column
     // never rides through the ranking — joining text BEFORE the page cut
     // would read every matching document's bytes to decorate a ≤ topK
@@ -155,6 +140,38 @@ object Search {
           Seq("id"), "left")
       }
     finish(scored, terms, opts)
+  }
+
+  /** The indexed route's RANKING plan — postings → predicate/allowlist
+    * semi-joins → BM25 aggregate → membership cut — before the bounded
+    * page cut (whose localCheckpoint hides the plan from inspection).
+    * Exposed private[graft] so PlanPropertiesSpec can lock the exchange
+    * shape: every shuffle in this plan carries a bare id list, never
+    * postings rows or text. @return (ranked, filtered docs view) */
+  private[graft] def indexedRanking(docs: DataFrame, idCol: String,
+                                    f: FrameCols, ast: QExpr,
+                                    indexTable: String, opts: Options,
+                                    allowedIds: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val terms = QExpr.words(ast).distinct
+    val pred = QueryCompiler.compile(ast, f)
+    val bm25Membership = pureWordAnd(ast)
+    val filtered = if (bm25Membership) docs else docs.filter(pred)
+    val postings = docs.sparkSession.table(indexTable)
+    val posts0 =
+      if (bm25Membership) postings
+      else postings.join(
+        filtered.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val posts = allowedIds.fold(posts0)(ids => posts0.join(
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    val qTerms = (if (opts.stemmed) terms.map(graft.text.Porter.stem) else terms).distinct
+    val ranked0 = BM25.scorePostings(posts, qTerms,
+      topK = (opts.offset + opts.topK) * 4)
+    val ranked = if (bm25Membership)
+      ranked0.filter(col("n_terms_matched") === qTerms.size) else ranked0
+    (ranked, filtered)
   }
 
   /** shared ranking tail: snippets over the top page only, total order,

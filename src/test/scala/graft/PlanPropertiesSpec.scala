@@ -522,6 +522,51 @@ class PlanPropertiesSpec extends SparkSpec {
     rmDir(new java.io.File(dir))
   }
 
+  test("filtered/sketch-allowed indexed ranking: only bare id lists cross exchanges") {
+    import org.apache.spark.sql.functions._
+    // the F2/F10 × indexed-engine composition at 100 TB: a compiled
+    // field predicate or a sketch candidate set evaluates to an id list
+    // that semi-joins into the bucketed postings — the ONLY thing a
+    // shuffle may carry in the ranking plan is that bare id list (or it
+    // broadcasts); postings rows and text never cross an exchange. AQE
+    // off for the check so plan.collect sees the raw exchanges.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val tbl = "plan_filtered_idx_spec"
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source")).limit(300)
+        .localCheckpoint()
+      graft.search.Bm25Index.write(docs, "doc_id", "text", tbl, stemmed = false)
+      val f = graft.search.FrameCols(text = col("text"), track = col("source"))
+      val opts = graft.search.Search.Options(topK = 10,
+        engine = graft.search.Search.BM25Engine, stemmed = false,
+        withSnippets = false)
+      def lockIdOnlyExchanges(q: String, allowed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+        val ast = graft.search.QueryParser.parse(q)
+        val (ranked, _) = graft.search.Search.indexedRanking(
+          docs, "doc_id", f, ast, tbl, opts, allowed)
+        // SinglePartition exchanges carry the 1-row corpus-stats
+        // aggregate (bounded by construction) — the lock is about
+        // DATA-SIZED shuffles, i.e. hash-partitioned ones
+        val exchanges = ranked.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions > 1 => e
+        }
+        exchanges.foreach { e =>
+          val names = e.output.map(_.name.toLowerCase).toSet
+          assert(names.subsetOf(Set("doc_id", "id")),
+            s"exchange in the indexed ranking carries more than the id list: $names")
+        }
+        assert(ranked.count() > 0, s"fixture returned no rows for $q")
+      }
+      lockIdOnlyExchanges("track:src1 AND spark join", None)
+      lockIdOnlyExchanges("spark join",
+        Some(docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))))
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("DSIR weight join broadcasts the bucket-sized feature table") {
     val w = graft.pipeline.Dsir.importanceWeights(
       Tables.documents(spark, sfDir), "doc_id", "text",
