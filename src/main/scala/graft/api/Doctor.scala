@@ -191,8 +191,18 @@ object Doctor {
           p("dangling_cards")))
       else Nil) ++
       (lexTable match {
-        case Some(_) if p.getOrElse("lex_index_stale", 0L) > 0 || opts.rebuildLexIndex =>
-          Seq(row("action", "index_rebuild", "rebuild_lex_index",
+        case Some(t) if p.getOrElse("lex_index_stale", 0L) > 0 || opts.rebuildLexIndex =>
+          // the cheaper heal wins when it is sufficient (reference
+          // instant-index, builders.rs:12-44): a facade-attached table
+          // whose post-stamp delta is append-only plans an INCREMENTAL
+          // refresh (O(delta) via Bm25Index.append + restamp) instead
+          // of the corpus-sized rebuild; an explicit rebuild request,
+          // an unattached table, or a delta with deletes/supersedes
+          // keeps the rebuild
+          val canRefresh = !opts.rebuildLexIndex &&
+            g.attachedLexStemmed(t).isDefined && g.lexDeltaAppendable(t)
+          Seq(row("action", "index_rebuild",
+            if (canRefresh) "refresh_lex_index" else "rebuild_lex_index",
             required = true,
             if (p.getOrElse("lex_index_stale", 0L) > 0) "lex_index_stale"
             else "requested",
@@ -245,6 +255,12 @@ object Doctor {
             g.frames.deleteMany(ids)
           case "vacuum_compaction" => g.vacuum()
           case "rebuild_cards" => g.repairCards(): Unit
+          case "refresh_lex_index" =>
+            // refreshLexIndex re-classifies at execution time, so a
+            // store that moved past the plan (new deletes) rebuilds
+            // anyway — the action name records the PLAN, the facade
+            // owns the safe execution either way
+            g.refreshLexIndex(): Unit
           case "rebuild_lex_index" =>
             lexTable.foreach { t =>
               g.attachedLexStemmed(t) match {

@@ -181,11 +181,26 @@ final class Graft(val spark: SparkSession, basePath: String,
   /** Build (or rebuild) the persisted BM25 postings table over the CURRENT
     * live frames, stamp it with the store's commit version, and attach it
     * for serving. Re-running after mutations is the maintenance loop:
-    * rebuild → restamp → serving returns to the indexed path. */
+    * rebuild → restamp → serving returns to the indexed path.
+    * @param partitionByTrack directory-partition the postings by the
+    *        frames' track (low-cardinality by contract): a `track:`
+    *        conjunct then prunes whole directories out of the indexed
+    *        scan (SCALE.md round-17 §2 — the fix for selective field
+    *        filters beating unpruned postings). A REBUILD of a table
+    *        that is already track-partitioned keeps the layout even if
+    *        the flag is omitted (the doctor's heal path rebuilds by
+    *        table name only). */
   def buildLexIndex(table: String, stemmed: Boolean = true,
-                    nBuckets: Int = 16): Unit = {
-    graft.search.Bm25Index.write(searchableFrames, "id", "text", table,
-      stemmed = stemmed, nBuckets = nBuckets)
+                    nBuckets: Int = 16,
+                    partitionByTrack: Boolean = false): Unit = {
+    val tracked = partitionByTrack || (spark.catalog.tableExists(table) &&
+      spark.table(table).columns.contains("track"))
+    val src = if (!tracked) searchableFrames
+      else frames.latestActive.select(col("id"),
+        coalesce(col("text"), lit("")).as("text"), col("track"))
+    graft.search.Bm25Index.write(src, "id", "text", table,
+      stemmed = stemmed, nBuckets = nBuckets,
+      trackCol = if (tracked) Some("track") else None)
     // stamp AFTER the build/swap: a crash in between leaves an unstamped
     // (= stale-looking) index and serving falls back to the corpus — the
     // safe direction
@@ -355,10 +370,15 @@ final class Graft(val spark: SparkSession, basePath: String,
         else {
           spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
             "('graft.refresh.pending' = '1')")
+          // a track-partitioned table's delta must land in the right
+          // partition directories — carry the frames' track through
+          val tracked = spark.table(table).columns.contains("track")
           graft.search.Bm25Index.append(
-            delta.select(col("id"),
-              coalesce(col("text"), lit("")).as("text")),
-            "id", "text", table, stemmed, nBuckets)
+            delta.select(col("id") +:
+              coalesce(col("text"), lit("")).as("text") +:
+              (if (tracked) Seq(col("track")) else Nil): _*),
+            "id", "text", table, stemmed, nBuckets,
+            trackCol = if (tracked) Some("track") else None)
           // restamp + clear in ONE catalog update: either both land
           // (refresh complete) or neither (marker still set → rebuild)
           spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
@@ -367,6 +387,26 @@ final class Graft(val spark: SparkSession, basePath: String,
           "appended"
         }
       }
+  }
+
+  /** Can the stamped postings table catch up by APPEND? — the doctor's
+    * plan-time probe, the same classification [[refreshLexIndex]] runs:
+    * true = the post-stamp delta is append-only; false = a rebuild is
+    * needed (missing/unparseable stamp, torn-refresh marker, or
+    * deletes/supersedes in the delta). One limit(1) count over the
+    * commitSeq-filtered log. */
+  private[api] def lexDeltaAppendable(table: String): Boolean = {
+    if (!spark.catalog.tableExists(table)) return false
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val stamp = meta.properties.get("graft.store.version").flatMap(_.toLongOption)
+    val pending = meta.properties.get("graft.refresh.pending").contains("1")
+    if (stamp.isEmpty || pending) false
+    else frames.log.filter(
+        col("commitSeq") > stamp.get && col("commitSeq") <= currentVersion)
+      .filter(col("status") =!= graft.model.Frame.Active ||
+        col("supersedes").isNotNull)
+      .limit(1).count() == 0
   }
 
   private def vecStampPath(path: String) =

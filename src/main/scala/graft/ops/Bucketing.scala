@@ -22,18 +22,23 @@ object Bucketing {
     * under overwrite — drop both the catalog entry and the stale location
     * first so the write is idempotent across JVMs. */
   def writeBucketed(df: DataFrame, tableName: String, nBuckets: Int,
-                    keys: Seq[String]): Unit = {
+                    keys: Seq[String],
+                    partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir") + "/" + tableName.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    val w = df.write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
+    // directory partitioning COMPOSES with bucketing: a scan predicate
+    // on a partition column prunes whole directories before the
+    // bucket-satisfied distribution even enters the plan
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .saveAsTable(tableName)
   }
 

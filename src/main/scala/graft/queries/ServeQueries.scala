@@ -38,8 +38,10 @@ object ServeQueries {
     * stats, per-term contributions summed in fixed term order, the ×4
     * over-fetch page (top 100 by rounded score), then the all-terms
     * membership cut and the final top-25. Same arithmetic as the proven
-    * text_bm25 oracle. */
-  private def bm25Legs(c: String, g: String): String =
+    * text_bm25 oracle. `requireAll = false` replays the PREDICATE path
+    * instead (field filter supplies membership; no all-terms cut). */
+  private def bm25Legs(c: String, g: String,
+                       requireAll: Boolean = true): String =
     s"""toks_$g AS (SELECT id AS doc_id, unnest($duckToks) AS term FROM $c),
        |dl_$g AS (SELECT doc_id, COUNT(*) AS dl FROM toks_$g GROUP BY doc_id),
        |stats_$g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
@@ -63,7 +65,8 @@ object ServeQueries {
        |  FROM contrib_$g GROUP BY doc_id),
        |page_$g AS (SELECT doc_id, ROUND(score, 6) AS score, nm FROM agg_$g
        |            ORDER BY score DESC, doc_id LIMIT 100),
-       |hits_$g AS (SELECT doc_id, score FROM page_$g WHERE nm = 3
+       |hits_$g AS (SELECT doc_id, score FROM page_$g
+       |            ${if (requireAll) "WHERE nm = 3" else ""}
        |            ORDER BY score DESC, doc_id LIMIT 25)""".stripMargin
 
   // ---- ask_lex_indexed oracle machinery: replay ask()'s LEXICAL-ONLY
@@ -219,9 +222,10 @@ object ServeQueries {
     // ---- the DOCTOR drives the maintain→serve loop (reference doctor
     // verify re-probe, doctor.rs:140-173): the facade serves from the
     // index, a mutation strands the stamp, and it is the DOCTOR — not a
-    // manual rebuild — that probes lex_index_stale, rebuilds THROUGH the
-    // facade build (live frames + chunks, restamp), and returns serving
-    // to the indexed route; a second doctor pass compacts the postings
+    // manual rebuild — that probes lex_index_stale, plans the CHEAPER
+    // sufficient heal (incremental refresh: append + restamp, because
+    // the delta is append-only and the table is facade-attached), and
+    // returns serving to the indexed route; a second doctor pass compacts the postings
     // under a file budget, and the value-neutral swap must keep the
     // stamp (route stays indexed) and every score bit-equal. Legs
     // b_healed and c_compacted carry WHICH executed doctor action healed
@@ -250,9 +254,11 @@ object ServeQueries {
         }
         val l1 = leg("a_indexed", "none")
         g.put("mv2://docserve/extra", "zzz qqq") // stamp goes stale
+        // a pure-put staleness on an ATTACHED table plans the CHEAPER
+        // heal: incremental refresh (append + restamp), not a rebuild
         val r1 = g.doctorRun(lexTable = Some(tbl))
         val healed = r1.rows
-          .filter(r => r.name == "rebuild_lex_index" && r.executed)
+          .filter(r => r.name == "refresh_lex_index" && r.executed)
           .map(_.name).headOption.getOrElse("missing")
         val l2 = leg("b_healed", healed)
         // file budget one under the current count -> compact plans; the
@@ -281,7 +287,7 @@ object ServeQueries {
          |${bm25Legs("c2", "2")}
          |SELECT 'a_indexed' AS leg, 'indexed' AS route, 'none' AS healed_by,
          |       CAST(doc_id AS BIGINT) AS id, score FROM hits_1
-         |UNION ALL SELECT 'b_healed', 'indexed', 'rebuild_lex_index',
+         |UNION ALL SELECT 'b_healed', 'indexed', 'refresh_lex_index',
          |       doc_id, score FROM hits_2
          |UNION ALL SELECT 'c_compacted', 'indexed', 'compact_lex_index',
          |       doc_id, score FROM hits_2
@@ -627,6 +633,43 @@ object ServeQueries {
          |base AS (SELECT c.doc_id AS id, dd.text
          |         FROM cand c JOIN documents dd USING (doc_id)),
          |${bm25Legs("base", "1")}
+         |SELECT CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |ORDER BY score DESC, id""".stripMargin),
+
+    // ---- track-PARTITIONED postings: a `track:` conjunct prunes whole
+    // partition directories out of the indexed scan (plan-locked in
+    // PlanPropertiesSpec) while the compiled predicate's semi-join keeps
+    // exact membership — the layout answer to the 1000× finding that a
+    // selective field filter favored the pruned corpus scan (SCALE.md
+    // round-17 §2). Field-filtered queries take the PREDICATE path (no
+    // all-terms cut; stats from the filtered subset), which the oracle
+    // replays over exactly the track slice. ----
+    "search_filtered_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.{Bm25Index, FrameCols, Search}
+        val tbl = "filtered_indexed_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        val docs = Tables.documents(s, d)
+        Bm25Index.write(docs.select(col("doc_id"), col("text"), col("source")),
+          "doc_id", "text", tbl, stemmed = false, trackCol = Some("source"))
+        val out = Search.searchIndexed(docs, "doc_id",
+            FrameCols(text = col("text"), track = col("source")),
+            "track:src3 AND spark join window", tbl,
+            Search.Options(topK = 25, engine = Search.BM25Engine,
+              stemmed = false, withSnippets = false))
+          .select(col("id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        out
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE source = 'src3'
+         |    AND list_contains($duckToks, 'spark')
+         |    AND list_contains($duckToks, 'join')
+         |    AND list_contains($duckToks, 'window')),
+         |${bm25Legs("base", "1", requireAll = false)}
          |SELECT CAST(doc_id AS BIGINT) AS id, score FROM hits_1
          |ORDER BY score DESC, id""".stripMargin))
 }

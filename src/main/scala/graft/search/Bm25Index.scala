@@ -33,6 +33,47 @@ object Bm25Index {
       graft.store.StoreLock.Options(timeoutMs = 120000L,
         staleGraceMs = 120000L, command = "bm25-index-maintenance"))(body)
 
+  /** tf-aggregated postings, optionally carrying a `track` column (the
+    * doc-level field the index can be DIRECTORY-PARTITIONED by — track
+    * is functionally dependent on doc_id, so the extra group key changes
+    * nothing about the aggregate). */
+  private def postingsFor(docs: DataFrame, idCol: String, textCol: String,
+                          stemmed: Boolean,
+                          trackCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    trackCol match {
+      case None =>
+        BM25.postings(BM25.tokenTable(docs, idCol, textCol, stemmed))
+      case Some(tc) =>
+        graft.functions.F.ensureRegistered(docs.sparkSession)
+        val base = docs.select(col(idCol).as("doc_id"),
+          col(tc).cast("string").as("track"),
+          explode(graft.functions.F.tokens(col(textCol))).as("term"))
+        val toks = if (stemmed)
+          base.withColumn("term", graft.functions.F.porterStem(col("term")))
+        else base
+        toks.groupBy(col("track"), col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+    }
+  }
+
+  /** does the live postings table carry the track partition column?
+    * (false for a table that doesn't exist yet — the streaming path's
+    * first append CREATES the table) */
+  private def isTracked(spark: SparkSession, tableName: String): Boolean =
+    spark.catalog.tableExists(tableName) &&
+      spark.table(tableName).columns.contains("track")
+
+  /** A rename-aside swap MOVES a managed table's directory, but a
+    * PARTITIONED table's per-partition catalog locations still point at
+    * the old path — every read then plans zero files. Resync (drop
+    * vanished, add discovered) after any swap that renamed a
+    * partitioned table into place. */
+  private def recoverPartitionsIfAny(spark: SparkSession,
+                                     tableName: String): Unit =
+    if (isTracked(spark, tableName))
+      spark.sql(s"MSCK REPAIR TABLE `$tableName` SYNC PARTITIONS")
+
   /** Build and persist the index; pays the one write-time shuffle.
     *
     * REBUILD over an existing table (the doctor's rebuild_lex_index
@@ -40,28 +81,56 @@ object Bm25Index {
     * rename-aside discipline as [[compact]] — the live index keeps
     * serving for the whole build and the no-live-table window shrinks
     * from O(full build) to two catalog renames. A fresh name writes
-    * directly. */
+    * directly.
+    *
+    * @param trackCol when set, the postings CARRY that doc column as
+    *        `track` and the table is directory-partitioned by it (on
+    *        top of the doc_id bucketing): a `track:` field predicate
+    *        then prunes whole partition directories out of the postings
+    *        scan at plan time — the fix for the measured 1000× finding
+    *        that a highly-selective field filter favored the pruned
+    *        corpus scan over re-aggregating full-corpus postings
+    *        (SCALE.md round-17 §2). Low-cardinality fields only (it is
+    *        a directory per value). */
   def write(docs: DataFrame, idCol: String, textCol: String,
             tableName: String, stemmed: Boolean = false,
-            nBuckets: Int = 16): Unit = withTableLock(docs.sparkSession, tableName) {
+            nBuckets: Int = 16,
+            trackCol: Option[String] = None): Unit = withTableLock(docs.sparkSession, tableName) {
     val spark = docs.sparkSession
-    val postings = BM25.postings(BM25.tokenTable(docs, idCol, textCol, stemmed))
+    val postings = postingsFor(docs, idCol, textCol, stemmed, trackCol)
+    val parts = trackCol.map(_ => "track").toSeq
     if (!spark.catalog.tableExists(tableName)) {
       // sweep residue of a swap torn mid-rename (write = full rebuild
       // from `docs`, so the staged leftover is stale, never recovered)
       Seq(tableName + "__rebuild", tableName + "__old").foreach { t =>
         if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
       }
-      graft.ops.Bucketing.writeBucketed(postings, tableName, nBuckets, Seq("doc_id"))
+      graft.ops.Bucketing.writeBucketed(postings, tableName, nBuckets,
+        Seq("doc_id"), parts)
     } else {
       val tmpName = tableName + "__rebuild"
       val oldName = tableName + "__old"
       if (spark.catalog.tableExists(tmpName)) spark.sql(s"DROP TABLE `$tmpName`")
       if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
-      graft.ops.Bucketing.writeBucketed(postings, tmpName, nBuckets, Seq("doc_id"))
-      spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
-      spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
-      spark.sql(s"DROP TABLE `$oldName`")
+      graft.ops.Bucketing.writeBucketed(postings, tmpName, nBuckets,
+        Seq("doc_id"), parts)
+      if (parts.isEmpty) {
+        spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
+        spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+        spark.sql(s"DROP TABLE `$oldName`")
+      } else {
+        // a PARTITIONED managed table cannot swap by rename-aside: its
+        // partition entries keep ABSOLUTE locations, so after the two
+        // renames the aside table's partitions still point INTO the
+        // live directory and dropping it purges the NEW data (observed:
+        // a tracked rebuild emptied the index). Stage fully, then
+        // drop → rename → partition resync; the no-live-table window is
+        // three catalog ops, and a crash inside it leaves the staged
+        // table for the fresh-name branch's sweep to rebuild from.
+        spark.sql(s"DROP TABLE `$tableName`")
+        spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+        recoverPartitionsIfAny(spark, tableName)
+      }
       spark.catalog.refreshTable(tableName)
     }
   }
@@ -84,12 +153,19 @@ object Bm25Index {
     * against the full A∪B rebuild, hash-exact. */
   def append(delta: DataFrame, idCol: String, textCol: String,
              tableName: String, stemmed: Boolean = false,
-             nBuckets: Int = 16): Unit = withTableLock(delta.sparkSession, tableName) {
-    val postings = BM25.postings(BM25.tokenTable(delta, idCol, textCol, stemmed))
-    postings.write
+             nBuckets: Int = 16,
+             trackCol: Option[String] = None): Unit = withTableLock(delta.sparkSession, tableName) {
+    val spark = delta.sparkSession
+    val tracked = isTracked(spark, tableName)
+    require(!tracked || trackCol.isDefined,
+      s"$tableName is track-partitioned: append needs trackCol so the " +
+      "delta lands in the right partition directories")
+    val postings = postingsFor(delta, idCol, textCol, stemmed,
+      if (tracked) trackCol else None)
+    val w = postings.write
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .mode("append").format("parquet")
-      .saveAsTable(tableName)
+    (if (tracked) w.partitionBy("track") else w).saveAsTable(tableName)
     // saveAsTable(append) invalidates the WRITING session's relation
     // cache; if this session is a clone (or another session reads the
     // table), a later spark.table can serve a pre-append file listing —
@@ -135,33 +211,59 @@ object Bm25Index {
         spark.catalog.tableExists(tmpName)) {
       spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
       if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
+      recoverPartitionsIfAny(spark, tableName)
       spark.catalog.refreshTable(tableName)
       return
     }
     // residue sweep from a crash before the aside-rename (live intact)
     if (spark.catalog.tableExists(tmpName)) spark.sql(s"DROP TABLE `$tmpName`")
     if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
+    // a track-partitioned table keeps its layout through compaction
+    // (track is functionally dependent on doc_id — the extra group key
+    // is value-neutral); "one file per bucket" becomes one per
+    // (partition, bucket)
+    val tracked = isTracked(spark, tableName)
+    val groupCols = if (tracked) Seq("track", "doc_id", "term")
+                    else Seq("doc_id", "term")
     val merged = spark.table(tableName)
-      .groupBy(col("doc_id"), col("term")).agg(sum(col("tf")).as("tf"))
+      .groupBy(groupCols.map(col): _*).agg(sum(col("tf")).as("tf"))
       .repartition(nBuckets, col("doc_id"))
-    graft.ops.Bucketing.writeBucketed(merged, tmpName, nBuckets, Seq("doc_id"))
-    spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
-    spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
-    spark.sql(s"DROP TABLE `$oldName`")
+    graft.ops.Bucketing.writeBucketed(merged, tmpName, nBuckets, Seq("doc_id"),
+      if (tracked) Seq("track") else Nil)
+    if (!tracked) {
+      spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
+      spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+      spark.sql(s"DROP TABLE `$oldName`")
+    } else {
+      // partitioned swap: see write() — rename-aside would leave the
+      // aside table's absolute partition locations pointing into the
+      // live dir and its drop would purge the compacted data. The
+      // staged write above completed (read and write never shared a
+      // directory), so drop → rename → resync; a crash inside the
+      // window leaves `__compact` for the recovery branch to finish.
+      spark.sql(s"DROP TABLE `$tableName`")
+      spark.sql(s"ALTER TABLE `$tmpName` RENAME TO `$tableName`")
+      recoverPartitionsIfAny(spark, tableName)
+    }
     spark.catalog.refreshTable(tableName)
   }
 
   /** number of data files currently backing the index table — the
-    * observable compaction shrinks (bounded: one FS listing) */
+    * observable compaction shrinks (bounded: one recursive FS listing,
+    * which also sees a track-partitioned table's per-directory files) */
   def dataFileCount(spark: SparkSession, tableName: String): Long = {
     val loc = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).count { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    def walk(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir).map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isFile) 1L
+        else walk(st.getPath)
+      }.sum
+    walk(p)
   }
 
   /** score a query against a persisted index (see [[BM25.scorePostings]]) */

@@ -88,8 +88,16 @@ object QueryFuzz {
     }
     e match {
       case And(l, rr) =>
+        val ls = child(l)
+        val rs = child(rr)
         val sep = if (r.nextBoolean()) " AND " else " " // parser.rs:288-301
-        child(l) + sep + child(rr)
+        // quoted-field-value with NO space before the next bare token
+        // (track:"src3"join): the lexer must rewind to the closing quote
+        // and re-lex the tail as its own term — the exact form of the
+        // r17 ADVICE lexer fix, kept under fuzz so it can't regress
+        if (sep == " " && ls.endsWith("\"") && rs.nonEmpty &&
+            rs.head.isLetter && r.nextInt(3) == 0) ls + rs
+        else ls + sep + rs
       case Or(l, rr) => child(l) + " OR " + child(rr)
       case Not(x) => "NOT " + child(x)
       case Word("") => pick(r, emptyWords)

@@ -29,6 +29,16 @@ object Search {
     case _               => false
   }
 
+  /** track-equality values that hold for the WHOLE result — i.e. appear
+    * as top-level AND conjuncts (anything under Or/Not gives no such
+    * guarantee and returns nothing). Safe to push into a scan as a
+    * superset prune. */
+  private def trackEqConjuncts(e: QExpr): Seq[String] = e match {
+    case QExpr.And(l, r)     => trackEqConjuncts(l) ++ trackEqConjuncts(r)
+    case QExpr.TrackField(v) => Seq(v)
+    case _                   => Nil
+  }
+
   /** @param docs corpus; @param idCol unique id column name;
     * @param f column bindings for the queryable fields
     */
@@ -157,7 +167,16 @@ object Search {
     val pred = QueryCompiler.compile(ast, f)
     val bm25Membership = pureWordAnd(ast)
     val filtered = if (bm25Membership) docs else docs.filter(pred)
-    val postings = docs.sparkSession.table(indexTable)
+    val postings0 = docs.sparkSession.table(indexTable)
+    // a track-PARTITIONED postings table (Bm25Index.write(trackCol=...))
+    // lets a top-level track: conjunct prune whole partition directories
+    // out of the postings scan — same compile semantics as the predicate
+    // (lower(track) === v), and the semi-join below still enforces exact
+    // membership, so this is a pure scan prune, never a semantic change
+    val postings =
+      if (!postings0.columns.contains("track")) postings0
+      else trackEqConjuncts(ast).foldLeft(postings0)((p, v) =>
+        p.filter(lower(col("track")) === v))
     val posts0 =
       if (bm25Membership) postings
       else postings.join(

@@ -233,6 +233,44 @@ class FacadeIndexSpec extends SparkSpec {
     assert(g.lastAskVecRoute == "indexed")
   }
 
+  test("track-partitioned facade index: filtered serving bit-equal; refresh and rebuild keep the layout") {
+    val g = new Graft(spark, tmpStore())
+    texts.zipWithIndex.foreach { case (t, i) =>
+      g.put(s"mv2://t/$i", t, track = Some(if (i % 2 == 0) "even" else "odd"))
+    }
+    val tbl = "facade_tracked_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    g.buildLexIndex(tbl, stemmed = false, partitionByTrack = true)
+    assert(spark.table(tbl).columns.contains("track"))
+    val fcols = FrameCols(text = coalesce(col("text"), lit("")),
+      uri = col("uri"), track = col("track"), kind = col("kind"),
+      tags = col("tags"), labels = col("labels"), timestamp = col("timestamp"))
+    val q = "track:even AND spark"
+    def corpus() = Search.search(g.frames.latestActive, "id", fcols, q,
+      Search.Options(topK = 10, engine = Search.BM25Engine, stemmed = false))
+    val served = g.search(q, topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(served) == rows(corpus()) && rows(served).nonEmpty)
+    // refresh append carries the track column into the right partition
+    g.put("mv2://t/new", "fresh spark doc about joins", track = Some("even"))
+    assert(g.refreshLexIndex() == "appended")
+    val afterRefresh = g.search(q, topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(afterRefresh) == rows(corpus()))
+    val newId = g.frames.latestActive.filter(col("uri") === "mv2://t/new")
+      .select("id").collect().head.getLong(0)
+    assert(rows(afterRefresh).map(_._1).contains(newId),
+      "appended doc must be served from its track partition")
+    // a by-name rebuild (the doctor's heal shape) keeps the partitioning
+    g.buildLexIndex(tbl, stemmed = false)
+    assert(spark.table(tbl).columns.contains("track"),
+      "rebuild by table name must keep the track layout")
+    val afterRebuild = g.search(q, topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(afterRebuild) == rows(corpus()))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("a FOREIGN writer's commit flips serving to the corpus path") {
     val dir = tmpStore()
     val g = new Graft(spark, dir)

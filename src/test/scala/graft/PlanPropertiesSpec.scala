@@ -567,6 +567,43 @@ class PlanPropertiesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("track-partitioned postings: a track: conjunct prunes partition dirs") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val tbl = "plan_tracked_idx_spec"
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source")).limit(300)
+        .localCheckpoint()
+      val nTracks = docs.select("source").distinct().count()
+      assert(nTracks > 1, "fixture needs multiple tracks")
+      graft.search.Bm25Index.write(docs, "doc_id", "text", tbl,
+        stemmed = false, trackCol = Some("source"))
+      val ast = graft.search.QueryParser.parse("track:src1 AND spark join")
+      val (ranked, _) = graft.search.Search.indexedRanking(
+        docs, "doc_id", graft.search.FrameCols(text = col("text"),
+          track = col("source")), ast, tbl,
+        graft.search.Search.Options(topK = 10,
+          engine = graft.search.Search.BM25Engine, stemmed = false,
+          withSnippets = false), None)
+      val postingsScan = ranked.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "term") => f
+      }
+      assert(postingsScan.nonEmpty, "no postings scan found in the plan")
+      postingsScan.foreach { sc =>
+        assert(sc.partitionFilters.nonEmpty,
+          s"track conjunct did not reach partition pruning:\n$sc")
+        assert(sc.selectedPartitions.partitionCount == 1,
+          s"expected 1 of $nTracks track dirs, read " +
+            s"${sc.selectedPartitions.partitionCount}")
+      }
+      assert(ranked.count() > 0)
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("DSIR weight join broadcasts the bucket-sized feature table") {
     val w = graft.pipeline.Dsir.importanceWeights(
       Tables.documents(spark, sfDir), "doc_id", "text",
