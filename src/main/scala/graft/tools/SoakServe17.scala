@@ -38,11 +38,17 @@ object SoakServe17 {
     graft.functions.F.ensureRegistered(spark)
     val work = java.nio.file.Files.createTempDirectory("soak17").toString
 
+    // SPARK_GRAFT_SKIP_VEC=1 re-measures only the lexical sections (e.g.
+    // the tracked-layout variant) without re-paying the vector rung
+    val skipVec = sys.env.get("SPARK_GRAFT_SKIP_VEC").contains("1")
+
     // ---------- 1. vector serving at 2M ----------
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val nVec = emb.count()
     val qv = new graft.ask.HashEmbedder(64).embed("spark join window")
+    var tBuild = 0.0
+    if (!skipVec) {
     def bruteRun(): Seq[(Long, Double)] =
       graft.vector.VectorSearch.knn(emb, "vec_id", "embedding", qv, 10, "cosine")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -51,8 +57,9 @@ object SoakServe17 {
     val k = 32
     val (cents, tTrain) = t(graft.vector.VectorSearch.trainCentroids(
       emb, "embedding", k = k, maxIter = 2))
-    val (h, tBuild) = t(graft.vector.IvfIndex.write(
+    val (h, tBuild0) = t(graft.vector.IvfIndex.write(
       emb, "vec_id", "embedding", s"$work/ivf", cents))
+    tBuild = tBuild0
     def ivfRun(nprobe: Int): Seq[(Long, Double)] =
       h.search("vec_id", "embedding", qv, 10, nprobe)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -67,6 +74,7 @@ object SoakServe17 {
       f"train(k=$k,2it)=$tTrain%.1fs build=$tBuild%.1fs " +
       f"nprobe32=$tAll1%.1f/$tAll2%.1fs PARITY=$parity " +
       f"nprobe4=$tProbe1%.1f/$tProbe2%.1fs recall@10=$recall/10")
+    }
 
     // ---------- 2. filtered indexed route at 5M docs ----------
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -74,8 +82,10 @@ object SoakServe17 {
     val nDoc = docs.count()
     val tbl = "soak17_postings"
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val tracked = sys.env.get("SPARK_GRAFT_TRACKED").contains("1")
     val (_, tLexBuild) = t(graft.search.Bm25Index.write(
-      docs, "doc_id", "text", tbl, stemmed = false, nBuckets = 32))
+      docs, "doc_id", "text", tbl, stemmed = false, nBuckets = 32,
+      trackCol = if (tracked) Some("source") else None))
     val f = graft.search.FrameCols(text = col("text"), track = col("source"))
     val opts = graft.search.Search.Options(topK = 25,
       engine = graft.search.Search.BM25Engine, stemmed = false,
@@ -91,7 +101,7 @@ object SoakServe17 {
       graft.search.Search.search(docs, "doc_id", f, q, opts)
         .select("id", "score").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
-    println(f"[soak17-filtered] n=$nDoc build=$tLexBuild%.1fs " +
+    println(f"[soak17-filtered] n=$nDoc tracked=$tracked build=$tLexBuild%.1fs " +
       f"indexed=$tIdx1%.1f/$tIdx2%.1fs corpus=$tCorpus%.1fs " +
       s"EQUAL=${idx1 == corpusRes} hits=${idx1.size}")
 
@@ -99,20 +109,26 @@ object SoakServe17 {
     import spark.implicits._
     val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
     val deltaDocs = (1 to 500).map(i => (maxDoc + i,
-      s"fresh spark join window delta document number $i about shuffles"))
-      .toDF("doc_id", "text")
+      s"fresh spark join window delta document number $i about shuffles",
+      s"src${i % 20}"))
+      .toDF("doc_id", "text", "source")
     val (_, tLexAppend) = t(graft.search.Bm25Index.append(
-      deltaDocs, "doc_id", "text", tbl, stemmed = false, nBuckets = 32))
-    val maxVec = emb.agg(max("vec_id")).head.getLong(0)
-    val e = new graft.ask.HashEmbedder(64)
-    val deltaVecs = (1 to 1000).map(i => (maxVec + i,
-      e.embed(s"delta vector $i"))).toDF("vec_id", "embedding")
-    val (_, tVecAppend) = t(graft.vector.IvfIndex.append(
-      spark, s"$work/ivf", deltaVecs, "vec_id", "embedding"))
-    println(f"[soak17-refresh] lex: append(500 docs)=$tLexAppend%.1fs vs " +
-      f"rebuild=$tLexBuild%.1fs (${tLexBuild / tLexAppend}%.0fx); " +
-      f"vec: append(1000 vecs)=$tVecAppend%.1fs vs build=$tBuild%.1fs " +
-      f"(${tBuild / tVecAppend}%.0fx)")
+      deltaDocs, "doc_id", "text", tbl, stemmed = false, nBuckets = 32,
+      trackCol = if (tracked) Some("source") else None))
+    if (!skipVec) {
+      val maxVec = emb.agg(max("vec_id")).head.getLong(0)
+      val e = new graft.ask.HashEmbedder(64)
+      val deltaVecs = (1 to 1000).map(i => (maxVec + i,
+        e.embed(s"delta vector $i"))).toDF("vec_id", "embedding")
+      val (_, tVecAppend) = t(graft.vector.IvfIndex.append(
+        spark, s"$work/ivf", deltaVecs, "vec_id", "embedding"))
+      println(f"[soak17-refresh] lex: append(500 docs)=$tLexAppend%.1fs vs " +
+        f"rebuild=$tLexBuild%.1fs (${tLexBuild / tLexAppend}%.0fx); " +
+        f"vec: append(1000 vecs)=$tVecAppend%.1fs vs build=$tBuild%.1fs " +
+        f"(${tBuild / tVecAppend}%.0fx)")
+    } else
+      println(f"[soak17-refresh] lex: append(500 docs)=$tLexAppend%.1fs vs " +
+        f"rebuild=$tLexBuild%.1fs (${tLexBuild / tLexAppend}%.0fx)")
 
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     spark.stop()
