@@ -127,6 +127,15 @@ object Doctor {
           .filter(col("mean_distortion") > thr).count()
       if n > 0
     } yield "vec_index_drift" -> n
+    // serving-stamp staleness of a facade-ATTACHED IVF index (one FS
+    // read) — the vector twin of lex_index_stale: a put() past the
+    // stamp exiles ask()'s vector rung to the corpus path until healed
+    val vecStale = for {
+      p <- vecPath
+      if g.attachedVec(p).isDefined
+      if graft.vector.IvfIndex.exists(g.spark, p)
+      if g.vecStampStale(p)
+    } yield "vec_index_stale" -> 1L
     // append-delta debt of the persisted IVF index (one FS listing)
     val vecDelta = for {
       p <- vecPath
@@ -136,7 +145,7 @@ object Doctor {
       if debt > 0
     } yield "vec_delta_debt" -> debt
     counters ++ lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++
-      vecDrift ++ vecDelta +
+      vecDrift ++ vecStale ++ vecDelta +
       ("tombstone_debt" -> (counters("total_versions") - counters("live_frames")))
   }
 
@@ -160,6 +169,7 @@ object Doctor {
       ("orphan_chunks", "error"), ("dangling_cards", "error"),
       ("duplicate_live_uris", "warning"), ("lex_index_stale", "error"),
       ("bm25_file_debt", "info"), ("vec_index_drift", "warning"),
+      ("vec_index_stale", "error"),
       ("vec_delta_debt", "info"), ("tombstone_debt", "info")).collect {
       case (k, sev) if p.getOrElse(k, 0L) > 0 =>
         row("finding", "probe", k, sev == "error", sev, p(k))
@@ -210,6 +220,17 @@ object Doctor {
         case _ => Nil
       }) ++
       (vecPath match {
+        // staleness of an ATTACHED serving index heals incrementally:
+        // refreshVecIndex appends the post-stamp delta under the
+        // standing codebook (falls back to rebuild itself if the delta
+        // breaks the append contract). Runs BEFORE a drift retrain so
+        // the retrain re-centers over the caught-up corpus.
+        case Some(_) if p.getOrElse("vec_index_stale", 0L) > 0 =>
+          Seq(row("action", "index_rebuild", "refresh_vec_index",
+            required = true, "vec_index_stale", 1L))
+        case _ => Nil
+      }) ++
+      (vecPath match {
         // drift-driven planning (the reference's probe-driven Planner,
         // doctor.rs:176-360): the finding wins over the option's bare
         // "requested" — the report then carries WHY the rebuild runs
@@ -255,6 +276,8 @@ object Doctor {
             g.frames.deleteMany(ids)
           case "vacuum_compaction" => g.vacuum()
           case "rebuild_cards" => g.repairCards(): Unit
+          case "refresh_vec_index" =>
+            g.refreshVecIndex(): Unit
           case "refresh_lex_index" =>
             // refreshLexIndex re-classifies at execution time, so a
             // store that moved past the plan (new deletes) rebuilds

@@ -427,6 +427,20 @@ final class Graft(val spark: SparkSession, basePath: String,
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** nprobe of the ATTACHED vector index, if `path` is it — the doctor
+    * consults this so staleness healing only applies to an index the
+    * facade actually serves from (a standalone artifact has no serving
+    * stamp contract) */
+  private[api] def attachedVec(path: String): Option[Int] =
+    vecIndex.collect { case (p, np) if p == path => np }
+
+  /** is the serving stamp of an attached vector index behind the store
+    * (or a refresh torn)? — the doctor's vec_index_stale probe. An
+    * UNSTAMPED index is not "stale": it never participated in serving. */
+  private[api] def vecStampStale(path: String): Boolean =
+    readVecStamp(path).exists(_ != currentVersion) ||
+      hfs(path).exists(vecPendingPath(path))
+
   /** Catch the attached IVF serving index up to the store: new document
     * frames past the stamp are embedded and appended as a committed
     * delta under the STANDING codebook (no retrain — drift-triggered

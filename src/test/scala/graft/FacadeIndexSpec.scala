@@ -296,6 +296,33 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS `facade_foreign_spec`")
   }
 
+  test("doctor heals a stale vec serving stamp with the incremental refresh") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    g.put("mv2://t/extra", "another doc about window joins")
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "corpus") // stamp stranded by the put
+    val r = g.doctorRun(vecPath = Some(s"$dir/vec"),
+      vecIdCol = "id", vecCol = "vector")
+    assert(r.rows.exists(x => x.name == "vec_index_stale" &&
+      x.rowType == "finding"), "doctor must probe the stale serving stamp")
+    assert(r.rows.exists(x => x.name == "refresh_vec_index" && x.executed),
+      "the cheaper incremental heal must run")
+    assert(!r.rows.exists(x => x.name == "rebuild_vec_index"),
+      "no drift, no retrain")
+    val served = g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed",
+      "doctor heal must return the vector rung to the indexed route")
+    assert(served.citations.nonEmpty)
+    // an unattached path never probes stale (standalone artifacts have
+    // no serving-stamp contract)
+    g.detachVecIndex()
+    val r2 = g.doctorPlan(vecPath = Some(s"$dir/vec"),
+      vecIdCol = "id", vecCol = "vector")
+    assert(!r2.rows.exists(_.name == "vec_index_stale"))
+  }
+
   test("doctor vec maintenance reopens the serving handle (no stale generation read)") {
     val g = freshStore()
     val dir = tmpStore()
