@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   * search/mod.rs:46 search, ask.rs:23 ask, timeline.rs:20 timeline,
   * memory.rs:269-494 memory ops).
   */
+/** @param autoRefreshIndexes the reference's instant-index semantics
+  *        (src/memvid/search/builders.rs:12-44: a put updates the
+  *        engine WITHIN the commit): every facade put() immediately
+  *        catches attached serving indexes up via
+  *        [[Graft.refreshLexIndex]]/[[Graft.refreshVecIndex]] — an
+  *        O(delta) append per put, and append-only workloads never
+  *        leave the indexed route. Off by default: batch pipelines
+  *        prefer one refresh per ingest epoch over one per put. */
 final class Graft(val spark: SparkSession, basePath: String,
-                  embedder: Option[Embedder] = None) {
+                  embedder: Option[Embedder] = None,
+                  autoRefreshIndexes: Boolean = false) {
   import spark.implicits._
 
   val frames = new FrameStore(spark, s"$basePath/frames")
@@ -62,6 +71,12 @@ final class Graft(val spark: SparkSession, basePath: String,
     // materialization at most, not one per checkpoint fire)
     ids.foreach(id => recorder.recordPut(id,
       frames.liveCount, currentVersion))
+    // instant-index: the commit catches attached serving indexes up
+    // before returning (see the constructor param's scaladoc)
+    if (autoRefreshIndexes && ids.nonEmpty) {
+      if (lexIndex.isDefined) refreshLexIndex(): Unit
+      if (vecIndex.isDefined) refreshVecIndex(): Unit
+    }
     ids.headOption
   }
 

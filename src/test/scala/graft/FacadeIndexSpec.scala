@@ -271,6 +271,30 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
   }
 
+  test("autoRefreshIndexes: a put keeps serving on the indexed route (instant index)") {
+    val g = new Graft(spark, tmpStore(), autoRefreshIndexes = true)
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
+    val tbl = "facade_auto_refresh_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    g.buildLexIndex(tbl, stemmed = false)
+    g.put("mv2://t/new", "fresh spark doc about joins") // refreshes in-commit
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed",
+      "append-only put must never leave the indexed route")
+    val newId = g.frames.latestActive.filter(col("uri") === "mv2://t/new")
+      .select("id").collect().head.getLong(0)
+    assert(rows(served).map(_._1).contains(newId))
+    // and the served page equals the corpus engine over the moved corpus
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine,
+        stemmed = false))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("a FOREIGN writer's commit flips serving to the corpus path") {
     val dir = tmpStore()
     val g = new Graft(spark, dir)
