@@ -75,6 +75,40 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_cmp")
   }
 
+  test("Bm25Index.compact on a TRACK-PARTITIONED table: layout kept, scoring bit-equal") {
+    // the partitioned swap branch (stage → drop → rename → resync):
+    // rename-aside is unsafe for partitioned managed tables (absolute
+    // partition locations — the aside drop purged the new data before
+    // the fix), so compaction of a tracked index takes the other path
+    val docs = Seq(
+      (1L, "spark joins shuffle data", "a"),
+      (2L, "window functions rank rows", "b"),
+      (3L, "spark window aggregation", "a"),
+      (4L, "broadcast joins avoid shuffle", "b"),
+      (5L, "spark spark spark everywhere", "a")).toDF("doc_id", "text", "src")
+    val tbl = "bm25_life_cmp_trk"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    graft.search.Bm25Index.write(docs.filter($"doc_id" <= 3), "doc_id", "text",
+      tbl, nBuckets = 2, trackCol = Some("src"))
+    graft.search.Bm25Index.append(docs.filter($"doc_id" > 3),
+      "doc_id", "text", tbl, nBuckets = 2, trackCol = Some("src"))
+    val pre = graft.search.Bm25Index.search(spark, tbl,
+      Seq("spark", "window"), topK = 10).collect().toSeq
+    val before = graft.search.Bm25Index.dataFileCount(spark, tbl)
+    graft.search.Bm25Index.compact(spark, tbl, nBuckets = 2)
+    val after = graft.search.Bm25Index.dataFileCount(spark, tbl)
+    assert(after < before, s"$before -> $after")
+    assert(spark.table(tbl).columns.contains("track"),
+      "compaction must keep the partition layout")
+    // the track values survive (the partition dirs re-registered)
+    assert(spark.table(tbl).select("track").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+    val post = graft.search.Bm25Index.search(spark, tbl,
+      Seq("spark", "window"), topK = 10).collect().toSeq
+    assert(post == pre, "tracked compaction must not change a bit of the ranking")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("Bm25Index.compact heals a double-ingested delta's split tf rows") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
     graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_heal",
