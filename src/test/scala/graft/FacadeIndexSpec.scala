@@ -141,6 +141,30 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_spec`")
   }
 
+  test("refreshLexIndex appends a CHUNKED put's delta (doc + chunk rows)") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_refresh_chunk_spec", stemmed = false)
+    // > 1200 chars forces chunking: the delta carries the parent doc AND
+    // its chunk frames, all Active — the append path must index both
+    // (searchableFrames includes chunks on the build side)
+    val long = ("sparkly filler sentence about nothing in particular. " * 25) +
+      "the zanzibar clause hides in chunk two of this document."
+    assert(long.length > 1200)
+    g.put("mv2://t/long", long)
+    assert(g.refreshLexIndex() == "appended")
+    val served = g.search("zanzibar", topK = 5)
+    assert(g.lastSearchRoute == "indexed")
+    assert(rows(served).nonEmpty, "chunk content must be indexed by the refresh")
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "zanzibar", Search.Options(topK = 5, engine = Search.BM25Engine,
+        stemmed = false))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_chunk_spec`")
+  }
+
   test("refreshLexIndex: a delete breaks the append contract → explicit rebuild") {
     val g = freshStore()
     g.buildLexIndex("facade_lex_refresh_del_spec")
