@@ -184,6 +184,24 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_del_spec`")
   }
 
+  test("refreshLexIndex: an UPDATE (Active + supersedes) also forces the rebuild") {
+    // a superseding version is an ACTIVE row — only the supersedes
+    // disjunct of the append-contract check catches it; appending it
+    // would leave the old version's postings serving alongside the new
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_refresh_upd_spec", stemmed = false)
+    val oldId = g.frames.latestActive.filter(col("uri") === "mv2://t/0")
+      .select("id").collect().head.getLong(0)
+    val newId = g.update(oldId, "rewritten spark doc about joins", "mv2://t/0")
+    assert(g.refreshLexIndex() == "rebuilt")
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    val ids = rows(served).map(_._1)
+    assert(ids.contains(newId) && !ids.contains(oldId),
+      "rebuilt index must serve the superseding version only")
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_upd_spec`")
+  }
+
   test("torn lex refresh: the pending marker forces rebuild, never a double append") {
     val g = freshStore()
     g.buildLexIndex("facade_lex_torn_spec")
