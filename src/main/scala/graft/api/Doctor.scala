@@ -294,11 +294,18 @@ object Doctor {
                 // the reference's doctor verify closes (doctor.rs:140-173)
                 case Some(st) => g.buildLexIndex(t, stemmed = st)
                 case None =>
+                  // a standalone tracked table keeps its layout through
+                  // the doctor rebuild (same auto-detect the facade
+                  // build does)
+                  val tracked = g.spark.catalog.tableExists(t) &&
+                    g.spark.table(t).columns.contains("track")
                   graft.search.Bm25Index.write(
                     g.frames.latestActive.filter(col("role") === "document")
-                      .select(col("id").as("doc_id"),
-                        coalesce(col("text"), lit("")).as("text")),
-                    "doc_id", "text", t, stemmed = lexStemmed)
+                      .select(col("id").as("doc_id") +:
+                        coalesce(col("text"), lit("")).as("text") +:
+                        (if (tracked) Seq(col("track")) else Nil): _*),
+                    "doc_id", "text", t, stemmed = lexStemmed,
+                    trackCol = if (tracked) Some("track") else None)
               }
             }
           case "compact_lex_index" =>

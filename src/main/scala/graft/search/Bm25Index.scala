@@ -91,7 +91,11 @@ object Bm25Index {
     *        that a highly-selective field filter favored the pruned
     *        corpus scan over re-aggregating full-corpus postings
     *        (SCALE.md round-17 §2). Low-cardinality fields only (it is
-    *        a directory per value). */
+    *        a directory per value). NOTE: rebuilding an existing
+    *        TRACKED table with trackCol = None REPLACES the layout with
+    *        an unpartitioned one — callers that must preserve it
+    *        auto-detect first ([[graft.api.Graft.buildLexIndex]] and
+    *        the doctor's standalone rebuild both do). */
   def write(docs: DataFrame, idCol: String, textCol: String,
             tableName: String, stemmed: Boolean = false,
             nBuckets: Int = 16,
