@@ -24,31 +24,27 @@ class IndexedRouteFuzzSpec extends SparkSpec {
       .localCheckpoint()
     Bm25Index.write(docs, "doc_id", "text", tbl, stemmed = false,
       trackCol = Some("source"))
-    val f = FrameCols(text = col("text"), track = col("source"),
-      kind = col("lang"))
+    // EVERY generated field atom binds (the parser-fuzz gate's binding:
+    // track/labels from source, kind/tags from lang, synthetic uri and
+    // event time) so no case is dropped for unbound columns
+    val f = FrameCols(text = col("text"),
+      uri = concat(lit("doc://"), col("source"), lit("/"), col("doc_id")),
+      track = col("source"), kind = col("lang"),
+      tags = array(col("lang")), labels = array(col("source")),
+      timestamp = expr(
+        "TIMESTAMP'2024-01-01' + make_dt_interval(CAST(doc_id % 600 AS INT))"))
     val opts = Search.Options(topK = 10,
       engine = Search.BM25Engine, stemmed = false, withSnippets = false)
     def page(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
       df.select(col("id"), round(col("score"), 9).as("s"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // keep cases the BM25 engine actually ranks (≥1 word term); the
-    // generator's uri/scope/date/tag/label atoms still appear as
-    // conjuncts and must compile identically on both routes — but only
-    // fields this fixture binds (text/track/kind) are exercised, so
-    // drop cases whose AST needs unbound columns
-    def usesUnbound(e: QExpr): Boolean = e match {
-      case QExpr.And(l, r) => usesUnbound(l) || usesUnbound(r)
-      case QExpr.Or(l, r)  => usesUnbound(l) || usesUnbound(r)
-      case QExpr.Not(x)    => usesUnbound(x)
-      case _: QExpr.UriField | _: QExpr.ScopeField | _: QExpr.DateRange |
-           _: QExpr.TagField | _: QExpr.LabelField => true
-      case _ => false
-    }
-    val cases = QueryFuzz.cases(120, seed = 1717L)
+    // keep cases the BM25 engine actually ranks (≥1 word term); every
+    // other atom — uri/scope/date/tag/label/track/kind — rides along as
+    // a predicate and must compile identically on both routes
+    val cases = QueryFuzz.cases(80, seed = 1717L)
       .filter(c => QExpr.words(c.ast).exists(_.nonEmpty))
-      .filterNot(c => usesUnbound(c.ast))
-      .take(25)
-    assert(cases.size >= 15, s"generator yielded only ${cases.size} usable cases")
+      .take(30)
+    assert(cases.size >= 25, s"generator yielded only ${cases.size} usable cases")
     cases.foreach { c =>
       val corpus = page(Search.search(docs, "doc_id", f, c.rendered, opts))
       val indexed = page(Search.searchIndexed(docs, "doc_id", f, c.rendered,
