@@ -356,51 +356,70 @@ final class Graft(val spark: SparkSession, basePath: String,
     case None => throw new IllegalStateException(
       "refreshLexIndex: no attached lexical index (attachLexIndex first)")
     case Some((table, stemmed)) =>
-      val cur = currentVersion
-      val exists = spark.catalog.tableExists(table)
-      val meta = if (exists) Some(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))) else None
-      val nBuckets = meta.flatMap(_.bucketSpec.map(_.numBuckets)).getOrElse(16)
-      val stamp = meta.flatMap(_.properties.get("graft.store.version"))
-        .flatMap(_.toLongOption)
-      val pending = meta.exists(
-        _.properties.get("graft.refresh.pending").contains("1"))
-      def rebuild(): String = {
+      // (exists, stamp, torn-refresh pending, bucket count)
+      def snapshot(): (Boolean, Option[Long], Boolean, Int) = {
+        val exists = spark.catalog.tableExists(table)
+        val meta = if (exists) Some(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))) else None
+        (exists,
+         meta.flatMap(_.properties.get("graft.store.version")).flatMap(_.toLongOption),
+         meta.exists(_.properties.get("graft.refresh.pending").contains("1")),
+         meta.flatMap(_.bucketSpec.map(_.numBuckets)).getOrElse(16))
+      }
+      def breaksAppend(stampV: Long, cur: Long): Boolean =
+        frames.log.filter(
+            col("commitSeq") > stampV && col("commitSeq") <= cur)
+          .filter(col("status") =!= graft.model.Frame.Active ||
+            col("supersedes").isNotNull)
+          .limit(1).count() > 0
+      def rebuild(nBuckets: Int): String = {
         buildLexIndex(table, stemmed, nBuckets)
         spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
           "('graft.refresh.pending' = '0')")
         "rebuilt"
       }
-      if (stamp.contains(cur)) "fresh"
-      else if (!exists || stamp.isEmpty || pending) rebuild()
+      val cur0 = currentVersion
+      val (exists0, stamp0, pending0, nb0) = snapshot()
+      if (stamp0.contains(cur0)) "fresh"
+      else if (!exists0 || stamp0.isEmpty || pending0 ||
+               breaksAppend(stamp0.get, cur0)) rebuild(nb0)
       else {
-        // bound the delta by BOTH stamps so the restamp covers exactly
-        // the appended rows even if a foreign writer commits mid-refresh
-        val delta = frames.log.filter(
-          col("commitSeq") > stamp.get && col("commitSeq") <= cur)
-        val breaksAppend = delta.filter(
-          col("status") =!= graft.model.Frame.Active ||
-          col("supersedes").isNotNull).limit(1).count() > 0
-        if (breaksAppend) rebuild()
-        else {
-          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-            "('graft.refresh.pending' = '1')")
-          // a track-partitioned table's delta must land in the right
-          // partition directories — carry the frames' track through
-          val tracked = spark.table(table).columns.contains("track")
-          graft.search.Bm25Index.append(
-            delta.select(col("id") +:
-              coalesce(col("text"), lit("")).as("text") +:
-              (if (tracked) Seq(col("track")) else Nil): _*),
-            "id", "text", table, stemmed, nBuckets,
-            trackCol = if (tracked) Some("track") else None)
-          // restamp + clear in ONE catalog update: either both land
-          // (refresh complete) or neither (marker still set → rebuild)
-          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-            s"('graft.store.version' = '$cur', 'graft.refresh.pending' = '0')")
-          lexFreshCache = None
-          "appended"
+        // the append leg is ATOMIC under the table's maintenance lock,
+        // RE-classified inside it: two maintainers racing one stale
+        // stamp serialize, and the loser re-reads the winner's restamp
+        // ("fresh") instead of double-appending the same delta
+        val outcome = graft.search.Bm25Index.maintenanceLock(spark, table) {
+          val cur = currentVersion
+          val (exists, stamp, pending, nb) = snapshot()
+          if (stamp.contains(cur)) "fresh"
+          else if (!exists || stamp.isEmpty || pending ||
+                   breaksAppend(stamp.get, cur)) "needs_rebuild"
+          else {
+            // bound the delta by BOTH stamps so the restamp covers
+            // exactly the appended rows even if a foreign writer
+            // commits mid-refresh
+            val delta = frames.log.filter(
+              col("commitSeq") > stamp.get && col("commitSeq") <= cur)
+            spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+              "('graft.refresh.pending' = '1')")
+            // a track-partitioned table's delta must land in the right
+            // partition directories — carry the frames' track through
+            val tracked = spark.table(table).columns.contains("track")
+            graft.search.Bm25Index.appendUnlocked(
+              delta.select(col("id") +:
+                coalesce(col("text"), lit("")).as("text") +:
+                (if (tracked) Seq(col("track")) else Nil): _*),
+              "id", "text", table, stemmed, nb,
+              trackCol = if (tracked) Some("track") else None)
+            // restamp + clear in ONE catalog update: either both land
+            // (refresh complete) or neither (marker still set → rebuild)
+            spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+              s"('graft.store.version' = '$cur', 'graft.refresh.pending' = '0')")
+            lexFreshCache = None
+            "appended"
+          }
         }
+        if (outcome == "needs_rebuild") rebuild(nb0) else outcome
       }
   }
 
@@ -468,12 +487,18 @@ final class Graft(val spark: SparkSession, basePath: String,
     case None => throw new IllegalStateException(
       "refreshVecIndex: no attached vector index (attachVecIndex first)")
     case Some((path, nprobe)) =>
-      val cur = currentVersion
       val fs = hfs(path)
-      val exists = graft.vector.IvfIndex.exists(spark, path)
-      val stamp = readVecStamp(path)
-      val pending = fs.exists(vecPendingPath(path))
-      def rebuild(): String = {
+      // (index exists, stamp, torn-refresh marker)
+      def snapshot(): (Boolean, Option[Long], Boolean) =
+        (graft.vector.IvfIndex.exists(spark, path), readVecStamp(path),
+         fs.exists(vecPendingPath(path)))
+      def breaksAppend(stampV: Long, cur: Long): Boolean =
+        frames.log.filter(
+            col("commitSeq") > stampV && col("commitSeq") <= cur)
+          .filter(col("status") =!= graft.model.Frame.Active ||
+            col("supersedes").isNotNull)
+          .limit(1).count() > 0
+      def rebuild(exists: Boolean): String = {
         val k = if (exists)
           graft.vector.IvfIndex.read(spark, path).centroids.size else 4
         buildVecIndex(path, k = math.max(k, 1), iters = rebuildIters,
@@ -481,39 +506,49 @@ final class Graft(val spark: SparkSession, basePath: String,
         fs.delete(vecPendingPath(path), false)
         "rebuilt"
       }
-      if (exists && !pending && stamp.contains(cur)) "fresh"
-      else if (!exists || stamp.isEmpty || pending) rebuild()
+      val cur0 = currentVersion
+      val (exists0, stamp0, pending0) = snapshot()
+      if (exists0 && !pending0 && stamp0.contains(cur0)) "fresh"
+      else if (!exists0 || stamp0.isEmpty || pending0 ||
+               breaksAppend(stamp0.get, cur0)) rebuild(exists0)
       else {
-        val delta = frames.log.filter(
-          col("commitSeq") > stamp.get && col("commitSeq") <= cur)
-        val breaksAppend = delta.filter(
-          col("status") =!= graft.model.Frame.Active ||
-          col("supersedes").isNotNull).limit(1).count() > 0
-        if (breaksAppend) rebuild()
-        else {
-          val e = activeEmbedder
-          val embedUdf = udf((t: String) => e.embed(if (t == null) "" else t))
-          // the vector index covers DOCUMENT frames only (same population
-          // as embeddingsTable); delta is driver-small by construction
-          val deltaVecs = delta.filter(col("role") === "document")
-            .select(col("id"),
-              embedUdf(coalesce(col("text"), lit(""))).as("vector"))
-            .localCheckpoint()
-          if (deltaVecs.isEmpty) {
-            val out = fs.create(vecStampPath(path), true)
-            out.write(cur.toString.getBytes("UTF-8")); out.close()
-          } else {
-            fs.create(vecPendingPath(path), true).close()
-            graft.vector.IvfIndex.append(spark, path, deltaVecs, "id", "vector")
-            // restamp FIRST, then clear the marker: a crash in between
-            // costs one spurious rebuild, never a double-append
-            val out = fs.create(vecStampPath(path), true)
-            out.write(cur.toString.getBytes("UTF-8")); out.close()
-            fs.delete(vecPendingPath(path), false)
+        // ATOMIC append leg (see refreshLexIndex): re-classify under the
+        // index's maintenance lock so racing maintainers serialize
+        val outcome = graft.vector.IvfIndex.maintenanceLock(spark, path) {
+          val cur = currentVersion
+          val (exists, stamp, pending) = snapshot()
+          if (exists && !pending && stamp.contains(cur)) "fresh"
+          else if (!exists || stamp.isEmpty || pending ||
+                   breaksAppend(stamp.get, cur)) "needs_rebuild"
+          else {
+            val delta = frames.log.filter(
+              col("commitSeq") > stamp.get && col("commitSeq") <= cur)
+            val e = activeEmbedder
+            val embedUdf = udf((t: String) => e.embed(if (t == null) "" else t))
+            // the vector index covers DOCUMENT frames only (same
+            // population as embeddingsTable); delta is driver-small
+            val deltaVecs = delta.filter(col("role") === "document")
+              .select(col("id"),
+                embedUdf(coalesce(col("text"), lit(""))).as("vector"))
+              .localCheckpoint()
+            if (deltaVecs.isEmpty) {
+              val out = fs.create(vecStampPath(path), true)
+              out.write(cur.toString.getBytes("UTF-8")); out.close()
+            } else {
+              fs.create(vecPendingPath(path), true).close()
+              graft.vector.IvfIndex.appendUnlocked(spark, path, deltaVecs,
+                "id", "vector"): Unit
+              // restamp FIRST, then clear the marker: a crash in between
+              // costs one spurious rebuild, never a double-append
+              val out = fs.create(vecStampPath(path), true)
+              out.write(cur.toString.getBytes("UTF-8")); out.close()
+              fs.delete(vecPendingPath(path), false)
+            }
+            vecHandleCache = None
+            "appended"
           }
-          vecHandleCache = None
-          "appended"
         }
+        if (outcome == "needs_rebuild") rebuild(exists0) else outcome
       }
   }
 

@@ -33,6 +33,16 @@ object Bm25Index {
       graft.store.StoreLock.Options(timeoutMs = 120000L,
         staleGraceMs = 120000L, command = "bm25-index-maintenance"))(body)
 
+  /** The table's maintenance lock, for callers composing a LARGER atomic
+    * section than one append — [[graft.api.Graft.refreshLexIndex]] holds
+    * it across its stamp-read → append → restamp so two maintainers
+    * cannot both classify against the same stale stamp and double-append
+    * the delta. The lock is NOT re-entrant: bodies must use
+    * [[appendUnlocked]], never the self-locking public calls. */
+  private[graft] def maintenanceLock[T](spark: SparkSession,
+                                        tableName: String)(body: => T): T =
+    withTableLock(spark, tableName)(body)
+
   /** tf-aggregated postings, optionally carrying a `track` column (the
     * doc-level field the index can be DIRECTORY-PARTITIONED by — track
     * is functionally dependent on doc_id, so the extra group key changes
@@ -159,6 +169,14 @@ object Bm25Index {
              tableName: String, stemmed: Boolean = false,
              nBuckets: Int = 16,
              trackCol: Option[String] = None): Unit = withTableLock(delta.sparkSession, tableName) {
+    appendUnlocked(delta, idCol, textCol, tableName, stemmed, nBuckets, trackCol)
+  }
+
+  /** [[append]] body without the lock acquisition — for callers already
+    * inside [[maintenanceLock]] (the lock is not re-entrant) */
+  private[graft] def appendUnlocked(delta: DataFrame, idCol: String,
+             textCol: String, tableName: String, stemmed: Boolean,
+             nBuckets: Int, trackCol: Option[String]): Unit = {
     val spark = delta.sparkSession
     val tracked = isTracked(spark, tableName)
     require(!tracked || trackCol.isDefined,

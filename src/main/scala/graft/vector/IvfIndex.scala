@@ -55,6 +55,16 @@ object IvfIndex {
       graft.store.StoreLock.Options(timeoutMs = 120000L,
         staleGraceMs = 120000L, command = "ivf-index-maintenance"))(body)
 
+  /** The index's maintenance lock, for callers composing a LARGER atomic
+    * section than one append — [[graft.api.Graft.refreshVecIndex]] holds
+    * it across its stamp-read → append → restamp so two maintainers
+    * cannot both classify against the same stale stamp and append the
+    * same delta twice. NOT re-entrant: bodies must use
+    * [[appendUnlocked]], never the self-locking public calls. */
+  private[graft] def maintenanceLock[T](spark: SparkSession,
+                                        path: String)(body: => T): T =
+    withIndexLock(spark, path)(body)
+
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -204,6 +214,13 @@ object IvfIndex {
   def append(spark: SparkSession, path: String,
              delta: DataFrame, idCol: String, vecCol: String): Handle =
     withIndexLock(spark, path) {
+      appendUnlocked(spark, path, delta, idCol, vecCol)
+    }
+
+  /** [[append]] body without the lock acquisition — for callers already
+    * inside [[maintenanceLock]] (the lock is not re-entrant) */
+  private[graft] def appendUnlocked(spark: SparkSession, path: String,
+             delta: DataFrame, idCol: String, vecCol: String): Handle = {
     val h = read(spark, path)
     val assigned =
       if (h.floatKernel)

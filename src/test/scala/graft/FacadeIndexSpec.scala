@@ -202,6 +202,36 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS `facade_lex_refresh_upd_spec`")
   }
 
+  test("racing refreshers serialize under the artifact lock: exactly one appends") {
+    val g = freshStore()
+    g.buildLexIndex("facade_lex_race_spec", stemmed = false)
+    g.put("mv2://t/new", "fresh spark doc about joins")
+    // both classify the same stale stamp unlocked; the maintenance lock
+    // serializes the append leg and the loser re-reads the winner's
+    // restamp — never a second append of the same delta
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (1 to 2).map(_ => new Thread(() =>
+      try results.add(g.refreshLexIndex())
+      catch { case t: Throwable => errors.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    assert(errors.isEmpty, s"refresher failed: ${errors.peek()}")
+    val rs = results.toArray(Array.empty[String]).toSeq.sorted
+    assert(rs == Seq("appended", "fresh"), s"got $rs")
+    // a double append would double the new doc's term frequencies and
+    // move every score off the corpus engine's
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine,
+        stemmed = false))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql("DROP TABLE IF EXISTS `facade_lex_race_spec`")
+  }
+
   test("torn lex refresh: the pending marker forces rebuild, never a double append") {
     val g = freshStore()
     g.buildLexIndex("facade_lex_torn_spec")
