@@ -339,11 +339,12 @@ final class Graft(val spark: SparkSession, basePath: String,
   // after) the restamp. A crash between append and restamp leaves the
   // marker set; the next refresh sees it and takes the rebuild path
   // instead of re-appending the same delta (which would double-count
-  // postings / duplicate candidate ids). Single-maintainer contract
-  // (same as the doctor's heal): the artifact lock under append keeps
-  // FILES intact, but two refreshers racing one index could each
-  // append the delta — run one maintainer per index, which the store's
-  // single-writer contract already implies for the facade.
+  // postings / duplicate candidate ids). Concurrent-maintainer safety:
+  // the whole stamp-read → append → restamp leg runs ATOMICALLY under
+  // the index artifact's maintenance lock with an in-lock
+  // re-classification, so two refreshers racing one stale stamp
+  // serialize and the loser returns "fresh" — across threads AND
+  // processes (the lock is the cross-process lockfile).
 
   /** Catch the attached BM25 serving index up to the store's current
     * version. @return "fresh" (stamp already current — nothing to do),
