@@ -12,6 +12,37 @@ package graft.tools
   * exit 3 — lock held by the other process past the timeout; stdout
   *          carries `TWOJVM_LOCKED <owner hint>`
   */
+/** Second-PROCESS index maintainer for the cross-JVM atomic-refresh
+  * fixture: attaches the (path-based, catalog-free) IVF index and runs
+  * [[graft.api.Graft.refreshVecIndex]] against the shared store —
+  * racing the test JVM's own refresh through the SAME cross-process
+  * maintenance lockfile. Rendezvous via marker files so both refreshes
+  * genuinely overlap: writes `<vecPath>/_TWOJVM_READY` once the session
+  * is up, waits for `<vecPath>/_TWOJVM_GO`, then refreshes.
+  *
+  * args: <graftBaseDir> <vecPath>
+  * stdout carries `TWOJVM_REFRESH <fresh|appended|rebuilt>`
+  */
+object TwoJvmVecRefresher {
+  def main(args: Array[String]): Unit = {
+    val Array(base, vecPath) = args
+    val spark = graft.Sessions.builder("local[2]", "2")
+      .appName("graft-two-jvm-vec-refresher").getOrCreate()
+    val g = new graft.api.Graft(spark, base)
+    g.attachVecIndex(vecPath, nprobe = 2)
+    val ready = java.nio.file.Paths.get(vecPath, "_TWOJVM_READY")
+    val go = java.nio.file.Paths.get(vecPath, "_TWOJVM_GO")
+    java.nio.file.Files.write(ready, Array.empty[Byte])
+    val deadline = System.currentTimeMillis() + 120000L
+    while (!java.nio.file.Files.exists(go) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(20)
+    val outcome = g.refreshVecIndex()
+    println(s"TWOJVM_REFRESH $outcome")
+    spark.stop()
+    sys.exit(0)
+  }
+}
+
 object TwoJvmWriter {
   def main(args: Array[String]): Unit = {
     val store = args(0)

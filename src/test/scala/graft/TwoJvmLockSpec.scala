@@ -24,17 +24,17 @@ import org.apache.spark.sql.functions._
   */
 class TwoJvmLockSpec extends SparkSpec {
 
-  /** fork a real second JVM running TwoJvmWriter; (exitCode, stdout).
+  /** fork a real second JVM running `mainClass`; (exitCode, stdout).
     * Classpath and JDK-17 add-opens are inherited from this forked test
     * JVM (build.sbt sets both), so the child sees the same Spark. */
-  private def forkWriter(args: String*): (Int, String) = {
+  private def fork(mainClass: String, args: String*): (Int, String) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val addOpens = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd = Seq(java) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
-      "graft.tools.TwoJvmWriter") ++ args
+      mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
@@ -42,6 +42,9 @@ class TwoJvmLockSpec extends SparkSpec {
     val code = p.waitFor()
     (code, out)
   }
+
+  private def forkWriter(args: String*): (Int, String) =
+    fork("graft.tools.TwoJvmWriter", args: _*)
 
   test("two JVMs: lock blocks a foreign process; watermark + refresh close the loop") {
     val dir = java.nio.file.Files.createTempDirectory("graft_twojvm").toString
@@ -99,5 +102,45 @@ class TwoJvmLockSpec extends SparkSpec {
     assert(g.lastSearchRoute == "indexed")
     assert(served.collect().map(_.getLong(0)).contains(foreignId))
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
+  test("two JVMs racing the SAME vec refresh: the maintenance lock serializes them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_twojvm_vec").toString
+    val vecPath = s"$dir/vec"
+    val g = new Graft(spark, dir)
+    Seq("spark joins shuffle data", "window functions rank rows",
+      "broadcast joins avoid the shuffle", "a gardening note").zipWithIndex
+      .foreach { case (t, i) => g.put(s"mv2://twojvmvec/$i", t) }
+    g.buildVecIndex(vecPath, k = 2, iters = 1, nprobe = 2)
+    g.put("mv2://twojvmvec/extra", "another doc about window joins") // stale
+    // rendezvous: let the foreign JVM finish its (slow) session startup,
+    // then release both refreshes as close to simultaneously as possible
+    val readyF = java.nio.file.Paths.get(vecPath, "_TWOJVM_READY")
+    val goF = java.nio.file.Paths.get(vecPath, "_TWOJVM_GO")
+    val outRef = new java.util.concurrent.atomic.AtomicReference[(Int, String)]
+    val child = new Thread(() => outRef.set(
+      fork("graft.tools.TwoJvmVecRefresher", dir, vecPath)))
+    child.start()
+    val deadline = System.currentTimeMillis() + 120000L
+    while (!java.nio.file.Files.exists(readyF) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(java.nio.file.Files.exists(readyF), "foreign refresher never came up")
+    java.nio.file.Files.write(goF, Array.empty[Byte])
+    val mine = g.refreshVecIndex()
+    child.join(180000)
+    val (code, out) = outRef.get
+    assert(code == 0, s"foreign refresher failed:\n$out")
+    val theirs = out.linesIterator.find(_.startsWith("TWOJVM_REFRESH"))
+      .map(_.split("\\s+")(1)).getOrElse(fail(s"no outcome in:\n$out"))
+    // the cross-process maintenance lock must serialize the two legs:
+    // exactly ONE appends, the other re-reads the restamp
+    assert(Seq(mine, theirs).sorted == Seq("appended", "fresh"),
+      s"mine=$mine theirs=$theirs")
+    assert(graft.vector.IvfIndex.deltaCount(spark, vecPath) == 1,
+      "a double append would mint two delta dirs (or duplicate ids)")
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    java.nio.file.Files.deleteIfExists(readyF)
+    java.nio.file.Files.deleteIfExists(goF): Unit
   }
 }
