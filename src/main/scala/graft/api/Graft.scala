@@ -22,10 +22,20 @@ import org.apache.spark.sql.functions._
   *        [[Graft.refreshLexIndex]]/[[Graft.refreshVecIndex]] — an
   *        O(delta) append per put, and append-only workloads never
   *        leave the indexed route. Off by default: batch pipelines
-  *        prefer one refresh per ingest epoch over one per put. */
+  *        prefer one refresh per ingest epoch over one per put.
+  * @param healOnRead the read-side symmetry of the same idea (the
+  *        reference's lazy engine init, search/mod.rs:47-57: a read
+  *        brings the engine up to date): a search()/ask() that finds an
+  *        attached index stale first probes whether the post-stamp delta
+  *        is APPEND-ONLY and, if so, runs the O(delta) refresh and
+  *        serves indexed. A delta with deletes/supersedes (or past a
+  *        vacuum) falls back to the corpus path unchanged — a read never
+  *        triggers a corpus-sized rebuild. Off by default: reads that
+  *        mutate derived state deserve an explicit opt-in. */
 final class Graft(val spark: SparkSession, basePath: String,
                   embedder: Option[Embedder] = None,
-                  autoRefreshIndexes: Boolean = false) {
+                  autoRefreshIndexes: Boolean = false,
+                  healOnRead: Boolean = false) {
   import spark.implicits._
 
   val frames = new FrameStore(spark, s"$basePath/frames")
@@ -76,6 +86,7 @@ final class Graft(val spark: SparkSession, basePath: String,
     if (autoRefreshIndexes && ids.nonEmpty) {
       if (lexIndex.isDefined) refreshLexIndex(): Unit
       if (vecIndex.isDefined) refreshVecIndex(): Unit
+      if (sketchTable.isDefined) refreshSketchTable(): Unit
     }
     ids.headOption
   }
@@ -169,6 +180,8 @@ final class Graft(val spark: SparkSession, basePath: String,
   private var lexFreshCache: Option[((Long, Long), Boolean)] = None
   private var vecIndex: Option[(String, Int)] = None // (path, nprobe)
   private var vecHandleCache: Option[((Long, Long), Option[graft.vector.IvfIndex.Handle])] = None
+  private var sketchTable: Option[String] = None
+  private var sketchFreshCache: Option[((Long, Long), Boolean)] = None
 
   /** freshness-cache key: the in-process mutation epoch AND the
     * persisted cross-process watermark — a FOREIGN writer's commit (two
@@ -245,8 +258,102 @@ final class Graft(val spark: SparkSession, basePath: String,
     * cached serving verdict/handle so the next query reopens the current
     * artifact instead of a deleted generation */
   private[api] def invalidateIndexCaches(): Unit = {
-    lexFreshCache = None; vecHandleCache = None
+    lexFreshCache = None; vecHandleCache = None; sketchFreshCache = None
   }
+
+  // ---- F10 sketch pre-filter as FACADE behavior (reference: applied
+  // inside search() by default with a `no_sketch` opt-out,
+  // src/memvid/search/mod.rs:190-232 — hamming ≤ 32, keep ≥
+  // max(topK·10, 500)): a (doc_id, simhash) table maintained alongside
+  // the lex index shrinks the candidate set BEFORE the postings scorer.
+  // The shrunken set rides the indexed route's allowedIds semi-join
+  // (`search_sketch_indexed` proved the composition; this wires it into
+  // the verbs). Candidate shrink trades recall for speed exactly like
+  // the reference (BM25 re-ranks survivors; a match beyond the hamming
+  // cut is dropped) — `noSketch = true` restores exhaustive ranking.
+  //
+  // Maintenance is APPEND-ONLY SAFE by construction: sketch rows are
+  // per-doc-version and ids are never reused, so a superseded/tombstoned
+  // version's row is INERT (its id no longer joins any live posting) and
+  // only MISSING rows (live frames past the stamp) lose recall. The
+  // refresh therefore always appends the post-stamp Active frames'
+  // sketches and restamps — no rebuild case, even across vacuum (the
+  // compacted log keeps live rows' commitSeq). ----
+
+  /** Build (or rebuild) the sketch table over the CURRENT live frames
+    * (documents AND chunks — the same population search() ranks), stamp
+    * it with the store's commit version, and attach it: search() then
+    * pre-filters by default (opt out per call with `noSketch`). */
+  def buildSketchTable(table: String): Unit = {
+    val sk = graft.search.SketchFilter.build(searchableFrames, "id", "text")
+    sk.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('graft.store.version' = '$currentVersion')")
+    attachSketchTable(table)
+  }
+
+  /** Attach an existing sketch table; the pre-filter only applies while
+    * its version stamp matches the store (a stale sketch is missing the
+    * newest docs' rows — skipping it is the lossless direction). */
+  def attachSketchTable(table: String): Unit = {
+    sketchTable = Some(table); sketchFreshCache = None
+  }
+
+  def detachSketchTable(): Unit = { sketchTable = None; sketchFreshCache = None }
+
+  private def sketchFresh(table: String): Boolean = {
+    val key = storeMovedKey
+    sketchFreshCache match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val fresh = spark.catalog.tableExists(table) && {
+          val props = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+          props.get("graft.store.version").contains(currentVersion.toString)
+        }
+        sketchFreshCache = Some((key, fresh))
+        fresh
+    }
+  }
+
+  /** Catch the attached sketch table up to the store: sketches of the
+    * post-stamp ACTIVE frames append, then the stamp advances. Always
+    * O(delta) — dead versions' rows are inert (see the section comment),
+    * so unlike the lex/vec refresh there is no rebuild case (only a
+    * missing/never-stamped table rebuilds).
+    * @return "fresh" | "appended" | "rebuilt" */
+  def refreshSketchTable(): String = sketchTable match {
+    case None => throw new IllegalStateException(
+      "refreshSketchTable: no attached sketch table (attachSketchTable first)")
+    case Some(table) =>
+      def stamp(): Option[Long] =
+        if (!spark.catalog.tableExists(table)) None
+        else spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .properties.get("graft.store.version").flatMap(_.toLongOption)
+      val cur = currentVersion
+      stamp() match {
+        case Some(s) if s == cur => "fresh"
+        case Some(s) =>
+          val delta = frames.log.filter(
+              col("commitSeq") > s && col("commitSeq") <= cur)
+            .filter(col("status") === graft.model.Frame.Active)
+            .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+          graft.search.SketchFilter.build(delta, "id", "text")
+            .write.mode(SaveMode.Append).saveAsTable(table)
+          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+            s"('graft.store.version' = '$cur')")
+          sketchFreshCache = None
+          "appended"
+        case None => // never stamped / missing: full (re)build
+          buildSketchTable(table)
+          "rebuilt"
+      }
+  }
+
+  /** did the LAST search() apply the sketch pre-filter? — the gate/spec
+    * observable (like lastSearchRoute) */
+  @volatile var lastSketchApplied: Boolean = false
 
   private def lexIndexFresh(table: String): Boolean = {
     val key = storeMovedKey
@@ -367,7 +474,14 @@ final class Graft(val spark: SparkSession, basePath: String,
          meta.exists(_.properties.get("graft.refresh.pending").contains("1")),
          meta.flatMap(_.bucketSpec.map(_.numBuckets)).getOrElse(16))
       }
+      // a vacuum AFTER the stamp purged the very rows this classification
+      // reads (a deleted doc's tombstone vanishes from the log, the delta
+      // looks empty/append-only, and an append would restamp an index
+      // still carrying the ghost postings) — the log cannot answer, so
+      // rebuild. `lastVacuumSeq == stampV` is safe: the index was current
+      // at the vacuum and compaction is value-neutral for the live view.
       def breaksAppend(stampV: Long, cur: Long): Boolean =
+        frames.lastVacuumSeq > stampV ||
         frames.log.filter(
             col("commitSeq") > stampV && col("commitSeq") <= cur)
           .filter(col("status") =!= graft.model.Frame.Active ||
@@ -437,12 +551,29 @@ final class Graft(val spark: SparkSession, basePath: String,
     val stamp = meta.properties.get("graft.store.version").flatMap(_.toLongOption)
     val pending = meta.properties.get("graft.refresh.pending").contains("1")
     if (stamp.isEmpty || pending) false
+    else if (frames.lastVacuumSeq > stamp.get) false // log purged past the stamp
     else frames.log.filter(
         col("commitSeq") > stamp.get && col("commitSeq") <= currentVersion)
       .filter(col("status") =!= graft.model.Frame.Active ||
         col("supersedes").isNotNull)
       .limit(1).count() == 0
   }
+
+  /** the lex freshness check, with the [[healOnRead]] rung in front: a
+    * stale stamp whose delta is append-only heals via the O(delta)
+    * refresh and serves indexed; anything else (deletes, supersedes,
+    * vacuumed-past deltas, torn markers) reports stale and the caller
+    * falls back to the corpus — a read never runs a rebuild. (A foreign
+    * writer racing between the probe and the refresh could still push
+    * the refresh to its rebuild path; the refresh lock re-classifies, so
+    * the result is correct either way — the probe is the cost bound for
+    * the single-writer case, not a semantic gate.) */
+  private def lexFreshOrHealed(table: String): Boolean =
+    lexIndexFresh(table) ||
+      (healOnRead && lexDeltaAppendable(table) && {
+        refreshLexIndex(): Unit
+        lexIndexFresh(table)
+      })
 
   private def vecStampPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_GRAFT_STORE_VERSION")
@@ -451,16 +582,34 @@ final class Graft(val spark: SparkSession, basePath: String,
   private def hfs(path: String) = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readVecStamp(path: String): Option[Long] = {
+  /** Outer None = stamp file ABSENT (the index never participated in
+    * serving — not stale, nothing to heal). Inner None = stamp file
+    * PRESENT but unreadable/unparseable — a torn or corrupt stamp, which
+    * must read as STALE (serving already falls back to the corpus on the
+    * string compare; without this distinction the doctor would never
+    * plan the refresh that re-stamps it and the index stays silently
+    * unserved until a manual rebuild). */
+  private def readVecStampRaw(path: String): Option[Option[Long]] = {
     val fs = hfs(path)
-    if (!fs.exists(vecStampPath(path))) None
-    else try {
-      val in = fs.open(vecStampPath(path))
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      s.toLongOption
-    } catch { case scala.util.control.NonFatal(_) => None }
+    try {
+      if (!fs.exists(vecStampPath(path))) None
+      else Some {
+        val in = fs.open(vecStampPath(path))
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        s.toLongOption
+      }
+    } catch {
+      // exists() succeeded but the read failed → present-but-unreadable;
+      // if even exists() throws, surface as absent (nothing provable)
+      case scala.util.control.NonFatal(_) =>
+        try { if (fs.exists(vecStampPath(path))) Some(None) else None }
+        catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
+
+  private def readVecStamp(path: String): Option[Long] =
+    readVecStampRaw(path).flatten
 
   /** nprobe of the ATTACHED vector index, if `path` is it — the doctor
     * consults this so staleness healing only applies to an index the
@@ -469,11 +618,39 @@ final class Graft(val spark: SparkSession, basePath: String,
   private[api] def attachedVec(path: String): Option[Int] =
     vecIndex.collect { case (p, np) if p == path => np }
 
+  /** can the stamped IVF index catch up by APPEND? — the vector twin of
+    * [[lexDeltaAppendable]] (same classification [[refreshVecIndex]]
+    * runs): false on a missing/unparseable stamp, a torn-refresh marker,
+    * deletes/supersedes in the delta, or a vacuum past the stamp. */
+  private[api] def vecDeltaAppendable(path: String): Boolean = {
+    if (!graft.vector.IvfIndex.exists(spark, path)) return false
+    val stamp = readVecStamp(path)
+    if (stamp.isEmpty || hfs(path).exists(vecPendingPath(path))) false
+    else if (frames.lastVacuumSeq > stamp.get) false
+    else frames.log.filter(
+        col("commitSeq") > stamp.get && col("commitSeq") <= currentVersion)
+      .filter(col("status") =!= graft.model.Frame.Active ||
+        col("supersedes").isNotNull)
+      .limit(1).count() == 0
+  }
+
+  /** [[vecServingHandle]] with the [[healOnRead]] rung — see
+    * [[lexFreshOrHealed]] for the contract */
+  private def vecHandleOrHealed(path: String): Option[graft.vector.IvfIndex.Handle] =
+    vecServingHandle(path).orElse {
+      if (healOnRead && vecDeltaAppendable(path)) {
+        refreshVecIndex(): Unit
+        vecServingHandle(path)
+      } else None
+    }
+
   /** is the serving stamp of an attached vector index behind the store
     * (or a refresh torn)? — the doctor's vec_index_stale probe. An
-    * UNSTAMPED index is not "stale": it never participated in serving. */
+    * UNSTAMPED index is not "stale": it never participated in serving.
+    * A stamp that is present but unparseable IS stale (see
+    * [[readVecStampRaw]] — the doctor must heal it). */
   private[api] def vecStampStale(path: String): Boolean =
-    readVecStamp(path).exists(_ != currentVersion) ||
+    readVecStampRaw(path).exists(_.forall(_ != currentVersion)) ||
       hfs(path).exists(vecPendingPath(path))
 
   /** Catch the attached IVF serving index up to the store: new document
@@ -493,7 +670,9 @@ final class Graft(val spark: SparkSession, basePath: String,
       def snapshot(): (Boolean, Option[Long], Boolean) =
         (graft.vector.IvfIndex.exists(spark, path), readVecStamp(path),
          fs.exists(vecPendingPath(path)))
+      // vacuum-blindness guard — see refreshLexIndex's breaksAppend
       def breaksAppend(stampV: Long, cur: Long): Boolean =
+        frames.lastVacuumSeq > stampV ||
         frames.log.filter(
             col("commitSeq") > stampV && col("commitSeq") <= cur)
           .filter(col("status") =!= graft.model.Frame.Active ||
@@ -564,8 +743,15 @@ final class Graft(val spark: SparkSession, basePath: String,
     *        against the frames' `extraMetadata`, deny-by-default on a
     *        missing/invalid policy; Enforce re-ranks survivors densely
     *        as `acl_rank`). Both touch only the topK hits. */
+  /** @param noSketch opt OUT of the sketch pre-filter for this call
+    *        (reference `no_sketch`, search/mod.rs:191): with a fresh
+    *        attached sketch table the filter is ON by default — BM25
+    *        ranks only the hamming-near candidates (≥ max(topK·10, 500)
+    *        kept), the reference's recall-for-speed trade. */
   def search(query: String, topK: Int = 10,
-             acl: Option[graft.acl.Acl.Check] = None): DataFrame = {
+             acl: Option[graft.acl.Acl.Check] = None,
+             noSketch: Boolean = false): DataFrame = {
+    lastSketchApplied = false
     // engine selection mirrors the reference (search/mod.rs:47-57): with
     // an attached lexical index, queries get BM25 ranking — served from
     // the postings table while the stamp is fresh, recomputed from the
@@ -575,10 +761,25 @@ final class Graft(val spark: SparkSession, basePath: String,
       case Some((t, stemmed)) =>
         val opts = Search.Options(topK = topK,
           engine = Search.BM25Engine, stemmed = stemmed)
-        if (lexIndexFresh(t)) {
+        if (lexFreshOrHealed(t)) {
           lastSearchRoute = "indexed"
+          // the sketch pre-filter rides the indexed route's allowed-id
+          // semi-join; it applies only with TEXT terms to rank (the
+          // reference's has_text_terms guard) and only while the sketch
+          // covers the whole store (stale sketch = missing newest docs —
+          // skipping is the lossless direction)
+          val allowed = sketchTable.filter(_ => !noSketch)
+            .filter(sketchFresh)
+            .filter(_ => graft.search.QExpr
+              .words(graft.search.QueryParser.parse(query)).exists(_.nonEmpty))
+            .map { sk =>
+              val qh = graft.search.SketchFilter.querySimhash(spark, query)
+              lastSketchApplied = true
+              graft.search.SketchFilter.candidates(
+                spark.table(sk), qh, topK)
+            }
           Search.searchIndexed(frames.latestActive, "id", frameCols, query,
-            t, opts)
+            t, opts, allowedIds = allowed)
         } else {
           lastSearchRoute = "corpus"
           Search.search(frames.latestActive, "id", frameCols, query, opts)
@@ -642,7 +843,7 @@ final class Graft(val spark: SparkSession, basePath: String,
     // switch, src/vec.rs:23) and the semantic re-rank reads the same
     // persisted vectors; stale or absent → the pre-attach ladder
     val vecServing = vecIndex.flatMap { case (p, nprobe) =>
-      vecServingHandle(p).map { h =>
+      vecHandleOrHealed(p).map { h =>
         (h.assigned.select(col("id"), col("vector")),
          (qv: Array[Float], k: Int) => h.search("id", "vector", qv, k, nprobe))
       }
@@ -658,7 +859,7 @@ final class Graft(val spark: SparkSession, basePath: String,
         (q: String, k: Int) => {
           val opts = Search.Options(topK = k, withSnippets = false,
             engine = Search.BM25Engine, stemmed = stemmed)
-          if (lexIndexFresh(t)) {
+          if (lexFreshOrHealed(t)) {
             lastAskLexRoute = "indexed"
             Search.searchIndexed(frames.latestActive, "id", frameCols, q,
               t, opts)

@@ -219,6 +219,71 @@ object ServeQueries {
          |UNION ALL SELECT 'reserved', 'indexed', doc_id, score FROM hits_2
          |ORDER BY leg, score DESC, id""".stripMargin),
 
+    // ---- F10 sketch pre-filter as FACADE behavior (reference: applied
+    // inside search() by default with a no_sketch opt-out,
+    // src/memvid/search/mod.rs:190-232): build + attach a sketch table
+    // alongside the lex index and search() pre-filters candidates by
+    // default. Fixture corpus (240 docs) sits under the reference's
+    // max(topK·10, 500) keep-floor, so the filter is LOSSLESS here and
+    // the sketch-on leg must hash-equal the no_sketch leg — while the
+    // `sketch_applied` observable locks that the filter genuinely ran
+    // (a silently-skipped sketch flips the constant; a wrong candidate
+    // set changes the subset stats and reshuffles every score). Leg c
+    // re-applies the filter after a put + O(delta) refreshes of BOTH
+    // artifacts over the moved corpus. ----
+    "search_facade_sketch" -> QueryDef.sql(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_facade_sketch").toString
+        val tbl = "facade_sketch_lex_gate"
+        val skt = "facade_sketch_tbl_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `$skt`")
+        val g = new graft.api.Graft(s, dir)
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 240)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        g.frames.put(docs.map { case (i, t) => (s"mv2://sk/$i", t) }.toSeq)
+        g.buildLexIndex(tbl, stemmed = false)
+        g.buildSketchTable(skt)
+        def leg(name: String, noSketch: Boolean) = {
+          val hits = g.search("spark join window", topK = 25,
+            noSketch = noSketch)
+          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
+              lit(g.lastSketchApplied).as("sketch_applied"),
+              col("id"), col("score"))
+            .localCheckpoint()
+        }
+        val l1 = leg("a_sketch", noSketch = false)
+        val l2 = leg("b_nosketch", noSketch = true)
+        g.put("mv2://sk/extra", "zzz qqq") // both stamps go stale
+        assert(g.refreshLexIndex() == "appended")
+        assert(g.refreshSketchTable() == "appended")
+        val l3 = leg("c_refreshed", noSketch = false)
+        val out = l1.union(l2).union(l3)
+          .orderBy(col("leg"), col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        s.sql(s"DROP TABLE IF EXISTS `$skt`")
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      s"""WITH base AS (SELECT row_number() OVER (ORDER BY doc_id) AS id, text
+         |              FROM documents WHERE doc_id < 240),
+         |nn AS (SELECT COUNT(*) AS n FROM base),
+         |c2 AS (SELECT id, text FROM base
+         |       UNION ALL SELECT 8 * n + 1, 'zzz qqq' FROM nn),
+         |${bm25Legs("base", "1")},
+         |${bm25Legs("c2", "2")}
+         |SELECT 'a_sketch' AS leg, 'indexed' AS route,
+         |       TRUE AS sketch_applied,
+         |       CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |UNION ALL SELECT 'b_nosketch', 'indexed', FALSE, doc_id, score
+         |FROM hits_1
+         |UNION ALL SELECT 'c_refreshed', 'indexed', TRUE, doc_id, score
+         |FROM hits_2
+         |ORDER BY leg, score DESC, id""".stripMargin),
+
     // ---- the DOCTOR drives the maintain→serve loop (reference doctor
     // verify re-probe, doctor.rs:140-173): the facade serves from the
     // index, a mutation strands the stamp, and it is the DOCTOR — not a

@@ -34,6 +34,18 @@ object QExpr {
     case Phrase(p) => p.split("\\s+").toSeq
     case _         => Seq.empty
   }
+
+  /** every bare-word atom in the tree INCLUDING under NOT — the
+    * MEMBERSHIP vocabulary (a negated word still has to be evaluated
+    * per-doc to decide the complement); [[words]] is the positive
+    * scoring set and stays NOT-free */
+  def allWords(e: QExpr): Seq[String] = e match {
+    case And(l, r) => allWords(l) ++ allWords(r)
+    case Or(l, r)  => allWords(l) ++ allWords(r)
+    case Not(x)    => allWords(x)
+    case Word(w)   => if (w.isEmpty) Seq.empty else Seq(w)
+    case _         => Seq.empty
+  }
 }
 
 final case class QueryParseException(msg: String) extends RuntimeException(msg)

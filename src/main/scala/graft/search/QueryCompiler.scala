@@ -56,10 +56,23 @@ object QueryCompiler {
       case c => c.toString
     }
 
-  def compile(e: QExpr, f: FrameCols): Column = e match {
-    case And(l, r) => compile(l, f) && compile(r, f)
-    case Or(l, r)  => compile(l, f) || compile(r, f)
-    case Not(x)    => !coalesce(compile(x, f), lit(false))
+  def compile(e: QExpr, f: FrameCols): Column = compile(e, f, None)
+
+  /** @param wordTokenHit optional override for the TOKEN-membership
+    *        disjunct of a bare-word atom — the indexed route binds it to
+    *        a postings-derived flag column so word membership is answered
+    *        by the inverted index instead of tokenizing the corpus text
+    *        (the tantivy way: membership comes from the index, never the
+    *        stored text, src/search/tantivy/query.rs:172-217). Must be
+    *        non-null boolean and EXTENSIONALLY equal to
+    *        `array_contains(tokens(text), w)` — the tag/label/track
+    *        disjuncts of the word atom stay compiled on the frame
+    *        columns either way. */
+  def compile(e: QExpr, f: FrameCols,
+              wordTokenHit: Option[String => Column]): Column = e match {
+    case And(l, r) => compile(l, f, wordTokenHit) && compile(r, f, wordTokenHit)
+    case Or(l, r)  => compile(l, f, wordTokenHit) || compile(r, f, wordTokenHit)
+    case Not(x)    => !coalesce(compile(x, f, wordTokenHit), lit(false))
     // the empty word (punctuation-only token, parser.rs from_word) has no
     // index token to constrain on — neutral-true, like the fallback
     // evaluator's contains("") (src/memvid/search/mod.rs:42-47)
@@ -67,7 +80,8 @@ object QueryCompiler {
     // a bare word matches content tokens, or exact tag/label/track — the
     // tantivy field-OR expansion (query.rs:172-217)
     case Word(w) =>
-      val token = array_contains(f.tokens.getOrElse(F.tokens(f.text)), w)
+      val token = wordTokenHit.fold(
+        array_contains(f.tokens.getOrElse(F.tokens(f.text)), w))(m => m(w))
       val tagHit = coalesce(array_contains(f.tags, w), lit(false))
       val labelHit = coalesce(array_contains(f.labels, w), lit(false))
       val trackHit = coalesce(f.track === w, lit(false))

@@ -39,6 +39,19 @@ object Search {
     case _                   => Nil
   }
 
+  /** does any atom need the raw TEXT column to evaluate? Phrases match
+    * substrings and wildcards match token shapes — neither is answerable
+    * from an exact-term postings table; everything else evaluates on
+    * narrow metadata columns or (for bare words) the postings. */
+  private def hasTextAtom(e: QExpr): Boolean = e match {
+    case QExpr.And(l, r)  => hasTextAtom(l) || hasTextAtom(r)
+    case QExpr.Or(l, r)   => hasTextAtom(l) || hasTextAtom(r)
+    case QExpr.Not(x)     => hasTextAtom(x)
+    case QExpr.Phrase(_)  => true
+    case QExpr.Wildcard(_) => true
+    case _                => false
+  }
+
   /** @param docs corpus; @param idCol unique id column name;
     * @param f column bindings for the queryable fields
     */
@@ -164,9 +177,7 @@ object Search {
                                     allowedIds: Option[DataFrame])
       : (DataFrame, DataFrame) = {
     val terms = QExpr.words(ast).distinct
-    val pred = QueryCompiler.compile(ast, f)
     val bm25Membership = pureWordAnd(ast)
-    val filtered = if (bm25Membership) docs else docs.filter(pred)
     val postings0 = docs.sparkSession.table(indexTable)
     // a track-PARTITIONED postings table (Bm25Index.write(trackCol=...))
     // lets a top-level track: conjunct prune whole partition directories
@@ -177,8 +188,55 @@ object Search {
       if (!postings0.columns.contains("track")) postings0
       else trackEqConjuncts(ast).foldLeft(postings0)((p, v) =>
         p.filter(lower(col("track")) === v))
+    // Mixed (word + field) queries need an allowed-id set. The word
+    // atoms' TOKEN membership is answerable two ways:
+    //  - from the POSTINGS (an unstemmed index's terms ARE the raw
+    //    tokens the membership contract tests): one bounded aggregate
+    //    over the query terms' postings rows, left-joined as a flag
+    //    column onto the docs' NARROW metadata columns — the corpus
+    //    text is never read or tokenized in the ranking (the tantivy
+    //    membership model, src/search/tantivy/query.rs:172-217; at
+    //    100 TB with a selective track this is reading a term's
+    //    postings rows instead of a track's text);
+    //  - from the TEXT (the compiled predicate's tokenize) — kept only
+    //    where the postings can't answer exactly: a STEMMED index
+    //    (postings terms are stems, the membership contract is raw
+    //    tokens) or a phrase/wildcard atom (substring/shape matches).
+    // Values are identical by construction either way — the flag is
+    // extensionally array_contains(tokens(text), w).
+    val postingsMembership = !bm25Membership && !opts.stemmed &&
+      !hasTextAtom(ast)
+    // the lookup frame returned for the bounded snippet decoration: with
+    // membership enforced in the ranking (engine cut or id semi-join)
+    // the page's ids already passed the predicate, so the flag-path
+    // lookup uses the plain corpus (the flag column only exists on the
+    // membership join) — values identical, one redundant re-filter less
+    val filtered =
+      if (bm25Membership || postingsMembership) docs
+      else docs.filter(QueryCompiler.compile(ast, f))
     val posts0 =
       if (bm25Membership) postings
+      else if (postingsMembership) {
+        // membership vocabulary = EVERY word atom, negated ones included
+        // (a NOT word must flag per-doc to take the exact complement);
+        // the scoring terms above stay the positive-only set
+        val words = QExpr.allWords(ast).distinct
+        // one row per doc holding WHICH query words it contains —
+        // groupBy over the doc_id-bucketed postings plans exchange-free,
+        // and the term filter bounds the aggregate to the query terms'
+        // postings rows (term-selective, not corpus-sized)
+        val wordHits = postings.filter(col("term").isin(words: _*))
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("term")).as("__qterms"))
+        val pred = QueryCompiler.compile(ast, f, Some(w =>
+          coalesce(array_contains(col("__qterms"), lit(w)), lit(false))))
+        val memberIds = docs
+          .join(wordHits.withColumnRenamed("doc_id", "__mid"),
+            col(idCol).cast("long") === col("__mid"), "left")
+          .filter(pred)
+          .select(col(idCol).cast("long").as("doc_id"))
+        postings.join(memberIds, Seq("doc_id"), "left_semi")
+      }
       else postings.join(
         filtered.select(col(idCol).cast("long").as("doc_id")),
         Seq("doc_id"), "left_semi")

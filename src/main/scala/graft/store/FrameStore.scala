@@ -49,7 +49,15 @@ final class FrameStore(spark: SparkSession, path: String,
     path.stripSuffix("/") + "/_graft_seq")
   private def fs = seqFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readSeqFile(): Option[(Long, Long)] =
+  /** (maxId, maxSeq, lastVacuumSeq) — the third field records the commit
+    * watermark AT THE TIME of the most recent [[vacuum]] (0 = never, and
+    * the legacy two-field form reads as 0). Vacuum purges tombstone/
+    * superseded rows from the log, so any consumer classifying the
+    * (stamp, watermark] delta FROM THE LOG (the facade's refresh-vs-
+    * rebuild probe) is blind past a vacuum: a purged delete looks like an
+    * empty append-only delta. `lastVacuumSeq > stamp` is the exact "the
+    * log cannot answer" predicate those consumers test. */
+  private def readSeqFile(): Option[(Long, Long, Long)] =
     try {
       if (!fs.exists(seqFile)) None
       else {
@@ -57,19 +65,21 @@ final class FrameStore(spark: SparkSession, path: String,
         val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
         line.split('\t') match {
-          case Array(i, s) => Some((i.toLong, s.toLong))
+          case Array(i, s) => Some((i.toLong, s.toLong, 0L))
+          case Array(i, s, v) => Some((i.toLong, s.toLong, v.toLong))
           case _ => None
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def writeSeqFile(maxId: Long, maxSeq: Long): Unit =
-    writeSeqFileAt(seqFile, maxId, maxSeq)
+  private def writeSeqFile(maxId: Long, maxSeq: Long, vacSeq: Long): Unit =
+    writeSeqFileAt(seqFile, maxId, maxSeq, vacSeq)
 
   private def writeSeqFileAt(at: org.apache.hadoop.fs.Path,
-                             maxId: Long, maxSeq: Long): Unit = {
+                             maxId: Long, maxSeq: Long, vacSeq: Long): Unit = {
     val out = fs.create(at, true)
-    try out.write(s"$maxId\t$maxSeq\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$maxId\t$maxSeq\t$vacSeq\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** acquire the store's exclusive lockfile around a mutation — every
@@ -79,7 +89,7 @@ final class FrameStore(spark: SparkSession, path: String,
   private def mutate[T](body: => T): T =
     StoreLock.withLock(spark, path, lockOptions)(body)
 
-  private var counters: Option[(Long, Long)] = None // (maxId, maxSeq)
+  private var counters: Option[(Long, Long, Long)] = None // (maxId, maxSeq, lastVacuumSeq)
 
   /** Mint a block of ids + the next commitSeq. Caller holds the store
     * lock. The persisted `_graft_seq` watermark is authoritative when
@@ -87,13 +97,14 @@ final class FrameStore(spark: SparkSession, path: String,
     * filled); the in-memory cache only serves a pre-watermark legacy log,
     * and the one-time scan only a store that predates this handle. */
   private def nextIds(n: Int): (Long, Long) = synchronized {
-    val (maxId, maxSeq) = readSeqFile().orElse(counters).getOrElse {
+    val (maxId, maxSeq, vacSeq) = readSeqFile().orElse(counters).getOrElse {
       if (logExists) {
         val r = log.agg(max("id"), max("commitSeq")).head
-        (if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      } else (0L, 0L)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+         if (r.isNullAt(1)) 0L else r.getLong(1), 0L)
+      } else (0L, 0L, 0L)
     }
-    counters = Some((maxId + n, maxSeq + 1))
+    counters = Some((maxId + n, maxSeq + 1, vacSeq))
     (maxId, maxSeq)
   }
 
@@ -113,6 +124,17 @@ final class FrameStore(spark: SparkSession, path: String,
     * it stay valid across it). */
   private[graft] def persistedWatermark: Long =
     readSeqFile().map(_._2).getOrElse(-1L)
+
+  /** Commit watermark at the time of the most recent [[vacuum]] (0 =
+    * never vacuumed, including pre-tracking legacy stores). A derived-
+    * state consumer whose stamp is OLDER than this cannot classify its
+    * catch-up delta from the log — vacuum purged the tombstone/superseded
+    * rows the classification needs — and must rebuild instead of
+    * appending (the ghost-postings hazard: delete → vacuum → refresh
+    * would otherwise see an empty "append-only" delta and restamp an
+    * index still carrying the deleted doc). One tiny FS read. */
+  private[graft] def lastVacuumSeq: Long =
+    readSeqFile().map(_._3).orElse(counters.map(_._3)).getOrElse(0L)
 
   /** Cached latest-active row count, maintained incrementally across
     * PUT-shaped appends (every appended frame is new and Active, so the
@@ -152,7 +174,7 @@ final class FrameStore(spark: SparkSession, path: String,
     // id/commitSeq version keys. The NEXT writer (any handle, any
     // process) minting from the persisted value is what makes ids
     // globally unique.
-    counters.foreach { case (i, s) => writeSeqFile(i, s) }
+    counters.foreach { case (i, s, v) => writeSeqFile(i, s, v) }
     frames.toDS().write.mode(SaveMode.Append).parquet(path)
     // roll the live-count cache forward only when it was current as of
     // the pre-mutation watermark AND the caller knows the exact delta
@@ -355,7 +377,7 @@ final class FrameStore(spark: SparkSession, path: String,
     val watermark = readSeqFile().orElse(counters).getOrElse {
       val r = log.agg(max("id"), max("commitSeq")).head
       (if (r.isNullAt(0)) 0L else r.getLong(0),
-       if (r.isNullAt(1)) 0L else r.getLong(1))
+       if (r.isNullAt(1)) 0L else r.getLong(1), 0L)
     }
     latestActiveAsOf(None).as[Frame].write.mode(SaveMode.Overwrite).parquet(tmp)
     // the watermark rides INSIDE the tmp dir so the rename carries it
@@ -364,9 +386,13 @@ final class FrameStore(spark: SparkSession, path: String,
     // (watermark already in place); writing it only after the rename
     // would open a window where the store exists with NO watermark and a
     // later writer falls back to the compacted log's max LIVE id,
-    // re-minting vacuumed-away ids
+    // re-minting vacuumed-away ids. The vacuum-tracking field advances to
+    // THIS compaction's watermark in the same atomic swap: derived-state
+    // stamps at exactly the watermark stay append-classifiable (vacuum is
+    // value-neutral for the live view); older stamps must rebuild.
     writeSeqFileAt(new org.apache.hadoop.fs.Path(
-      tmp.stripSuffix("/") + "/_graft_seq"), watermark._1, watermark._2)
+      tmp.stripSuffix("/") + "/_graft_seq"),
+      watermark._1, watermark._2, watermark._2)
     currentSnapshot = None
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fsTmp = new org.apache.hadoop.fs.Path(tmp)
@@ -374,15 +400,18 @@ final class FrameStore(spark: SparkSession, path: String,
     hfs.delete(fsPath, true)
     if (!hfs.rename(fsTmp, fsPath))
       throw new java.io.IOException(s"vacuum: rename $tmp -> $path failed")
-    counters = Some(watermark)
+    counters = Some((watermark._1, watermark._2, watermark._2))
     mutationEpoch += 1
   }
 
   def stats: (Long, Long, Long) = {
-    val total = log.count()
-    val live = liveCount
-    val tomb = log.filter($"status" === Frame.Tombstoned).select("id").distinct().count()
-    (total, live, tomb)
+    // one log pass for both log-shaped counters (countDistinct skips the
+    // NULL the `when` leaves on non-tombstones — same value as the former
+    // filter → distinct → count, one Spark job instead of two); the live
+    // count rides the watermark-keyed cache
+    val r = log.agg(count(lit(1)),
+      countDistinct(when($"status" === Frame.Tombstoned, $"id"))).head
+    (r.getLong(0), liveCount, r.getLong(1))
   }
 
   private def sha(s: String): String =

@@ -253,12 +253,34 @@ object StoreLock {
 final class StoreLock private[store] (fs: FileSystem, lockPath: String,
                                       private var record: StoreLock.Owner,
                                       localFs: Boolean) {
+  /** set at release; a late heartbeat (a pump tick that outlived
+    * `pump.join`) must become a no-op instead of recreating a phantom
+    * lockfile that blocks contenders until the stale grace expires */
+  @volatile private var released = false
+
   /** re-stamp liveness so the stale-grace clock restarts
     * (LockRecord::touch). Local paths replace the record atomically
     * (temp + rename), so a concurrent reader never catches a torn
     * record; non-local truncate-rewrites, and readers there fall back
-    * to the mtime grace (which this refreshes either way). */
+    * to the mtime grace (which this refreshes either way).
+    *
+    * Ownership-checked like [[release]]: the lockfile is re-stamped only
+    * while it still carries THIS holder's record (pid + startedAt). A
+    * holder that went stale and was legally force-swept must not
+    * overwrite the usurper's record — the next pump tick would otherwise
+    * restore our identity, make release()'s check pass, and delete a
+    * LIVE writer's lock. A missing or unreadable record also skips (a
+    * swept-then-usurped or just-released lockfile is never recreated).
+    * The read→write pair is not atomic against a sweep landing exactly
+    * in between, but a sweep is only legal after a FULL stale grace with
+    * no heartbeat — a holder actively pumping can't be in that state
+    * except around a pathological pause, the same residual window
+    * release() documents. */
   def heartbeat(): Unit = synchronized {
+    if (released) return
+    val cur = StoreLock.readRecord(fs, lockPath)
+    if (!cur.exists(c => c.pid == record.pid &&
+          c.startedAtMs == record.startedAtMs)) return
     record = record.copy(lastHeartbeatMs = System.currentTimeMillis())
     val bytes =
       s"${record.pid}\t${record.host}\t${record.cmd}\t${record.startedAtMs}\t${record.heartbeatMs}\t${record.lastHeartbeatMs}\n"
@@ -289,6 +311,7 @@ final class StoreLock private[store] (fs: FileSystem, lockPath: String,
     * readable; the refusal can only strand a non-local lock, which the
     * stale grace then clears. */
   def release(): Unit = synchronized {
+    released = true // fence late heartbeats (see the flag's doc)
     val cur = StoreLock.readRecord(fs, lockPath)
     if (cur.exists(c => c.pid == record.pid &&
           c.startedAtMs == record.startedAtMs))

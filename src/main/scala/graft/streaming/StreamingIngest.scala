@@ -254,12 +254,21 @@ object StreamingIngest {
     *
     * @param toDocs maps the raw file-stream batch (uri, text) to
     *               (doc_id, text) rows — id minting is the caller's
-    *               contract, same as [[graft.search.Bm25Index.write]] */
+    *               contract, same as [[graft.search.Bm25Index.write]]
+    * @param trackCol when the maintained table is track-PARTITIONED,
+    *               the doc column `toDocs` emits that routes each delta
+    *               row into its partition directory (the steady-state
+    *               form of the round-17 tracked layout: every trigger
+    *               appends one file per touched (partition, bucket),
+    *               and [[graft.search.Bm25Index.compact]] folds the
+    *               debt back — SCALE.md round-18 carries the 20-trigger
+    *               flatness measurement) */
   def runBm25IndexStream(spark: SparkSession, inputDir: String,
                          tableName: String, checkpointDir: String,
                          toDocs: DataFrame => DataFrame,
                          stemmed: Boolean = false, nBuckets: Int = 16,
-                         maxFilesPerTrigger: Int = 8): StreamingQuery = {
+                         maxFilesPerTrigger: Int = 8,
+                         trackCol: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -276,7 +285,7 @@ object StreamingIngest {
               Seq("doc_id"), "left_anti")
           else docs
         graft.search.Bm25Index.append(fresh, "doc_id", "text", tableName,
-          stemmed, nBuckets)
+          stemmed, nBuckets, trackCol = trackCol)
         // the append ran under the micro-batch's CLONED session, which
         // invalidates its own relation cache, not this one's — without
         // the refresh the outer session (and the next batch's anti-join

@@ -439,4 +439,222 @@ class FacadeIndexSpec extends SparkSpec {
     assert(after.citations.map(c => (c.id, c.score)) ==
       before.citations.map(c => (c.id, c.score)))
   }
+
+  test("streaming maintenance of a TRACK-PARTITIONED postings table keeps layout, scores, and compacts flat") {
+    import spark.implicits._
+    val tbl = "facade_stream_tracked_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tracked")
+    val src = tmp.resolve("src").toString
+    new java.io.File(src).mkdirs()
+    val ck = tmp.resolve("ck").toString
+    val corpus = Seq(
+      (1L, "even", "spark joins shuffle data"),
+      (2L, "odd", "window functions rank rows in spark"),
+      (3L, "even", "broadcast joins avoid the shuffle"),
+      (4L, "odd", "spark window joins combine both"),
+      (5L, "even", "gardening and tomatoes"),
+      (6L, "odd", "spark shuffle join window notes"))
+    // gen-0 tracked table from the first two docs
+    graft.search.Bm25Index.write(
+      corpus.take(2).toDF("doc_id", "track", "text"),
+      "doc_id", "text", tbl, stemmed = false, nBuckets = 2,
+      trackCol = Some("track"))
+    def toDocs(b: org.apache.spark.sql.DataFrame) = b
+      .select(split(col("text"), "\\t", 3).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("track"), col("p").getItem(2).as("text"))
+    // two streaming triggers append the rest, routed into track dirs
+    corpus.drop(2).grouped(2).zipWithIndex.foreach { case (batch, i) =>
+      batch.map { case (id, tr, tx) => s"$id\t$tr\t$tx" }
+        .toDF("text").coalesce(1).write.mode("append").text(src)
+      val q = graft.streaming.StreamingIngest.runBm25IndexStream(
+        spark, src, tbl, ck, toDocs, stemmed = false, nBuckets = 2,
+        maxFilesPerTrigger = 1, trackCol = Some("track"))
+      q.awaitTermination()
+      assert(spark.table(tbl).columns.contains("track"),
+        s"trigger $i lost the track partition column")
+    }
+    // every doc is served from its partition; scores equal the rebuild
+    def page(t: String) = graft.search.Bm25Index
+      .search(spark, t, Seq("spark", "join", "window"), topK = 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    spark.sql(s"DROP TABLE IF EXISTS `${tbl}_ref`")
+    graft.search.Bm25Index.write(corpus.toDF("doc_id", "track", "text"),
+      "doc_id", "text", s"${tbl}_ref", stemmed = false, nBuckets = 2,
+      trackCol = Some("track"))
+    assert(page(tbl) == page(s"${tbl}_ref"), "streamed != one-shot rebuild")
+    // compaction folds the per-trigger delta files back and keeps both
+    // the layout and every score
+    val before = graft.search.Bm25Index.dataFileCount(spark, tbl)
+    graft.search.Bm25Index.compact(spark, tbl, nBuckets = 2)
+    val after = graft.search.Bm25Index.dataFileCount(spark, tbl)
+    assert(after < before, s"compact did not shrink files ($before -> $after)")
+    assert(spark.table(tbl).columns.contains("track"))
+    assert(page(tbl) == page(s"${tbl}_ref"), "compaction moved a score")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tbl}_ref`")
+  }
+
+  test("healOnRead: a stale append-only delta heals INSIDE the read — search stays indexed via append") {
+    val g = new Graft(spark, tmpStore(), healOnRead = true)
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
+    val tbl = "facade_heal_read_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    g.buildLexIndex(tbl, stemmed = false)
+    // a rebuild swaps in a NEW table and would lose this marker; the
+    // in-read heal must be the O(delta) APPEND (ALTER-only), keeping it
+    spark.sql(s"ALTER TABLE `$tbl` SET TBLPROPERTIES ('spec.marker' = 'kept')")
+    g.put("mv2://t/new", "fresh spark doc about joins") // stamp stale
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed",
+      "append-only staleness must heal inside the read")
+    val newId = g.frames.latestActive.filter(col("uri") === "mv2://t/new")
+      .select("id").collect().head.getLong(0)
+    assert(rows(served).map(_._1).contains(newId))
+    assert(g.refreshLexIndex() == "fresh", "the read left the index current")
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get("spec.marker").contains("kept"),
+      "the in-read heal rebuilt instead of appending")
+    // scores equal the corpus engine over the moved corpus
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine,
+        stemmed = false))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
+  test("healOnRead: a delete delta falls back to corpus — a read NEVER rebuilds") {
+    val g = new Graft(spark, tmpStore(), healOnRead = true)
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
+    val tbl = "facade_heal_del_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    g.buildLexIndex(tbl, stemmed = false)
+    spark.sql(s"ALTER TABLE `$tbl` SET TBLPROPERTIES ('spec.marker' = 'kept')")
+    val dropId = g.frames.latestActive.filter(col("uri") === "mv2://t/3")
+      .select("id").collect().head.getLong(0)
+    g.delete(dropId)
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "corpus",
+      "a delete delta must fall back, not rebuild inside a read")
+    assert(!rows(served).map(_._1).contains(dropId))
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get("spec.marker").contains("kept"),
+      "the read mutated the index artifact")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
+  test("healOnRead: ask()'s vector rung heals via append; a delete leaves it corpus") {
+    val g = new Graft(spark, tmpStore(), healOnRead = true)
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    g.put("mv2://t/extra", "another doc about window joins") // stamp stale
+    val genBefore = graft.vector.IvfIndex.read(spark, s"$dir/vec").generation
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed",
+      "append-only staleness must heal the vector rung inside the read")
+    val h = graft.vector.IvfIndex.read(spark, s"$dir/vec")
+    assert(h.generation == genBefore,
+      "the in-read vec heal must append under the standing codebook, not retrain")
+    assert(graft.vector.IvfIndex.deltaCount(spark, s"$dir/vec") == 1)
+    // a delete delta: the read falls back and mutates nothing
+    val dropId = g.frames.latestActive.filter(col("uri") === "mv2://t/3")
+      .select("id").collect().head.getLong(0)
+    g.delete(dropId)
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "corpus",
+      "a delete delta must not retrain inside a read")
+    assert(graft.vector.IvfIndex.read(spark, s"$dir/vec").generation == genBefore)
+  }
+
+  test("delete → vacuum → refresh REBUILDS: the purged log can't classify the delta") {
+    // vacuum purges the tombstone row the append-contract check reads;
+    // without vacuum tracking the refresh would see an empty
+    // "append-only" delta, restamp, and serve GHOST postings/vectors of
+    // the deleted doc from the indexed route
+    val g = freshStore()
+    g.buildLexIndex("facade_vac_ghost_spec", stemmed = false)
+    val vdir = tmpStore()
+    g.buildVecIndex(s"$vdir/vec", k = 2, iters = 1, nprobe = 2)
+    val dropId = g.frames.latestActive.filter(col("uri") === "mv2://t/3")
+      .select("id").collect().head.getLong(0)
+    g.delete(dropId)
+    g.vacuum() // tombstone row GONE from the log; watermark survives
+    assert(g.refreshLexIndex() == "rebuilt",
+      "a post-stamp vacuum must force the rebuild path")
+    val served = g.search("gardening tomatoes", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    assert(!rows(served).map(_._1).contains(dropId),
+      "indexed serving must not surface the deleted doc's ghost postings")
+    assert(g.refreshVecIndex() == "rebuilt")
+    val h = graft.vector.IvfIndex.read(spark, s"$vdir/vec")
+    assert(h.assigned.filter(col("id") === dropId).isEmpty,
+      "refreshed vec index must not carry the deleted doc's vector")
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed")
+    spark.sql("DROP TABLE IF EXISTS `facade_vac_ghost_spec`")
+  }
+
+  test("vacuum at a FRESH stamp keeps later deltas append-classifiable") {
+    // compaction is value-neutral for the live view: an index stamped at
+    // exactly the vacuum's watermark must NOT be forced to rebuild, and
+    // a later append-only put still takes the O(delta) path
+    val g = freshStore()
+    g.buildLexIndex("facade_vac_fresh_spec", stemmed = false)
+    g.vacuum()
+    assert(g.refreshLexIndex() == "fresh",
+      "a vacuum under a current stamp must not invalidate it")
+    g.put("mv2://t/new", "fresh spark doc about joins")
+    assert(g.refreshLexIndex() == "appended",
+      "post-vacuum append-only delta must keep the O(delta) path")
+    val served = g.search("spark joins", topK = 10)
+    assert(g.lastSearchRoute == "indexed")
+    val corpusPath = Search.search(g.frames.latestActive, "id",
+      FrameCols(text = coalesce(col("text"), lit("")), uri = col("uri"),
+        track = col("track"), kind = col("kind"), tags = col("tags"),
+        labels = col("labels"), timestamp = col("timestamp")),
+      "spark joins", Search.Options(topK = 10, engine = Search.BM25Engine,
+        stemmed = false))
+    assert(rows(served) == rows(corpusPath))
+    spark.sql("DROP TABLE IF EXISTS `facade_vac_fresh_spec`")
+  }
+
+  test("corrupt vec stamp reads as STALE: the doctor heals it instead of stranding the index") {
+    val g = freshStore()
+    val dir = tmpStore()
+    g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
+    // corrupt the stamp in place (torn write / foreign garbage): serving
+    // already falls back to the corpus on the string compare — the probe
+    // must ALSO see it, or no heal is ever planned and the index stays
+    // silently unserved
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/vec")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/vec/_GRAFT_STORE_VERSION"), true)
+    out.write("not-a-version".getBytes("UTF-8")); out.close()
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "corpus") // unparseable stamp never serves
+    val r = g.doctorRun(vecPath = Some(s"$dir/vec"),
+      vecIdCol = "id", vecCol = "vector")
+    assert(r.rows.exists(x => x.name == "vec_index_stale" &&
+      x.rowType == "finding"),
+      "present-but-unparseable stamp must probe as stale")
+    assert(r.rows.exists(x => x.name == "refresh_vec_index" && x.executed))
+    g.ask("spark joins", topK = 3)
+    assert(g.lastAskVecRoute == "indexed",
+      "heal must restore the vector rung")
+    // an index with NO stamp file stays exempt (never attached to serving)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/vec/_GRAFT_STORE_VERSION"), false)
+    val r2 = g.doctorPlan(vecPath = Some(s"$dir/vec"),
+      vecIdCol = "id", vecCol = "vector")
+    assert(!r2.rows.exists(_.name == "vec_index_stale"),
+      "an absent stamp is 'never attached', not stale")
+  }
 }

@@ -542,26 +542,40 @@ class PlanPropertiesSpec extends SparkSpec {
       val opts = graft.search.Search.Options(topK = 10,
         engine = graft.search.Search.BM25Engine, stemmed = false,
         withSnippets = false)
-      def lockIdOnlyExchanges(q: String, allowed: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      def lockExchanges(q: String, allowed: Option[org.apache.spark.sql.DataFrame]): Unit = {
         val ast = graft.search.QueryParser.parse(q)
         val (ranked, _) = graft.search.Search.indexedRanking(
           docs, "doc_id", f, ast, tbl, opts, allowed)
         // SinglePartition exchanges carry the 1-row corpus-stats
         // aggregate (bounded by construction) — the lock is about
-        // DATA-SIZED shuffles, i.e. hash-partitioned ones
+        // DATA-SIZED shuffles, i.e. hash-partitioned ones. Allowed
+        // across them: bare id lists, the NARROW metadata columns the
+        // compiled predicate reads (here `source`), and the bounded
+        // per-doc matched-query-term set (`__qterms`, ≤ #query words).
+        // NEVER the corpus text or postings rows (term + tf) — those
+        // are the 100 TB-sized payloads the route exists to keep put.
         val exchanges = ranked.queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if e.outputPartitioning.numPartitions > 1 => e
         }
         exchanges.foreach { e =>
           val names = e.output.map(_.name.toLowerCase).toSet
-          assert(names.subsetOf(Set("doc_id", "id")),
-            s"exchange in the indexed ranking carries more than the id list: $names")
+          assert(names.subsetOf(Set("doc_id", "id", "__mid", "__qterms", "source")),
+            s"exchange in the indexed ranking carries more than ids/narrow metadata: $names")
+          assert(!names.contains("text") && !names.contains("__text") &&
+            !names.contains("tf"),
+            s"exchange carries corpus text or postings rows: $names")
         }
+        // word membership comes from the POSTINGS on this (unstemmed)
+        // index — the ranking plan must never tokenize the text column
+        // (SCALE.md §2b named the corpus tokenize the shared route floor)
+        val planStr = ranked.queryExecution.executedPlan.toString
+        assert(!planStr.toLowerCase.contains("tokenize"),
+          s"indexed ranking for `$q` still tokenizes the corpus text:\n$planStr")
         assert(ranked.count() > 0, s"fixture returned no rows for $q")
       }
-      lockIdOnlyExchanges("track:src1 AND spark join", None)
-      lockIdOnlyExchanges("spark join",
+      lockExchanges("track:src1 AND spark join", None)
+      lockExchanges("spark join",
         Some(docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))))
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -185,6 +185,46 @@ class StoreLockSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lockspec_bm25")
   }
 
+  test("a swept holder's heartbeat never overwrites the usurper's record") {
+    val dir = s"$tmpDir/frames"
+    val holder = StoreLock.acquire(spark, dir,
+      StoreLock.Options(command = "sweepable-hb"))
+    Thread.sleep(5)
+    val usurper = StoreLock.acquire(spark, dir,
+      StoreLock.Options(timeoutMs = 2000L, staleGraceMs = 1L,
+        forceStale = true, command = "usurper-hb"))
+    // the stale holder's next pump tick fires AFTER the takeover: it must
+    // read the foreign record and skip — an unconditional re-stamp would
+    // restore the holder's identity, make its release() check pass, and
+    // delete a LIVE writer's lock
+    holder.heartbeat()
+    assert(StoreLock.currentOwner(spark, dir).exists(_.cmd == "usurper-hb"),
+      "swept holder's heartbeat clobbered the usurper's record")
+    holder.release() // and release still refuses (foreign record)
+    assert(StoreLock.currentOwner(spark, dir).exists(_.cmd == "usurper-hb"))
+    usurper.release()
+    assert(StoreLock.currentOwner(spark, dir).isEmpty)
+  }
+
+  test("a late heartbeat after release never recreates a phantom lockfile") {
+    val dir = s"$tmpDir/frames"
+    val lock = StoreLock.acquire(spark, dir,
+      StoreLock.Options(command = "late-hb"))
+    lock.release()
+    assert(StoreLock.currentOwner(spark, dir).isEmpty)
+    // a pump tick that outlived pump.join(2000): must be a no-op — the
+    // old ATOMIC_MOVE would re-CREATE the lockfile and block every
+    // contender until the stale grace expired
+    lock.heartbeat()
+    assert(StoreLock.currentOwner(spark, dir).isEmpty,
+      "post-release heartbeat recreated the lockfile")
+    // and a fresh contender acquires immediately
+    val next = StoreLock.acquire(spark, dir,
+      StoreLock.Options(command = "next"))
+    assert(next.owner.cmd == "next")
+    next.release()
+  }
+
   test("release after a legal force-sweep never unlocks the usurper") {
     val dir = s"$tmpDir/frames"
     val holder = StoreLock.acquire(spark, dir,
