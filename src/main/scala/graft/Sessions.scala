@@ -16,6 +16,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen LRU thrashes on a 240-query
+      // session (each query compiles several stages; by the time a
+      // similar plan shape recurs its classes are evicted and janino
+      // recompiles) — measured round 18: a query's first-in-session run
+      // pays 2-8 s of compile that its steady-state reruns don't.
+      // Static conf: must be set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", cores.toString).getOrCreate()

@@ -93,7 +93,22 @@ object Acl {
     * (the reference's AclDecision + stats classification, acl.rs:56-94,
     * 179-216). Pure column expressions — evaluates inside the scan at
     * any scale; the context is a handful of broadcast literals. */
-  def metadataDecision(meta: Column, ctx: Context): Column = {
+  /** the parsed form of one JSON-list policy key — what
+    * [[applyMetadata]] factors into a projected column so the decision
+    * tree carries ONE reference per key instead of three copies of the
+    * (non-cheap) from_json (CollapseProject keeps a projection whose
+    * producer is non-cheap and multiply-referenced, so the factoring
+    * survives optimization; measured round 18: first-run plan+codegen
+    * 4.3 s → the factored tree compiles in roughly half that) */
+  private def parsedList(meta: Column, key: String): Column =
+    from_json(element_at(meta, key), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+
+  def metadataDecision(meta: Column, ctx: Context): Column =
+    metadataDecisionWith(meta, ctx, parsedList(meta, _))
+
+  private def metadataDecisionWith(meta: Column, ctx: Context,
+                                   arrOf: String => Column): Column = {
     val ctxTenant = normScalarS(ctx.tenantId)
       .getOrElse(throw new IllegalArgumentException(
         "acl context tenant_id is required (normalizes to empty)"))
@@ -105,9 +120,7 @@ object Acl {
     val vis = normScalar(element_at(meta, VisibilityKey))
 
     def listRaw(key: String): Column = element_at(meta, key)
-    def listArr(key: String): Column =
-      from_json(listRaw(key), org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType))
+    def listArr(key: String): Column = arrOf(key)
     // a missing key is an empty list; a present key must parse as a JSON
     // STRING array whose every element normalizes non-empty (acl.rs:
     // parse_acl_list = serde from_str::<Vec<String>> — any failure is a
@@ -155,14 +168,27 @@ object Acl {
     * (top-k), so the Enforce window is bounded too. */
   def applyMetadata(hits: DataFrame, metaCol: Column, ctx: Context,
                     mode: Mode, rankBy: Seq[Column]): DataFrame = {
-    val d = metadataDecision(metaCol, ctx)
+    // factor each list key's from_json into ONE projected column (see
+    // [[parsedList]]) — the decision references each three times
+    // (validity, all-strings check, normalization), and inlined copies
+    // triple the tree Catalyst analyzes and janino compiles
+    val arrCols = Seq(ReadRolesKey -> "__acl_arr_r",
+      ReadGroupsKey -> "__acl_arr_g", ReadPrincipalsKey -> "__acl_arr_p")
+    val withArr = arrCols.foldLeft(hits) { case (df, (k, c)) =>
+      df.withColumn(c, parsedList(metaCol, k))
+    }
+    val names = arrCols.toMap
+    val d = metadataDecisionWith(metaCol, ctx, k => col(names(k)))
+    val dropCols = arrCols.map(_._2)
     mode match {
       case Audit =>
-        hits.withColumn("acl_decision", d)
+        withArr.withColumn("acl_decision", d)
           .withColumn("acl_allowed", col("acl_decision") === "allow")
+          .drop(dropCols: _*)
       case Enforce =>
         import org.apache.spark.sql.expressions.Window
-        hits.withColumn("__d", d).filter(col("__d") === "allow").drop("__d")
+        withArr.withColumn("__d", d).filter(col("__d") === "allow")
+          .drop("__d").drop(dropCols: _*)
           .withColumn("acl_rank",
             row_number().over(Window.orderBy(rankBy: _*)))
     }
