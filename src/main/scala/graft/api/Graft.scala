@@ -495,8 +495,19 @@ final class Graft(val spark: SparkSession, basePath: String,
       }
       val cur0 = currentVersion
       val (exists0, stamp0, pending0, nb0) = snapshot()
-      if (stamp0.contains(cur0)) "fresh"
-      else if (!exists0 || stamp0.isEmpty || pending0 ||
+      // Unlocked fast paths may only act on STABLE observations. A
+      // pending marker or a missing/unreadable stamp seen from OUTSIDE
+      // the lock can be another process's healthy in-flight append (the
+      // marker is set and cleared inside its locked leg) — classifying
+      // it as torn here raced a REBUILD against that append (found by
+      // SoakMultiWriter: spurious 'rebuilt' outcomes in an append-only
+      // workload). Only a current stamp ("fresh") or a present-stamp
+      // delta with deletes/supersedes ("rebuild" — a delta never
+      // un-breaks) are lock-free decisions; everything else
+      // re-classifies under the lock, where pending genuinely means
+      // torn.
+      if (!pending0 && stamp0.contains(cur0)) "fresh"
+      else if (exists0 && !pending0 && stamp0.isDefined &&
                breaksAppend(stamp0.get, cur0)) rebuild(nb0)
       else {
         // the append leg is ATOMIC under the table's maintenance lock,
@@ -506,7 +517,7 @@ final class Graft(val spark: SparkSession, basePath: String,
         val outcome = graft.search.Bm25Index.maintenanceLock(spark, table) {
           val cur = currentVersion
           val (exists, stamp, pending, nb) = snapshot()
-          if (stamp.contains(cur)) "fresh"
+          if (!pending && stamp.contains(cur)) "fresh"
           else if (!exists || stamp.isEmpty || pending ||
                    breaksAppend(stamp.get, cur)) "needs_rebuild"
           else {
@@ -688,8 +699,11 @@ final class Graft(val spark: SparkSession, basePath: String,
       }
       val cur0 = currentVersion
       val (exists0, stamp0, pending0) = snapshot()
+      // unlocked fast paths act on STABLE observations only — see
+      // refreshLexIndex (pending/unreadable-stamp must classify under
+      // the lock, or a peer's in-flight append reads as torn)
       if (exists0 && !pending0 && stamp0.contains(cur0)) "fresh"
-      else if (!exists0 || stamp0.isEmpty || pending0 ||
+      else if (exists0 && !pending0 && stamp0.isDefined &&
                breaksAppend(stamp0.get, cur0)) rebuild(exists0)
       else {
         // ATOMIC append leg (see refreshLexIndex): re-classify under the
@@ -728,7 +742,9 @@ final class Graft(val spark: SparkSession, basePath: String,
             "appended"
           }
         }
-        if (outcome == "needs_rebuild") rebuild(exists0) else outcome
+        if (outcome == "needs_rebuild")
+          rebuild(graft.vector.IvfIndex.exists(spark, path))
+        else outcome
       }
   }
 

@@ -229,14 +229,21 @@ object StoreLock {
                   options: Options = Options())(body: => T): T = {
     val lock = acquire(spark, storePath, options)
     val pump = new Thread(() => {
-      try {
-        while (!Thread.currentThread().isInterrupted) {
+      // the catch lives INSIDE the loop: a single transient FS hiccup in
+      // one tick must not kill the pump — a dead pump lets the stale
+      // grace expire under a live writer and a forceStale contender then
+      // "legally" steals the lock mid-mutation (SoakMultiWriter caught
+      // exactly this as two processes sharing one parquet _temporary
+      // dir). Only interruption (release) ends the loop.
+      var live = true
+      while (live && !Thread.currentThread().isInterrupted) {
+        try {
           Thread.sleep(math.max(options.heartbeatMs, 100L))
           lock.heartbeat()
+        } catch {
+          case _: InterruptedException => live = false
+          case scala.util.control.NonFatal(_) => () // transient; keep pumping
         }
-      } catch {
-        case _: InterruptedException => ()
-        case scala.util.control.NonFatal(_) => () // lost race at release
       }
     }, s"graft-lock-heartbeat-${new Path(storePath).getName}")
     pump.setDaemon(true)

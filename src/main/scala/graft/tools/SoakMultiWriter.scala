@@ -66,6 +66,13 @@ object SoakMultiWriter {
     val wall = (System.nanoTime() - t0) / 1e9
     outs.foreach(o => o.linesIterator
       .filter(_.startsWith("SOAK_")).foreach(println))
+    codes.zipWithIndex.filter(_._1 != 0).foreach { case (c, i) =>
+      println(s"---- child ${i + 1} exited $c; exception lines ----")
+      outs(i).linesIterator.filter(l =>
+        l.contains("Exception") || l.contains("Caused by") ||
+          l.contains("Error") || l.contains("at graft."))
+        .take(40).foreach(println)
+    }
     require(codes.forall(_ == 0), s"child exit codes: $codes")
 
     // parent-side global invariants over the final log
@@ -105,12 +112,16 @@ object SoakWriterChild {
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.api.Graft(spark, base)
     g.attachVecIndex(vecPath, nprobe = 2)
-    // aggressive second handle for PUTS: a live peer holding the lock
-    // longer than 5 s without a heartbeat would be stolen — the pump
-    // (500 ms) must make that impossible for live writers
+    // aggressive second handle for PUTS: a live peer whose heartbeat goes
+    // quiet for 15 s gets stolen — the pump (500 ms ticks, ~30× margin)
+    // must make that impossible for live writers. The margin is the
+    // design envelope: 3 saturated local JVMs on one box can stall a
+    // daemon thread for seconds, and a grace under that stall ceiling
+    // turns "crashed writer recovery" into live-writer theft (an earlier
+    // 5 s run proved it: two processes shared one parquet _temporary).
     val frames = new graft.store.FrameStore(spark, s"$base/frames",
       graft.store.StoreLock.Options(timeoutMs = 120000L,
-        heartbeatMs = 500L, staleGraceMs = 5000L,
+        heartbeatMs = 500L, staleGraceMs = 15000L,
         command = s"soak-writer-$idx", forceStale = true))
     val deadline = System.currentTimeMillis() + secs * 1000L
     var puts = 0L; var violations = 0L; var lockedErrors = 0L

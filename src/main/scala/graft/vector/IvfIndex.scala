@@ -128,11 +128,21 @@ object IvfIndex {
             centroids: Seq[(Int, Array[Float])]): Handle = {
     val spark = emb.sparkSession
     withIndexLock(spark, path) {
-    writeGen(spark, path, 0L,
-      VectorSearch.assignClusters(emb, vecCol, centroids),
-      centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
-      floatKernel = true)
-    swapCurrent(spark, path, 0L)
+      // REBUILD over a live index writes the NEXT generation and swaps
+      // the pointer (the retrain/compactDeltas discipline) — the former
+      // in-place overwrite of gen-0 deleted files a concurrent READER
+      // was scanning (readers are lock-free by design; SoakMultiWriter
+      // caught a peer crashing mid-read when a rebuild raced it). A
+      // fresh path still writes generation 0 directly.
+      val gen = if (exists(spark, path)) read(spark, path).generation + 1 else 0L
+      val oldGenDir = if (gen == 0L) None else Some(liveGenDir(spark, path))
+      writeGen(spark, path, gen,
+        VectorSearch.assignClusters(emb, vecCol, centroids),
+        centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
+        floatKernel = true)
+      swapCurrent(spark, path, gen)
+      oldGenDir.filter(_ != path)
+        .foreach(d => fsOf(spark, path).delete(new Path(d), true): Unit)
     }
     read(spark, path)
   }
