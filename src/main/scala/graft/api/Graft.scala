@@ -1008,21 +1008,30 @@ final class Graft(val spark: SparkSession, basePath: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val liveDocIds = live.filter(col("role") === "document").select(col("id"))
+      // the three integrity counters run as ONE union job (they share the
+      // persisted live view, and the doctor probes this map four times
+      // per run — dry plan, dry verify, apply plan, apply verify — so
+      // collapsing three actions into one is paid back 4×; values are
+      // identical, each branch is the same aggregate it was standalone)
       // chunks whose parent document is gone (e.g. tombstoned parent)
       val orphanChunks = live.filter(col("role") === "chunk")
         .join(liveDocIds.withColumnRenamed("id", "parentId"), Seq("parentId"), "left_anti")
-        .count()
+        .agg(count(lit(1)).as("n"))
+        .select(lit("orphan_chunks").as("k"), col("n"))
       // cards pointing at frames that never existed in the log (facade
       // `remember` uses the -1 sentinel deliberately — not dangling)
       val danglingCards = cards.filter(col("sourceFrameId") >= 0)
         .join(frames.log.select(col("id").as("sourceFrameId")), Seq("sourceFrameId"), "left_anti")
-        .count()
+        .agg(count(lit(1)).as("n"))
+        .select(lit("dangling_cards").as("k"), col("n"))
       val dupLiveUris = live.filter(col("role") === "document")
-        .groupBy(col("uri")).count().filter(col("count") > 1).count()
-      stats ++ Map(
-        "orphan_chunks" -> orphanChunks,
-        "dangling_cards" -> danglingCards,
-        "duplicate_live_uris" -> dupLiveUris)
+        .groupBy(col("uri")).count().filter(col("count") > 1)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("duplicate_live_uris").as("k"), col("n"))
+      val counters = orphanChunks.unionByName(danglingCards)
+        .unionByName(dupLiveUris)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      stats ++ counters
     } finally live.unpersist(blocking = false): Unit
   }
 
