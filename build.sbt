@@ -31,10 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // a 239-gate whole-stage-codegen run JIT-compiles tens of thousands of
+  // a 240-gate whole-stage-codegen run JIT-compiles tens of thousands of
   // generated classes in one JVM; the JDK default 240m code cache was at
   // 70% of the profiled-nmethods segment mid-run (jcmd, round 18) and a
-  // full segment stops tiered profiling for everything after it — 512m
-  // keeps late gates compiling like early ones
-  "-XX:ReservedCodeCacheSize=512m",
+  // full segment stops tiered profiling for everything after it. 512m
+  // kept late gates compiling like early ones for ONE pass; the r19
+  // two-pass bench (first + steady) doubles the load, so 768m
+  "-XX:ReservedCodeCacheSize=768m",
 )

@@ -57,6 +57,26 @@ object Bench {
     }
     val results = first ++ rerun
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // steady-state pass: run the whole registry a second time in the same
+    // session. The first pass pays per-gate codegen/plan-compile warmup
+    // (r18 ProfileR18: graph_pagerank 10.3s first-in-session vs 1.9s
+    // steady); the second pass measures the operators themselves — a
+    // number ambient contention and codegen-warm tax can't hold hostage.
+    // "value" keeps its historical first-pass semantics for baseline
+    // comparability; steady_total/steady_spq are additive.
+    val steady = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> time(fn) }.toMap
+    val steadyTotal = if (steady.nonEmpty) steady.values.sum else 0.0
+    val steadySpq = if (steady.nonEmpty) steadyTotal / steady.size else 0.0
+    // per-gate min across BOTH passes: the ambient-robust number — a
+    // contended window inflates each pass at different gates, so the
+    // pointwise min discounts one-off spikes the way the old
+    // 10-slowest min-of-2 did, but registry-wide
+    val bestTotal = results.map { case (k, v) =>
+      math.min(v, steady.getOrElse(k, v)) }.sum
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // The driver keeps only the LAST ~2000 chars of sbt output and parses
     // the JSON line from that tail; sbt's own "[success] Total time" line
     // (~75 chars) follows us. Rounds 1-3 printed full-precision doubles
@@ -65,7 +85,7 @@ object Bench {
     // 3-decimal values, slowest queries first, stop before ~1500 chars.
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":"""
-    val tail = s""","n_queries":${results.size},"load_avg":${r3(math.max(load, 0.0))},"sf":"$sfDir"}"""
+    val tail = s""","n_queries":${results.size},"steady_total":${r3(steadyTotal)},"steady_spq":${r3(steadySpq)},"best_total":${r3(bestTotal)},"load_avg":${r3(math.max(load, 0.0))},"load_end":${r3(math.max(loadEnd, 0.0))},"sf":"$sfDir"}"""
     val budget = 1500 - head.length - tail.length
     val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
     val sb = new StringBuilder("{")

@@ -144,8 +144,18 @@ object Doctor {
       debt = graft.vector.IvfIndex.deltaCount(g.spark, p) - budget
       if debt > 0
     } yield "vec_delta_debt" -> debt
+    // serving-stamp staleness of the facade-ATTACHED sketch table (one
+    // catalog read) — the F10 pre-filter twin of vec_index_stale, except
+    // the degradation is PERFORMANCE, not serving: a stale sketch makes
+    // search() silently skip the candidate shrink (lossless direction),
+    // so severity is warning and the heal is the always-append refresh
+    // (dead rows are inert — Graft's sketch section owns that argument)
+    val sketchStale = for {
+      t <- g.attachedSketchTable
+      if g.sketchStampStale(t)
+    } yield "sketch_stale" -> 1L
     counters ++ lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++
-      vecDrift ++ vecStale ++ vecDelta +
+      vecDrift ++ vecStale ++ vecDelta ++ sketchStale +
       ("tombstone_debt" -> (counters("total_versions") - counters("live_frames")))
   }
 
@@ -169,7 +179,7 @@ object Doctor {
       ("orphan_chunks", "error"), ("dangling_cards", "error"),
       ("duplicate_live_uris", "warning"), ("lex_index_stale", "error"),
       ("bm25_file_debt", "info"), ("vec_index_drift", "warning"),
-      ("vec_index_stale", "error"),
+      ("vec_index_stale", "error"), ("sketch_stale", "warning"),
       ("vec_delta_debt", "info"), ("tombstone_debt", "info")).collect {
       case (k, sev) if p.getOrElse(k, 0L) > 0 =>
         row("finding", "probe", k, sev == "error", sev, p(k))
@@ -230,6 +240,14 @@ object Doctor {
             required = true, "vec_index_stale", 1L))
         case _ => Nil
       }) ++
+      // a stale attached sketch table heals by the always-append refresh
+      // (no rebuild case beyond a missing/torn table, which the refresh
+      // classifies itself) — planned after the lex/vec heals so the
+      // pre-filter catches up against the same store version they did
+      (if (p.getOrElse("sketch_stale", 0L) > 0)
+        Seq(row("action", "index_rebuild", "refresh_sketch_table",
+          required = true, "sketch_stale", 1L))
+      else Nil) ++
       (vecPath match {
         // drift-driven planning (the reference's probe-driven Planner,
         // doctor.rs:176-360): the finding wins over the option's bare
@@ -278,6 +296,8 @@ object Doctor {
           case "rebuild_cards" => g.repairCards(): Unit
           case "refresh_vec_index" =>
             g.refreshVecIndex(): Unit
+          case "refresh_sketch_table" =>
+            g.refreshSketchTable(): Unit
           case "refresh_lex_index" =>
             // refreshLexIndex re-classifies at execution time, so a
             // store that moved past the plan (new deletes) rebuilds

@@ -220,7 +220,8 @@ final class Graft(val spark: SparkSession, basePath: String,
     *        table name only). */
   def buildLexIndex(table: String, stemmed: Boolean = true,
                     nBuckets: Int = 16,
-                    partitionByTrack: Boolean = false): Unit = {
+                    partitionByTrack: Boolean = false,
+                    withPositions: Boolean = false): Unit = {
     val tracked = partitionByTrack || (spark.catalog.tableExists(table) &&
       spark.table(table).columns.contains("track"))
     val src = if (!tracked) searchableFrames
@@ -228,7 +229,8 @@ final class Graft(val spark: SparkSession, basePath: String,
         coalesce(col("text"), lit("")).as("text"), col("track"))
     graft.search.Bm25Index.write(src, "id", "text", table,
       stemmed = stemmed, nBuckets = nBuckets,
-      trackCol = if (tracked) Some("track") else None)
+      trackCol = if (tracked) Some("track") else None,
+      withPositions = withPositions)
     // stamp AFTER the build/swap: a crash in between leaves an unstamped
     // (= stale-looking) index and serving falls back to the corpus — the
     // safe direction
@@ -285,10 +287,16 @@ final class Graft(val spark: SparkSession, basePath: String,
     * it with the store's commit version, and attach it: search() then
     * pre-filters by default (opt out per call with `noSketch`). */
   def buildSketchTable(table: String): Unit = {
-    val sk = graft.search.SketchFilter.build(searchableFrames, "id", "text")
-    sk.write.mode(SaveMode.Overwrite).saveAsTable(table)
-    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-      s"('graft.store.version' = '$currentVersion')")
+    // same maintenance-lock discipline as the postings rebuild: two
+    // builders (or a builder racing a refresher's append) would otherwise
+    // interleave the overwrite with an append and strand a torn table
+    graft.search.Bm25Index.maintenanceLock(spark, table) {
+      val sk = graft.search.SketchFilter.build(searchableFrames, "id", "text")
+      sk.write.mode(SaveMode.Overwrite).saveAsTable(table)
+      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        s"('graft.store.version' = '$currentVersion', " +
+        "'graft.refresh.pending' = '0')")
+    }
     attachSketchTable(table)
   }
 
@@ -319,41 +327,89 @@ final class Graft(val spark: SparkSession, basePath: String,
   /** Catch the attached sketch table up to the store: sketches of the
     * post-stamp ACTIVE frames append, then the stamp advances. Always
     * O(delta) — dead versions' rows are inert (see the section comment),
-    * so unlike the lex/vec refresh there is no rebuild case (only a
-    * missing/never-stamped table rebuilds).
+    * so unlike the lex/vec refresh there is no delete/supersede rebuild
+    * case (only a missing/never-stamped/torn table rebuilds).
+    *
+    * Concurrent-maintainer + torn-refresh safety (same discipline as
+    * [[refreshLexIndex]]): the stamp-read → append → restamp leg runs
+    * atomically under the table's maintenance lock with an in-lock
+    * re-classification — two refreshers racing one stale stamp
+    * serialize and the loser reads the winner's restamp ("fresh")
+    * instead of double-appending the same delta (duplicate (doc_id,
+    * simhash) rows inflate [[graft.search.SketchFilter.candidates]]'
+    * floor count and silently suppress the relaxation — recall loss
+    * beyond the documented trade). A `graft.refresh.pending` marker
+    * lands before the append and clears in the same ALTER as the
+    * restamp; a crash in between leaves it set and the next refresh
+    * rebuilds instead of re-appending.
     * @return "fresh" | "appended" | "rebuilt" */
   def refreshSketchTable(): String = sketchTable match {
     case None => throw new IllegalStateException(
       "refreshSketchTable: no attached sketch table (attachSketchTable first)")
     case Some(table) =>
-      def stamp(): Option[Long] =
-        if (!spark.catalog.tableExists(table)) None
-        else spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))
-          .properties.get("graft.store.version").flatMap(_.toLongOption)
-      val cur = currentVersion
-      stamp() match {
-        case Some(s) if s == cur => "fresh"
-        case Some(s) =>
-          val delta = frames.log.filter(
-              col("commitSeq") > s && col("commitSeq") <= cur)
-            .filter(col("status") === graft.model.Frame.Active)
-            .select(col("id"), coalesce(col("text"), lit("")).as("text"))
-          graft.search.SketchFilter.build(delta, "id", "text")
-            .write.mode(SaveMode.Append).saveAsTable(table)
-          spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-            s"('graft.store.version' = '$cur')")
-          sketchFreshCache = None
-          "appended"
-        case None => // never stamped / missing: full (re)build
+      // (stamp, torn-refresh pending)
+      def snapshot(): (Option[Long], Boolean) =
+        if (!spark.catalog.tableExists(table)) (None, false)
+        else {
+          val props = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+          (props.get("graft.store.version").flatMap(_.toLongOption),
+           props.get("graft.refresh.pending").contains("1"))
+        }
+      val cur0 = currentVersion
+      val (stamp0, pending0) = snapshot()
+      // lock-free only on a STABLE observation (see refreshLexIndex: a
+      // pending marker seen from outside the lock can be a peer's healthy
+      // in-flight append — it must re-classify under the lock)
+      if (!pending0 && stamp0.contains(cur0)) "fresh"
+      else {
+        val outcome = graft.search.Bm25Index.maintenanceLock(spark, table) {
+          val cur = currentVersion
+          val (stamp, pending) = snapshot()
+          if (!pending && stamp.contains(cur)) "fresh"
+          else if (stamp.isEmpty || pending) "needs_rebuild"
+          else {
+            val delta = frames.log.filter(
+                col("commitSeq") > stamp.get && col("commitSeq") <= cur)
+              .filter(col("status") === graft.model.Frame.Active)
+              .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+            spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+              "('graft.refresh.pending' = '1')")
+            graft.search.SketchFilter.build(delta, "id", "text")
+              .write.mode(SaveMode.Append).saveAsTable(table)
+            spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+              s"('graft.store.version' = '$cur', 'graft.refresh.pending' = '0')")
+            sketchFreshCache = None
+            "appended"
+          }
+        }
+        if (outcome == "needs_rebuild") { // missing/never-stamped/torn
           buildSketchTable(table)
           "rebuilt"
+        } else outcome
       }
   }
 
   /** did the LAST search() apply the sketch pre-filter? — the gate/spec
     * observable (like lastSearchRoute) */
   @volatile var lastSketchApplied: Boolean = false
+
+  /** the facade-ATTACHED sketch table, if any — the doctor's sketch
+    * probe consults this (a standalone table has no serving contract) */
+  private[api] def attachedSketchTable: Option[String] = sketchTable
+
+  /** is the attached sketch table's serving stamp behind the store, its
+    * refresh torn, or the table missing? — the doctor's `sketch_stale`
+    * probe. A stale sketch silently degrades search() to no-prefilter
+    * (correct but slower at scale — the F10 candidate shrink stops
+    * applying), so the doctor plans the always-append refresh. */
+  private[api] def sketchStampStale(table: String): Boolean =
+    !spark.catalog.tableExists(table) || {
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).properties
+      !props.get("graft.store.version").contains(currentVersion.toString) ||
+        props.get("graft.refresh.pending").contains("1")
+    }
 
   private def lexIndexFresh(table: String): Boolean = {
     val key = storeMovedKey
@@ -791,8 +847,17 @@ final class Graft(val spark: SparkSession, basePath: String,
             .map { sk =>
               val qh = graft.search.SketchFilter.querySimhash(spark, query)
               lastSketchApplied = true
+              // floor over LIVE ids only: superseded/tombstoned versions'
+              // sketch rows are inert for membership but would still
+              // count toward the minKeep floor and occupy hamming-nearest
+              // slots — on a churned store the effective live keep falls
+              // below the reference's max(topK·10, 500) contract. The
+              // semi-join moves only the narrow (id) column.
+              val live = frames.latestActive
+                .select(col("id").cast("long").as("doc_id"))
               graft.search.SketchFilter.candidates(
-                spark.table(sk), qh, topK)
+                spark.table(sk).join(live, Seq("doc_id"), "left_semi"),
+                qh, topK)
             }
           Search.searchIndexed(frames.latestActive, "id", frameCols, query,
             t, opts, allowedIds = allowed)

@@ -736,5 +736,229 @@ object ServeQueries {
          |    AND list_contains($duckToks, 'window')),
          |${bm25Legs("base", "1", requireAll = false)}
          |SELECT CAST(doc_id AS BIGINT) AS id, score FROM hits_1
-         |ORDER BY score DESC, id""".stripMargin))
+         |ORDER BY score DESC, id""".stripMargin),
+
+    // ---- WILDCARD membership from the term dictionary (reference:
+    // RegexQuery over Tantivy's term dict, src/search/tantivy/query.rs:
+    // 115-126 — wildcards never read stored text on the indexed route):
+    // an unstemmed postings table's distinct terms ARE the raw tokens,
+    // so `some token matches the anchored glob` compiles to a regex over
+    // the postings' narrow term column + the same one-row-per-doc flag
+    // aggregate as word membership — semantics identical to the corpus
+    // compile BY CONSTRUCTION, locked here by replaying the wildcard
+    // through Search.searchIndexed against the corpus-side oracle. ----
+    "search_wildcard_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.{Bm25Index, FrameCols, Search}
+        val tbl = "wildcard_indexed_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        val docs = Tables.documents(s, d)
+        Bm25Index.write(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", tbl, stemmed = false)
+        val out = Search.searchIndexed(docs, "doc_id",
+            FrameCols(text = col("text")), "val* spark join window", tbl,
+            Search.Options(topK = 25, engine = Search.BM25Engine,
+              stemmed = false, withSnippets = false))
+          .select(col("id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        out
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  WHERE len(list_filter($duckToks, x -> regexp_matches(x, '^val.*$$'))) > 0
+         |    AND list_contains($duckToks, 'spark')
+         |    AND list_contains($duckToks, 'join')
+         |    AND list_contains($duckToks, 'window')),
+         |${bm25Legs("base", "1", requireAll = false)}
+         |SELECT CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |ORDER BY score DESC, id""".stripMargin),
+
+    // ---- PHRASE membership from postings POSITIONS (reference: Tantivy
+    // records freq+positions, src/search/tantivy/schema.rs:19-21, and
+    // phrase queries match by token adjacency without reading stored
+    // text). The indexed route's phrase semantics is therefore TOKEN
+    // ADJACENCY — deliberately distinct from the fallback engine's
+    // substring contains, exactly as the reference's two engines differ
+    // (SURVEY §2.16). Four adversarial literal docs make the gate BITE:
+    // 'pyspark join …' matches the substring but NOT adjacency,
+    // 'spark, join …' matches adjacency but NOT the substring — a
+    // substring-based implementation flips both docs' membership, moves
+    // the subset stats, and hash-fails. ----
+    "search_phrase_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.{Bm25Index, FrameCols, Search}
+        val tbl = "phrase_indexed_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        import s.implicits._
+        val adversarial = Seq(
+          (900001L, "pyspark join window stream"), // substring, NOT adjacent
+          (900002L, "spark, join window please"),  // adjacent, NOT substring
+          (900003L, "spark join window exactly"),  // both
+          (900004L, "join spark window reversed")  // neither
+        ).toDF("doc_id", "text")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .unionAll(adversarial)
+        Bm25Index.write(docs, "doc_id", "text", tbl, stemmed = false,
+          withPositions = true)
+        val out = Search.searchIndexed(docs, "doc_id",
+            FrameCols(text = col("text")), "\"spark join\" window", tbl,
+            Search.Options(topK = 25, engine = Search.BM25Engine,
+              stemmed = false, withSnippets = false))
+          .select(col("id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        out
+      },
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES
+         |    (900001, 'pyspark join window stream'),
+         |    (900002, 'spark, join window please'),
+         |    (900003, 'spark join window exactly'),
+         |    (900004, 'join spark window reversed')) v(doc_id, text)),
+         |tk0 AS (SELECT doc_id, text, $duckToks AS tk FROM src),
+         |base AS (
+         |  SELECT doc_id AS id, text FROM tk0
+         |  WHERE list_contains(tk, 'window')
+         |    AND len(list_filter(range(len(tk)),
+         |          i -> tk[i+1] = 'spark' AND tk[i+2] = 'join')) > 0),
+         |${bm25Legs("base", "1", requireAll = false)}
+         |SELECT CAST(doc_id AS BIGINT) AS id, score FROM hits_1
+         |ORDER BY score DESC, id""".stripMargin),
+
+    // ---- STEM-TO-STEM membership from a STEMMED index (reference: the
+    // stemmed engine stems the QUERY tokens with the same analyzer as
+    // the index, src/memvid/search/tantivy.rs:40-46 — membership is
+    // stem-to-stem, never raw-token). Opt-in via Options.stemMembership
+    // (the default keeps this repo's raw-token contract — SURVEY §2.16
+    // records the split). The fixture's morphology makes it bite:
+    // 'running' stems to 'run', so docs holding only 'runs'/'running'
+    // are members under stem semantics and non-members under raw —
+    // the oracle replays BM25 over literal Porter-stemmed postings
+    // (computed here with the REAL tokenizer + stemmer, the vecLit
+    // inlining pattern), so a raw-membership implementation drops doc 2,
+    // moves the subset stats, and hash-fails. ----
+    "search_stemmed_indexed" -> QueryDef.sql(
+      (s, d) => {
+        import graft.search.{Bm25Index, FrameCols, Search}
+        val tbl = "stemmed_membership_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        import s.implicits._
+        val docs = StemFixture.docs.toDF("doc_id", "text", "track")
+        Bm25Index.write(docs, "doc_id", "text", tbl, stemmed = true)
+        val out = Search.searchIndexed(docs, "doc_id",
+            FrameCols(text = col("text"), track = col("track")),
+            "running track:t1", tbl,
+            Search.Options(topK = 25, engine = Search.BM25Engine,
+              stemmed = true, stemMembership = true, withSnippets = false))
+          .select(col("id"), col("score"))
+          .orderBy(col("score").desc, col("id"))
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        out
+      },
+      s"""WITH posts AS (SELECT * FROM (VALUES
+         |    ${StemFixture.postingsValues}) p(doc_id, term, tf)),
+         |docs AS (SELECT * FROM (VALUES
+         |    ${StemFixture.docValues}) dd(doc_id, track)),
+         |members AS (
+         |  SELECT dd.doc_id FROM docs dd
+         |  WHERE dd.track = 't1' AND EXISTS (
+         |    SELECT 1 FROM posts p
+         |    WHERE p.doc_id = dd.doc_id AND p.term = '${StemFixture.qStem}')),
+         |mp AS (SELECT * FROM posts
+         |       WHERE doc_id IN (SELECT doc_id FROM members)),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM mp GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |                 CAST(SUM(dl) AS DOUBLE) AS total FROM dl),
+         |df AS (SELECT COUNT(DISTINCT doc_id) AS df FROM mp
+         |       WHERE term = '${StemFixture.qStem}'),
+         |tfq AS (SELECT doc_id, tf FROM mp WHERE term = '${StemFixture.qStem}'),
+         |scored AS (
+         |  SELECT tfq.doc_id,
+         |    ROUND(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         |      * tfq.tf * 2.2
+         |      / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n_docs))),
+         |      6) AS score
+         |  FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id, stats, df)
+         |SELECT CAST(doc_id AS BIGINT) AS id, score FROM scored
+         |ORDER BY score DESC, id LIMIT 25""".stripMargin),
+
+    // ---- the DOCTOR knows about the sketch table: a put() past the
+    // sketch stamp degrades search() to no-prefilter (correct but slower
+    // at scale — the F10 candidate shrink silently stops applying), so
+    // the doctor probes `sketch_stale` on the facade-attached table and
+    // plans/executes the always-append `refresh_sketch_table` heal; the
+    // post-heal classification ("fresh") is locked as the third row. ----
+    "store_doctor_sketch" -> QueryDef.sql(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_doctor_sketch").toString
+        val skt = "doctor_sketch_tbl_gate"
+        s.sql(s"DROP TABLE IF EXISTS `$skt`")
+        val g = new graft.api.Graft(s, dir)
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 240)
+          .select(col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        g.frames.put(docs.map { case (i, t) => (s"mv2://docsk/$i", t) }.toSeq)
+        g.buildSketchTable(skt)
+        g.put("mv2://docsk/extra", "zzz qqq") // sketch stamp goes stale
+        val r = g.doctorRun()
+        import s.implicits._
+        val planned = r.rows
+          .filter(x => x.name == "sketch_stale" || x.name == "refresh_sketch_table")
+          .map(x => (x.rowType, x.phase, x.name, x.required, x.reason,
+            x.detailN, x.executed))
+        val post = Seq(("post", "post", "sketch_refresh_outcome", false,
+          g.refreshSketchTable(), 0L, true))
+        val out = (planned ++ post)
+          .toDF("row_type", "phase", "name", "required", "reason",
+            "detail_n", "executed")
+          .orderBy($"row_type", $"name")
+          .localCheckpoint()
+        s.sql(s"DROP TABLE IF EXISTS `$skt`")
+        VectorQueries.deleteRecursively(new java.io.File(dir))
+        out
+      },
+      """SELECT * FROM (VALUES
+        |  ('action', 'index_rebuild', 'refresh_sketch_table', TRUE, 'sketch_stale', CAST(1 AS BIGINT), TRUE),
+        |  ('finding', 'probe', 'sketch_stale', FALSE, 'warning', CAST(1 AS BIGINT), FALSE),
+        |  ('post', 'post', 'sketch_refresh_outcome', FALSE, 'fresh', CAST(0 AS BIGINT), TRUE)
+        |) v(row_type, phase, name, required, reason, detail_n, executed)
+        |ORDER BY row_type, name""".stripMargin))
+
+  /** stem-membership fixture shared by the gate body and its oracle:
+    * postings are computed with the REAL analyzer chain (TokenizeExpr +
+    * Porter) and inlined as SQL literals — the HashEmbedder vecLit
+    * pattern. Morphology: 'running'/'runs' stem to 'run' (members under
+    * stem-to-stem), 'runner'/'ran' do not. */
+  private[queries] object StemFixture {
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, "running quickly through the green fields", "t1"),
+      (2L, "the runner runs daily before morning", "t1"),
+      (3L, "a quiet walk in the park", "t1"),
+      (4L, "run fast run far run long", "t2"),
+      (5L, "they ran yesterday and rested", "t1"))
+
+    val qStem: String = graft.text.Porter.stem("running")
+
+    private def toks(text: String): Seq[String] = {
+      val ad = graft.functions.TokenizeExpr.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+    }
+
+    /** (doc_id, stemmed term, tf) rows as a SQL VALUES body */
+    def postingsValues: String = docs.flatMap { case (id, text, _) =>
+      toks(text).map(graft.text.Porter.stem)
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, occ) => s"($id, '$t', ${occ.size})" }
+    }.mkString(",\n    ")
+
+    def docValues: String =
+      docs.map { case (id, _, tr) => s"($id, '$tr')" }.mkString(", ")
+  }
 }

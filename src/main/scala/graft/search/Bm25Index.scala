@@ -46,26 +46,43 @@ object Bm25Index {
   /** tf-aggregated postings, optionally carrying a `track` column (the
     * doc-level field the index can be DIRECTORY-PARTITIONED by — track
     * is functionally dependent on doc_id, so the extra group key changes
-    * nothing about the aggregate). */
+    * nothing about the aggregate) and/or a `positions` column (sorted
+    * 0-based token positions per (doc, term) — the freq+positions layout
+    * Tantivy records, src/search/tantivy/schema.rs:19-21, which lets the
+    * indexed route answer PHRASE membership by adjacent-position checks
+    * and never read stored text; tf ≡ size(positions), kept separate so
+    * scoring stays one sum). */
   private def postingsFor(docs: DataFrame, idCol: String, textCol: String,
                           stemmed: Boolean,
-                          trackCol: Option[String]): DataFrame = {
+                          trackCol: Option[String],
+                          withPositions: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    trackCol match {
-      case None =>
-        BM25.postings(BM25.tokenTable(docs, idCol, textCol, stemmed))
-      case Some(tc) =>
-        graft.functions.F.ensureRegistered(docs.sparkSession)
-        val base = docs.select(col(idCol).as("doc_id"),
-          col(tc).cast("string").as("track"),
-          explode(graft.functions.F.tokens(col(textCol))).as("term"))
-        val toks = if (stemmed)
-          base.withColumn("term", graft.functions.F.porterStem(col("term")))
-        else base
-        toks.groupBy(col("track"), col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
+    if (trackCol.isEmpty && !withPositions)
+      BM25.postings(BM25.tokenTable(docs, idCol, textCol, stemmed))
+    else {
+      graft.functions.F.ensureRegistered(docs.sparkSession)
+      val trackSel = trackCol.map(tc => col(tc).cast("string").as("track")).toSeq
+      val base = docs.select(col(idCol).as("doc_id") +: trackSel :+
+        posexplode(graft.functions.F.tokens(col(textCol)))
+          .as(Seq("pos", "term")): _*)
+      val toks = if (stemmed)
+        base.withColumn("term", graft.functions.F.porterStem(col("term")))
+      else base
+      val groupCols = (trackCol.map(_ => "track").toSeq ++
+        Seq("doc_id", "term")).map(col)
+      val grouped = toks.groupBy(groupCols: _*)
+      if (withPositions)
+        grouped.agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+      else grouped.agg(count(lit(1)).as("tf"))
     }
   }
+
+  /** does the live postings table carry the positions column? (layout
+    * auto-detect, same contract as [[isTracked]]) */
+  private def isPositioned(spark: SparkSession, tableName: String): Boolean =
+    spark.catalog.tableExists(tableName) &&
+      spark.table(tableName).columns.contains("positions")
 
   /** does the live postings table carry the track partition column?
     * (false for a table that doesn't exist yet — the streaming path's
@@ -109,9 +126,15 @@ object Bm25Index {
   def write(docs: DataFrame, idCol: String, textCol: String,
             tableName: String, stemmed: Boolean = false,
             nBuckets: Int = 16,
-            trackCol: Option[String] = None): Unit = withTableLock(docs.sparkSession, tableName) {
+            trackCol: Option[String] = None,
+            withPositions: Boolean = false): Unit = withTableLock(docs.sparkSession, tableName) {
     val spark = docs.sparkSession
-    val postings = postingsFor(docs, idCol, textCol, stemmed, trackCol)
+    // rebuilding an existing POSITIONED table keeps the layout even when
+    // the flag is omitted (the doctor's heal path rebuilds by table name
+    // only) — same auto-detect contract as the track layout
+    val positioned = withPositions || isPositioned(spark, tableName)
+    val postings = postingsFor(docs, idCol, textCol, stemmed, trackCol,
+      positioned)
     val parts = trackCol.map(_ => "track").toSeq
     if (!spark.catalog.tableExists(tableName)) {
       // sweep residue of a swap torn mid-rename (write = full rebuild
@@ -168,22 +191,30 @@ object Bm25Index {
   def append(delta: DataFrame, idCol: String, textCol: String,
              tableName: String, stemmed: Boolean = false,
              nBuckets: Int = 16,
-             trackCol: Option[String] = None): Unit = withTableLock(delta.sparkSession, tableName) {
-    appendUnlocked(delta, idCol, textCol, tableName, stemmed, nBuckets, trackCol)
+             trackCol: Option[String] = None,
+             withPositions: Boolean = false): Unit = withTableLock(delta.sparkSession, tableName) {
+    appendUnlocked(delta, idCol, textCol, tableName, stemmed, nBuckets,
+      trackCol, withPositions)
   }
 
   /** [[append]] body without the lock acquisition — for callers already
     * inside [[maintenanceLock]] (the lock is not re-entrant) */
   private[graft] def appendUnlocked(delta: DataFrame, idCol: String,
              textCol: String, tableName: String, stemmed: Boolean,
-             nBuckets: Int, trackCol: Option[String]): Unit = {
+             nBuckets: Int, trackCol: Option[String],
+             withPositions: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val tracked = isTracked(spark, tableName)
     require(!tracked || trackCol.isDefined,
       s"$tableName is track-partitioned: append needs trackCol so the " +
       "delta lands in the right partition directories")
+    // the existing table's layout wins (a delta must land in the same
+    // schema); the flag only decides a CREATE (streaming's first append)
+    val positioned =
+      if (spark.catalog.tableExists(tableName)) isPositioned(spark, tableName)
+      else withPositions
     val postings = postingsFor(delta, idCol, textCol, stemmed,
-      if (tracked) trackCol else None)
+      if (tracked) trackCol else None, positioned)
     val w = postings.write
       .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
       .mode("append").format("parquet")
@@ -245,10 +276,17 @@ object Bm25Index {
     // is value-neutral); "one file per bucket" becomes one per
     // (partition, bucket)
     val tracked = isTracked(spark, tableName)
+    val positioned = isPositioned(spark, tableName)
     val groupCols = if (tracked) Seq("track", "doc_id", "term")
                     else Seq("doc_id", "term")
+    // a positioned table merges split rows' position lists the same way
+    // tf sums — sort_array(flatten) is deterministic and value-neutral
+    // under the disjoint-doc append contract (one row per group)
+    val aggCols = sum(col("tf")).as("tf") +: (if (positioned)
+      Seq(sort_array(flatten(collect_list(col("positions")))).as("positions"))
+    else Nil)
     val merged = spark.table(tableName)
-      .groupBy(groupCols.map(col): _*).agg(sum(col("tf")).as("tf"))
+      .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       .repartition(nBuckets, col("doc_id"))
     graft.ops.Bucketing.writeBucketed(merged, tmpName, nBuckets, Seq("doc_id"),
       if (tracked) Seq("track") else Nil)

@@ -46,6 +46,27 @@ object QExpr {
     case Word(w)   => if (w.isEmpty) Seq.empty else Seq(w)
     case _         => Seq.empty
   }
+
+  /** every Phrase atom, NOT included — the positional-membership
+    * vocabulary (like [[allWords]], a negated phrase still evaluates
+    * per-doc for the complement) */
+  def allPhrases(e: QExpr): Seq[String] = e match {
+    case And(l, r) => allPhrases(l) ++ allPhrases(r)
+    case Or(l, r)  => allPhrases(l) ++ allPhrases(r)
+    case Not(x)    => allPhrases(x)
+    case Phrase(p) => Seq(p)
+    case _         => Seq.empty
+  }
+
+  /** every Wildcard atom, NOT included — the term-dictionary membership
+    * vocabulary */
+  def allWildcards(e: QExpr): Seq[String] = e match {
+    case And(l, r)   => allWildcards(l) ++ allWildcards(r)
+    case Or(l, r)    => allWildcards(l) ++ allWildcards(r)
+    case Not(x)      => allWildcards(x)
+    case Wildcard(g) => Seq(g)
+    case _           => Seq.empty
+  }
 }
 
 final case class QueryParseException(msg: String) extends RuntimeException(msg)

@@ -56,23 +56,43 @@ object QueryCompiler {
       case c => c.toString
     }
 
-  def compile(e: QExpr, f: FrameCols): Column = compile(e, f, None)
+  /** Index-derived overrides for the TEXT-membership side of query
+    * atoms — the indexed route binds these to postings-derived flag
+    * columns so membership is answered by the inverted index instead of
+    * reading/tokenizing the corpus text (the tantivy way: membership
+    * comes from the index, never the stored text,
+    * src/search/tantivy/query.rs:172-217). Each function must return a
+    * non-null boolean:
+    *  - `word(w)`: extensionally `array_contains(tokens(text), w)` (or
+    *    stem-to-stem under the stemmed-membership contract) — the
+    *    tag/label/track disjuncts of the word atom stay compiled on the
+    *    frame columns either way;
+    *  - `wildcard(g)`: extensionally "some token matches the anchored
+    *    glob" — identical by construction on an unstemmed index (the
+    *    postings' distinct terms ARE the raw tokens), the reference's
+    *    RegexQuery over the term dictionary (query.rs:115-126);
+    *  - `phrase(p)`: POSITIONAL adjacency of the phrase's token
+    *    sequence — the reference's INDEXED phrase semantics (Tantivy
+    *    records freq+positions, src/search/tantivy/schema.rs:19-21, and
+    *    phrase queries never read stored text). NOTE this deliberately
+    *    differs from the fallback/corpus compile (substring contains,
+    *    fallback.rs semantics) exactly as the reference's two engines
+    *    differ — SURVEY §2.16 records the split. */
+  final case class IndexHits(word: Option[String => Column] = None,
+                             wildcard: Option[String => Column] = None,
+                             phrase: Option[String => Column] = None)
 
-  /** @param wordTokenHit optional override for the TOKEN-membership
-    *        disjunct of a bare-word atom — the indexed route binds it to
-    *        a postings-derived flag column so word membership is answered
-    *        by the inverted index instead of tokenizing the corpus text
-    *        (the tantivy way: membership comes from the index, never the
-    *        stored text, src/search/tantivy/query.rs:172-217). Must be
-    *        non-null boolean and EXTENSIONALLY equal to
-    *        `array_contains(tokens(text), w)` — the tag/label/track
-    *        disjuncts of the word atom stay compiled on the frame
-    *        columns either way. */
+  def compile(e: QExpr, f: FrameCols): Column = compile(e, f, IndexHits())
+
+  /** back-compat: word-only override */
   def compile(e: QExpr, f: FrameCols,
-              wordTokenHit: Option[String => Column]): Column = e match {
-    case And(l, r) => compile(l, f, wordTokenHit) && compile(r, f, wordTokenHit)
-    case Or(l, r)  => compile(l, f, wordTokenHit) || compile(r, f, wordTokenHit)
-    case Not(x)    => !coalesce(compile(x, f, wordTokenHit), lit(false))
+              wordTokenHit: Option[String => Column]): Column =
+    compile(e, f, IndexHits(word = wordTokenHit))
+
+  def compile(e: QExpr, f: FrameCols, hits: IndexHits): Column = e match {
+    case And(l, r) => compile(l, f, hits) && compile(r, f, hits)
+    case Or(l, r)  => compile(l, f, hits) || compile(r, f, hits)
+    case Not(x)    => !coalesce(compile(x, f, hits), lit(false))
     // the empty word (punctuation-only token, parser.rs from_word) has no
     // index token to constrain on — neutral-true, like the fallback
     // evaluator's contains("") (src/memvid/search/mod.rs:42-47)
@@ -80,20 +100,22 @@ object QueryCompiler {
     // a bare word matches content tokens, or exact tag/label/track — the
     // tantivy field-OR expansion (query.rs:172-217)
     case Word(w) =>
-      val token = wordTokenHit.fold(
+      val token = hits.word.fold(
         array_contains(f.tokens.getOrElse(F.tokens(f.text)), w))(m => m(w))
       val tagHit = coalesce(array_contains(f.tags, w), lit(false))
       val labelHit = coalesce(array_contains(f.labels, w), lit(false))
       val trackHit = coalesce(f.track === w, lit(false))
       token || tagHit || labelHit || trackHit
-    case Phrase(p)    => f.text.contains(p) || lower(f.text).contains(p.toLowerCase)
-    case Wildcard(g)  =>
+    case Phrase(p) => hits.phrase.fold(
+      f.text.contains(p) || lower(f.text).contains(p.toLowerCase))(m => m(p))
+    case Wildcard(g) => hits.wildcard.fold {
       // match the glob against the space-joined token string instead of an
       // exists() lambda — lambda HOFs fall out of codegen inside Filter
       // nodes (see TokenizeExpr scaladoc); a plain RLIKE stays compiled
       f.tokenStr
         .getOrElse(array_join(f.tokens.getOrElse(F.tokens(f.text)), " "))
         .rlike(globToTokenRegex(g))
+    }(m => m(g))
     // uri/track/tag/label compare ASCII-case-insensitively (the parser
     // lowercased the query value, reference FieldTerm::matches uses
     // eq_ignore_ascii_case, src/search/mod.rs:57-84) — so the COLUMN side

@@ -19,7 +19,21 @@ object Search {
 
   final case class Options(topK: Int = 10, offset: Int = 0,
                            withSnippets: Boolean = true, snippetWindow: Int = 60,
-                           engine: Engine = FallbackEngine, stemmed: Boolean = true)
+                           engine: Engine = FallbackEngine, stemmed: Boolean = true,
+                           /** INDEXED-route membership semantics for a
+                             * STEMMED index: false (default) keeps the
+                             * raw-token contract (word membership =
+                             * `array_contains(tokens(text), w)` — needs
+                             * the corpus tokenize, since stemmed postings
+                             * cannot answer raw tokens); true serves
+                             * stem-to-stem membership from the postings
+                             * (query words stem like the corpus did — the
+                             * reference's actual stemmed-engine semantics,
+                             * src/memvid/search/tantivy.rs:40-46, where
+                             * the query analyzer matches the index
+                             * analyzer). Only the indexed route consults
+                             * this; SURVEY §2.16 records the contract. */
+                           stemMembership: Boolean = false)
 
   // pure conjunction of bare words? then BM25-mode membership comes from
   // the (stemmed) engine itself, like the reference's tantivy must-clauses
@@ -39,17 +53,13 @@ object Search {
     case _                   => Nil
   }
 
-  /** does any atom need the raw TEXT column to evaluate? Phrases match
-    * substrings and wildcards match token shapes — neither is answerable
-    * from an exact-term postings table; everything else evaluates on
-    * narrow metadata columns or (for bare words) the postings. */
-  private def hasTextAtom(e: QExpr): Boolean = e match {
-    case QExpr.And(l, r)  => hasTextAtom(l) || hasTextAtom(r)
-    case QExpr.Or(l, r)   => hasTextAtom(l) || hasTextAtom(r)
-    case QExpr.Not(x)     => hasTextAtom(x)
-    case QExpr.Phrase(_)  => true
-    case QExpr.Wildcard(_) => true
-    case _                => false
+  /** driver-side twin of `F.tokens` for QUERY-side strings (a phrase is
+    * one short string) — the same analyzer the index was built with, so
+    * phrase token sequences line up with postings positions */
+  private[search] def tokenizeQuery(s: String): Seq[String] = {
+    val ad = graft.functions.TokenizeExpr.tokenize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
   }
 
   /** @param docs corpus; @param idCol unique id column name;
@@ -188,24 +198,38 @@ object Search {
       if (!postings0.columns.contains("track")) postings0
       else trackEqConjuncts(ast).foldLeft(postings0)((p, v) =>
         p.filter(lower(col("track")) === v))
-    // Mixed (word + field) queries need an allowed-id set. The word
-    // atoms' TOKEN membership is answerable two ways:
-    //  - from the POSTINGS (an unstemmed index's terms ARE the raw
-    //    tokens the membership contract tests): one bounded aggregate
-    //    over the query terms' postings rows, left-joined as a flag
-    //    column onto the docs' NARROW metadata columns — the corpus
-    //    text is never read or tokenized in the ranking (the tantivy
-    //    membership model, src/search/tantivy/query.rs:172-217; at
-    //    100 TB with a selective track this is reading a term's
-    //    postings rows instead of a track's text);
-    //  - from the TEXT (the compiled predicate's tokenize) — kept only
-    //    where the postings can't answer exactly: a STEMMED index
-    //    (postings terms are stems, the membership contract is raw
-    //    tokens) or a phrase/wildcard atom (substring/shape matches).
-    // Values are identical by construction either way — the flag is
-    // extensionally array_contains(tokens(text), w).
-    val postingsMembership = !bm25Membership && !opts.stemmed &&
-      !hasTextAtom(ast)
+    // Mixed (word/wildcard/phrase + field) queries need an allowed-id
+    // set. The text atoms' TOKEN membership is answerable two ways:
+    //  - from the POSTINGS: one bounded aggregate over the query-relevant
+    //    postings rows, left-joined as flag columns onto the docs' NARROW
+    //    metadata columns — the corpus text is never read or tokenized in
+    //    the ranking (the tantivy membership model,
+    //    src/search/tantivy/query.rs:172-217). Words: an unstemmed
+    //    index's terms ARE the raw tokens (and under the opt-in
+    //    stemMembership contract a stemmed index answers stem-to-stem,
+    //    tantivy.rs:40-46). Wildcards: a glob over the postings' terms IS
+    //    the token-shape contract (RegexQuery over the term dictionary,
+    //    query.rs:115-126) — identical semantics by construction.
+    //    Phrases: adjacent-position checks over a POSITIONED table
+    //    (freq+positions, schema.rs:19-21) — the reference's INDEXED
+    //    phrase semantics (token adjacency), deliberately distinct from
+    //    the fallback engine's substring contains (SURVEY §2.16).
+    //  - from the TEXT (the compiled predicate's tokenize/contains) —
+    //    kept only where the postings can't answer: a stemmed index
+    //    under the default raw-token contract, or a multi-token phrase
+    //    on a table without positions.
+    val phraseAtoms = QExpr.allPhrases(ast).distinct
+    val wildcardAtoms = QExpr.allWildcards(ast).distinct
+    val hasPositions = postings0.columns.contains("positions")
+    val stemQ: String => String =
+      if (opts.stemmed) graft.text.Porter.stem else identity
+    // phrase token sequences under the index's analyzer
+    val phraseToks: Map[String, Seq[String]] =
+      phraseAtoms.map(p => p -> tokenizeQuery(p).map(stemQ)).toMap
+    val needsPositions = phraseToks.values.exists(_.length > 1)
+    val postingsMembership = !bm25Membership &&
+      (!opts.stemmed || opts.stemMembership) &&
+      (!needsPositions || hasPositions)
     // the lookup frame returned for the bounded snippet decoration: with
     // membership enforced in the ranking (engine cut or id semi-join)
     // the page's ids already passed the predicate, so the flag-path
@@ -217,19 +241,65 @@ object Search {
     val posts0 =
       if (bm25Membership) postings
       else if (postingsMembership) {
-        // membership vocabulary = EVERY word atom, negated ones included
-        // (a NOT word must flag per-doc to take the exact complement);
-        // the scoring terms above stay the positive-only set
-        val words = QExpr.allWords(ast).distinct
-        // one row per doc holding WHICH query words it contains —
+        // membership vocabulary = EVERY text atom, negated ones included
+        // (a NOT atom must flag per-doc to take the exact complement);
+        // the scoring terms above stay the positive-only word set
+        val words = QExpr.allWords(ast).distinct.map(stemQ).distinct
+        val multiPhrases = phraseAtoms.filter(p => phraseToks(p).length > 1)
+        val phIdx = multiPhrases.zipWithIndex.toMap
+        val wcIdx = wildcardAtoms.zipWithIndex.toMap
+        val wcRegex = wildcardAtoms.map(g =>
+          g -> QueryCompiler.globToRegex(g)).toMap
+        // exact terms the aggregate needs rows for: word atoms plus every
+        // phrase token (single-token phrases degrade to word membership)
+        val memberTerms =
+          (words ++ phraseToks.values.flatten).distinct
+        // one row per doc holding WHICH query terms it contains (plus
+        // per-wildcard hit flags and per-phrase-token position lists) —
         // groupBy over the doc_id-bucketed postings plans exchange-free,
-        // and the term filter bounds the aggregate to the query terms'
-        // postings rows (term-selective, not corpus-sized)
-        val wordHits = postings.filter(col("term").isin(words: _*))
+        // and the term filter bounds the aggregate to the query-relevant
+        // postings rows (term-selective; a wildcard widens the FILTER to
+        // a regex over the narrow term column — the term-dictionary
+        // scan — but the aggregate output stays one row per doc)
+        val termHit =
+          if (memberTerms.nonEmpty) col("term").isin(memberTerms: _*)
+          else lit(false)
+        val relevantCond = wcRegex.values
+          .foldLeft(termHit)((c, re) => c || col("term").rlike(re))
+        val aggs: Seq[Column] =
+          Seq(collect_set(when(termHit, col("term"))).as("__qterms")) ++
+          wildcardAtoms.map(g => max(
+            when(col("term").rlike(wcRegex(g)), lit(true))
+              .otherwise(lit(false))).as(s"__wc_${wcIdx(g)}")) ++
+          multiPhrases.flatMap(p => phraseToks(p).zipWithIndex.map {
+            case (t, j) =>
+              flatten(collect_list(when(col("term") === t, col("positions"))))
+                .as(s"__ph_${phIdx(p)}_$j")
+          })
+        val wordHits = postings.filter(relevantCond)
           .groupBy(col("doc_id"))
-          .agg(collect_set(col("term")).as("__qterms"))
-        val pred = QueryCompiler.compile(ast, f, Some(w =>
-          coalesce(array_contains(col("__qterms"), lit(w)), lit(false))))
+          .agg(aggs.head, aggs.tail: _*)
+        def emptyPos = array().cast("array<int>")
+        def phraseFlag(p: String): Column = phraseToks(p) match {
+          case Seq() => lit(true) // no index token constrains (cf. Word(""))
+          case Seq(t) => coalesce(
+            array_contains(col("__qterms"), lit(t)), lit(false))
+          case toks =>
+            val i = phIdx(p)
+            def pc(j: Int) = coalesce(col(s"__ph_${i}_$j"), emptyPos)
+            // adjacency: some start position p0 of the first token is
+            // followed by token j at p0 + j for every later j
+            exists(pc(0), p0 => toks.indices.tail
+              .map(j => array_contains(pc(j), p0 + lit(j)))
+              .reduce(_ && _))
+        }
+        val pred = QueryCompiler.compile(ast, f, QueryCompiler.IndexHits(
+          word = Some(w => coalesce(
+            array_contains(col("__qterms"), lit(stemQ(w))), lit(false))),
+          wildcard = if (wildcardAtoms.isEmpty) None
+            else Some(g => coalesce(col(s"__wc_${wcIdx(g)}"), lit(false))),
+          phrase = if (phraseAtoms.isEmpty) None
+            else Some(phraseFlag)))
         val memberIds = docs
           .join(wordHits.withColumnRenamed("doc_id", "__mid"),
             col(idCol).cast("long") === col("__mid"), "left")

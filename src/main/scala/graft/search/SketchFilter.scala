@@ -36,8 +36,16 @@ object SketchFilter {
   def candidates(sketches: DataFrame, queryHash: Long, topK: Int,
                  maxHamming: Int = DefaultMaxHamming): DataFrame = {
     val minKeep = math.max(topK * 10, MinCandidates)
-    val withDist = sketches.withColumn("__h",
-      bit_count(col("simhash").bitwiseXOR(lit(queryHash))))
+    // defense-in-depth vs duplicate sketch rows (a torn/replayed refresh
+    // append): duplicates would inflate the floor COUNT below and
+    // silently suppress the relaxation that keeps minKeep candidates —
+    // recall loss with no signal. Exact-row dedup is deterministic and
+    // value-neutral on a clean table (the maintenance lock makes
+    // duplicates unreachable on the facade path; this keeps the pure
+    // function honest for standalone callers).
+    val withDist = sketches.dropDuplicates("doc_id", "simhash")
+      .withColumn("__h",
+        bit_count(col("simhash").bitwiseXOR(lit(queryHash))))
     val within = withDist.filter(col("__h") <= maxHamming)
     // relaxation: if the strict cut is too small, take nearest minKeep
     val kept =

@@ -56,7 +56,19 @@ final class FrameStore(spark: SparkSession, path: String,
     * (stamp, watermark] delta FROM THE LOG (the facade's refresh-vs-
     * rebuild probe) is blind past a vacuum: a purged delete looks like an
     * empty append-only delta. `lastVacuumSeq > stamp` is the exact "the
-    * log cannot answer" predicate those consumers test. */
+    * log cannot answer" predicate those consumers test.
+    *
+    * ROLLING-UPGRADE CONSTRAINT (documented, not enforced): fields are
+    * strictly ADDITIVE — this reader treats any ≥2-field record as a
+    * prefix (unknown trailing fields ignored), so a NEWER writer's file
+    * stays readable here and the watermark is never silently dropped.
+    * The r18 two-field→three-field transition predates this rule: a
+    * pre-r18 binary matching exactly two fields reads a three-field file
+    * as ABSENT and falls back to the compacted log's max-id scan — in a
+    * mixed-version multi-writer deployment it could re-mint ids a newer
+    * binary's vacuum purged. Deployments that vacuum must therefore
+    * upgrade writers in lockstep ACROSS the r18 boundary; from r19 on,
+    * the prefix rule makes field additions rolling-safe. */
   private def readSeqFile(): Option[(Long, Long, Long)] =
     try {
       if (!fs.exists(seqFile)) None
@@ -65,8 +77,9 @@ final class FrameStore(spark: SparkSession, path: String,
         val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
         line.split('\t') match {
+          case a if a.length >= 3 =>
+            Some((a(0).toLong, a(1).toLong, a(2).toLong))
           case Array(i, s) => Some((i.toLong, s.toLong, 0L))
-          case Array(i, s, v) => Some((i.toLong, s.toLong, v.toLong))
           case _ => None
         }
       }

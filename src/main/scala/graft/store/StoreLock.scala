@@ -146,6 +146,25 @@ object StoreLock {
     }
 
   private[store] def readRecord(fs: FileSystem, lockPath: String): Option[Owner] =
+    readRecordTri(fs, lockPath) match {
+      case RecordOwner(o) => Some(o)
+      case _              => None
+    }
+
+  /** [[readRecord]] with the ABSENT / UNREADABLE distinction preserved.
+    * [[StoreLock.heartbeat]] needs it: a missing lockfile means released
+    * or legally swept (never re-stamp — that would recreate a phantom
+    * lock), but a READ FAILURE on a present file (transient FS error,
+    * torn mid-publish) proves nothing about ownership — a pump that
+    * treats it as "not ours" under sustained read degradation stops
+    * stamping while believing it pumps, the grace expires, and a
+    * forceStale contender legally steals a LIVE writer's lock. */
+  private[store] sealed trait RecordRead
+  private[store] case object RecordAbsent extends RecordRead
+  private[store] case object RecordUnreadable extends RecordRead
+  private[store] final case class RecordOwner(o: Owner) extends RecordRead
+
+  private[store] def readRecordTri(fs: FileSystem, lockPath: String): RecordRead =
     try {
       val in = fs.open(new Path(lockPath))
       val line =
@@ -153,11 +172,18 @@ object StoreLock {
         finally in.close()
       line.split('\t') match {
         case Array(pid, host, cmd, started, hb, last) =>
-          Some(Owner(pid.toLong, host, cmd, started.toLong, hb.toLong,
+          RecordOwner(Owner(pid.toLong, host, cmd, started.toLong, hb.toLong,
             last.toLong))
-        case _ => None // half-written record: owner unknown
+        case _ => RecordUnreadable // half-written record: owner unknown
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case _: java.io.FileNotFoundException => RecordAbsent
+      case scala.util.control.NonFatal(_) =>
+        // open/parse failed for another reason: only a provable absence
+        // reads as absent; anything else is a transient read failure
+        try { if (fs.exists(new Path(lockPath))) RecordUnreadable else RecordAbsent }
+        catch { case scala.util.control.NonFatal(_) => RecordUnreadable }
+    }
 
   /** No heartbeat within the grace ⇒ stale (reference registry::is_stale).
     * A lockfile whose record is missing or unreadable is stale only when
@@ -285,9 +311,19 @@ final class StoreLock private[store] (fs: FileSystem, lockPath: String,
     * release() documents. */
   def heartbeat(): Unit = synchronized {
     if (released) return
-    val cur = StoreLock.readRecord(fs, lockPath)
-    if (!cur.exists(c => c.pid == record.pid &&
-          c.startedAtMs == record.startedAtMs)) return
+    StoreLock.readRecordTri(fs, lockPath) match {
+      case StoreLock.RecordAbsent => return // released/swept: never recreate
+      case StoreLock.RecordOwner(c)
+        if c.pid != record.pid || c.startedAtMs != record.startedAtMs =>
+        return // a usurper's record: never clobber a live writer
+      case _ => () // ours — or UNREADABLE (transient read failure / torn
+        // mid-publish): ownership was verified at acquire and every prior
+        // tick, and a usurper is only legal after a FULL un-stamped grace,
+        // which an actively-pumping holder never reaches — so stamping is
+        // the safe direction (skipping here under sustained read
+        // degradation is exactly the silent pump-death the loop fix
+        // targeted)
+    }
     record = record.copy(lastHeartbeatMs = System.currentTimeMillis())
     val bytes =
       s"${record.pid}\t${record.host}\t${record.cmd}\t${record.startedAtMs}\t${record.heartbeatMs}\t${record.lastHeartbeatMs}\n"

@@ -263,12 +263,25 @@ object StreamingIngest {
     *               and [[graft.search.Bm25Index.compact]] folds the
     *               debt back — SCALE.md round-18 carries the 20-trigger
     *               flatness measurement) */
+  /** @param compactFileBudget opt-in ADAPTIVE COMPACTION (the reference's
+    *        continuous Tantivy merge policy folds small segments as it
+    *        ingests, src/search/tantivy/engine.rs — without it each
+    *        trigger's append leaves files per bucket forever and
+    *        scan-open cost creeps, the sawtooth SCALE.md r18 §2 bounded
+    *        with MANUAL compacts): after each batch's append, when the
+    *        table's data-file count exceeds the budget (the doctor's
+    *        `bm25_file_debt` signal, measured with the same
+    *        [[graft.search.Bm25Index.dataFileCount]] probe), the batch
+    *        runs [[graft.search.Bm25Index.compact]] inline — value-
+    *        neutral by the compact gate, so the steady-state loop is
+    *        self-contained with a bounded file count. */
   def runBm25IndexStream(spark: SparkSession, inputDir: String,
                          tableName: String, checkpointDir: String,
                          toDocs: DataFrame => DataFrame,
                          stemmed: Boolean = false, nBuckets: Int = 16,
                          maxFilesPerTrigger: Int = 8,
-                         trackCol: Option[String] = None): StreamingQuery = {
+                         trackCol: Option[String] = None,
+                         compactFileBudget: Option[Long] = None): StreamingQuery = {
     val raw = spark.readStream
       .format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -291,6 +304,21 @@ object StreamingIngest {
         // the refresh the outer session (and the next batch's anti-join
         // guard) keeps serving the stale file listing
         spark.catalog.refreshTable(tableName)
+        compactFileBudget.foreach { budget =>
+          if (graft.search.Bm25Index.dataFileCount(spark, tableName) > budget) {
+            // compaction is value-neutral but the swap installs a NEW
+            // catalog table, dropping properties — re-stamp any serving
+            // version so a facade-attached table stays indexed-served
+            // (the doctor's compact_lex_index discipline)
+            val stamp = spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+              .properties.get("graft.store.version")
+            graft.search.Bm25Index.compact(spark, tableName, nBuckets)
+            stamp.foreach(v => spark.sql(s"ALTER TABLE `$tableName` " +
+              s"SET TBLPROPERTIES ('graft.store.version' = '$v')"))
+            spark.catalog.refreshTable(tableName)
+          }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

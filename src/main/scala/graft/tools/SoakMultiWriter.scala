@@ -96,6 +96,14 @@ object SoakMultiWriter {
     require(unique, "ID COLLISION — a lock steal double-minted")
     require(commitsOk, "commit accounting drifted")
     require(violations == 0, "serving correctness violated")
+    // append-only workload: every vec/lex/sketch refresh classification
+    // must come out fresh or appended — a 'rebuilt' is a torn marker or
+    // a misclassified delta (the r18 soak caught exactly this)
+    val rebuilt = outs.flatMap(_.linesIterator)
+      .filter(_.startsWith("SOAK_WRITER"))
+      .flatMap("rebuilt -> (\\d+)".r.findAllMatchIn(_))
+      .map(_.group(1).toLong).sum
+    require(rebuilt == 0, s"$rebuilt spurious rebuilds in an append-only soak")
     spark.stop()
   }
 }
@@ -112,6 +120,17 @@ object SoakWriterChild {
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.api.Graft(spark, base)
     g.attachVecIndex(vecPath, nprobe = 2)
+    // r19: the lex + sketch maintenance loops join the soak. Catalog
+    // metadata does not cross JVM boundaries, so each child maintains its
+    // OWN table names — the contended resource under test is the SHARED
+    // mutating store (foreign commits race every classification; the r18
+    // soak caught exactly such a misclassification) plus this child's
+    // maintenance lock discipline.
+    val lexTbl = s"soak_lex_w$idx"; val skTbl = s"soak_sk_w$idx"
+    spark.sql(s"DROP TABLE IF EXISTS `$lexTbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `$skTbl`")
+    g.buildLexIndex(lexTbl, stemmed = false)
+    g.buildSketchTable(skTbl)
     // aggressive second handle for PUTS: a live peer whose heartbeat goes
     // quiet for 15 s gets stolen — the pump (500 ms ticks, ~30× margin)
     // must make that impossible for live writers. The margin is the
@@ -126,8 +145,12 @@ object SoakWriterChild {
     val deadline = System.currentTimeMillis() + secs * 1000L
     var puts = 0L; var violations = 0L; var lockedErrors = 0L
     var refreshes = Map("fresh" -> 0L, "appended" -> 0L, "rebuilt" -> 0L)
+    var skRefreshes = Map("fresh" -> 0L, "appended" -> 0L, "rebuilt" -> 0L)
+    var lexRefreshes = Map("fresh" -> 0L, "appended" -> 0L, "rebuilt" -> 0L)
+    var sketchOnHits = 0L
     var routes = Map("indexed" -> 0L, "corpus" -> 0L)
     var putWalls = Vector.empty[Double]
+    var lastMarker: Option[String] = None
     var i = 0
     while (System.currentTimeMillis() < deadline) {
       val marker = s"wmk${idx}x$i"
@@ -137,6 +160,7 @@ object SoakWriterChild {
           s"writer $idx iteration $i about spark joins $marker")))
         putWalls :+= (System.nanoTime() - t0) / 1e9
         puts += 1
+        lastMarker = Some(marker)
         // corpus-route read-your-write: the fallback scorer scans the
         // live log, so the just-minted doc must surface for its unique
         // token regardless of any index state
@@ -153,6 +177,27 @@ object SoakWriterChild {
         routes = routes.updated(g.lastAskVecRoute,
           routes(g.lastAskVecRoute) + 1)
       }
+      if (i % 3 == 1) {
+        // lex + sketch maintenance race foreign commits: classifications
+        // must come out fresh/appended only (the soak is append-only for
+        // THIS child's artifacts — a 'rebuilt' means a torn marker or a
+        // misclassified delta), and a sketch-ON search must stay correct
+        val lo = g.refreshLexIndex()
+        lexRefreshes = lexRefreshes.updated(lo, lexRefreshes(lo) + 1)
+        val so = g.refreshSketchTable()
+        skRefreshes = skRefreshes.updated(so, skRefreshes(so) + 1)
+        lastMarker.foreach { mk =>
+          val hits = g.search(mk, topK = 3).select("id").collect()
+          // sketch_applied requires BOTH stamps current — a foreign
+          // commit between the refreshes and the search legally flips it
+          // off (skip is the lossless direction); when it DID apply, the
+          // marker doc must still surface (floor >> corpus size here)
+          if (g.lastSketchApplied) {
+            sketchOnHits += 1
+            if (hits.isEmpty) violations += 1
+          }
+        }
+      }
       i += 1
     }
     val sorted = putWalls.sorted
@@ -160,7 +205,10 @@ object SoakWriterChild {
       else sorted(math.min(sorted.size - 1, (sorted.size * p).toInt))
     println(f"SOAK_WRITER idx=$idx puts=$puts violations=$violations " +
       f"locked_errors=$lockedErrors put_p50=${pct(0.5)}%.2f " +
-      f"put_p99=${pct(0.99)}%.2f refreshes=$refreshes routes=$routes")
+      f"put_p99=${pct(0.99)}%.2f refreshes=$refreshes routes=$routes " +
+      f"lex=$lexRefreshes sk=$skRefreshes sketch_on_hits=$sketchOnHits")
+    spark.sql(s"DROP TABLE IF EXISTS `$lexTbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `$skTbl`")
     spark.stop()
     sys.exit(0)
   }

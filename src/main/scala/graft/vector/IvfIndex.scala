@@ -135,16 +135,40 @@ object IvfIndex {
       // caught a peer crashing mid-read when a rebuild raced it). A
       // fresh path still writes generation 0 directly.
       val gen = if (exists(spark, path)) read(spark, path).generation + 1 else 0L
-      val oldGenDir = if (gen == 0L) None else Some(liveGenDir(spark, path))
       writeGen(spark, path, gen,
         VectorSearch.assignClusters(emb, vecCol, centroids),
         centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
         floatKernel = true)
       swapCurrent(spark, path, gen)
-      oldGenDir.filter(_ != path)
-        .foreach(d => fsOf(spark, path).delete(new Path(d), true): Unit)
+      gcSuperseded(spark, path, gen)
     }
     read(spark, path)
+  }
+
+  /** Grace-period GC for superseded generations: delete committed
+    * `gen-N` dirs STRICTLY OLDER than the one this swap superseded —
+    * i.e. keep the immediately-previous generation alive for one full
+    * rebuild cycle. Readers are lock-free by design; one that resolved
+    * [[liveGenDir]] just before the pointer swap is still scanning the
+    * superseded dir, and deleting it in the same call loses its files
+    * mid-scan (the residual race the r18 gen-swap narrowed but did not
+    * close). Keeping exactly one back generation bounds disk at 2× while
+    * making the window a whole rebuild period instead of milliseconds —
+    * a reader that STILL holds a two-generations-old dir has outlived a
+    * full rebuild and is beyond any freshness contract. Recovery scans
+    * ([[liveGenDir]] without CURRENT) take the HIGHEST committed gen, so
+    * a kept back-gen never wins over the live one. */
+  private def gcSuperseded(spark: SparkSession, path: String,
+                           liveGen: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen-") &&
+          n.stripPrefix("gen-").toLongOption.exists(_ < liveGen - 1))
+        fs.delete(st.getPath, true): Unit
+    }
   }
 
   /** COMMITTED delta dirs under a generation, in append order. Each
@@ -282,7 +306,9 @@ object IvfIndex {
     val nextGen = h.generation + 1
     writeGen(spark, path, nextGen, h.assigned, h.centroids, h.floatKernel)
     swapCurrent(spark, path, nextGen)
-    if (genDir != path) fs.delete(new Path(genDir), true)
+    // superseded gen survives one rebuild cycle for lock-free readers
+    // (see gcSuperseded); legacy flat layouts have no gen dir to keep
+    if (genDir != path) gcSuperseded(spark, path, nextGen)
     read(spark, path)
     }
 
@@ -340,7 +366,7 @@ object IvfIndex {
     if (oldGenDir == path) { // legacy flat layout migrating to gen dirs
       fs.delete(new Path(s"$path/assigned"), true)
       fs.delete(new Path(s"$path/centroids"), true)
-    } else fs.delete(new Path(oldGenDir), true)
+    } else gcSuperseded(spark, path, nextGen) // keep one back gen (grace)
     read(spark, path)
     }
 

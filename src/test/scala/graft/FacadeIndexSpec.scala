@@ -496,6 +496,49 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `${tbl}_ref`")
   }
 
+  test("adaptive compaction: the streamed index compacts itself under a file budget (r19 opt-in)") {
+    import spark.implicits._
+    val tbl = "facade_stream_selfcompact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tbl}_ref`")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_selfc")
+    val src = tmp.resolve("src").toString
+    new java.io.File(src).mkdirs()
+    val ck = tmp.resolve("ck").toString
+    val corpus = (1L to 16L).map(i =>
+      (i, s"spark join window doc$i unique token$i"))
+    graft.search.Bm25Index.write(corpus.take(2).toDF("doc_id", "text"),
+      "doc_id", "text", tbl, stemmed = false, nBuckets = 2)
+    val budget = graft.search.Bm25Index.dataFileCount(spark, tbl) + 3
+    def toDocs(b: org.apache.spark.sql.DataFrame) = b
+      .select(split(col("text"), "\\t", 2).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("text"))
+    // 7 triggers (1 file each); the budget forces compacts mid-stream —
+    // NO manual compact anywhere in this test
+    corpus.drop(2).grouped(2).foreach { batch =>
+      batch.map { case (id, tx) => s"$id\t$tx" }
+        .toDF("text").coalesce(1).write.mode("append").text(src)
+    }
+    val q = graft.streaming.StreamingIngest.runBm25IndexStream(
+      spark, src, tbl, ck, toDocs, stemmed = false, nBuckets = 2,
+      maxFilesPerTrigger = 1, compactFileBudget = Some(budget))
+    q.awaitTermination()
+    val files = graft.search.Bm25Index.dataFileCount(spark, tbl)
+    assert(files <= budget,
+      s"self-compaction failed to bound file debt: $files > $budget")
+    // and the self-compacted index scores bit-equal to the one-shot build
+    graft.search.Bm25Index.write(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", s"${tbl}_ref", stemmed = false, nBuckets = 2)
+    def page(t: String) = graft.search.Bm25Index
+      .search(spark, t, Seq("spark", "join", "window"), topK = 16)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(page(tbl) == page(s"${tbl}_ref"),
+      "self-compacted stream != one-shot rebuild")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tbl}_ref`")
+  }
+
   test("healOnRead: a stale append-only delta heals INSIDE the read — search stays indexed via append") {
     val g = new Graft(spark, tmpStore(), healOnRead = true)
     texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }

@@ -110,4 +110,46 @@ class FacadeSketchSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$lex`")
     spark.sql(s"DROP TABLE IF EXISTS `$skt`")
   }
+
+  test("torn sketch refresh (pending marker) rebuilds instead of re-appending") {
+    val g = new Graft(spark, tmpStore())
+    g.frames.put((0 until 12).map(i => (s"mv2://sktorn/$i",
+      s"spark join window doc$i")))
+    val skt = "facade_sketch_torn_sk"
+    spark.sql(s"DROP TABLE IF EXISTS `$skt`")
+    g.buildSketchTable(skt)
+    g.put("mv2://sktorn/new", "fresh spark join window doc")
+    // simulate a refresh crash between append and restamp: the marker is
+    // set, the stamp is stale, and the delta's rows ALREADY landed once —
+    // a naive refresh would re-append them (duplicate (doc_id, simhash)
+    // rows inflating the candidate floor)
+    val cur = g.currentVersion
+    g.refreshSketchTable(): Unit // the real append (advances the stamp)
+    spark.sql(s"ALTER TABLE `$skt` SET TBLPROPERTIES " +
+      s"('graft.refresh.pending' = '1', 'graft.store.version' = '${cur - 1}')")
+    assert(g.refreshSketchTable() == "rebuilt",
+      "a torn refresh must rebuild, never re-append")
+    // rebuilt = exactly one row per live frame, stamp current
+    assert(spark.table(skt).count() == g.frames.latestActive.count())
+    assert(g.refreshSketchTable() == "fresh")
+    spark.sql(s"DROP TABLE IF EXISTS `$skt`")
+  }
+
+  test("duplicate sketch rows never change the candidate set (dedup defense)") {
+    import spark.implicits._
+    // deterministic pseudo-hashes; pick a query hash that leaves the
+    // strict hamming-32 cut BELOW the 500 floor so the relaxation path
+    // (nearest-minKeep) is the one under test — duplicates there would
+    // both inflate the floor COUNT and crowd the nearest slots
+    val sk = (0L until 600L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "simhash")
+    val dup = sk.unionAll(sk.limit(250)) // a re-appended delta
+    def ids(s: org.apache.spark.sql.DataFrame) =
+      SketchFilter.candidates(s, 0L, topK = 10)
+        .collect().map(_.getLong(0)).toSet
+    val clean = ids(sk)
+    assert(ids(dup) == clean,
+      "duplicate rows changed the candidate set")
+    assert(clean.size >= 500, "floor must keep >= max(topK*10, 500)")
+  }
 }

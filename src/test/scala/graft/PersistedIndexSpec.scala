@@ -274,10 +274,22 @@ class PersistedIndexSpec extends SparkSpec {
       .search("vec_id", "embedding", q, k = 8, nprobe = 1, metric = "l2")
       .collect().toSeq
     assert(post == pre, "compaction must not change a bit of the ranking")
-    assert(!new java.io.File(s"$dir/gen-0").exists,
-      "superseded generation garbage-collected")
+    // grace GC (r19): the immediately-superseded generation survives one
+    // rebuild cycle so a lock-free reader that resolved it pre-swap
+    // finishes its scan; only OLDER generations delete
+    assert(new java.io.File(s"$dir/gen-0").exists,
+      "immediately-superseded generation must be grace-kept for readers")
     // idempotent: no deltas → no-op (same generation back)
     assert(graft.vector.IvfIndex.compactDeltas(spark, dir).generation == 1L)
+    // a SECOND swap moves the grace window: gen-0 (now two back) deletes,
+    // gen-1 is the new grace-kept one
+    graft.vector.IvfIndex.append(spark, dir,
+      Seq((99L, Array(2f, 2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding"): Unit
+    assert(graft.vector.IvfIndex.compactDeltas(spark, dir).generation == 2L)
+    assert(!new java.io.File(s"$dir/gen-0").exists,
+      "two-generations-old dir must be garbage-collected")
+    assert(new java.io.File(s"$dir/gen-1").exists)
     rm(new java.io.File(dir))
   }
 
@@ -289,8 +301,10 @@ class PersistedIndexSpec extends SparkSpec {
     graft.vector.IvfIndex.write(vecs, "vec_id", "embedding", dir, seeds)
     val gen1 = graft.vector.IvfIndex.retrain(spark, dir, "vec_id", "embedding")
     assert(gen1.generation == 1L && !gen1.floatKernel)
-    assert(!new java.io.File(s"$dir/gen-0").exists,
-      "superseded generation is garbage-collected after the swap")
+    // grace GC (r19): the superseded gen-0 is KEPT one rebuild cycle for
+    // lock-free readers mid-scan; recovery below must still prefer gen-1
+    assert(new java.io.File(s"$dir/gen-0").exists,
+      "immediately-superseded generation must be grace-kept")
     // torn pointer (crash between delete and rename): recovery must find
     // the highest COMMITTED generation
     assert(new java.io.File(s"$dir/CURRENT").delete())

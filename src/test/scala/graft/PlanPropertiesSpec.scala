@@ -560,7 +560,14 @@ class PlanPropertiesSpec extends SparkSpec {
         }
         exchanges.foreach { e =>
           val names = e.output.map(_.name.toLowerCase).toSet
-          assert(names.subsetOf(Set("doc_id", "id", "__mid", "__qterms", "source")),
+          // __wc_N (per-wildcard hit flag: one boolean) and __ph_I_J
+          // (per-phrase-token position list: ints bounded by the token's
+          // tf in that doc) are r19 membership-flag columns — per-doc
+          // bounded like __qterms, never corpus-sized
+          val fixed = Set("doc_id", "id", "__mid", "__qterms", "source")
+          val extra = names.filterNot(fixed)
+            .filterNot(n => n.startsWith("__wc_") || n.startsWith("__ph_"))
+          assert(extra.isEmpty,
             s"exchange in the indexed ranking carries more than ids/narrow metadata: $names")
           assert(!names.contains("text") && !names.contains("__text") &&
             !names.contains("tf"),
@@ -577,7 +584,29 @@ class PlanPropertiesSpec extends SparkSpec {
       lockExchanges("track:src1 AND spark join", None)
       lockExchanges("spark join",
         Some(docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))))
+      // r19: WILDCARD membership from the term dictionary — the glob's
+      // regex runs over the postings' narrow term column, the corpus
+      // text is never read or tokenized (query.rs:115-126 semantics)
+      lockExchanges("track:src1 AND val* spark", None)
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      // r19: PHRASE membership from postings POSITIONS — a positioned
+      // table answers adjacency without the corpus text (schema.rs:19-21)
+      val ptbl = "plan_positioned_idx_spec"
+      spark.sql(s"DROP TABLE IF EXISTS `$ptbl`")
+      graft.search.Bm25Index.write(docs, "doc_id", "text", ptbl,
+        stemmed = false, withPositions = true)
+      val past = graft.search.QueryParser.parse("track:src1 AND \"spark join\"")
+      val (pranked, _) = graft.search.Search.indexedRanking(
+        docs, "doc_id", f, past, ptbl, opts, None)
+      val pplan = pranked.queryExecution.executedPlan.toString
+      assert(!pplan.toLowerCase.contains("tokenize"),
+        s"positioned-phrase indexed ranking still tokenizes the corpus:\n$pplan")
+      // capital-C Contains = Catalyst's string-substring predicate (the
+      // corpus-path phrase compile); array_contains (the flag lookup)
+      // prints lowercase and is expected
+      assert(!pplan.contains("Contains("),
+        s"positioned-phrase indexed ranking still substring-scans the corpus:\n$pplan")
+      spark.sql(s"DROP TABLE IF EXISTS `$ptbl`")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

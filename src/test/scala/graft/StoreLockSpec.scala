@@ -298,6 +298,31 @@ class StoreLockSpec extends SparkSpec {
     StoreLock.acquire(spark, dir, StoreLock.Options(command = "after")).release()
   }
 
+  test("heartbeat under an UNREADABLE record keeps stamping (read failure is not absence)") {
+    val dir = s"$tmpDir/frames"
+    val lock = StoreLock.acquire(spark, dir, StoreLock.Options(command = "degraded-writer"))
+    val lockFile = new java.io.File(StoreLock.lockPathFor(dir))
+    // simulate a transient read-side failure surfacing as an unparseable
+    // record (torn mid-publish / FS hiccup): the file EXISTS but carries
+    // no readable owner. The pump verified ownership at acquire and every
+    // prior tick — the safe direction is to stamp (a pump that silently
+    // skips here lets the grace expire under a LIVE writer, the exact
+    // steal the pump-loop fix targeted).
+    java.nio.file.Files.write(lockFile.toPath, "torn\tgarbage".getBytes("UTF-8")): Unit
+    lock.heartbeat()
+    val restored = StoreLock.currentOwner(spark, dir)
+    assert(restored.exists(o => o.pid == lock.owner.pid &&
+      o.startedAtMs == lock.owner.startedAtMs && o.cmd == "degraded-writer"),
+      s"heartbeat skipped the stamp under an unreadable record: $restored")
+    // ABSENCE (as opposed to unreadability) still fences: a vanished
+    // lockfile (swept + usurper released, with OUR released-flag never
+    // set) is never recreated by a live pump tick
+    java.nio.file.Files.delete(lockFile.toPath)
+    lock.heartbeat()
+    assert(!lockFile.exists(), "heartbeat recreated a vanished lockfile")
+    lock.release() // no-op (record gone); must not throw
+  }
+
   test("ids stay monotonic across vacuum: tombstoned ids are never reused") {
     val dir = s"$tmpDir/frames"
     val store = new FrameStore(spark, dir)
