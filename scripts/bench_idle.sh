@@ -11,6 +11,10 @@ sf=${1:-/root/testdata/sf0.1}
 gate=${2:-1.0}
 attempts=${3:-20}
 sleepsec=${4:-60}
+# compile BEFORE the load gate: with sources unchanged, the gated
+# window is then spent on the measured run, not on sbt's compile spike
+# (which otherwise rides into the JVM's pre-run load_avg stamp)
+sbt -batch compile >/dev/null 2>&1 || exit 1
 for i in $(seq 1 "$attempts"); do
   load=$(cut -d' ' -f1 /proc/loadavg)
   ok=$(awk -v l="$load" -v g="$gate" 'BEGIN{print (l<g)?1:0}')

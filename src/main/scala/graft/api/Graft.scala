@@ -82,11 +82,20 @@ final class Graft(val spark: SparkSession, basePath: String,
     ids.foreach(id => recorder.recordPut(id,
       frames.liveCount, currentVersion))
     // instant-index: the commit catches attached serving indexes up
-    // before returning (see the constructor param's scaladoc)
+    // before returning (see the constructor param's scaladoc). The
+    // catch-up is BEST-EFFORT per artifact: the commit has already
+    // landed, so a maintenance lock contended past its acquire timeout
+    // (N writers racing one artifact — measured in the 5-writer soak)
+    // must not fail the put; serving just stays on the documented
+    // stale→corpus fallback until the next refresh wins the lock.
     if (autoRefreshIndexes && ids.nonEmpty) {
-      if (lexIndex.isDefined) refreshLexIndex(): Unit
-      if (vecIndex.isDefined) refreshVecIndex(): Unit
-      if (sketchTable.isDefined) refreshSketchTable(): Unit
+      def bestEffort(run: => Unit): Unit =
+        try run catch {
+          case _: graft.store.StoreLock.StoreLockedException => ()
+        }
+      if (lexIndex.isDefined) bestEffort(refreshLexIndex(): Unit)
+      if (vecIndex.isDefined) bestEffort(refreshVecIndex(): Unit)
+      if (sketchTable.isDefined) bestEffort(refreshSketchTable(): Unit)
     }
     ids.headOption
   }
@@ -635,10 +644,31 @@ final class Graft(val spark: SparkSession, basePath: String,
     * the refresh to its rebuild path; the refresh lock re-classifies, so
     * the result is correct either way — the probe is the cost bound for
     * the single-writer case, not a semantic gate.) */
+  /** is `anchor`'s maintenance lock currently unheld? — the read-path
+    * heal's cheap skip probe: if a peer is mid-maintenance, the read
+    * serves corpus NOW instead of queueing up to the full acquire
+    * timeout behind it (the peer's restamp serves the next read
+    * indexed anyway). One FS existence check; non-atomic by design —
+    * the refresh keeps its own lock for correctness, and the
+    * StoreLockedException catch below backstops the race window. */
+  private def maintenanceIdle(anchor: String): Boolean =
+    graft.store.StoreLock.currentOwner(spark, anchor).isEmpty
+
+  private def lexLockAnchor(table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + table
+
   private def lexFreshOrHealed(table: String): Boolean =
     lexIndexFresh(table) ||
-      (healOnRead && lexDeltaAppendable(table) && {
-        refreshLexIndex(): Unit
+      (healOnRead && maintenanceIdle(lexLockAnchor(table)) &&
+        lexDeltaAppendable(table) && {
+        // the heal is best-effort INSIDE a read: under maintenance-lock
+        // contention (N writers racing one artifact) the refresh can
+        // time out on acquire — a READ must degrade to the corpus path,
+        // never die for maintenance it didn't need (the 5-writer soak
+        // killed a reader exactly here before this catch)
+        try { refreshLexIndex(): Unit } catch {
+          case _: graft.store.StoreLock.StoreLockedException => ()
+        }
         lexIndexFresh(table)
       })
 
@@ -705,8 +735,12 @@ final class Graft(val spark: SparkSession, basePath: String,
     * [[lexFreshOrHealed]] for the contract */
   private def vecHandleOrHealed(path: String): Option[graft.vector.IvfIndex.Handle] =
     vecServingHandle(path).orElse {
-      if (healOnRead && vecDeltaAppendable(path)) {
-        refreshVecIndex(): Unit
+      if (healOnRead && maintenanceIdle(path) && vecDeltaAppendable(path)) {
+        // best-effort inside a read — see lexFreshOrHealed: a contended
+        // maintenance lock must degrade the read to corpus, not kill it
+        try { refreshVecIndex(): Unit } catch {
+          case _: graft.store.StoreLock.StoreLockedException => ()
+        }
         vecServingHandle(path)
       } else None
     }

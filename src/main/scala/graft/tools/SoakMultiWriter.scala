@@ -127,8 +127,16 @@ object SoakWriterChild {
     // soak caught exactly such a misclassification) plus this child's
     // maintenance lock discipline.
     val lexTbl = s"soak_lex_w$idx"; val skTbl = s"soak_sk_w$idx"
-    spark.sql(s"DROP TABLE IF EXISTS `$lexTbl`")
-    spark.sql(s"DROP TABLE IF EXISTS `$skTbl`")
+    Seq(lexTbl, skTbl).foreach { tn =>
+      spark.sql(s"DROP TABLE IF EXISTS `$tn`")
+      // a PRIOR run's crashed child leaves the warehouse DIRECTORY with
+      // no catalog entry in this fresh JVM — DROP TABLE no-ops and the
+      // create then fails LOCATION_ALREADY_EXISTS; sweep the residue
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + tn)
+      val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (lfs.exists(loc)) lfs.delete(loc, true): Unit
+    }
     g.buildLexIndex(lexTbl, stemmed = false)
     g.buildSketchTable(skTbl)
     // aggressive second handle for PUTS: a live peer whose heartbeat goes
@@ -148,6 +156,7 @@ object SoakWriterChild {
     var skRefreshes = Map("fresh" -> 0L, "appended" -> 0L, "rebuilt" -> 0L)
     var lexRefreshes = Map("fresh" -> 0L, "appended" -> 0L, "rebuilt" -> 0L)
     var sketchOnHits = 0L
+    var refreshTimeouts = 0L
     var routes = Map("indexed" -> 0L, "corpus" -> 0L)
     var putWalls = Vector.empty[Double]
     var lastMarker: Option[String] = None
@@ -170,9 +179,22 @@ object SoakWriterChild {
       } catch {
         case _: graft.store.StoreLock.StoreLockedException => lockedErrors += 1
       }
+      // refreshes are FALLIBLE under contention: N writers racing one
+      // artifact's maintenance lock can push a waiter past the 120 s
+      // acquire timeout while the holder is legitimately alive (the
+      // 5-way soak measured exactly this) — the API throws
+      // StoreLockedException and the caller retries next round; serving
+      // never blocks on it (stale = corpus fallback). Count, don't die.
+      def refreshCounted(run: () => String,
+                         bump: String => Unit): Unit =
+        try bump(run())
+        catch {
+          case _: graft.store.StoreLock.StoreLockedException =>
+            refreshTimeouts += 1
+        }
       if (i % 3 == 2) {
-        val o = g.refreshVecIndex()
-        refreshes = refreshes.updated(o, refreshes(o) + 1)
+        refreshCounted(() => g.refreshVecIndex(),
+          o => refreshes = refreshes.updated(o, refreshes(o) + 1))
         g.ask("spark joins", topK = 3)
         routes = routes.updated(g.lastAskVecRoute,
           routes(g.lastAskVecRoute) + 1)
@@ -182,10 +204,10 @@ object SoakWriterChild {
         // must come out fresh/appended only (the soak is append-only for
         // THIS child's artifacts — a 'rebuilt' means a torn marker or a
         // misclassified delta), and a sketch-ON search must stay correct
-        val lo = g.refreshLexIndex()
-        lexRefreshes = lexRefreshes.updated(lo, lexRefreshes(lo) + 1)
-        val so = g.refreshSketchTable()
-        skRefreshes = skRefreshes.updated(so, skRefreshes(so) + 1)
+        refreshCounted(() => g.refreshLexIndex(),
+          o => lexRefreshes = lexRefreshes.updated(o, lexRefreshes(o) + 1))
+        refreshCounted(() => g.refreshSketchTable(),
+          o => skRefreshes = skRefreshes.updated(o, skRefreshes(o) + 1))
         lastMarker.foreach { mk =>
           val hits = g.search(mk, topK = 3).select("id").collect()
           // sketch_applied requires BOTH stamps current — a foreign
@@ -206,7 +228,8 @@ object SoakWriterChild {
     println(f"SOAK_WRITER idx=$idx puts=$puts violations=$violations " +
       f"locked_errors=$lockedErrors put_p50=${pct(0.5)}%.2f " +
       f"put_p99=${pct(0.99)}%.2f refreshes=$refreshes routes=$routes " +
-      f"lex=$lexRefreshes sk=$skRefreshes sketch_on_hits=$sketchOnHits")
+      f"lex=$lexRefreshes sk=$skRefreshes sketch_on_hits=$sketchOnHits " +
+      f"refresh_timeouts=$refreshTimeouts")
     spark.sql(s"DROP TABLE IF EXISTS `$lexTbl`")
     spark.sql(s"DROP TABLE IF EXISTS `$skTbl`")
     spark.stop()

@@ -25,6 +25,11 @@ object SoakStreamTracked {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val nTriggers = sys.env.getOrElse("SPARK_GRAFT_TRIGGERS", "20").toInt
+    // r19 ADAPTIVE mode: a file budget makes the STREAM compact itself
+    // (runBm25IndexStream(compactFileBudget=...)) and this soak issues
+    // ZERO manual compacts — the done-bar for the self-contained
+    // steady-state loop (file count stays bounded with no operator hand)
+    val budget = sys.env.get("SPARK_GRAFT_COMPACT_BUDGET").map(_.toLong)
     val spark = graft.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -75,13 +80,14 @@ object SoakStreamTracked {
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamingIngest.runBm25IndexStream(
         spark, src, tbl, ck, toDocs, stemmed = false, nBuckets = nBuckets,
-        maxFilesPerTrigger = 1, trackCol = Some("track"))
+        maxFilesPerTrigger = 1, trackCol = Some("track"),
+        compactFileBudget = budget)
       q.awaitTermination()
       val w = (System.nanoTime() - t0) / 1e9
       val files = graft.search.Bm25Index.dataFileCount(spark, tbl)
       walls :+= w; filesAt :+= files
       println(f"[soak] trigger $i%2d: ${w}%.2f s, $files files")
-      if (i == nTriggers / 2) {
+      if (budget.isEmpty && i == nTriggers / 2) {
         val t1 = System.nanoTime()
         graft.search.Bm25Index.compact(spark, tbl, nBuckets)
         println(f"[soak] mid-run compact: ${(System.nanoTime() - t1) / 1e9}%.2f s, " +
@@ -89,7 +95,8 @@ object SoakStreamTracked {
       }
     }
     val t2 = System.nanoTime()
-    graft.search.Bm25Index.compact(spark, tbl, nBuckets)
+    // adaptive mode: NO manual compact anywhere — the stream owned it
+    if (budget.isEmpty) graft.search.Bm25Index.compact(spark, tbl, nBuckets)
     val compactWall = (System.nanoTime() - t2) / 1e9
     val filesFinal = graft.search.Bm25Index.dataFileCount(spark, tbl)
 

@@ -539,6 +539,37 @@ class FacadeIndexSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `${tbl}_ref`")
   }
 
+  test("healOnRead under a CONTENDED maintenance lock: the read degrades to corpus, never blocks or throws") {
+    val g = new Graft(spark, tmpStore(), healOnRead = true)
+    texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://hc/$i", t) }
+    val tbl = "facade_heal_contended_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    g.buildLexIndex(tbl, stemmed = false)
+    g.put("mv2://hc/new", "fresh spark doc about joins") // stale, append-only
+    // a peer holds the table's maintenance lock (mid-refresh): the
+    // 5-writer soak killed a reader that queued behind this for the
+    // full acquire timeout — the read must skip the heal and serve
+    // corpus promptly (the peer's restamp serves the NEXT read indexed)
+    val anchor = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/" + tbl
+    val lock = graft.store.StoreLock.acquire(spark, anchor,
+      graft.store.StoreLock.Options(command = "peer-maintenance"))
+    try {
+      val t0 = System.nanoTime()
+      val served = g.search("spark joins", topK = 10)
+      assert(rows(served).nonEmpty)
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(g.lastSearchRoute == "corpus",
+        "contended heal must degrade to corpus")
+      assert(dt < 30, f"read blocked $dt%.1f s behind the maintenance lock")
+    } finally lock.release()
+    // lock free again → the next read heals and serves indexed
+    val after = g.search("spark joins", topK = 10)
+    assert(rows(after).nonEmpty)
+    assert(g.lastSearchRoute == "indexed", "post-contention read must heal")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("healOnRead: a stale append-only delta heals INSIDE the read — search stays indexed via append") {
     val g = new Graft(spark, tmpStore(), healOnRead = true)
     texts.zipWithIndex.foreach { case (t, i) => g.put(s"mv2://t/$i", t) }
