@@ -94,22 +94,42 @@ object Doctor {
   private def probe(g: Graft, opts: DoctorOptions, lexTable: Option[String],
                     vecPath: Option[String], vecIdCol: String,
                     vecCol: String): Map[String, Long] = {
-    val counters = g.doctor
-    val lexStale = lexTable.map { t =>
-      if (!g.spark.catalog.tableExists(t))
-        g.frames.latestActive.filter(col("role") === "document").count()
-      else
-        g.frames.latestActive.filter(col("role") === "document")
-          .select(col("id").as("doc_id"))
-          .join(g.spark.table(t).select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-          .count()
+    // Spark-countable probes ride [[Graft.doctorCounters]]' single union
+    // job (r19: a probe used to be 5+ actions and runs 4× per doctor
+    // run); each branch is the exact aggregate it was standalone, and
+    // the present-only-when-positive keys are filtered AFTER the collect
+    // exactly as the guards did before. FS/catalog-only probes (file
+    // debt, stamps) stay outside — they schedule no Spark job.
+    val lexExists = lexTable.exists(g.spark.catalog.tableExists)
+    val driftReady = for {
+      p <- vecPath
+      _ <- opts.vecDriftMeanMax
+      if graft.vector.IvfIndex.exists(g.spark, p)
+    } yield graft.vector.IvfIndex.read(g.spark, p)
+    val counters = g.doctorCounters { live =>
+      val liveDocs = live.filter(col("role") === "document")
+      val lexStaleBranch = lexTable.map { t =>
+        "lex_index_stale" -> (
+          if (!lexExists) liveDocs
+          else liveDocs.select(col("id").as("doc_id"))
+            .join(g.spark.table(t).select("doc_id").distinct(),
+              Seq("doc_id"), "left_anti"))
+      }
+      val driftBranch = for {
+        h <- driftReady
+        thr <- opts.vecDriftMeanMax
+      } yield "vec_index_drift" ->
+        graft.vector.VectorSearch.ivfDriftStats(h.assigned, vecCol,
+            h.centroids.map { case (cid, c) => (cid, c.map(_.toFloat)) })
+          .filter(col("mean_distortion") > thr)
+      lexStaleBranch.toSeq ++ driftBranch.toSeq
     }
+    val lexStale = lexTable.map(_ => counters("lex_index_stale"))
     // append-file debt of the persisted BM25 index (one FS listing)
     val bm25Debt = for {
       t <- lexTable
       budget <- opts.bm25FileBudget
-      if g.spark.catalog.tableExists(t)
+      if lexExists
       debt = graft.search.Bm25Index.dataFileCount(g.spark, t) - budget
       if debt > 0
     } yield "bm25_file_debt" -> debt
@@ -118,13 +138,8 @@ object Doctor {
     // same shape as the bm25 probe's tableExists guard — so a configured
     // vecPath with no index yet probes clean instead of throwing
     val vecDrift = for {
-      p <- vecPath
-      thr <- opts.vecDriftMeanMax
-      if graft.vector.IvfIndex.exists(g.spark, p)
-      h = graft.vector.IvfIndex.read(g.spark, p)
-      n = graft.vector.VectorSearch.ivfDriftStats(h.assigned, vecCol,
-            h.centroids.map { case (cid, c) => (cid, c.map(_.toFloat)) })
-          .filter(col("mean_distortion") > thr).count()
+      _ <- driftReady
+      n = counters("vec_index_drift")
       if n > 0
     } yield "vec_index_drift" -> n
     // serving-stamp staleness of a facade-ATTACHED IVF index (one FS
@@ -154,7 +169,11 @@ object Doctor {
       t <- g.attachedSketchTable
       if g.sketchStampStale(t)
     } yield "sketch_stale" -> 1L
-    counters ++ lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++
+    // the union computed lex_index_stale / vec_index_drift counts
+    // unconditionally; re-apply the presence rules they always had
+    // (lex: iff a lexTable is configured; drift: iff positive)
+    (counters -- Seq("lex_index_stale", "vec_index_drift")) ++
+      lexStale.map("lex_index_stale" -> _) ++ bm25Debt ++
       vecDrift ++ vecStale ++ vecDelta ++ sketchStale +
       ("tombstone_debt" -> (counters("total_versions") - counters("live_frames")))
   }

@@ -913,8 +913,13 @@ final class Graft(val spark: SparkSession, basePath: String,
         // shape) instead of joining the page against a corpus-column
         // scan per query. Values are identical: the join was already
         // id-equi over the page's ids; the isin only prunes the scan.
-        val page = ranked.localCheckpoint()
-        val ids = page.select(col("id")).collect().map(_.getLong(0)).toSeq
+        // One collect serves both consumers (id list + local relation) —
+        // a localCheckpoint + collect pair cost two jobs here (r19).
+        val pageRows = ranked.collect()
+        val page = spark.createDataFrame(
+          java.util.Arrays.asList(pageRows: _*), ranked.schema)
+        val idIdx = ranked.schema.fieldIndex("id")
+        val ids = pageRows.map(_.getLong(idIdx)).toSeq
         def withFrameCol(c: org.apache.spark.sql.Column, as: String) =
           page.join(
             frames.latestActive.filter(col("id").isin(ids: _*))
@@ -943,11 +948,13 @@ final class Graft(val spark: SparkSession, basePath: String,
       // returned frame come from the same execution — the search job
       // doesn't run twice and an unstable tie can't diverge. Recording
       // happens AFTER ACL, like the reference (mod.rs:282-291 records
-      // the post-ACL response hits).
-      val pinned = hits.localCheckpoint()
-      recorder.recordFind(query, "lex",
-        pinned.select(col("id")).collect().map(_.getLong(0)).toSeq)
-      pinned
+      // the post-ACL response hits). One collect feeds both the recorded
+      // ids and the returned local relation (was localCheckpoint +
+      // collect — two jobs per recorded search, r19).
+      val rows = hits.collect()
+      val idIdx = hits.schema.fieldIndex("id")
+      recorder.recordFind(query, "lex", rows.map(_.getLong(idIdx)).toSeq)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), hits.schema)
     } else hits
   }
 
@@ -1101,17 +1108,30 @@ final class Graft(val spark: SparkSession, basePath: String,
     * three counters — pin it for the probe so the view is computed once,
     * not three times (at 100 TB that is two full log shuffles saved per
     * doctor run); values are identical either way. */
-  def doctor: Map[String, Long] = {
+  def doctor: Map[String, Long] = doctorCounters()
+
+  /** [[doctor]] plus caller-supplied probe branches, ALL as one union
+    * job (r19 optimization, guide §2.4 "remove shuffles/actions
+    * outright"): the six store counters used to run as three separate
+    * actions (log aggregate, live count, 3-way counter union) and the
+    * doctor's per-index staleness counts as one action EACH — and the
+    * doctor probes this 4× per run (dry plan, dry verify, apply plan,
+    * apply verify). Every branch is the same aggregate it was
+    * standalone; only the number of Spark actions changes (5+ → 1 per
+    * probe). `extra` receives the persisted live view so staleness
+    * branches reuse it instead of recomputing the window + anti-join;
+    * each returned (key, df) is counted — count(df) joins the union.
+    * Keys whose semantics are "present only when positive" are the
+    * CALLER's post-filter; this returns every branch's count. */
+  private[api] def doctorCounters(
+      extra: DataFrame => Seq[(String, DataFrame)] = _ => Nil)
+      : Map[String, Long] = {
+    val preWatermark = frames.persistedWatermark
     val live = frames.latestActive
       .select(col("id"), col("parentId"), col("role"), col("uri"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val liveDocIds = live.filter(col("role") === "document").select(col("id"))
-      // the three integrity counters run as ONE union job (they share the
-      // persisted live view, and the doctor probes this map four times
-      // per run — dry plan, dry verify, apply plan, apply verify — so
-      // collapsing three actions into one is paid back 4×; values are
-      // identical, each branch is the same aggregate it was standalone)
       // chunks whose parent document is gone (e.g. tombstoned parent)
       val orphanChunks = live.filter(col("role") === "chunk")
         .join(liveDocIds.withColumnRenamed("id", "parentId"), Seq("parentId"), "left_anti")
@@ -1127,10 +1147,28 @@ final class Graft(val spark: SparkSession, basePath: String,
         .groupBy(col("uri")).count().filter(col("count") > 1)
         .agg(count(lit(1)).as("n"))
         .select(lit("duplicate_live_uris").as("k"), col("n"))
-      val counters = orphanChunks.unionByName(danglingCards)
-        .unionByName(dupLiveUris)
+      // the two log-shaped counters share one scan (the former
+      // FrameStore.stats aggregate), reshaped to (k, n) rows
+      val logCounters = frames.log.agg(
+          count(lit(1)).as("tv"),
+          countDistinct(when(col("status") === graft.model.Frame.Tombstoned,
+            col("id"))).as("tb"))
+        .select(explode(map(
+          lit("total_versions"), col("tv"),
+          lit("tombstoned"), col("tb"))).as(Seq("k", "n")))
+      val liveFrames = live.agg(count(lit(1)).as("n"))
+        .select(lit("live_frames").as("k"), col("n"))
+      val extraBranches = extra(live).map { case (key, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(key).as("k"), col("n"))
+      }
+      val counters = (Seq(orphanChunks, danglingCards, dupLiveUris,
+          logCounters, liveFrames) ++ extraBranches)
+        .reduce(_ unionByName _)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      stats ++ counters
+      // the union just paid for the live count — prime the store's
+      // watermark-keyed cache so later liveCount reads stay free
+      frames.primeLiveCount(preWatermark, counters("live_frames"))
+      counters
     } finally live.unpersist(blocking = false): Unit
   }
 
@@ -1172,14 +1210,20 @@ final class Graft(val spark: SparkSession, basePath: String,
         col("__fact._3").as("value"), lit("fact").as("kind"),
         lit("sets").as("relation"), col("timestamp").as("ts"),
         col("id").as("sourceFrameId"))
-    // rewrite via temp dir: the rebuild reads the same store it replaces
+    // rewrite via temp dir: the rebuild reads the same store it replaces.
+    // The swap is an FS rename (the vacuum() pattern) — the former
+    // read-tmp-and-rewrite was a second full pass over the rebuilt table
+    // for no value (guide §1.2: don't compute things you throw away).
+    // Hadoop FS, not java.io.File: the store path may be non-local (hdfs/s3a)
     val tmp = s"$cardsPath.__rebuild"
     rebuilt.write.mode(SaveMode.Overwrite).parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(cardsPath)
-    // Hadoop FS, not java.io.File: the store path may be non-local (hdfs/s3a)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tmpPath, true)
+    val dstPath = new org.apache.hadoop.fs.Path(cardsPath)
+    val hfs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(dstPath, true)
+    if (!hfs.rename(tmpPath, dstPath))
+      throw new java.io.IOException(s"repairCards: rename $tmp -> $cardsPath failed")
     n
   }
 

@@ -158,15 +158,21 @@ object Search {
     // first (bounded: offset+topK), then look the snippet text up for
     // the page ids only — the isin list pushes into the frame scan
     // (row-group skipping), the J2 hit→frame lookup done index-first.
-    val page = ranked.drop("n_terms_matched").withColumnRenamed("doc_id", "id")
+    // The page is ≤ offset+topK rows: ONE collect serves every consumer
+    // (the id list and the join probe, as a local relation) — the former
+    // localCheckpoint + collect pair cost two jobs per search (r19).
+    val page0 = ranked.drop("n_terms_matched").withColumnRenamed("doc_id", "id")
       .orderBy(col("score").desc, col("id"))
       .limit(opts.offset + opts.topK)
-      .localCheckpoint() // bounded; reused by the id collect AND the join
+    val pageRows = page0.collect()
+    val page = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(pageRows: _*), page0.schema)
     val scored =
       if (!opts.withSnippets)
         page.withColumn("__text", lit("")) // text is dead without snippets
       else {
-        val ids = page.select(col("id")).collect().map(_.getLong(0)).toSeq
+        val idIdx = page0.schema.fieldIndex("id")
+        val ids = pageRows.map(_.getLong(idIdx)).toSeq
         page.join(
           filtered.filter(col(idCol).isin(ids: _*))
             .select(col(idCol).cast("long").as("id"), f.text.as("__text")),

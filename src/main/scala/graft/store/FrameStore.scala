@@ -176,6 +176,17 @@ final class FrameStore(spark: SparkSession, path: String,
     }
   }
 
+  /** feed the live-count cache from a consumer that just paid for the
+    * count anyway (the doctor's one-job probe union): keyed on the
+    * watermark the caller read BEFORE computing — the same read-w-then-
+    * count order [[liveCount]] itself uses, so staleness behavior is
+    * identical. Never downgrades a fresher cache entry. */
+  private[graft] def primeLiveCount(watermark: Long, n: Long): Unit =
+    liveCountCache match {
+      case Some((k, _)) if k == watermark => ()
+      case _ => liveCountCache = Some((watermark, n))
+    }
+
   private def appendFrames(frames: Seq[Frame],
                            liveDelta: Option[Long] = None): Unit = {
     val preW = persistedWatermark

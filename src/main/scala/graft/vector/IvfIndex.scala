@@ -134,15 +134,33 @@ object IvfIndex {
       // was scanning (readers are lock-free by design; SoakMultiWriter
       // caught a peer crashing mid-read when a rebuild raced it). A
       // fresh path still writes generation 0 directly.
-      val gen = if (exists(spark, path)) read(spark, path).generation + 1 else 0L
-      writeGen(spark, path, gen,
+      val gen =
+        if (exists(spark, path)) liveGeneration(spark, path) + 1 else 0L
+      val genDir = writeGen(spark, path, gen,
         VectorSearch.assignClusters(emb, vecCol, centroids),
         centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
         floatKernel = true)
       swapCurrent(spark, path, gen)
       gcSuperseded(spark, path, gen)
+      // fresh-gen handle without an exit re-read (r19: read() costs two
+      // driver collect jobs) — same values a later read() would load
+      val h = Handle(spark.read.parquet(s"$genDir/assigned"),
+        centroids.map { case (cid, c) => (cid, c.map(_.toDouble)) },
+        path, gen, floatKernel = true)
+      primeReadCache(spark, path, genDir, h)
+      h
     }
-    read(spark, path)
+  }
+
+  /** generation number of the live dir WITHOUT opening the index (the
+    * dir name is authoritative for gen layouts; legacy flat layouts
+    * consult meta when present, else 0 — the same values read() loads) */
+  private def liveGeneration(spark: SparkSession, path: String): Long = {
+    val genDir = liveGenDir(spark, path)
+    if (genDir != path) new Path(genDir).getName.stripPrefix("gen-").toLong
+    else if (fsOf(spark, path).exists(new Path(s"$genDir/meta")))
+      spark.read.parquet(s"$genDir/meta").collect().head.getLong(0)
+    else 0L
   }
 
   /** Grace-period GC for superseded generations: delete committed
@@ -205,20 +223,74 @@ object IvfIndex {
     * holds on every leg. */
   def read(spark: SparkSession, path: String): Handle = {
     val genDir = liveGenDir(spark, path)
-    val cents = spark.read.parquet(s"$genDir/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
-      .sortBy(_._1)
     val fs = fsOf(spark, path)
-    val (gen, floatKernel) =
-      if (fs.exists(new Path(s"$genDir/meta"))) {
-        val m = spark.read.parquet(s"$genDir/meta").collect().head
-        (m.getLong(0), m.getBoolean(1))
-      } else (0L, true) // legacy flat layout predates retrain/append
-    val assigned = committedDeltas(fs, genDir)
-      .foldLeft(spark.read.parquet(s"$genDir/assigned")) { (acc, d) =>
-        acc.unionByName(spark.read.parquet(d))
-      }
-    Handle(assigned, cents, path, gen, floatKernel)
+    val deltas = committedDeltas(fs, genDir)
+    // Re-open cache (r19): a committed generation dir and its committed
+    // delta dirs are IMMUTABLE (every writer creates new dirs and swaps
+    // pointers — see the object scaladoc), so a handle is fully
+    // determined by (genDir, commit-marker mtime, delta list). The
+    // doctor probes, appends and serving re-open the same index many
+    // times per operation; without this every open pays two driver
+    // collect jobs (centroids + meta). The marker mtime guards the one
+    // mutable case: a path deleted and REBUILT from scratch reuses gen
+    // names, but not the marker's timestamp. A foreign writer's
+    // append/retrain changes the delta list / genDir → cache miss →
+    // fresh read, so cross-process freshness is exactly what it was.
+    val marker = new Path(s"$genDir/_GRAFT_COMMITTED")
+    val stamp =
+      try { if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+            else -1L }
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val key = (genDir, stamp, deltas)
+    readCache.synchronized(readCache.get(path)) match {
+      case Some((k, h)) if k == key && (h.assigned.sparkSession eq spark) =>
+        h
+      case _ =>
+        val cents = spark.read.parquet(s"$genDir/centroids")
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+          .sortBy(_._1)
+        val (gen, floatKernel) =
+          if (fs.exists(new Path(s"$genDir/meta"))) {
+            val m = spark.read.parquet(s"$genDir/meta").collect().head
+            (m.getLong(0), m.getBoolean(1))
+          } else (0L, true) // legacy flat layout predates retrain/append
+        val assigned = deltas
+          .foldLeft(spark.read.parquet(s"$genDir/assigned")) { (acc, d) =>
+            acc.unionByName(spark.read.parquet(d))
+          }
+        val h = Handle(assigned, cents, path, gen, floatKernel)
+        readCache.synchronized {
+          readCache.put(path, (key, h))
+          // bound the cache: fixture stores are temp dirs that never
+          // recur — evict oldest entries past 64 paths
+          if (readCache.size > 64) readCache.remove(readCache.head._1): Unit
+        }
+        h
+    }
+  }
+
+  /** [[read]]'s re-open cache: path → ((genDir, marker mtime, committed
+    * deltas), handle). LinkedHashMap for cheap oldest-first eviction. */
+  private val readCache =
+    new scala.collection.mutable.LinkedHashMap[
+      String, ((String, Long, Seq[String]), Handle)]
+
+  /** prime [[read]]'s cache from a mutator that just committed `genDir`
+    * and holds the equivalent handle — the next read() then hits instead
+    * of re-collecting centroids/meta */
+  private def primeReadCache(spark: SparkSession, path: String,
+                             genDir: String, h: Handle): Unit = {
+    val fs = fsOf(spark, path)
+    val marker = new Path(s"$genDir/_GRAFT_COMMITTED")
+    val stamp =
+      try { if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+            else -1L }
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val key = (genDir, stamp, committedDeltas(fs, genDir))
+    readCache.synchronized {
+      readCache.put(path, (key, h))
+      if (readCache.size > 64) readCache.remove(readCache.head._1): Unit
+    }
   }
 
   /** Incremental vector ingest into the persisted index (the other half
@@ -277,7 +349,14 @@ object IvfIndex {
     val dDir = s"$genDir/deltas/d-$next"
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(dDir)
     fs.create(new Path(s"$dDir/_GRAFT_COMMITTED"), true).close()
-    read(spark, path)
+    // handle refresh without the exit re-read (r19: read() collects
+    // centroids + meta — two driver jobs per append). Identical by
+    // construction: the committed delta set after this append is h's
+    // plus dDir, and centroids/generation/kernel are unchanged.
+    val h2 = Handle(h.assigned.unionByName(spark.read.parquet(dDir)),
+      h.centroids, path, h.generation, h.floatKernel)
+    primeReadCache(spark, path, genDir, h2)
+    h2
     }
 
   /** number of committed delta dirs under the live generation — the
@@ -304,12 +383,18 @@ object IvfIndex {
     val fs = fsOf(spark, path)
     if (committedDeltas(fs, genDir).isEmpty) return h // nothing to fold
     val nextGen = h.generation + 1
-    writeGen(spark, path, nextGen, h.assigned, h.centroids, h.floatKernel)
+    val newGenDir =
+      writeGen(spark, path, nextGen, h.assigned, h.centroids, h.floatKernel)
     swapCurrent(spark, path, nextGen)
     // superseded gen survives one rebuild cycle for lock-free readers
     // (see gcSuperseded); legacy flat layouts have no gen dir to keep
     if (genDir != path) gcSuperseded(spark, path, nextGen)
-    read(spark, path)
+    // fresh-gen handle without the exit re-read (centroids/kernel are
+    // unchanged by construction; the new generation has no deltas)
+    val h2 = Handle(spark.read.parquet(s"$newGenDir/assigned"),
+      h.centroids, path, nextGen, h.floatKernel)
+    primeReadCache(spark, path, newGenDir, h2)
+    h2
     }
 
   /** Drift-triggered re-train of a persisted index, composed from the
@@ -359,7 +444,8 @@ object IvfIndex {
     val reassigned = VectorSearch.assignClustersD(
       h.assigned.drop("cluster"), vecCol, newCents)
     val nextGen = h.generation + 1
-    writeGen(spark, path, nextGen, reassigned, newCents, floatKernel = false)
+    val newGenDir =
+      writeGen(spark, path, nextGen, reassigned, newCents, floatKernel = false)
     swapCurrent(spark, path, nextGen)
     // superseded generation (or legacy flat dirs) → garbage, not corruption
     val fs = fsOf(spark, path)
@@ -367,7 +453,12 @@ object IvfIndex {
       fs.delete(new Path(s"$path/assigned"), true)
       fs.delete(new Path(s"$path/centroids"), true)
     } else gcSuperseded(spark, path, nextGen) // keep one back gen (grace)
-    read(spark, path)
+    // fresh-gen handle without the exit re-read (the rewrite just chose
+    // these centroids/kernel; the new generation has no deltas)
+    val h2 = Handle(spark.read.parquet(s"$newGenDir/assigned"),
+      newCents, path, nextGen, floatKernel = false)
+    primeReadCache(spark, path, newGenDir, h2)
+    h2
     }
 
   final case class Handle(assigned: DataFrame,
