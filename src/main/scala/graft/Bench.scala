@@ -77,6 +77,16 @@ object Bench {
       math.min(v, steady.getOrElse(k, v)) }.sum
     val loadEnd = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // opt-in per-gate dump to a FILE (r19 optimization work needs
+    // per-gate steady values; the driver-parsed stdout line keeps its
+    // exact historical shape and budget, so this is purely additive)
+    sys.env.get("SPARK_GRAFT_STEADY_OUT").foreach { p =>
+      def m(mp: Map[String, Double]) = mp.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        s"""{"first":${m(results)},"steady":${m(steady)}}""".getBytes("UTF-8"))
+    }
     // The driver keeps only the LAST ~2000 chars of sbt output and parses
     // the JSON line from that tail; sbt's own "[success] Total time" line
     // (~75 chars) follows us. Rounds 1-3 printed full-precision doubles

@@ -12,9 +12,19 @@ import org.apache.spark.sql.types.LongType
   * the call sites below never assume single-file layout.
   */
 object Tables {
+  /** Schema cache per file path (r19): a bare `spark.read.parquet` runs a
+    * 1-task schema-inference JOB per call, and the registry opens these
+    * immutable driver fixtures hundreds of times per bench/verify run —
+    * infer once, then pass the schema explicitly (same footer, same
+    * types; pushdown freedom unchanged). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.F.ensureRegistered(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val p = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

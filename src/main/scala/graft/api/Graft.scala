@@ -1072,7 +1072,10 @@ final class Graft(val spark: SparkSession, basePath: String,
 
   // ---- structured memory ----
   def cards: DataFrame =
-    if (new java.io.File(cardsPath).exists) spark.read.parquet(cardsPath)
+    // explicit schema (the table is only ever written with this shape):
+    // skips the 1-task footer-inference job per open (r19)
+    if (new java.io.File(cardsPath).exists)
+      spark.read.schema(Graft.cardsSchema).parquet(cardsPath)
     else Seq.empty[(Long, String, String, String, String, String, Timestamp, Long)]
       .toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
 
@@ -1382,5 +1385,17 @@ final class Graft(val spark: SparkSession, basePath: String,
           lit(1.0) - size(array_distinct(col("__sh"))).cast("double") / size(col("__sh")))
         .otherwise(0.0))
       .select("id", "n_tokens", "dup_ngram_fraction")
+  }
+}
+
+object Graft {
+  /** the cards table's on-disk schema (every writer emits this shape) */
+  private[api] val cardsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cardId", LongType), StructField("entity", StringType),
+      StructField("slot", StringType), StructField("value", StringType),
+      StructField("kind", StringType), StructField("relation", StringType),
+      StructField("ts", TimestampType), StructField("sourceFrameId", LongType)))
   }
 }

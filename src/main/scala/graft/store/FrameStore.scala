@@ -41,7 +41,12 @@ final class FrameStore(spark: SparkSession, path: String,
       new java.io.File(path).list().exists(!_.startsWith("_"))
 
   def log: Dataset[Frame] =
-    if (logExists) spark.read.parquet(path).as[Frame]
+    // explicit schema: the log is only ever written from Dataset[Frame],
+    // so the encoder schema IS the file schema — skipping inference
+    // saves a 1-task footer-read job on every open (r19; the log is
+    // opened once or more per store verb)
+    if (logExists) spark.read.schema(FrameStore.frameSchema).parquet(path)
+      .as[Frame]
     else spark.emptyDataset[Frame]
 
   // ---- minted-watermark persistence (multi-writer id safety) ----
@@ -209,6 +214,19 @@ final class FrameStore(spark: SparkSession, path: String,
       if k == preW
       nw <- counters.map(_._2)
     } yield (nw, c + d)
+    // roll the dedup-hash cache forward the same way: every appended
+    // Active row's hash joins the set (tombstones carry no hash); a
+    // foreign commit in between keys the cache stale instead
+    hashCache = for {
+      (k, v, s) <- hashCache
+      if k == preW
+      nw <- counters.map(_._2)
+    } yield {
+      frames.foreach(f =>
+        if (f.status == Frame.Active) f.sourceSha256.foreach(s += _))
+      (nw, v, s)
+    }
+    if (hashCache.exists(_._3.size > FrameStore.HashCacheMax)) hashCache = None
     currentSnapshot = None // the pinned copy no longer reflects the log
     mutationEpoch += 1
   }
@@ -223,6 +241,46 @@ final class FrameStore(spark: SparkSession, path: String,
       log.filter($"status" === Frame.Active && $"sourceSha256".isNotNull)
         .select($"sourceSha256"),
       Seq("sourceSha256"), "left_anti")
+
+  /** Dedup-identity cache (r19): the set of Active log rows' content
+    * hashes, keyed on (persisted watermark, last-vacuum seq) — exactly
+    * the two observables that change when the answer can change (any
+    * commit, ours or foreign, bumps the watermark; vacuum purges dead
+    * Active rows WITHOUT bumping it, hence the second key). Bounded: a
+    * store past [[FrameStore.HashCacheMax]] active hashes stops caching
+    * and [[put]] falls back to the anti-join plan above (the
+    * billions-of-rows path is unchanged). Maintained under the store
+    * lock only, rolled forward by [[appendFrames]], dropped by
+    * [[vacuum]]. Saves the one per-commit dedup JOB on every put of a
+    * driver-resident batch. */
+  private var hashCache:
+    Option[(Long, Long, scala.collection.mutable.HashSet[String])] = None
+
+  /** batch hashes NOT already in the Active log — the cache-served form
+    * of [[freshHashes]] (caller holds the store lock). */
+  private def freshHashSet(hashes: Seq[String]): Set[String] = {
+    val w = persistedWatermark
+    val vac = lastVacuumSeq
+    val set = hashCache match {
+      case Some((cw, cv, s)) if cw == w && cv == vac => Some(s)
+      case _ =>
+        // rebuild if the active-hash population is cacheable; the
+        // limit+1 probe bounds the collect regardless of store size
+        val rows = log.filter($"status" === Frame.Active && $"sourceSha256".isNotNull)
+          .select($"sourceSha256").distinct()
+          .limit(FrameStore.HashCacheMax + 1).as[String].collect()
+        if (rows.length <= FrameStore.HashCacheMax) {
+          val s = scala.collection.mutable.HashSet.empty[String]
+          s ++= rows
+          hashCache = Some((w, vac, s))
+          Some(s)
+        } else { hashCache = None; None }
+    }
+    set match {
+      case Some(s) => hashes.distinct.filterNot(s.contains).toSet
+      case None => freshHashes(hashes).as[String].collect().toSet
+    }
+  }
 
   /** ingest texts; content-hash dedup skips payloads already in the log
     * (reference BLAKE3 dedup short-circuit, mutation.rs:3300-3316).
@@ -248,7 +306,7 @@ final class FrameStore(spark: SparkSession, path: String,
     val hashed = texts.map { case (u, t) => (u, t, sha(t)) }
     val fresh: Seq[(String, String)] =
       if (dedup && logExists) {
-        val keep = freshHashes(hashed.map(_._3)).as[String].collect().toSet
+        val keep = freshHashSet(hashed.map(_._3))
         hashed.collect { case (u, t, h) if keep.contains(h) => (u, t) }
       } else texts
     if (fresh.isEmpty) Seq.empty else putFresh(fresh, track, kind, ts, tags,
@@ -425,6 +483,10 @@ final class FrameStore(spark: SparkSession, path: String,
     if (!hfs.rename(fsTmp, fsPath))
       throw new java.io.IOException(s"vacuum: rename $tmp -> $path failed")
     counters = Some((watermark._1, watermark._2, watermark._2))
+    // vacuum purges dead Active rows without moving the commit watermark
+    // — the dedup-hash population changed, so the cache must re-derive
+    // (lastVacuumSeq, the cache's second key, advanced in the same swap)
+    hashCache = None
     mutationEpoch += 1
   }
 
@@ -444,6 +506,14 @@ final class FrameStore(spark: SparkSession, path: String,
 }
 
 object FrameStore {
+  /** the frame log's on-disk schema (what Dataset[Frame] writes) */
+  private[store] val frameSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Frame].schema
+
+  /** dedup-hash cache population bound — past this, puts fall back to
+    * the anti-join plan (the log-side set stays distributed) */
+  private[store] val HashCacheMax = 200000
+
   /** Mutation-lock defaults: patient acquire (a contending writer WAITS
     * for a live peer's commit rather than erroring — commits are seconds,
     * not the reference's in-process microseconds), generous stale grace

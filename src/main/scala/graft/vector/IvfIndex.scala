@@ -246,12 +246,16 @@ object IvfIndex {
       case Some((k, h)) if k == key && (h.assigned.sparkSession eq spark) =>
         h
       case _ =>
-        val cents = spark.read.parquet(s"$genDir/centroids")
+        // explicit schemas on the two metadata reads (writeGen owns both
+        // shapes): skips a 1-task footer-inference job per read (r19)
+        val cents = spark.read.schema(centroidsSchema)
+          .parquet(s"$genDir/centroids")
           .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
           .sortBy(_._1)
         val (gen, floatKernel) =
           if (fs.exists(new Path(s"$genDir/meta"))) {
-            val m = spark.read.parquet(s"$genDir/meta").collect().head
+            val m = spark.read.schema(metaSchema)
+              .parquet(s"$genDir/meta").collect().head
             (m.getLong(0), m.getBoolean(1))
           } else (0L, true) // legacy flat layout predates retrain/append
         val assigned = deltas
@@ -267,6 +271,17 @@ object IvfIndex {
         }
         h
     }
+  }
+
+  private val centroidsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("cid", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+  }
+  private val metaSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("generation", LongType),
+      StructField("float_kernel", BooleanType)))
   }
 
   /** [[read]]'s re-open cache: path → ((genDir, marker mtime, committed
