@@ -18,12 +18,37 @@ object Tables {
     * infer once, then pass the schema explicitly (same footer, same
     * types; pushdown freedom unchanged). */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** freshness stamp for a fixture path: (mtime, length) of a file, or
+    * (dir mtime, fold of child name/mtime/length) of a directory — a
+    * regenerated fixture at the same path invalidates the cached schema
+    * (ADVICE r19: a path-only key silently served stale schemas). One
+    * local stat/listing, orders of magnitude cheaper than the 1-task
+    * inference job it replaces. */
+  private def stamp(p: String): String = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      val fold = if (kids == null) 0L
+        else kids.foldLeft(0L)((a, k) =>
+          a ^ (k.getName.hashCode.toLong * 1315423911L + k.lastModified + k.length))
+      s"${f.lastModified}:$fold"
+    } else s"${f.lastModified}:${f.length}"
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.F.ensureRegistered(spark)
     val p = s"$dir/$name.parquet"
-    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    val st = stamp(p)
+    val sch = Option(schemaCache.get(p)) match {
+      case Some((`st`, s)) => s
+      case _ =>
+        val s = spark.read.parquet(p).schema
+        if (schemaCache.size > 256) schemaCache.clear() // bound (ADVICE r19)
+        schemaCache.put(p, (st, s))
+        s
+    }
     spark.read.schema(sch).parquet(p)
   }
 

@@ -186,7 +186,22 @@ object Doctor {
            lexTable: Option[String] = None,
            vecPath: Option[String] = None,
            vecIdCol: String = "vec_id",
-           vecCol: String = "embedding"): Report = {
+           vecCol: String = "embedding"): Report =
+    planWithProbe(g, opts, lexTable, vecPath, vecIdCol, vecCol)._1
+
+  /** [[plan]] that also returns the probe counters it planned from plus
+    * the store watermark read BEFORE the probe — [[run]] reuses them for
+    * the dry-run post-verify (r20, guide §1.2): dry_run executes
+    * NOTHING, so when the commit watermark has not moved the verify
+    * counters are definitionally the plan counters and the second union
+    * job is pure duplication. Any foreign commit moves the watermark
+    * and forces the fresh re-probe. */
+  private def planWithProbe(g: Graft, opts: DoctorOptions,
+                            lexTable: Option[String],
+                            vecPath: Option[String],
+                            vecIdCol: String,
+                            vecCol: String): (Report, Map[String, Long], Long) = {
+    val wm = g.frames.persistedWatermark
     val p = probe(g, opts, lexTable, vecPath, vecIdCol, vecCol)
     var ord = 0L
     def row(rowType: String, phase: String, name: String, required: Boolean,
@@ -284,7 +299,7 @@ object Doctor {
         Seq(row("action", "finalize", "refresh_snapshot", required = true, "", 0L))
       else Nil
     val verify = Seq(row("action", "verify", "deep_verify", required = true, "", 0L))
-    Report(findings ++ vacuumActions ++ rebuildActions ++ finalize ++ verify)
+    (Report(findings ++ vacuumActions ++ rebuildActions ++ finalize ++ verify), p, wm)
   }
 
   /** Plan, then execute unless dry_run — doctor_run (doctor.rs:162-173).
@@ -297,7 +312,8 @@ object Doctor {
           lexStemmed: Boolean = false,
           vecIdCol: String = "vec_id",
           vecCol: String = "embedding"): Report = {
-    val planned = plan(g, opts, lexTable, vecPath, vecIdCol, vecCol)
+    val (planned, preProbe, preWm) =
+      planWithProbe(g, opts, lexTable, vecPath, vecIdCol, vecCol)
     val executed = planned.rows.map { r =>
       if (r.rowType != "action" || opts.dryRun) r
       else {
@@ -384,7 +400,12 @@ object Doctor {
         r.copy(executed = true)
       }
     }
-    val post = probe(g, opts, lexTable, vecPath, vecIdCol, vecCol)
+    // dry_run executed nothing: when no foreign writer moved the commit
+    // watermark, the verify counters ARE the plan counters — reuse them
+    // instead of paying a second identical probe union job (r20 §1.2)
+    val post =
+      if (opts.dryRun && g.frames.persistedWatermark == preWm) preProbe
+      else probe(g, opts, lexTable, vecPath, vecIdCol, vecCol)
     val base = executed.map(_.ord).max
     val postRows = post.toSeq.sortBy(_._1).zipWithIndex.map { case ((k, v), i) =>
       Row(base + i + 1, "post_verify", "verify", k, required = false,

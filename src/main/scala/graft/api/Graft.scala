@@ -1071,13 +1071,25 @@ final class Graft(val spark: SparkSession, basePath: String,
   }
 
   // ---- structured memory ----
-  def cards: DataFrame =
+  def cards: DataFrame = {
+    // a missing table with a .__rebuild/.__old sibling is a crashed
+    // repairCards swap — recover the orphan instead of serving empty
+    // (ADVICE r19); no-cost for healthy stores (guarded on absence)
+    if (!new java.io.File(cardsPath).exists) {
+      val dst = new org.apache.hadoop.fs.Path(cardsPath)
+      val hfs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$cardsPath.__rebuild", s"$cardsPath.__old").foreach { cand =>
+        val p = new org.apache.hadoop.fs.Path(cand)
+        if (!hfs.exists(dst) && hfs.exists(p)) hfs.rename(p, dst): Unit
+      }
+    }
     // explicit schema (the table is only ever written with this shape):
     // skips the 1-task footer-inference job per open (r19)
     if (new java.io.File(cardsPath).exists)
       spark.read.schema(Graft.cardsSchema).parquet(cardsPath)
     else Seq.empty[(Long, String, String, String, String, String, Timestamp, Long)]
       .toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+  }
 
   def remember(entity: String, slot: String, value: String, relation: String = "sets",
                ts: Timestamp = new Timestamp(1700000000000L)): Unit =
@@ -1223,10 +1235,22 @@ final class Graft(val spark: SparkSession, basePath: String,
     val n = spark.read.parquet(tmp).count()
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val dstPath = new org.apache.hadoop.fs.Path(cardsPath)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$cardsPath.__old")
     val hfs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(dstPath, true)
-    if (!hfs.rename(tmpPath, dstPath))
+    // rename-rename-delete (ADVICE r19): the former delete(dst)+rename
+    // left NO cards dir if crashed between the two — cards() then
+    // silently served empty. Now the old table is renamed ASIDE first,
+    // and [[cards]] recovers an orphan .__rebuild/.__old if a crash
+    // lands between the renames.
+    hfs.delete(oldPath, true) // clear residue from a prior crashed swap
+    if (hfs.exists(dstPath) && !hfs.rename(dstPath, oldPath))
+      throw new java.io.IOException(
+        s"repairCards: rename $cardsPath -> $oldPath failed")
+    if (!hfs.rename(tmpPath, dstPath)) {
+      if (hfs.exists(oldPath)) hfs.rename(oldPath, dstPath): Unit // restore
       throw new java.io.IOException(s"repairCards: rename $tmp -> $cardsPath failed")
+    }
+    hfs.delete(oldPath, true)
     n
   }
 

@@ -26,6 +26,8 @@ object F {
       reg.createOrReplaceTempFunction("word_shingles", es => WordShinglesExpr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash64", es => SimHash64Expr(es(0), es(1)), "built-in")
       reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSigExpr(es.head), "built-in")
+      reg.createOrReplaceTempFunction("pq_encode", es => PqEncodeExpr(es(0), es(1)), "built-in")
+      reg.createOrReplaceTempFunction("pq_adist", es => PqAsymmetricExpr(es(0), es(1)), "built-in")
     }
   }
 
@@ -60,6 +62,15 @@ object F {
   /** per-row MinHash signature over a shingle array (MinHashSigExpr) */
   def minhashSig(shingles: Column): Column =
     call_function("minhash_sig", shingles)
+
+  /** PQ codes from a float vector against a codebook LITERAL (r20) */
+  def pqEncode(vec: Column, codebooksLit: Column): Column =
+    call_function("pq_encode", vec, codebooksLit)
+
+  /** asymmetric PQ distance of a codes column against a query distance
+    * table LITERAL (r20) */
+  def pqAdist(codes: Column, tableLit: Column): Column =
+    call_function("pq_adist", codes, tableLit)
 
   /** word n-gram shingles over text (convenience; see shinglesFromTokens
     * for the hot path) */

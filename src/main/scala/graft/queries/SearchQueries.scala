@@ -111,8 +111,11 @@ object SearchQueries {
               (i.toLong, row.getAs[Long](s"n_$i"), row.getAs[Long](s"x_$i")) }
           }
         }
-        val out = Await.result(Future.sequence(chunkFs), Duration.Inf).flatten
-        base.unpersist(blocking = false)
+        // finally: a failed/interrupted chunk must not leak the persisted
+        // tokenized fixture in the session cache (ADVICE r19)
+        val out =
+          try Await.result(Future.sequence(chunkFs), Duration.Inf).flatten
+          finally base.unpersist(blocking = false)
         s.createDataset(out).toDF("qid", "n_matches", "xor_ids")
           .orderBy($"qid")
       },

@@ -188,7 +188,7 @@ final class FrameStore(spark: SparkSession, path: String,
     * identical. Never downgrades a fresher cache entry. */
   private[graft] def primeLiveCount(watermark: Long, n: Long): Unit =
     liveCountCache match {
-      case Some((k, _)) if k == watermark => ()
+      case Some((k, _)) if k >= watermark => () // never downgrade fresher
       case _ => liveCountCache = Some((watermark, n))
     }
 

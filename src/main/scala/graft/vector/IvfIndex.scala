@@ -104,9 +104,35 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$genDir/centroids")
     Seq((gen, floatKernel)).toDF("generation", "float_kernel")
       .write.mode("overwrite").parquet(s"$genDir/meta")
-    fsOf(spark, path).create(new Path(s"$genDir/_GRAFT_COMMITTED"), true).close()
+    // the marker carries a unique nonce: the read-cache keys on its
+    // CONTENT, so a delete-and-rebuild that reuses gen names is a cache
+    // miss even within one coarse-mtime filesystem tick (r20; closes the
+    // r19 verdict's "minor, latent" corner)
+    val out = fsOf(spark, path).create(new Path(s"$genDir/_GRAFT_COMMITTED"), true)
+    out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+    out.close()
     genDir
   }
+
+  /** read-cache staleness stamp for a generation's commit marker: its
+    * nonce content when present (post-r20 writers), else the mtime
+    * (legacy empty markers), else -1 for a missing marker */
+  private def markerStamp(fs: org.apache.hadoop.fs.FileSystem,
+                          marker: Path): String =
+    try {
+      if (!fs.exists(marker)) "-1"
+      else {
+        val st = fs.getFileStatus(marker)
+        if (st.getLen > 0 && st.getLen <= 64) {
+          val in = fs.open(marker)
+          try {
+            val buf = new Array[Byte](st.getLen.toInt)
+            in.readFully(buf)
+            new String(buf, "UTF-8")
+          } finally in.close()
+        } else st.getModificationTime.toString
+      }
+    } catch { case scala.util.control.NonFatal(_) => "-1" }
 
   /** point CURRENT at `gen` (tmp-write + rename; the recovery scan in
     * [[liveGenDir]] covers the delete→rename window) */
@@ -231,16 +257,13 @@ object IvfIndex {
     // determined by (genDir, commit-marker mtime, delta list). The
     // doctor probes, appends and serving re-open the same index many
     // times per operation; without this every open pays two driver
-    // collect jobs (centroids + meta). The marker mtime guards the one
-    // mutable case: a path deleted and REBUILT from scratch reuses gen
-    // names, but not the marker's timestamp. A foreign writer's
-    // append/retrain changes the delta list / genDir → cache miss →
-    // fresh read, so cross-process freshness is exactly what it was.
-    val marker = new Path(s"$genDir/_GRAFT_COMMITTED")
-    val stamp =
-      try { if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-            else -1L }
-      catch { case scala.util.control.NonFatal(_) => -1L }
+    // collect jobs (centroids + meta). The marker STAMP (its written
+    // nonce; mtime for legacy empty markers) guards the one mutable
+    // case: a path deleted and REBUILT from scratch reuses gen names,
+    // but never the nonce. A foreign writer's append/retrain changes
+    // the delta list / genDir → cache miss → fresh read, so
+    // cross-process freshness is exactly what it was.
+    val stamp = markerStamp(fs, new Path(s"$genDir/_GRAFT_COMMITTED"))
     val key = (genDir, stamp, deltas)
     readCache.synchronized(readCache.get(path)) match {
       case Some((k, h)) if k == key && (h.assigned.sparkSession eq spark) =>
@@ -284,11 +307,12 @@ object IvfIndex {
       StructField("float_kernel", BooleanType)))
   }
 
-  /** [[read]]'s re-open cache: path → ((genDir, marker mtime, committed
-    * deltas), handle). LinkedHashMap for cheap oldest-first eviction. */
+  /** [[read]]'s re-open cache: path → ((genDir, marker nonce/mtime
+    * stamp, committed deltas), handle). LinkedHashMap for cheap
+    * oldest-first eviction. */
   private val readCache =
     new scala.collection.mutable.LinkedHashMap[
-      String, ((String, Long, Seq[String]), Handle)]
+      String, ((String, String, Seq[String]), Handle)]
 
   /** prime [[read]]'s cache from a mutator that just committed `genDir`
     * and holds the equivalent handle — the next read() then hits instead
@@ -296,11 +320,7 @@ object IvfIndex {
   private def primeReadCache(spark: SparkSession, path: String,
                              genDir: String, h: Handle): Unit = {
     val fs = fsOf(spark, path)
-    val marker = new Path(s"$genDir/_GRAFT_COMMITTED")
-    val stamp =
-      try { if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-            else -1L }
-      catch { case scala.util.control.NonFatal(_) => -1L }
+    val stamp = markerStamp(fs, new Path(s"$genDir/_GRAFT_COMMITTED"))
     val key = (genDir, stamp, committedDeltas(fs, genDir))
     readCache.synchronized {
       readCache.put(path, (key, h))

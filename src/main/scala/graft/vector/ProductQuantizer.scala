@@ -72,17 +72,14 @@ final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 
     best
   }
 
-  /** encode vectors into M codes (one int per subspace) */
+  /** encode vectors into M codes (one int per subspace) — a codegen
+    * expression over a codebook literal (r20; was an interpreted ScalaUDF
+    * boxing every row — the corpus-sized pass of every PQ gate). Same
+    * argmin, same double accumulation, bit-identical codes. */
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val m = model
-    val ns = numSubspaces
-    val enc = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      (0 until ns).map { s =>
-        nearest(m.codebooks(s), arr.slice(s * m.subDim, (s + 1) * m.subDim))
-      }
-    }
-    df.withColumn("pq_codes", enc(col(vecCol)))
+    graft.functions.F.ensureRegistered(df.sparkSession)
+    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    df.withColumn("pq_codes", graft.functions.F.pqEncode(col(vecCol), cbLit))
   }
 
   /** the (M × K) query-to-centroid distance table — public so the DuckDB
@@ -99,15 +96,13 @@ final class ProductQuantizer(val numSubspaces: Int = 8, val numCentroids: Int = 
       }
     }
 
-  /** asymmetric distance: exact query vs quantized base (vec_pq.rs:201) */
+  /** asymmetric distance: exact query vs quantized base (vec_pq.rs:201)
+    * — a codegen expression over the query's distance-table literal
+    * (r20; was an interpreted ScalaUDF). Same table, same sequential
+    * double sum, same sqrt. */
   def asymmetricDistance(query: Array[Float], model: Model): Column => Column = {
-    val table = distanceTable(query, model)
-    val scoreUdf = udf { (codes: Seq[Int]) =>
-      var s = 0; var d = 0.0
-      while (s < codes.length) { d += table(s)(codes(s)); s += 1 }
-      math.sqrt(d)
-    }
-    codes => scoreUdf(codes)
+    val tblLit = typedlit(distanceTable(query, model).map(_.toSeq).toSeq)
+    codes => graft.functions.F.pqAdist(codes, tblLit)
   }
 
   /** PQ-approximate top-k over an encoded table */
