@@ -40,8 +40,15 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.F.ensureRegistered(spark)
     val p = s"$dir/$name.parquet"
+    spark.read.schema(schemaOf(spark, p)).parquet(p)
+  }
+
+  /** stamp-cache-served schema of a parquet file/dir (see [[stamp]]) —
+    * shared by the streaming drains, which pay the same footer-inference
+    * job per readStream otherwise (r20) */
+  def schemaOf(spark: SparkSession, p: String): org.apache.spark.sql.types.StructType = {
     val st = stamp(p)
-    val sch = Option(schemaCache.get(p)) match {
+    Option(schemaCache.get(p)) match {
       case Some((`st`, s)) => s
       case _ =>
         val s = spark.read.parquet(p).schema
@@ -49,7 +56,6 @@ object Tables {
         schemaCache.put(p, (st, s))
         s
     }
-    spark.read.schema(sch).parquet(p)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -186,11 +186,24 @@ object Acl {
           .withColumn("acl_allowed", col("acl_decision") === "allow")
           .drop(dropCols: _*)
       case Enforce =>
-        import org.apache.spark.sql.expressions.Window
-        withArr.withColumn("__d", d).filter(col("__d") === "allow")
+        // bounded-collect rank (r20): every Enforce caller feeds a
+        // bounded hit page (≤ offset+topK serving pages / a fixture
+        // constant), so the dense 1..n re-rank is the page enumerated in
+        // `rankBy` order — the former unpartitioned row_number Window
+        // moved the page to a single partition (the "No Partition
+        // Defined" WindowExec warning near the driver-parsed bench tail)
+        // for the same assignment over the same total order.
+        val sorted = withArr.withColumn("__d", d).filter(col("__d") === "allow")
           .drop("__d").drop(dropCols: _*)
-          .withColumn("acl_rank",
-            row_number().over(Window.orderBy(rankBy: _*)))
+          .orderBy(rankBy: _*)
+        val rows = sorted.collect()
+        val schema = org.apache.spark.sql.types.StructType(
+          sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "acl_rank", org.apache.spark.sql.types.IntegerType, nullable = false))
+        val ranked = rows.iterator.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }.toArray
+        hits.sparkSession.createDataFrame(
+          java.util.Arrays.asList(ranked: _*), schema)
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second-stage reranking (reference: the `Reranker` trait at
@@ -19,9 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: the candidate pool is ≤ max_candidates rows, so the rescore
   * is a semi-join of a broadcast-sized id list into the token table plus
-  * one bounded aggregation; all corpus-sized work stays in stage 1. The
-  * unpartitioned rank windows run over ≤ max_candidates rows (same idiom
-  * as Search's post-limit pagination window).
+  * one bounded aggregation; all corpus-sized work stays in stage 1. Both
+  * rank assignments enumerate the collected bounded page (the Search
+  * bounded-collect idiom, r20) — no unpartitioned Window ever runs.
   */
 object Rerank {
 
@@ -34,20 +33,39 @@ object Rerank {
            tokens: DataFrame, query: String,
            maxCandidates: Int = 50, topK: Int = 10,
            minScore: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = docs.sparkSession
-    val cands = Lexical.search(docs, idCol, textCol, query, topK = maxCandidates)
-      .withColumn("original_rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
-      .select(col(idCol).as("doc_id"), col("original_rank"))
+    // Stage-1 pool is ≤ maxCandidates rows and ALREADY globally sorted by
+    // (score desc, id) — rank it on the driver (r20): the former
+    // unpartitioned row_number Window moved the page to one partition
+    // (WindowExec warning spam near the driver-parsed bench tail) and
+    // cost a plan stage; enumerating the collected page is the same
+    // 1..n assignment over the same total order.
+    val candRows = Lexical.search(docs, idCol, textCol, query,
+      topK = maxCandidates).collect()
+    val origRank = candRows.iterator.zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val cands = spark.createDataFrame(
+      java.util.Arrays.asList(candRows.iterator.zipWithIndex.map {
+        case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i + 1)
+      }.toArray: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("original_rank", IntegerType))))
     val poolToks = tokens.join(cands.select("doc_id"), Seq("doc_id"), "left_semi")
     val terms = query.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    // pool rescore is ≤ maxCandidates rows sorted by (score desc, doc_id)
+    // — the exact new_rank order; cut to topK and assemble driver-side
     val rescored = BM25.score(spark, poolToks, terms, topK = maxCandidates)
       .filter(col("score") >= minScore)
-    rescored.join(broadcast(cands), Seq("doc_id"))
-      .withColumn("new_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("new_rank") <= topK)
-      .select(col("doc_id"), col("original_rank"), col("new_rank"), col("score"))
-      .orderBy(col("new_rank"))
+      .select(col("doc_id"), col("score")).collect()
+    val out = rescored.iterator.zipWithIndex.take(topK).map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), origRank(r.getLong(0)),
+        i + 1, r.getDouble(1))
+    }.toArray
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("original_rank", IntegerType),
+        StructField("new_rank", IntegerType),
+        StructField("score", DoubleType))))
   }
 }

@@ -118,6 +118,27 @@ object StreamingIngest {
     try body finally spark.conf.set(key, old)
   }
 
+  /** SCALE-ADAPTIVE state-partition count for a one-shot drain (r20,
+    * guide §2.7 — derive partitioning from input size, not a constant):
+    * every state partition pays fixed per-micro-batch cost (HDFS-backed
+    * store open + delta file + commit), so the count should amortize over
+    * real state. One partition per `spark.graft.stream.bytesPerStatePartition`
+    * (default 64 MB) of input, clamped to [1, session shuffle partitions]
+    * — a few-MB fixture drains through 1 store instead of 8, a TB-scale
+    * directory still fans out to the full session width. Values are
+    * unaffected: the drains' aggregates/joins are partitioning-free. */
+  private def drainPartitions(spark: SparkSession, dir: String, glob: String): Int = {
+    val f = new java.io.File(s"$dir/$glob")
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+      else f.length
+    val per = spark.conf.getOption("spark.graft.stream.bytesPerStatePartition")
+      .map(_.toLong).getOrElse(64L << 20)
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(cap, math.ceil(bytes.toDouble / per).toInt))
+  }
+
   /** One-shot STREAMING aggregation over a static parquet directory: the
     * same windowed count runs as a genuine Structured Streaming query
     * (readStream → watermark → window agg → memory sink, complete mode,
@@ -132,7 +153,7 @@ object StreamingIngest {
   def runWindowedOnce(spark: SparkSession, dir: String, glob: String,
                       windowDur: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val schema = graft.Tables.schemaOf(spark, s"$dir/$glob")
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val ev =
@@ -149,7 +170,7 @@ object StreamingIngest {
         col("n"), col("value_e4"))
     val name = "graft_stream_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val out = withShufflePartitions(spark, 8) {
+    val out = withShufflePartitions(spark, drainPartitions(spark, dir, glob)) {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -174,7 +195,7 @@ object StreamingIngest {
                        leftType: String, rightType: String,
                        within: String, watermark: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val schema = graft.Tables.schemaOf(spark, s"$dir/$glob")
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val ev =
@@ -191,7 +212,7 @@ object StreamingIngest {
         col("lts"), col("rts"))
     val name = "graft_stream_join_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val out = withShufflePartitions(spark, 8) {
+    val out = withShufflePartitions(spark, drainPartitions(spark, dir, glob)) {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -214,7 +235,7 @@ object StreamingIngest {
   def runDedupOnce(spark: SparkSession, dir: String, glob: String,
                    textCol: String, tsFromIdCol: String): DataFrame = {
     F.ensureRegistered(spark)
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val schema = graft.Tables.schemaOf(spark, s"$dir/$glob")
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val ev = raw.withColumn("__ts", timestamp_micros(
@@ -223,7 +244,7 @@ object StreamingIngest {
       .select(col("contentHash"))
     val name = "graft_stream_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val out = withShufflePartitions(spark, 8) {
+    val out = withShufflePartitions(spark, drainPartitions(spark, dir, glob)) {
       val q = dd.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
