@@ -61,7 +61,17 @@ object ScaleRung {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    val spark = graft.Sessions.builder(s"local[$cpus]", cpus)
+      // split sizing scaled to the rung corpus (guide §6): the amplified
+      // tables are a few hundred MB in ~30 small files, which the default
+      // 128 MB/4 MB split packing folds into 1-4 scan tasks — a FILE
+      // COUNT artifact of the synthesizer, not a property of the plans
+      // (at real scale the same scans get thousands of splits). 8 MB
+      // splits give the narrow scan-heavy gates enough tasks that the
+      // rung measures the operators, not the packer.
+      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (128L << 10).toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.toList match {
       case "synth" :: src :: out :: c :: Nil =>
