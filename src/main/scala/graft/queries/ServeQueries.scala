@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object ServeQueries {
 
+  /** Pin a bounded leg page as a LOCAL relation (r20, guide §1.2): one
+    * collect job serves the leg — the former per-leg localCheckpoint paid
+    * the same materialization plus RDD block management, and the final
+    * union needed its own detach job. Legs are ≤ topK rows by
+    * construction, and a local relation is store-independent by nature
+    * (safe across the fixture's later mutations and teardown). */
+  private def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** oracle-side tokenizer fragment (must mirror F.tokens) */
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9&@+/_]+'), x -> regexp_matches(x, '[a-z0-9]'))"
@@ -190,18 +200,17 @@ object ServeQueries {
         g.buildLexIndex("facade_lex_serve_gate", stemmed = false)
         def leg(name: String) = {
           val hits = g.search("spark join window", topK = 25)
-          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
-              col("id"), col("score"))
-            .localCheckpoint() // pin BEFORE the next mutation moves the store
+          pin(hits.select(lit(name).as("leg"),
+              lit(g.lastSearchRoute).as("route"),
+              col("id"), col("score"))) // pin BEFORE the next mutation
         }
         val l1 = leg("indexed")
         g.put("mv2://facade/extra", "zzz qqq")
         val l2 = leg("stale_corpus")
         g.buildLexIndex("facade_lex_serve_gate", stemmed = false)
         val l3 = leg("reserved")
-        val out = l1.union(l2).union(l3)
+        val out = l1.union(l2).union(l3) // legs are local relations
           .orderBy(col("leg"), col("score").desc, col("id"))
-          .localCheckpoint()
         s.sql("DROP TABLE IF EXISTS `facade_lex_serve_gate`")
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
@@ -249,10 +258,10 @@ object ServeQueries {
         def leg(name: String, noSketch: Boolean) = {
           val hits = g.search("spark join window", topK = 25,
             noSketch = noSketch)
-          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
+          pin(hits.select(lit(name).as("leg"),
+              lit(g.lastSearchRoute).as("route"),
               lit(g.lastSketchApplied).as("sketch_applied"),
-              col("id"), col("score"))
-            .localCheckpoint()
+              col("id"), col("score"))) // pin BEFORE the next mutation
         }
         val l1 = leg("a_sketch", noSketch = false)
         val l2 = leg("b_nosketch", noSketch = true)
@@ -260,9 +269,8 @@ object ServeQueries {
         assert(g.refreshLexIndex() == "appended")
         assert(g.refreshSketchTable() == "appended")
         val l3 = leg("c_refreshed", noSketch = false)
-        val out = l1.union(l2).union(l3)
+        val out = l1.union(l2).union(l3) // legs are local relations
           .orderBy(col("leg"), col("score").desc, col("id"))
-          .localCheckpoint()
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         s.sql(s"DROP TABLE IF EXISTS `$skt`")
         VectorQueries.deleteRecursively(new java.io.File(dir))
@@ -313,9 +321,9 @@ object ServeQueries {
         g.buildLexIndex(tbl, stemmed = false)
         def leg(name: String, healedBy: String) = {
           val hits = g.search("spark join window", topK = 25)
-          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
-              lit(healedBy).as("healed_by"), col("id"), col("score"))
-            .localCheckpoint() // pin BEFORE the next mutation moves the store
+          pin(hits.select(lit(name).as("leg"),
+              lit(g.lastSearchRoute).as("route"),
+              lit(healedBy).as("healed_by"), col("id"), col("score")))
         }
         val l1 = leg("a_indexed", "none")
         g.put("mv2://docserve/extra", "zzz qqq") // stamp goes stale
@@ -336,9 +344,8 @@ object ServeQueries {
           .filter(r => r.name == "compact_lex_index" && r.executed)
           .map(_.name).headOption.getOrElse("missing")
         val l3 = leg("c_compacted", compacted)
-        val out = l1.union(l2).union(l3)
+        val out = l1.union(l2).union(l3) // legs are local relations
           .orderBy(col("leg"), col("score").desc, col("id"))
-          .localCheckpoint()
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
@@ -402,7 +409,6 @@ object ServeQueries {
           enrich = false, chunkLargeDocs = false)
         val l2 = leg("b_stale_corpus")
         val out = l1.union(l2).orderBy(col("leg"), col("citation_idx"))
-          .localCheckpoint()
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
@@ -461,7 +467,7 @@ object ServeQueries {
         val out = resp.citations.map(c => (c.index.toLong, c.id, c.score))
           .toDF("citation_idx", "doc_id", "score")
           .withColumn("score", round(col("score"), 9))
-          .localCheckpoint() // detach before deleting the index dir
+          // driver-built rows: already a local relation, nothing to detach
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
       },
@@ -497,7 +503,6 @@ object ServeQueries {
         g.buildVecIndex(s"$dir/vec", k = 2, iters = 1, nprobe = 2)
         val l2 = leg("leg2")
         val out = l1.union(l2).orderBy(col("leg"), col("citation_idx"))
-          .localCheckpoint()
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
       },
@@ -547,10 +552,10 @@ object ServeQueries {
         g.buildLexIndex(tbl, stemmed = false)
         def leg(name: String, action: String, filesGrew: String) = {
           val hits = g.search("spark join window", topK = 25)
-          hits.select(lit(name).as("leg"), lit(g.lastSearchRoute).as("route"),
+          pin(hits.select(lit(name).as("leg"),
+              lit(g.lastSearchRoute).as("route"),
               lit(action).as("action"), lit(filesGrew).as("files_grew"),
-              col("id"), col("score"))
-            .localCheckpoint() // pin BEFORE the next mutation moves the store
+              col("id"), col("score"))) // pin BEFORE the next mutation
         }
         val l1 = leg("a_indexed", "none", "na")
         val extraId = g.put("mv2://refresh/extra", "zzz qqq").get
@@ -561,9 +566,8 @@ object ServeQueries {
         g.delete(extraId) // tombstone: beyond the append contract
         val act2 = g.refreshLexIndex()
         val l3 = leg("c_rebuilt", act2, "na")
-        val out = l1.union(l2).union(l3)
+        val out = l1.union(l2).union(l3) // legs are local relations
           .orderBy(col("leg"), col("score").desc, col("id"))
-          .localCheckpoint()
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
@@ -615,7 +619,6 @@ object ServeQueries {
         val act = g.refreshVecIndex()
         val l2 = leg("leg2", act)
         val out = l1.union(l2).orderBy(col("leg"), col("citation_idx"))
-          .localCheckpoint()
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
       },
@@ -671,7 +674,9 @@ object ServeQueries {
             allowedIds = Some(cand))
           .select(col("id"), col("score"))
           .orderBy(col("score").desc, col("id"))
-          .localCheckpoint()
+          // searchIndexed's page is a bounded LOCAL relation (r19) and
+          // withSnippets=false never rejoins the corpus — the plan holds
+          // no reference to the dropped table (r20: detach job removed)
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         out
       },
@@ -724,7 +729,9 @@ object ServeQueries {
               stemmed = false, withSnippets = false))
           .select(col("id"), col("score"))
           .orderBy(col("score").desc, col("id"))
-          .localCheckpoint()
+          // searchIndexed's page is a bounded LOCAL relation (r19) and
+          // withSnippets=false never rejoins the corpus — the plan holds
+          // no reference to the dropped table (r20: detach job removed)
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         out
       },
@@ -761,7 +768,9 @@ object ServeQueries {
               stemmed = false, withSnippets = false))
           .select(col("id"), col("score"))
           .orderBy(col("score").desc, col("id"))
-          .localCheckpoint()
+          // searchIndexed's page is a bounded LOCAL relation (r19) and
+          // withSnippets=false never rejoins the corpus — the plan holds
+          // no reference to the dropped table (r20: detach job removed)
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         out
       },
@@ -808,7 +817,9 @@ object ServeQueries {
               stemmed = false, withSnippets = false))
           .select(col("id"), col("score"))
           .orderBy(col("score").desc, col("id"))
-          .localCheckpoint()
+          // searchIndexed's page is a bounded LOCAL relation (r19) and
+          // withSnippets=false never rejoins the corpus — the plan holds
+          // no reference to the dropped table (r20: detach job removed)
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         out
       },
@@ -856,7 +867,9 @@ object ServeQueries {
               stemmed = true, stemMembership = true, withSnippets = false))
           .select(col("id"), col("score"))
           .orderBy(col("score").desc, col("id"))
-          .localCheckpoint()
+          // searchIndexed's page is a bounded LOCAL relation (r19) and
+          // withSnippets=false never rejoins the corpus — the plan holds
+          // no reference to the dropped table (r20: detach job removed)
         s.sql(s"DROP TABLE IF EXISTS `$tbl`")
         out
       },
@@ -917,8 +930,7 @@ object ServeQueries {
         val out = (planned ++ post)
           .toDF("row_type", "phase", "name", "required", "reason",
             "detail_n", "executed")
-          .orderBy($"row_type", $"name")
-          .localCheckpoint()
+          .orderBy($"row_type", $"name") // driver-built local relation
         s.sql(s"DROP TABLE IF EXISTS `$skt`")
         VectorQueries.deleteRecursively(new java.io.File(dir))
         out
