@@ -91,6 +91,17 @@ object Bm25Index {
     spark.catalog.tableExists(tableName) &&
       spark.table(tableName).columns.contains("track")
 
+  /** the LIVE table's bucket count (None when the table doesn't exist):
+    * appends and compaction must match the existing spec — the caller's
+    * parameter only decides a CREATE (r20: write() sizes tracked tables
+    * adaptively, so a fixed caller-side count could silently mismatch) */
+  private def catalogBuckets(spark: SparkSession,
+                             tableName: String): Option[Int] =
+    if (!spark.catalog.tableExists(tableName)) None
+    else spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec.map(_.numBuckets)
+
   /** A rename-aside swap MOVES a managed table's directory, but a
     * PARTITIONED table's per-partition catalog locations still point at
     * the old path — every read then plans zero files. Resync (drop
@@ -133,8 +144,27 @@ object Bm25Index {
     // the flag is omitted (the doctor's heal path rebuilds by table name
     // only) — same auto-detect contract as the track layout
     val positioned = withPositions || isPositioned(spark, tableName)
-    val postings = postingsFor(docs, idCol, textCol, stemmed, trackCol,
+    val postings0 = postingsFor(docs, idCol, textCol, stemmed, trackCol,
       positioned)
+    // PARTITION-AWARE bucket count + one-file-per-bucket layout for the
+    // TRACKED build (r20, guide §6): directory partitioning MULTIPLIES
+    // the file count — each write task emits one file per (track, bucket)
+    // it holds, so a 20-track × 16-bucket build from 32 tasks left ~640
+    // tiny files (measured, plans/r20/tracked_files_*.txt). For tracked
+    // tables `nBuckets` is therefore a TOTAL-file budget: buckets =
+    // max(1, nBuckets / #tracks), and the same repartition(buckets,
+    // doc_id) compact() uses aligns tasks with buckets so the build
+    // emits exactly one file per (track, bucket). Untracked builds stay
+    // shuffle-free (bulk path; compact() owns their file debt).
+    val (postings, effBuckets) = trackCol match {
+      case Some(tc) =>
+        import org.apache.spark.sql.functions.col
+        val nTracks = math.max(1L,
+          docs.select(col(tc)).distinct().count())
+        val nb = math.max(1, (nBuckets.toLong / nTracks).toInt)
+        (postings0.repartition(nb, col("doc_id")), nb)
+      case None => (postings0, nBuckets)
+    }
     val parts = trackCol.map(_ => "track").toSeq
     if (!spark.catalog.tableExists(tableName)) {
       // sweep residue of a swap torn mid-rename (write = full rebuild
@@ -142,14 +172,14 @@ object Bm25Index {
       Seq(tableName + "__rebuild", tableName + "__old").foreach { t =>
         if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
       }
-      graft.ops.Bucketing.writeBucketed(postings, tableName, nBuckets,
+      graft.ops.Bucketing.writeBucketed(postings, tableName, effBuckets,
         Seq("doc_id"), parts)
     } else {
       val tmpName = tableName + "__rebuild"
       val oldName = tableName + "__old"
       if (spark.catalog.tableExists(tmpName)) spark.sql(s"DROP TABLE `$tmpName`")
       if (spark.catalog.tableExists(oldName)) spark.sql(s"DROP TABLE `$oldName`")
-      graft.ops.Bucketing.writeBucketed(postings, tmpName, nBuckets,
+      graft.ops.Bucketing.writeBucketed(postings, tmpName, effBuckets,
         Seq("doc_id"), parts)
       if (parts.isEmpty) {
         spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")
@@ -216,7 +246,8 @@ object Bm25Index {
     val postings = postingsFor(delta, idCol, textCol, stemmed,
       if (tracked) trackCol else None, positioned)
     val w = postings.write
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .bucketBy(catalogBuckets(spark, tableName).getOrElse(nBuckets),
+        "doc_id").sortBy("doc_id")
       .mode("append").format("parquet")
     (if (tracked) w.partitionBy("track") else w).saveAsTable(tableName)
     // saveAsTable(append) invalidates the WRITING session's relation
@@ -285,10 +316,14 @@ object Bm25Index {
     val aggCols = sum(col("tf")).as("tf") +: (if (positioned)
       Seq(sort_array(flatten(collect_list(col("positions")))).as("positions"))
     else Nil)
+    // the LIVE table's bucket spec wins (r20): write() sizes tracked
+    // tables adaptively, so a caller's fixed count could silently
+    // re-bucket the table mid-life
+    val nb = catalogBuckets(spark, tableName).getOrElse(nBuckets)
     val merged = spark.table(tableName)
       .groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      .repartition(nBuckets, col("doc_id"))
-    graft.ops.Bucketing.writeBucketed(merged, tmpName, nBuckets, Seq("doc_id"),
+      .repartition(nb, col("doc_id"))
+    graft.ops.Bucketing.writeBucketed(merged, tmpName, nb, Seq("doc_id"),
       if (tracked) Seq("track") else Nil)
     if (!tracked) {
       spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$oldName`")

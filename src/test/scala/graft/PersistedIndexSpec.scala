@@ -30,18 +30,31 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_inc")
   }
 
-  test("Bm25Index.append with a mismatched bucket count is rejected, not silently corrupting") {
-    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
-    graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_guard",
+  test("Bm25Index.append with a mismatched bucket count lands with the TABLE's spec") {
+    // r20: the live table's catalog bucket spec wins — write() sizes
+    // tracked tables adaptively, so a caller's fixed count must neither
+    // corrupt (the pre-r20 risk) nor reject (the pre-r20 behavior): the
+    // delta lands bucketed exactly like the table, and scoring equals
+    // the full rebuild bit-for-bit.
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "delta alpha")).toDF("doc_id", "text")
+    graft.search.Bm25Index.write(docs.filter($"doc_id" <= 2), "doc_id",
+      "text", "bm25_life_guard", nBuckets = 8)
+    graft.search.Bm25Index.append(docs.filter($"doc_id" === 3),
+      "doc_id", "text", "bm25_life_guard", nBuckets = 4) // mismatched param
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    assert(spark.sessionState.catalog.getTableMetadata(
+      TableIdentifier("bm25_life_guard")).bucketSpec.map(_.numBuckets)
+      .contains(8), "the live spec must survive a mismatched append param")
+    graft.search.Bm25Index.write(docs, "doc_id", "text", "bm25_life_guard_f",
       nBuckets = 8)
-    intercept[Exception] {
-      graft.search.Bm25Index.append(
-        Seq((3L, "delta")).toDF("doc_id", "text"),
-        "doc_id", "text", "bm25_life_guard", nBuckets = 4)
-    }
-    // the artifact is still the pre-append index
-    assert(spark.table("bm25_life_guard").count() == 4) // 4 postings rows
+    val inc = graft.search.Bm25Index.search(spark, "bm25_life_guard",
+      Seq("alpha", "beta"), topK = 10).collect().toSeq
+    val full = graft.search.Bm25Index.search(spark, "bm25_life_guard_f",
+      Seq("alpha", "beta"), topK = 10).collect().toSeq
+    assert(inc == full, s"spec-driven append must score like the rebuild:\n$inc\n$full")
     spark.sql("DROP TABLE IF EXISTS bm25_life_guard")
+    spark.sql("DROP TABLE IF EXISTS bm25_life_guard_f")
   }
 
   test("Bm25Index.compact: one file per bucket, scoring bit-equal, idempotent") {
