@@ -111,6 +111,7 @@ final class Graft(val spark: SparkSession, basePath: String,
         ((frameId << 20) + i, f.entity, f.slot, f.value, "fact", "sets", ts, frameId)
       }
       rows.toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+        .coalesce(1) // one file per driver-resident card batch (r20 §6)
         .write.mode(SaveMode.Append).parquet(cardsPath)
     }
     facts.map(f => (f.entity, f.slot)).toSet
@@ -133,6 +134,7 @@ final class Graft(val spark: SparkSession, basePath: String,
         ((sourceId << 20) + (1L << 19) + i, e, sl, "", "retract", "retracts", ts, sourceId)
       }
       rows.toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+        .coalesce(1) // one file per driver-resident card batch (r20 §6)
         .write.mode(SaveMode.Append).parquet(cardsPath)
     }
   }
@@ -1096,6 +1098,7 @@ final class Graft(val spark: SparkSession, basePath: String,
     Seq((ts.getTime * 1000 + math.abs((entity + slot + value).hashCode % 1000).toLong,
          entity, slot, value, "fact", relation, ts, -1L))
       .toDF("cardId", "entity", "slot", "value", "kind", "relation", "ts", "sourceFrameId")
+      .coalesce(1) // one file per driver-resident card batch (r20 §6)
       .write.mode(SaveMode.Append).parquet(cardsPath)
 
   def getCurrent(entity: String, slot: String): Option[String] =

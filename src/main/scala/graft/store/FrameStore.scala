@@ -204,7 +204,13 @@ final class FrameStore(spark: SparkSession, path: String,
     // process) minting from the persisted value is what makes ids
     // globally unique.
     counters.foreach { case (i, s, v) => writeSeqFile(i, s, v) }
-    frames.toDS().write.mode(SaveMode.Append).parquet(path)
+    // ONE task, ONE file per commit (r20, guide §6/§1): the batch is
+    // driver-resident and bounded by the put contract, but toDS slices
+    // it over defaultParallelism — 10-32 scheduled tasks and as many
+    // tiny log files PER COMMIT, which every later log scan re-lists
+    // and re-opens. One file per commit is also the reference's WAL
+    // segment shape.
+    frames.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(path)
     // roll the live-count cache forward only when it was current as of
     // the pre-mutation watermark AND the caller knows the exact delta
     // (put: every appended frame is new + Active); otherwise drop it
