@@ -57,6 +57,28 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bm25_life_guard_f")
   }
 
+  test("tracked build respects the total-file budget: nBuckets / #tracks per partition (r20)") {
+    // directory partitioning multiplies files: pre-r20 this build left
+    // tasks x buckets x tracks tiny files (640 measured at sf0.1);
+    // nBuckets now acts as a TOTAL-file budget for tracked tables
+    val docs = (1L to 40L)
+      .map(i => (i, s"term$i spark data rows", s"t${i % 4}"))
+      .toDF("doc_id", "text", "src")
+    val tbl = "bm25_trk_budget"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    graft.search.Bm25Index.write(docs, "doc_id", "text", tbl,
+      nBuckets = 16, trackCol = Some("src"))
+    val files = graft.search.Bm25Index.dataFileCount(spark, tbl)
+    // 4 tracks -> 4 buckets per partition -> at most 16 files total
+    // (fewer only if a (track, bucket) cell is empty)
+    assert(files <= 16L && files >= 4L, s"got $files files")
+    // scoring unaffected by the layout choice
+    val hits = graft.search.Bm25Index.search(spark, tbl,
+      Seq("spark"), topK = 5).collect()
+    assert(hits.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+  }
+
   test("Bm25Index.compact: one file per bucket, scoring bit-equal, idempotent") {
     val docs = Seq(
       (1L, "spark joins shuffle data"),

@@ -461,4 +461,20 @@ class StoreSpec extends SparkSpec {
     assert(after("payload_bytes") == before("payload_bytes"))
     assert(after("log_rows") == before("active_frames"))
   }
+
+  test("each put commit lands exactly ONE log file (r20 one-file-per-commit)") {
+    // appendFrames coalesces the driver-resident batch to one task — a
+    // commit is one parquet file (the WAL segment shape); the former
+    // defaultParallelism slicing left 4-32 tiny files per commit
+    val dir = tmpDir
+    val store = new FrameStore(spark, s"$dir/frames")
+    def logFiles: Int = Option(new java.io.File(s"$dir/frames").listFiles)
+      .map(_.count(f => f.getName.startsWith("part-"))).getOrElse(0)
+    store.put(Seq(("mv2://one/1", "alpha beta"), ("mv2://one/2", "gamma"),
+      ("mv2://one/3", "delta"), ("mv2://one/4", "epsilon")), ts = ts(1000))
+    assert(logFiles == 1, s"first commit: $logFiles files")
+    store.put(Seq(("mv2://one/5", "zeta")), ts = ts(2000))
+    assert(logFiles == 2, s"second commit: $logFiles files")
+    assert(store.latestActive.count() == 5)
+  }
 }

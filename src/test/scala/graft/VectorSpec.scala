@@ -142,6 +142,51 @@ class VectorSpec extends SparkSpec {
     assert(got.head.getLong(0) == 105L) // the query vector itself
   }
 
+  test("PQ codegen expressions are bit-equal to the reference kernels (r20)") {
+    // encode/asymmetricDistance became codegen Expressions over plan-time
+    // literals (PqEncodeExpr/PqAsymmetricExpr); the contract is
+    // BIT-identical arithmetic to the former UDFs: per-element
+    // float->double widening, sequential double accumulation, strict-<
+    // argmin. The reference below replays exactly that on the driver.
+    val dim = 32
+    def v(j: Int): Array[Float] =
+      Array.tabulate(dim)(i => (((i * 11 + j * 5) % 23) / 23.0f) - 0.4f)
+    val rows = (0 until 40).map(j => (j.toLong, v(j)))
+    val pq = new graft.vector.ProductQuantizer(numSubspaces = 8, numCentroids = 4)
+    val model = pq.train(rows.map(_._2).toArray)
+    val df = rows.toDF("vec_id", "embedding")
+    val encDf = pq.encode(df, "embedding", model)
+    val enc = encDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    def refCodes(x: Array[Float]): Seq[Int] = (0 until 8).map { s =>
+      val cents = model.codebooks(s)
+      val sub = x.slice(s * model.subDim, (s + 1) * model.subDim)
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var k = 0
+        while (k < sub.length) {
+          val t = cents(c)(k).toDouble - sub(k).toDouble; d += t * t; k += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    rows.foreach { case (id, x) =>
+      assert(enc(id) == refCodes(x), s"codes diverge for vec $id") }
+    val q = v(7)
+    val table = pq.distanceTable(q, model)
+    val scored = pq.encode(df, "embedding", model)
+      .withColumn("d", pq.asymmetricDistance(q, model)(col("pq_codes")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("d")).toMap
+    rows.foreach { case (id, _) =>
+      val codes = enc(id)
+      var s = 0; var dd = 0.0
+      while (s < codes.length) { dd += table(s)(codes(s)); s += 1 }
+      assert(scored(id) == math.sqrt(dd), s"adist diverges for vec $id")
+    }
+  }
+
   test("adaptive cutoff strategies on a crafted score ladder") {
     // FIXTURES.md §3: [0.9, 0.88, 0.85, 0.4, 0.39] -> cliff cut at index 3
     val ranked = Seq((1L, 0.9), (2L, 0.88), (3L, 0.85), (4L, 0.4), (5L, 0.39))
